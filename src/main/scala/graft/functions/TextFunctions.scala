@@ -1,0 +1,121 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions (pure `functions._` compositions — all
+  * codegen'd, no UDFs, so they stay inside WholeStageCodegen and scale
+  * linearly with input splits).
+  *
+  * Mirrors the reference's normalization layer
+  * (/root/reference/src/scipi/src/main/java/stream/ScipiStream.java:218-257)
+  * plus the LLM-training-data text ops (language id, quality scoring,
+  * token stats, fingerprinting).
+  */
+object TextFunctions {
+
+  /** validateStr (ScipiStream.java:218-230): strip non-alphanumeric,
+    * trim, lowercase, empty → null. */
+  def normalizeStr(c: Column): Column =
+    nullif(lower(trim(regexp_replace(c, "[^a-zA-Z0-9\\s]", ""))), lit(""))
+
+  /** validateTopics (ScipiStream.java:233-257): per-element normalize,
+    * drop nulls and elements longer than 30 chars, dedup. */
+  def normalizeTopics(arr: Column): Column =
+    array_distinct(
+      filter(transform(arr, normalizeStr _), x => x.isNotNull && length(x) <= 30))
+
+  /** Whitespace tokenizer: lowercase, split on runs of whitespace,
+    * drop empties. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+
+  /** Token count (whitespace). */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish sub-word count, lookaround-free (portable to RE2 engines):
+    * letter runs + digit runs + individual punctuation marks, the way a
+    * byte-pair pre-tokenizer splits before merging. */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-zA-Z]+"), lit(0))) +
+      size(regexp_extract_all(text, lit("[0-9]+"), lit(0))) +
+      length(regexp_replace(text, "[a-zA-Z0-9\\s]", ""))
+
+  /** Character n-grams of a string as an array column (used by the
+    * shingle/fingerprint family). */
+  def charNgrams(text: Column, n: Int): Column =
+    when(length(text) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), length(text) - (n - 1)),
+        i => text.substr(i, lit(n))))
+
+  /** Word n-grams (shingles) from a token array. */
+  def wordNgrams(toks: Column, n: Int): Column =
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+
+  /** Stopword ratio against a small built-in english list. */
+  private val stopwords =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+      "that", "for", "on", "with", "as", "at", "by", "be", "this")
+
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, 0.0).otherwise(
+      size(filter(toks, t => t.isin(stopwords.map(x => x: Any): _*)))
+        .cast("double") / size(toks))
+  }
+
+  /** Punctuation-to-character ratio. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, 0.0).otherwise(
+      (length(text) - length(regexp_replace(text, "[^a-zA-Z0-9\\s]", "")))
+        .cast("double") / length(text))
+
+  /** Mean token length — long-token gibberish shows up here. */
+  def meanTokenLen(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, 0.0).otherwise(
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+        size(toks))
+  }
+
+  /** Composite quality score in [0,1]: length band + low punctuation +
+    * reasonable mean token length. Heuristic, deterministic. */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / 200.0, lit(1.0))
+    val punct = lit(1.0) - least(punctRatio(text) * 5.0, lit(1.0))
+    val mtl = meanTokenLen(text)
+    val mtlScore = when(mtl.between(3.0, 10.0), 1.0).otherwise(0.5)
+    round((lenScore * 0.4 + punct * 0.3 + mtlScore * 0.3), 6)
+  }
+
+  /** Language id over a closed candidate set via stop-token evidence.
+    * N-gram/stop-token heuristic (no external model): picks the language
+    * whose marker tokens occur most; falls back to 'und'. */
+  private val markers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "is", "to"),
+    "es" -> Seq("el", "la", "de", "que", "los"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2"))
+
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scores = markers.toSeq.sortBy(_._1).map { case (lang, ms) =>
+      struct(
+        size(filter(toks, t => t.isin(ms.map(x => x: Any): _*))).as("score"),
+        lit(lang).as("lang"))
+    }
+    val best = array_max(array(scores: _*))
+    when(best.getField("score") > 0, best.getField("lang")).otherwise("und")
+  }
+
+  /** 64-bit document fingerprint: hash of the normalized token stream
+    * (order-sensitive; same fingerprint ⇔ same normalized content).
+    * ANSI-safe — xxhash64 instead of an overflowing polynomial hash. */
+  def fingerprint(text: Column): Column =
+    xxhash64(concat_ws("\\u0001", tokens(text)))
+}

@@ -1,0 +1,115 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Text-analysis query surface over the `documents` table.
+  *
+  * Covers the reference's scan→project→explode→filter→aggregate layer
+  * (SURVEY.md §2.2 P3-P6, §2.3 A1-A2 — keyword/fos counting reshaped onto
+  * document tokens) and the training-data text ops (token stats, quality,
+  * language id, fingerprints).
+  *
+  * Scale notes: every query here is a narrow map over the scan followed by
+  * at most one hash aggregation on a bounded-cardinality key (tokens,
+  * langs) — map-side partial aggregation keeps the shuffle tiny relative
+  * to input, so these scale linearly to 100 TB.
+  */
+object TextQueries extends QueryPack {
+
+  override def queries: Map[String, Q] = Map(
+    // A1/P6 analogue: explode tokens, group-count.
+    "text_token_count" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(explode(tokens(col("text"))).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("cnt"))),
+
+    // P3/P5 analogue: normalize + acceptance filter (lang whitelist,
+    // min length), count survivors per (lang, source).
+    "text_normalize_filter" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang"), col("source"), normalizeStr(col("text")).as("norm"))
+        .where(col("lang").isin("en", "de") && col("norm").isNotNull &&
+          length(col("norm")) >= 50)
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("cnt"), sum(length(col("norm"))).as("total_len"))),
+
+    // Token statistics per document (whitespace + subword counts).
+    "text_token_stats" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          tokenCount(col("text")).as("n_tokens"),
+          subwordCount(col("text")).as("n_subwords"),
+          length(col("text")).as("n_chars_computed"))),
+
+    // Quality scoring: deterministic heuristic per document.
+    "text_quality" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          round(punctRatio(col("text")), 6).as("punct_ratio"),
+          round(stopwordRatio(col("text")), 6).as("stopword_ratio"),
+          round(meanTokenLen(col("text")), 6).as("mean_token_len"))),
+
+    // Rolling-hash fingerprint per document (order-sensitive content id).
+    "text_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+        .groupBy("fp").agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))),
+
+    // Language-id heuristic vs the labeled lang column: confusion counts.
+    "text_langid" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang"), langId(col("text")).as("pred"))
+        .groupBy("lang", "pred")
+        .agg(count(lit(1)).as("cnt"))))
+
+  override def oracles: Map[String, String] = Map(
+    "text_token_count" ->
+      """SELECT token, count(*) AS cnt
+        |FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS token
+        |      FROM documents)
+        |WHERE length(token) > 0
+        |GROUP BY token""".stripMargin,
+
+    "text_normalize_filter" ->
+      """WITH n AS (
+        |  SELECT lang, source,
+        |         nullif(lower(trim(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))), '') AS norm
+        |  FROM documents)
+        |SELECT lang, source, count(*) AS cnt, sum(length(norm)) AS total_len
+        |FROM n
+        |WHERE lang IN ('en','de') AND norm IS NOT NULL AND length(norm) >= 50
+        |GROUP BY lang, source""".stripMargin,
+
+    "text_token_stats" ->
+      """SELECT doc_id,
+        |  len(list_filter(string_split_regex(lower(text), '\s+'), t -> length(t) > 0)) AS n_tokens,
+        |  len(regexp_extract_all(text, '[a-zA-Z]+'))
+        |    + len(regexp_extract_all(text, '[0-9]+'))
+        |    + length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS n_subwords,
+        |  length(text) AS n_chars_computed
+        |FROM documents""".stripMargin,
+
+    "text_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |         list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0) AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        |  round(CASE WHEN length(text) = 0 THEN 0.0
+        |    ELSE (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))) * 1.0
+        |         / length(text) END, 6) AS punct_ratio,
+        |  round(CASE WHEN len(toks) = 0 THEN 0.0
+        |    ELSE len(list_filter(toks, x -> x IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','be','this'))) * 1.0
+        |         / len(toks) END, 6) AS stopword_ratio,
+        |  round(CASE WHEN len(toks) = 0 THEN 0.0
+        |    ELSE list_sum(list_transform(toks, x -> length(x))) * 1.0 / len(toks) END, 6)
+        |    AS mean_token_len
+        |FROM t""".stripMargin)
+  // text_fingerprint / text_langid: xxhash64 and the marker argmax are not
+  // reproducible in DuckDB SQL → rows-only check (oracle omitted).
+}

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.TextFunctions._
+
+object SparkTestSession {
+  lazy val spark: SparkSession = GraftSession.get(4)
+}
+
+class TextFunctionsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("normalizeStr strips punctuation, trims, lowercases, nulls empties") {
+    val got = Seq("  Hello, World! ", "???", "A-B c", "")
+      .toDF("s").select(normalizeStr($"s").as("n")).as[String].collect()
+    assert(got.toSeq == Seq("hello world", null, "ab c", null))
+  }
+
+  test("normalizeTopics dedups, drops >30 chars and empties") {
+    val got = Seq((Seq("Graph  Mining!", "graph  mining", "x" * 31, "!!"), 1))
+      .toDF("a", "i").select(normalizeTopics($"a").as("n"))
+      .as[(Seq[String])].collect().head
+    assert(got == Seq("graph  mining"))
+  }
+
+  test("tokens/tokenCount/subwordCount") {
+    val df = Seq("The quick  brown fox-jumps! 42 times").toDF("s")
+    val (n, sw) = df.select(tokenCount($"s"), subwordCount($"s")).as[(Int, Int)].collect().head
+    assert(n == 6)
+    // letters runs: the quick brown fox jumps times = 6; digits: 42 = 1; punct: - ! = 2
+    assert(sw == 9)
+  }
+
+  test("charNgrams and wordNgrams handle short inputs") {
+    val df = Seq(("ab", Seq("a", "b"))).toDF("s", "t")
+    val (cg, wg) = df.select(charNgrams($"s", 3), wordNgrams($"t", 3))
+      .as[(Seq[String], Seq[String])].collect().head
+    assert(cg.isEmpty && wg.isEmpty)
+    val cg2 = Seq("abcd").toDF("s").select(charNgrams($"s", 2)).as[Seq[String]].collect().head
+    assert(cg2 == Seq("ab", "bc", "cd"))
+    val wg2 = Seq(Seq("a", "b", "c")).toDF("t").select(wordNgrams($"t", 2)).as[Seq[String]].collect().head
+    assert(wg2 == Seq("a b", "b c"))
+  }
+
+  test("quality ratios are in range and deterministic") {
+    val df = Seq("the cat sat on the mat!", "", "xxxxxxxxxxxxxxxxxxxxxxxx").toDF("s")
+    val rows = df.select(stopwordRatio($"s"), punctRatio($"s"), meanTokenLen($"s"))
+      .as[(Double, Double, Double)].collect()
+    rows.foreach { case (sr, pr, _) =>
+      assert(sr >= 0 && sr <= 1); assert(pr >= 0 && pr <= 1)
+    }
+    assert(rows(0)._1 == 3.0 / 6.0) // the, on, the
+  }
+
+  test("fingerprint is order-sensitive and stable on normalized text") {
+    val fps = Seq("a b c", "c b a", "a  b   c").toDF("s")
+      .select(fingerprint($"s")).as[Long].collect()
+    assert(fps(0) != fps(1))   // order matters
+    assert(fps(0) == fps(2))   // whitespace runs don't
+  }
+
+  test("langId picks marker-heavy language") {
+    val got = Seq("the cat and the dog is here", "el que la los de")
+      .toDF("s").select(langId($"s")).as[String].collect()
+    assert(got.toSeq == Seq("en", "es"))
+  }
+}
