@@ -13,7 +13,9 @@ object SparkEntry {
 
   private val packs: Seq[QueryPack] = Seq(
     TextQueries,
-    RelationalQueries)
+    RelationalQueries,
+    DedupQueries,
+    SimilarityQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

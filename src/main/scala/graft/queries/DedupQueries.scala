@@ -1,0 +1,167 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import graft.Tables
+import graft.functions.TextFunctions._
+import graft.functions.HashFunctions._
+import graft.functions.VectorFunctions._
+
+/** Deduplication query surface over `documents` / `embeddings`:
+  * exact (hash-groupBy), exact n-gram Jaccard, MinHash+LSH, SimHash,
+  * and embedding-cosine near-dup.
+  *
+  * Scale notes (100 TB):
+  *  - Exact dedup groups on a 64-bit content hash, not the text — the
+  *    shuffle carries 8-byte keys + doc_ids, never documents.
+  *  - The exact-Jaccard path joins on shingle *hashes* (8 bytes) and
+  *    computes |A∩B| by counting shared shingles — O(Σ per-shingle
+  *    bucket²) like any inverted-index join; AQE skew-split covers hot
+  *    shingles.
+  *  - MinHash+LSH is the scale path: candidates come from 16-band
+  *    signature buckets (detect prob 1-(1-j⁴)¹⁶ ≈ 0.9998 at j=0.8), and
+  *    only candidates pay the exact-verify cost. The verify keeps output
+  *    equal to the brute-force oracle w.h.p. — same DuckDB oracle as the
+  *    exact query.
+  *  - SimHash pairs come from 4-chunk hamming banding (hamming ≤ 3 ⇒
+  *    some chunk equal) — no O(n²) anywhere.
+  */
+object DedupQueries extends QueryPack {
+
+  private val JaccardThreshold = 0.8
+  private val CosineThreshold = 0.4
+  private val Dim = 64
+
+  /** (doc_id, shingles: distinct word-3-gram array) for docs with >= 3
+    * tokens. */
+  private def docShingles(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), array_distinct(wordNgrams(tokens(col("text")), 3)).as("shingles"))
+      .where(size(col("shingles")) > 0)
+
+  private def jaccard(common: Column, na: Column, nb: Column): Column =
+    round(common.cast("double") / (na + nb - common), 6)
+
+  override def queries: Map[String, Q] = Map(
+    // Exact dedup: group on content hash, keep min doc_id.
+    "dedup_exact" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), xxhash64(normalizeStr(col("text"))).as("h"))
+        .groupBy("h")
+        .agg(min(col("doc_id")).as("survivor"), count(lit(1)).as("n_copies"))
+        .select("survivor", "n_copies")),
+
+    // Exact n-gram Jaccard pairs >= 0.8 via inverted shingle-hash index.
+    "dedup_ngram_jaccard" -> ((s, d) => {
+      val sh = docShingles(s, d)
+        .select(col("doc_id"), elementHashes(col("shingles")).as("hs"))
+      val sizes = sh.select(col("doc_id"), size(col("hs")).as("n"))
+      val ex = sh.select(col("doc_id"), explode(col("hs")).as("h"))
+      val common = ex.as("a").join(ex.as("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+        .agg(count(lit(1)).as("c"))
+      common
+        .join(sizes.as("sa"), col("i") === col("sa.doc_id"))
+        .join(sizes.as("sb"), col("j") === col("sb.doc_id"))
+        .select(col("i"), col("j"), jaccard(col("c"), col("sa.n"), col("sb.n")).as("jac"))
+        .where(col("jac") >= JaccardThreshold)
+    }),
+
+    // MinHash(64) + LSH(16 bands × 4) candidates, exact-verified.
+    "dedup_minhash_lsh" -> ((s, d) => {
+      val sh = docShingles(s, d)
+        .select(col("doc_id"), elementHashes(col("shingles")).as("hs"))
+      val sig = sh.select(col("doc_id"), col("hs"),
+        lshBands(minhashSignature(col("hs"), 64), 16, 4).as("bands"))
+      val buckets = sig.select(col("doc_id"), explode(col("bands")).as("bb"))
+        .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      val cand = buckets.as("a").join(buckets.as("b"),
+          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+        .distinct()
+      cand
+        .join(sig.select(col("doc_id"), col("hs")).as("da"), col("i") === col("da.doc_id"))
+        .join(sig.select(col("doc_id"), col("hs")).as("db"), col("j") === col("db.doc_id"))
+        .select(col("i"), col("j"),
+          jaccard(size(array_intersect(col("da.hs"), col("db.hs"))),
+            size(col("da.hs")), size(col("db.hs"))).as("jac"))
+        .where(col("jac") >= JaccardThreshold)
+    }),
+
+    // SimHash fingerprint + hamming-band candidate counts per doc.
+    "dedup_simhash" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), simhash(elementHashes(tokens(col("text")))).as("sh"))
+      val chunks = docs
+        .select(col("doc_id"), explode(simhashChunks(col("sh"))).as("cc"))
+        .select(col("doc_id"), col("cc.chunk").as("chunk"), col("cc.value").as("value"))
+      val cand = chunks.as("a").join(chunks.as("b"),
+          col("a.chunk") === col("b.chunk") && col("a.value") === col("b.value") &&
+            col("a.doc_id") =!= col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("other"))
+        .distinct()
+        .groupBy("doc_id").agg(count(lit(1)).as("n_band_candidates"))
+      docs.join(cand, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("sh").as("simhash"),
+          coalesce(col("n_band_candidates"), lit(0L)).as("n_band_candidates"))
+    }),
+
+    // Embedding near-dup: all pairs with cosine >= 0.4 (brute-force
+    // O(n²) reference path; the SRP-LSH query in SimilarityQueries is
+    // the scale path).
+    "dedup_embedding_cosine" -> ((s, d) => {
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      e.as("a").join(broadcast(e.as("b")), col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
+          round(cosineExpr(col("a.embedding"), col("b.embedding"), Dim), 6).as("sim"))
+        .where(col("sim") >= CosineThreshold)
+    }))
+
+  /** DuckDB 1-indexed unrolled dot product, same index order as
+    * [[VectorFunctions.dotExpr]] so double summation matches bitwise. */
+  private def dotSql(a: String, b: String): String =
+    (1 to Dim).map(i => s"CAST($a.embedding[$i] AS DOUBLE) * CAST($b.embedding[$i] AS DOUBLE)")
+      .mkString(" + ")
+
+  private val jaccardOracle =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0) AS ts
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, len(ts)-1),
+       |           i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS shingles
+       |  FROM toks WHERE len(ts) >= 3),
+       |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+       |common AS (
+       |  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+       |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |sizes AS (SELECT doc_id, len(shingles) AS n FROM sh)
+       |SELECT i, j, round(c * 1.0 / (sa.n + sb.n - c), 6) AS jac
+       |FROM common
+       |JOIN sizes sa ON i = sa.doc_id
+       |JOIN sizes sb ON j = sb.doc_id
+       |WHERE round(c * 1.0 / (sa.n + sb.n - c), 6) >= $JaccardThreshold""".stripMargin
+
+  override def oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS survivor, count(*) AS n_copies
+        |FROM documents
+        |GROUP BY nullif(lower(trim(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))), '')""".stripMargin,
+
+    "dedup_ngram_jaccard" -> jaccardOracle,
+    // LSH+verify equals brute force w.h.p. — graded against the same
+    // exact oracle, which is the point of the verify stage.
+    "dedup_minhash_lsh" -> jaccardOracle,
+
+    "dedup_embedding_cosine" ->
+      s"""SELECT a.vec_id AS i, b.vec_id AS j, round((${dotSql("a", "b")}) /
+         |  sqrt((${dotSql("a", "a")}) * (${dotSql("b", "b")})), 6) AS sim
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |WHERE round((${dotSql("a", "b")}) /
+         |  sqrt((${dotSql("a", "a")}) * (${dotSql("b", "b")})), 6) >= $CosineThreshold""".stripMargin)
+  // dedup_simhash: xxhash64-derived fingerprints aren't reproducible in
+  // DuckDB → rows-only check.
+}

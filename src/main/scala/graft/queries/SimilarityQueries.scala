@@ -1,0 +1,102 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.VectorFunctions._
+
+/** Similarity search over the `embeddings` table (`array<float>` 64-dim).
+  *
+  * Three tiers, mirroring how ANN serving actually scales:
+  *  - brute-force top-k: exact, O(Q×N); the Q side is broadcast so the
+  *    big side never shuffles — the baseline and the oracle-checkable
+  *    ground truth.
+  *  - IVF-style probe: restrict the scan to the query's coarse cluster
+  *    (the `label` column stands in for a k-means assignment) — an
+  *    equi-join on the cluster id, O(Q×N/k), also exact *within* the
+  *    probed cluster so it stays oracle-checkable.
+  *  - SRP-LSH: sign-random-projection buckets + hamming-1 multiprobe,
+  *    then exact re-rank of candidates only — the 100 TB path
+  *    (approximate ⇒ rows-only check).
+  */
+object SimilarityQueries extends QueryPack {
+
+  private val Dim = 64
+  private val K = 5
+  private val NQueries = 10
+  private val Planes = 8
+
+  override def queries: Map[String, Q] = Map(
+    // Exact brute-force top-k per query vector.
+    "sim_topk_bruteforce" -> ((s, d) => {
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val q = e.where(col("vec_id") < NQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id").asc)
+      broadcast(q).join(e, col("qid") =!= col("vec_id"))
+        .select(col("qid"), col("vec_id"),
+          round(cosineExpr(col("qvec"), col("embedding"), Dim), 6).as("sim"))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= K)
+    }),
+
+    // IVF-style: probe only the query's cluster (label equi-join).
+    "sim_topk_ivf" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.where(col("vec_id") < NQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"), col("label").as("qlabel"))
+      val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id").asc)
+      broadcast(q).join(e, col("qlabel") === col("label") && col("qid") =!= col("vec_id"))
+        .select(col("qid"), col("vec_id"),
+          round(cosineExpr(col("qvec"), col("embedding"), Dim), 6).as("sim"))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= K)
+    }),
+
+    // SRP-LSH with hamming-1 multiprobe + exact re-rank of candidates.
+    "sim_topk_srp" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          srpBucket(col("embedding"), Dim, Planes).as("bucket"))
+      val probes = array(lit(0) +: (0 until Planes).map(p => lit(1 << p)): _*)
+      val q = e.where(col("vec_id") < NQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+          explode(transform(probes, m => col("bucket").bitwiseXOR(m))).as("probe"))
+      val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id").asc)
+      broadcast(q).join(e, col("probe") === col("bucket") && col("qid") =!= col("vec_id"))
+        .select(col("qid"), col("vec_id"),
+          round(cosineExpr(col("qvec"), col("embedding"), Dim), 6).as("sim"))
+        .distinct()
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= K)
+    }))
+
+  private def dotSql(a: String, b: String): String =
+    (1 to Dim).map(i => s"CAST($a.embedding[$i] AS DOUBLE) * CAST($b.embedding[$i] AS DOUBLE)")
+      .mkString(" + ")
+
+  private def simSql(a: String, b: String): String =
+    s"round((${dotSql(a, b)}) / sqrt((${dotSql(a, a)}) * (${dotSql(b, b)})), 6)"
+
+  override def oracles: Map[String, String] = Map(
+    "sim_topk_bruteforce" ->
+      s"""SELECT qid, vec_id, sim, rank FROM (
+         |  SELECT a.vec_id AS qid, b.vec_id AS vec_id, ${simSql("a", "b")} AS sim,
+         |    row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY ${simSql("a", "b")} DESC, b.vec_id ASC) AS rank
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+         |  WHERE a.vec_id < $NQueries)
+         |WHERE rank <= $K""".stripMargin,
+
+    "sim_topk_ivf" ->
+      s"""SELECT qid, vec_id, sim, rank FROM (
+         |  SELECT a.vec_id AS qid, b.vec_id AS vec_id, ${simSql("a", "b")} AS sim,
+         |    row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY ${simSql("a", "b")} DESC, b.vec_id ASC) AS rank
+         |  FROM embeddings a JOIN embeddings b
+         |    ON a.label = b.label AND a.vec_id <> b.vec_id
+         |  WHERE a.vec_id < $NQueries)
+         |WHERE rank <= $K""".stripMargin)
+  // sim_topk_srp: xxhash64-seeded hyperplanes aren't reproducible in
+  // DuckDB → rows-only check (recall is probabilistic by design).
+}
