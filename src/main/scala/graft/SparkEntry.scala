@@ -15,7 +15,9 @@ object SparkEntry {
     TextQueries,
     RelationalQueries,
     DedupQueries,
-    SimilarityQueries)
+    SimilarityQueries,
+    AssocQueries,
+    GraphQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

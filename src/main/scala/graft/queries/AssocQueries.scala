@@ -1,0 +1,73 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.assoc.Association
+
+/** P15/A8/A9/J5 association shapes on the driver testdata: part names
+  * play titles, brands play authors, a fixed keyword list plays the
+  * user-defined keywords (SciPi's --keywords argument).
+  */
+object AssocQueries extends QueryPack {
+
+  private val Keywords = Seq("small", "ring", "widget")
+  private val SimThreshold = 0.3
+
+  override def queries: Map[String, Q] = Map(
+    // P15 + A8: Σ cosine(keyword, p_name) per (keyword, brand) over
+    // parts clearing the threshold.
+    "assoc_keyword_cosine" -> ((s, d) =>
+      Tables.part(s, d)
+        .select(col("p_brand"), col("p_name"))
+        .withColumn("keyword", explode(array(Keywords.map(lit): _*)))
+        .select(col("keyword"), col("p_brand"),
+          Association.shingleCosine(col("keyword"), col("p_name")).as("sim"))
+        .where(col("sim") > SimThreshold)
+        .groupBy("keyword", "p_brand")
+        .agg(round(sum("sim"), 6).as("total_sim"), count(lit(1)).as("n_parts"))),
+
+    // A9 + J5 end-to-end: brands "use" part-name head tokens as
+    // keywords; project brand pairs sharing a frequently-used token.
+    "assoc_brand_projection" -> ((s, d) => {
+      val usage = Tables.part(s, d)
+        .select(col("p_brand").as("author"),
+          split(col("p_name"), " ").getItem(0).as("keyword"))
+        .groupBy("author", "keyword")
+        .agg(count(lit(1)).as("usage"))
+        .where(col("usage") > 3)
+      Association.collaboratorProjection(usage)
+        .withColumnRenamed("a", "brand_a")
+        .withColumnRenamed("b", "brand_b")
+    }))
+
+  /** DuckDB mirror of [[Association.shingleCosine]] (same gram builder,
+    * same profile dot). */
+  private def cosSql(a: String, b: String): String = {
+    def grams(x: String) =
+      s"list_transform(range(1, length($x)-1), i -> substr($x, i, 3))"
+    def dot(xs: String, ys: String) =
+      s"coalesce(list_sum(list_transform(list_distinct($xs), g -> " +
+        s"len(list_filter($xs, x -> x = g)) * len(list_filter($ys, y -> y = g)))), 0)"
+    s"""(WITH g AS (SELECT ${grams(a)} AS ga, ${grams(b)} AS gb)
+       | SELECT CASE WHEN ${dot("ga", "ga")} = 0 OR ${dot("gb", "gb")} = 0 THEN 0.0
+       |   ELSE ${dot("ga", "gb")} * 1.0 / sqrt(${dot("ga", "ga")} * 1.0 * ${dot("gb", "gb")}) END
+       | FROM g)""".stripMargin.replace("\n", " ")
+  }
+
+  override def oracles: Map[String, String] = Map(
+    "assoc_keyword_cosine" ->
+      s"""WITH kw(keyword) AS (VALUES ('small'), ('ring'), ('widget')),
+         |sims AS (
+         |  SELECT keyword, p_brand, ${cosSql("keyword", "p_name")} AS sim
+         |  FROM part CROSS JOIN kw)
+         |SELECT keyword, p_brand, round(sum(sim), 6) AS total_sim, count(*) AS n_parts
+         |FROM sims WHERE sim > $SimThreshold
+         |GROUP BY 1, 2""".stripMargin,
+
+    "assoc_brand_projection" ->
+      """WITH usage AS (
+        |  SELECT p_brand AS author, string_split(p_name, ' ')[1] AS keyword, count(*) AS u
+        |  FROM part GROUP BY 1, 2 HAVING u > 3)
+        |SELECT DISTINCT a.author AS brand_a, b.author AS brand_b
+        |FROM usage a JOIN usage b ON a.keyword = b.keyword AND a.author < b.author""".stripMargin)
+}
