@@ -1,12 +1,14 @@
 import graft._
 object Probe {
   def main(a: Array[String]): Unit = {
-    val spark = GraftSession.get(8)
-    def time(n: String)(f: => Long) = { val t0=System.nanoTime; val c=f; println(s"$n: $c rows in ${(System.nanoTime-t0)/1e9}s") }
-    time("warmup")(Tables.documents(spark, "/root/testdata/sf0.001").count())
-    time("normalize_filter")(SparkEntry.queries("text_normalize_filter")(spark, "/root/testdata/sf0.001").count())
-    time("normalize_filter2")(SparkEntry.queries("text_normalize_filter")(spark, "/root/testdata/sf0.001").count())
-    SparkEntry.queries("text_normalize_filter")(spark, "/root/testdata/sf0.001").explain("formatted")
+    val sf = sys.env.getOrElse("PROBE_SF", "/root/testdata/sf0.1")
+    val names = if (a.nonEmpty) a.toSeq else SparkEntry.queries.keys.toSeq.sorted
+    val spark = GraftSession.get(32)
+    names.foreach { n =>
+      val t0 = System.nanoTime
+      val c = SparkEntry.queries(n)(spark, sf).count()
+      println(f"PROBE $n%-28s $c%9d rows  ${(System.nanoTime - t0) / 1e9}%8.2fs")
+    }
     spark.stop()
   }
 }

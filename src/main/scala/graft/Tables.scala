@@ -35,4 +35,15 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Decouple compute parallelism from scan splits. The sketch/similarity
+    * stages do orders-of-magnitude more work per input byte than a scan
+    * (64 minhash passes, O(candidates²) pair math), so their parallelism
+    * must come from the data size we *compute on*, not the handful of
+    * parquet splits a small table arrives in — locally a single-row-group
+    * file is ONE split, serializing the whole quadratic stage onto one
+    * core. One cheap round-robin shuffle of the narrow input fixes that;
+    * on a real cluster it doubles as a balancer ahead of skewed fan-out. */
+  def fanout(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 }

@@ -20,12 +20,75 @@ object HashFunctions {
     * shuffles carry 8-byte keys, not text). */
   def elementHashes(arr: Column): Column = transform(arr, x => xxhash64(x))
 
-  /** MinHash signature of length `k` over a pre-hashed shingle array:
-    * permutation i is xxhash64(i, h) — min over the array per i. */
-  def minhashSignature(shingleHashes: Column, k: Int): Column =
-    array((0 until k).map { i =>
-      array_min(transform(shingleHashes, h => xxhash64(lit(i), h)))
-    }: _*)
+  /** Distinct word-n-gram shingle hashes of a text, one primitive pass:
+    * lowercase, split on whitespace runs, hash each n-gram (poly-31 over
+    * the joined gram, splitmix-finalized), dedup. Semantically identical
+    * to array_distinct(wordNgrams(tokens(text), n)) + elementHashes —
+    * Jaccard only consumes distinct-shingle counts, so any injective-in-
+    * practice hash gives the same pair counts — but one UDF pass instead
+    * of five interpreted higher-order traversals (~10× on the sketch
+    * pipeline). */
+  def wordShingleHashes(text: Column, n: Int): Column = {
+    val f = udf { (t: String) =>
+      if (t == null) Array.empty[Long]
+      else {
+        val toks = t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        if (toks.length < n) Array.empty[Long]
+        else {
+          val out = new java.util.HashSet[java.lang.Long](toks.length * 2)
+          var i = 0
+          while (i <= toks.length - n) {
+            var h = 1125899906842597L
+            var g = 0
+            while (g < n) {
+              val w = toks(i + g); var c = 0
+              while (c < w.length) { h = h * 31 + w.charAt(c); c += 1 }
+              h = h * 31 + ' '
+              g += 1
+            }
+            out.add(splitmix64(h)); i += 1
+          }
+          val arr = new Array[Long](out.size)
+          val it = out.iterator(); var j = 0
+          while (it.hasNext) { arr(j) = it.next(); j += 1 }
+          arr
+        }
+      }
+    }
+    f(text)
+  }
+
+  /** MinHash signature of length `k` over a pre-hashed shingle array.
+    *
+    * Implemented as a typed UDF with one primitive-array pass (k·|arr|
+    * multiply-add hashes): the columnar alternative — k ×
+    * `array_min(transform(...))` — walks the array k times through
+    * interpreted lambda eval (higher-order functions don't codegen) and
+    * benchmarked ~100× slower. Permutation i is the universal hash
+    * (a_i·x + b_i) with odd multipliers seeded from splitmix64(i) —
+    * deterministic across runs and partitionings. */
+  def minhashSignature(shingleHashes: Column, k: Int): Column = {
+    val a = Array.tabulate(k)(i => splitmix64(2L * i + 1) | 1L)
+    val b = Array.tabulate(k)(i => splitmix64(2L * i + 2))
+    val f = udf { (hs: Array[Long]) =>
+      val sig = Array.fill(k)(Long.MaxValue)
+      var j = 0
+      while (j < hs.length) {
+        val h = hs(j); var p = 0
+        while (p < k) { val v = a(p) * h + b(p); if (v < sig(p)) sig(p) = v; p += 1 }
+        j += 1
+      }
+      sig
+    }
+    f(shingleHashes)
+  }
+
+  private def splitmix64(seed: Long): Long = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
 
   /** LSH band hashes: splits a k-length signature into `bands` bands of
     * `rowsPerBand` and hashes each band to one 64-bit bucket key.

@@ -29,18 +29,40 @@ object VectorFunctions {
   def cosineExpr(a: Column, b: Column, dim: Int): Column =
     dotExpr(a, b, dim) / sqrt(normSqExpr(a, dim) * normSqExpr(b, dim))
 
-  /** Sign-random-projection LSH bucket: `planes` hyperplanes whose
-    * coefficients are deterministic pseudo-randoms derived from
-    * xxhash64(plane, dim-index), mapped to [-0.5, 0.5). The bucket id
-    * packs the per-plane sign bits — cosine-close vectors agree on most
-    * planes, so probing nearby buckets (hamming <= 1) finds them without
-    * the O(n²) scan. */
-  def srpBucket(v: Column, dim: Int, planes: Int): Column =
-    (0 until planes).map { p =>
-      val proj = (0 until dim).map { i =>
-        val coeff = (xxhash64(lit(p), lit(i)).bitwiseAND(1023).cast("double") / 1024.0) - 0.5
-        v.getItem(i).cast("double") * coeff
-      }.reduce(_ + _)
-      when(proj >= 0, lit(1 << p)).otherwise(lit(0))
-    }.reduce(_ + _)
+  /** Sign-random-projection LSH bucket: `planes` hyperplanes with
+    * deterministic splitmix64-seeded coefficients in [-0.5, 0.5). The
+    * bucket id packs the per-plane sign bits — cosine-close vectors
+    * agree on most planes, so probing nearby buckets (hamming <= 1)
+    * finds them without the O(n²) scan.
+    *
+    * A UDF rather than an unrolled column expression: planes×dim terms
+    * (512 here) make janino spend >10 s compiling the generated method —
+    * more than the whole query's runtime — while the primitive loop is
+    * compile-free and equally distributed. */
+  def srpBucket(v: Column, dim: Int, planes: Int): Column = {
+    val coeffs = Array.tabulate(planes, dim) { (p, i) =>
+      ((splitmix64(p.toLong * dim + i) & 1023L).toDouble / 1024.0) - 0.5
+    }
+    val f = udf { (vec: Array[Float]) =>
+      var bucket = 0
+      var p = 0
+      while (p < planes) {
+        var proj = 0.0
+        val row = coeffs(p)
+        var i = 0
+        while (i < dim) { proj += vec(i).toDouble * row(i); i += 1 }
+        if (proj >= 0) bucket |= (1 << p)
+        p += 1
+      }
+      bucket
+    }
+    f(v)
+  }
+
+  private def splitmix64(seed: Long): Long = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
 }

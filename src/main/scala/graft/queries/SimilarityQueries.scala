@@ -29,43 +29,52 @@ object SimilarityQueries extends QueryPack {
   override def queries: Map[String, Q] = Map(
     // Exact brute-force top-k per query vector.
     "sim_topk_bruteforce" -> ((s, d) => {
-      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val e = Tables.fanout(Tables.embeddings(s, d))
+        .select(col("vec_id"), col("embedding"),
+          normSqExpr(col("embedding"), Dim).as("nsq"))
       val q = e.where(col("vec_id") < NQueries)
-        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"), col("nsq").as("qnsq"))
       val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id").asc)
       broadcast(q).join(e, col("qid") =!= col("vec_id"))
         .select(col("qid"), col("vec_id"),
-          round(cosineExpr(col("qvec"), col("embedding"), Dim), 6).as("sim"))
+          round(dotExpr(col("qvec"), col("embedding"), Dim) /
+            sqrt(col("qnsq") * col("nsq")), 6).as("sim"))
         .withColumn("rank", row_number().over(w))
         .where(col("rank") <= K)
     }),
 
     // IVF-style: probe only the query's cluster (label equi-join).
     "sim_topk_ivf" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
+      val e = Tables.fanout(Tables.embeddings(s, d))
+        .select(col("vec_id"), col("embedding"), col("label"),
+          normSqExpr(col("embedding"), Dim).as("nsq"))
       val q = e.where(col("vec_id") < NQueries)
-        .select(col("vec_id").as("qid"), col("embedding").as("qvec"), col("label").as("qlabel"))
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+          col("label").as("qlabel"), col("nsq").as("qnsq"))
       val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id").asc)
       broadcast(q).join(e, col("qlabel") === col("label") && col("qid") =!= col("vec_id"))
         .select(col("qid"), col("vec_id"),
-          round(cosineExpr(col("qvec"), col("embedding"), Dim), 6).as("sim"))
+          round(dotExpr(col("qvec"), col("embedding"), Dim) /
+            sqrt(col("qnsq") * col("nsq")), 6).as("sim"))
         .withColumn("rank", row_number().over(w))
         .where(col("rank") <= K)
     }),
 
     // SRP-LSH with hamming-1 multiprobe + exact re-rank of candidates.
     "sim_topk_srp" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
+      val e = Tables.fanout(Tables.embeddings(s, d))
         .select(col("vec_id"), col("embedding"),
+          normSqExpr(col("embedding"), Dim).as("nsq"),
           srpBucket(col("embedding"), Dim, Planes).as("bucket"))
       val probes = array(lit(0) +: (0 until Planes).map(p => lit(1 << p)): _*)
       val q = e.where(col("vec_id") < NQueries)
-        .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"), col("nsq").as("qnsq"),
           explode(transform(probes, m => col("bucket").bitwiseXOR(m))).as("probe"))
       val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id").asc)
       broadcast(q).join(e, col("probe") === col("bucket") && col("qid") =!= col("vec_id"))
         .select(col("qid"), col("vec_id"),
-          round(cosineExpr(col("qvec"), col("embedding"), Dim), 6).as("sim"))
+          round(dotExpr(col("qvec"), col("embedding"), Dim) /
+            sqrt(col("qnsq") * col("nsq")), 6).as("sim"))
         .distinct()
         .withColumn("rank", row_number().over(w))
         .where(col("rank") <= K)
