@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.StreamJobs
+
+/** Batch/stream convergence: the same aggregate functions over a
+  * MemoryStream must converge to the batch answers on the same rows
+  * (SURVEY.md §5.2 item 4). */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def oagJson(title: String, year: String, authors: Seq[String], kws: Seq[String]) = {
+    val as = authors.map(a => s"""{"name":"$a"}""").mkString(",")
+    val ks = kws.map(k => s""""$k"""").mkString(",")
+    s"""{"title":"$title","doi":"10.1/$title","lang":"en","publisher":"pub",
+       |"venue":null,"year":"$year","keywords":[$ks],"authors":[$as],"fos":["cs"]}"""
+      .stripMargin.replace("\n", "")
+  }
+
+  private val rows = Seq(
+    oagJson("p one", "2019", Seq("ann"), Seq("ml")),
+    oagJson("p two", "2019", Seq("ann", "bob"), Seq("ml", "db")),
+    oagJson("p three", "2020", Seq("cat"), Seq("db")))
+
+  test("streaming keyword counts converge to the batch answer") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val stream = StreamJobs.ingest(mem.toDF().withColumnRenamed("value", "value"), "oag")
+    val q = StreamJobs.aggregates(stream)("keywords")
+      .writeStream.format("memory").queryName("kw_counts")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      mem.addData(rows.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(2): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("kw_counts").as[(String, Long)].collect().toMap
+      val batch = StreamJobs.aggregates(
+        StreamJobs.ingest(rows.toDF("value"), "oag"))("keywords")
+        .as[(String, Long)].collect().toMap
+      assert(streamed == batch)
+      assert(batch == Map("ml" -> 2L, "db" -> 2L))
+    } finally q.stop()
+  }
+
+  test("streaming year-wise distribution converges incrementally") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val q = StreamJobs.aggregates(StreamJobs.ingest(mem.toDF(), "oag"))("yrwisedist")
+      .writeStream.format("memory").queryName("yrwise")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      rows.foreach { r => mem.addData(r); q.processAllAvailable() } // one row per batch
+      val got = spark.table("yrwise")
+        .select("year", "single", "joint", "total")
+        .as[(String, Long, Long, Long)].collect().toSet
+      assert(got == Set(("2019", 1L, 1L, 2L), ("2020", 1L, 0L, 1L)))
+    } finally q.stop()
+  }
+
+  test("end-to-end topology writes raw + aggregate tables") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val oag = MemoryStream[String]
+    val dblp = MemoryStream[String]
+    oag.addData(rows: _*)
+    dblp.addData("""{"key":"c/1","title":"Dblp Paper","year":"2019","conference":"icml","authors":["dan"]}""")
+    val queries = StreamJobs.runAll(oag.toDF(), dblp.toDF(), s"$dir/out", s"$dir/ckpt")
+    try queries.foreach(_.processAllAvailable()) finally queries.foreach(_.stop())
+    assert(spark.read.parquet(s"$dir/out/publications").count() == 4)
+    val kw = spark.read.parquet(s"$dir/out/keywords")
+      .as[(String, Long)].collect().toMap
+    assert(kw == Map("ml" -> 2L, "db" -> 2L, "computer science" -> 1L))
+    assert(spark.read.parquet(s"$dir/out/aap").count() == 2)
+  }
+}
