@@ -18,7 +18,8 @@ object SparkEntry {
     SimilarityQueries,
     AssocQueries,
     GraphQueries,
-    MultimodalQueries)
+    MultimodalQueries,
+    WindowQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

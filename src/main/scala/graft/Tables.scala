@@ -30,7 +30,9 @@ object Tables {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = table(s, d, "events")
     if (df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros((col("ts") / lit(1000L)).cast("long")))
+      // integer `div`, not `/`: epoch nanos exceed 2^53, so double
+      // division loses the low microsecond bit.
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")

@@ -1,0 +1,104 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Window-function / grouping-set surface beyond the reference's A11:
+  * gap-based sessionization over the events stream table, exact
+  * percentiles, and rollup subtotals.
+  *
+  * Scale notes: sessionization is the canonical "shuffle once by
+  * entity, then window within partition" shape — one hash exchange on
+  * user_id, both window functions and the session aggregate ride the
+  * same partitioning (Catalyst collapses them into one sort+window
+  * stage, no second shuffle). Percentile is a single-pass typed
+  * aggregate; rollup is one shuffle with grouping-set expansion
+  * map-side.
+  */
+object WindowQueries extends QueryPack {
+
+  private val GapUs = 6L * 3600 * 1000000 // 6h session gap, microseconds
+
+  override def queries: Map[String, Q] = Map(
+    // Gap-based sessionization: lag -> new-session flag -> running sum
+    // session id -> per-session rollup.
+    "q_events_sessions" -> ((s, d) => {
+      val byUser = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("value"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("new_session",
+          when(col("us") - lag("us", 1).over(byUser) > GapUs, 1).otherwise(0))
+        .withColumn("session_id", sum("new_session").over(byUser))
+        .groupBy("user_id", "session_id")
+        .agg(
+          count(lit(1)).as("n_events"),
+          (max("us") - min("us")).as("duration_us"),
+          round(sum("value"), 6).as("sum_value"))
+    }),
+
+    // Exact percentiles of per-document token counts.
+    "q_token_percentiles" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(size(split(trim(col("text")), "\\s+")).as("n_tokens"))
+        .agg(
+          round(percentile(col("n_tokens"), lit(0.5)), 6).as("p50"),
+          round(percentile(col("n_tokens"), lit(0.9)), 6).as("p90"),
+          round(percentile(col("n_tokens"), lit(0.99)), 6).as("p99"),
+          max("n_tokens").as("p100"))),
+
+    // Rollup: revenue per (region, year) with region and grand totals.
+    "q_rollup_revenue" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val ord = Tables.orders(s, d)
+      val cust = broadcast(Tables.customer(s, d))
+      val nat = broadcast(Tables.nation(s, d))
+      val reg = broadcast(Tables.region(s, d))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(nat, col("c_nationkey") === col("n_nationkey"))
+        .join(reg, col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), year(col("o_orderdate")).as("o_year"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,4)")).as("revenue"),
+          count(lit(1)).as("n_items"))
+    }))
+
+  override def oracles: Map[String, String] = Map(
+    "q_events_sessions" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, value, epoch_us(ts) AS us,
+         |    CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         |              > $GapUs THEN 1 ELSE 0 END AS new_session
+         |  FROM events),
+         |s AS (
+         |  SELECT user_id, event_id, value, us,
+         |    sum(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         |  FROM e)
+         |SELECT user_id, session_id, count(*) AS n_events,
+         |  max(us) - min(us) AS duration_us,
+         |  round(sum(value), 6) AS sum_value
+         |FROM s GROUP BY 1, 2""".stripMargin,
+
+    "q_token_percentiles" ->
+      """SELECT
+        |  round(quantile_cont(n_tokens, 0.5), 6) AS p50,
+        |  round(quantile_cont(n_tokens, 0.9), 6) AS p90,
+        |  round(quantile_cont(n_tokens, 0.99), 6) AS p99,
+        |  max(n_tokens) AS p100
+        |FROM (SELECT len(string_split_regex(trim(text), '\s+')) AS n_tokens
+        |      FROM documents)""".stripMargin,
+
+    "q_rollup_revenue" ->
+      """SELECT r_name, o_year, sum(price) AS revenue, count(*) AS n_items
+        |FROM (
+        |  SELECT r_name, year(o_orderdate) AS o_year,
+        |    CAST(l_extendedprice AS DECIMAL(18,4)) AS price
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey)
+        |GROUP BY ROLLUP (r_name, o_year)""".stripMargin)
+}
