@@ -20,24 +20,12 @@ object Association {
 
   /** P15: cosine similarity between the k-shingle *count profiles* of
     * two strings (the reference uses info.debatty Cosine(k=3),
-    * ScipiBatchAssociation.java:109-142). Pure column expression —
-    * nested higher-order functions, no UDF:
-    * dot = Σ_g count_a(g)·count_b(g) over a's distinct grams;
-    * norm² = Σ_g count(g)² over each profile. Empty profile → 0.0. */
-  def shingleCosine(a: Column, b: Column, k: Int = 3): Column = {
-    def profileDot(xs: Column, ys: Column) =
-      aggregate(array_distinct(xs), lit(0L),
-        (acc, g) => acc +
-          size(filter(xs, x => x === g)).cast("long") *
-          size(filter(ys, y => y === g)).cast("long"))
-    val ga = charNgrams(a, k)
-    val gb = charNgrams(b, k)
-    val dot = profileDot(ga, gb)
-    val na = profileDot(ga, ga)
-    val nb = profileDot(gb, gb)
-    when(na === 0 || nb === 0, 0.0)
-      .otherwise(dot.cast("double") / sqrt(na.cast("double") * nb.cast("double")))
-  }
+    * ScipiBatchAssociation.java:109-142):
+    * dot = Σ_g count_a(g)·count_b(g); norm² = Σ_g count(g)²; empty
+    * profile → 0.0. Backed by the codegen'd Catalyst expression
+    * [[graft.functions.ShingleCosineExpr]]. */
+  def shingleCosine(a: Column, b: Column, k: Int = 3): Column =
+    graft.functions.ShingleCosineExpr(a, b, k)
 
   /** P15 + A8: per (keyword, author), Σ of cosine(keyword, title) over
     * publications where the similarity clears `simThreshold`

@@ -118,4 +118,36 @@ object TextFunctions {
     * ANSI-safe — xxhash64 instead of an overflowing polynomial hash. */
   def fingerprint(text: Column): Column =
     xxhash64(concat_ws("\\u0001", tokens(text)))
+
+  /** One-pass quality counters (chars, alnum-or-space chars, tokens,
+    * stopword tokens, summed token length) as a single UDF: the ratio
+    * queries derive punct/stopword/mean-token-len from these five ints
+    * with the division+round done in SQL, so results stay bit-identical
+    * to the pure-column formulation while replacing four interpreted
+    * array traversals per row. ASCII-equivalent to the column fns
+    * (Java String length == Spark char length for ASCII corpora). */
+  def qualityCounters(text: Column): Column = {
+    val stop = stopwords.toSet
+    val f = udf { (t: String) =>
+      if (t == null) (0, 0, 0, 0, 0L)
+      else {
+        var kept = 0
+        var i = 0
+        while (i < t.length) {
+          val c = t.charAt(i)
+          // exactly Java-regex \s, to mirror regexp_replace([^a-zA-Z0-9\s])
+          if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+            (c >= '0' && c <= '9') || c == ' ' || c == '\t' || c == '\n' ||
+            c == '\u000B' || c == '\f' || c == '\r') kept += 1
+          i += 1
+        }
+        val toks = t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        var sumLen = 0L
+        var nStop = 0
+        toks.foreach { w => sumLen += w.length; if (stop(w)) nStop += 1 }
+        (t.length, kept, toks.length, nStop, sumLen)
+      }
+    }
+    f(text).cast("struct<n_chars:int,n_kept:int,n_toks:int,n_stop:int,sum_tok_len:bigint>")
+  }
 }

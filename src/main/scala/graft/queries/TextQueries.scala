@@ -45,14 +45,24 @@ object TextQueries extends QueryPack {
           subwordCount(col("text")).as("n_subwords"),
           length(col("text")).as("n_chars_computed"))),
 
-    // Quality scoring: deterministic heuristic per document.
+    // Quality scoring: deterministic heuristic per document. Counters
+    // come from one UDF pass; the ratio arithmetic (int-derived double
+    // division + round) runs in SQL, identical to the pure-column
+    // formulation and to the DuckDB oracle.
     "text_quality" -> ((s, d) =>
-      Tables.documents(s, d)
+      Tables.fanout(Tables.documents(s, d))
+        .select(col("doc_id"), qualityCounters(col("text")).as("q"))
         .select(
           col("doc_id"),
-          round(punctRatio(col("text")), 6).as("punct_ratio"),
-          round(stopwordRatio(col("text")), 6).as("stopword_ratio"),
-          round(meanTokenLen(col("text")), 6).as("mean_token_len"))),
+          round(when(col("q.n_chars") === 0, 0.0)
+            .otherwise((col("q.n_chars") - col("q.n_kept")).cast("double") /
+              col("q.n_chars")), 6).as("punct_ratio"),
+          round(when(col("q.n_toks") === 0, 0.0)
+            .otherwise(col("q.n_stop").cast("double") / col("q.n_toks")), 6)
+            .as("stopword_ratio"),
+          round(when(col("q.n_toks") === 0, 0.0)
+            .otherwise(col("q.sum_tok_len").cast("double") / col("q.n_toks")), 6)
+            .as("mean_token_len"))),
 
     // Rolling-hash fingerprint per document (order-sensitive content id).
     "text_fingerprint" -> ((s, d) =>

