@@ -1,0 +1,41 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.exchange.{Exchange, ShuffleExchangeExec}
+import graft.io.Warehouse
+
+class WarehouseSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("bucketed join runs without any shuffle exchange") {
+    val a = (1 to 1000).map(i => (i.toLong % 100, s"a$i")).toDF("k", "va")
+    val b = (1 to 1000).map(i => (i.toLong % 100, s"b$i")).toDF("k", "vb")
+    Warehouse.writeBucketed(a, "bucketed_a", "k", buckets = 8)
+    Warehouse.writeBucketed(b, "bucketed_b", "k", buckets = 8)
+
+    val joined = Warehouse.bucketedJoin(spark, "bucketed_a", "bucketed_b", "k")
+    val shuffles = joined.queryExecution.executedPlan.collect {
+      case e: ShuffleExchangeExec => e
+    }
+    assert(shuffles.isEmpty, s"expected no shuffle, plan:\n${joined.queryExecution.executedPlan}")
+    assert(joined.count() == 10000) // 100 keys x 10 x 10
+  }
+
+  test("salted count equals plain count") {
+    val df = (Seq.fill(500)("hot") ++ Seq("a", "b", "c")).toDF("k")
+    val salted = Warehouse.saltedCount(df, "k").as[(String, Long)].collect().toMap
+    assert(salted == Map("hot" -> 500L, "a" -> 1L, "b" -> 1L, "c" -> 1L))
+  }
+
+  test("salted join equals plain join") {
+    val big = (Seq.fill(200)(("hot", 1)) ++ Seq(("cold", 2))).toDF("k", "v")
+    val small = Seq(("hot", "H"), ("cold", "C")).toDF("k", "name")
+    val plain = big.join(small, "k").groupBy("k", "name").count()
+      .as[(String, String, Long)].collect().toSet
+    val salted = Warehouse.saltedJoin(big, small, "k").groupBy("k", "name").count()
+      .as[(String, String, Long)].collect().toSet
+    assert(salted == plain)
+  }
+}
