@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import graft.functions.ShingleCosineExpr
+
+/** Session extension registering graft's custom expressions as SQL
+  * functions, so the SQL string interface reaches them too:
+  *
+  *   spark.sql("SELECT shingle_cosine(keyword, title) ...")
+  *
+  * Deploy on a cluster with
+  * `--conf spark.sql.extensions=graft.GraftExtensions`; for an already-
+  * built session use [[GraftExtensions.register]].
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction(GraftExtensions.shingleCosine)
+}
+
+object GraftExtensions {
+
+  private val shingleCosine = (
+    new FunctionIdentifier("shingle_cosine"),
+    new ExpressionInfo(classOf[ShingleCosineExpr].getName, "shingle_cosine"),
+    (children: Seq[Expression]) =>
+      children match {
+        case Seq(a, b) => ShingleCosineExpr(a, b, 3)
+        case Seq(a, b, Literal(k: Int, _)) => ShingleCosineExpr(a, b, k)
+        case _ => throw new IllegalArgumentException(
+          "shingle_cosine(str, str[, k literal]) expected")
+      })
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      shingleCosine._1, shingleCosine._2, shingleCosine._3)
+}

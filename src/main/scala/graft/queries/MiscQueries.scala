@@ -29,6 +29,15 @@ object MiscQueries extends QueryPack {
           approx_count_distinct(col("user_id"), rsd = 0.01).as("n_users_approx"),
           countDistinct(col("user_id")).as("n_users_exact"))),
 
+    // Semi-structured JSON column: extract a field, bucket, aggregate
+    // (the engine's schema-on-read path for the events props payload).
+    "q_events_props" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy(col("event_type"), expr("k div 10").as("k_decile"))
+        .agg(count(lit(1)).as("cnt"), sum("k").as("sum_k"))),
+
     // The same pricing summary through the SQL string interface.
     "q_sql_interface" -> ((s, d) => {
       Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
@@ -45,6 +54,11 @@ object MiscQueries extends QueryPack {
     "q_distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
         |FROM events GROUP BY 1""".stripMargin,
+
+    "q_events_props" ->
+      """SELECT event_type, CAST(props->>'k' AS INTEGER) // 10 AS k_decile,
+        |  count(*) AS cnt, sum(CAST(props->>'k' AS INTEGER)) AS sum_k
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     "q_sql_interface" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
