@@ -119,6 +119,24 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     xxhash64(concat_ws("\\u0001", tokens(text)))
 
+  /** Within-document repetition: 1 - distinct_tokens/total_tokens
+    * (templated/spammy text scores high). */
+  def repetitionRatio(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, 0.0).otherwise(
+      lit(1.0) - size(array_distinct(toks)).cast("double") / size(toks))
+  }
+
+  /** PII-style pattern redaction: replace matches with a fixed token.
+    * Default patterns: emails and long digit runs (ids/phones). */
+  def redact(text: Column, patterns: Seq[String] = DefaultPiiPatterns,
+      replacement: String = "[REDACTED]"): Column =
+    patterns.foldLeft(text)((c, p) => regexp_replace(c, p, replacement))
+
+  val DefaultPiiPatterns: Seq[String] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "\\d{7,}")
+
   /** One-pass quality counters (chars, alnum-or-space chars, tokens,
     * stopword tokens, summed token length) as a single UDF: the ratio
     * queries derive punct/stopword/mean-token-len from these five ints

@@ -70,6 +70,11 @@ object TextQueries extends QueryPack {
         .select(col("doc_id"), fingerprint(col("text")).as("fp"))
         .groupBy("fp").agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))),
 
+    // Within-doc repetition ratio (templated-text detector).
+    "text_repetition" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), round(repetitionRatio(col("text")), 6).as("rep_ratio"))),
+
     // Language-id heuristic vs the labeled lang column: confusion counts.
     "text_langid" -> ((s, d) =>
       Tables.documents(s, d)
@@ -77,7 +82,7 @@ object TextQueries extends QueryPack {
         .groupBy("lang", "pred")
         .agg(count(lit(1)).as("cnt"))))
 
-  override def oracles: Map[String, String] = Map(
+  private val oraclesBase: Map[String, String] = Map(
     "text_token_count" ->
       """SELECT token, count(*) AS cnt
         |FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS token
@@ -120,6 +125,18 @@ object TextQueries extends QueryPack {
         |    ELSE list_sum(list_transform(toks, x -> length(x))) * 1.0 / len(toks) END, 6)
         |    AS mean_token_len
         |FROM t""".stripMargin)
+  private val repetitionOracle =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0) AS toks
+      |  FROM documents)
+      |SELECT doc_id,
+      |  round(CASE WHEN len(toks) = 0 THEN 0.0
+      |    ELSE 1.0 - len(list_distinct(toks)) * 1.0 / len(toks) END, 6) AS rep_ratio
+      |FROM t""".stripMargin
+
+  override def oracles: Map[String, String] =
+    oraclesBase + ("text_repetition" -> repetitionOracle)
   // text_fingerprint / text_langid: xxhash64 and the marker argmax are not
   // reproducible in DuckDB SQL → rows-only check (oracle omitted).
 }

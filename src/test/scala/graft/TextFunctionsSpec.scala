@@ -62,6 +62,15 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(fps(0) == fps(2))   // whitespace runs don't
   }
 
+  test("repetitionRatio and redact") {
+    val rr = Seq("a a a b", "a b c d", "").toDF("s")
+      .select(repetitionRatio($"s")).as[Double].collect()
+    assert(rr(0) == 0.5 && rr(1) == 0.0 && rr(2) == 0.0)
+    val red = Seq("mail me at a.b@x.com or call 12345678")
+      .toDF("s").select(redact($"s")).as[String].collect().head
+    assert(red == "mail me at [REDACTED] or call [REDACTED]")
+  }
+
   test("langId picks marker-heavy language") {
     val got = Seq("the cat and the dog is here", "el que la los de")
       .toDF("s").select(langId($"s")).as[String].collect()
