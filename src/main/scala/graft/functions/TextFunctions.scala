@@ -15,9 +15,14 @@ import org.apache.spark.sql.functions._
 object TextFunctions {
 
   /** validateStr (ScipiStream.java:218-230): strip non-alphanumeric,
-    * trim, lowercase, empty → null. */
+    * trim, lowercase, empty → null. Trim is regex `^\s+|\s+$`, NOT
+    * Spark's `trim()`: the reference uses Java String.trim (strips all
+    * chars <= 0x20) while Spark's trim strips only 0x20 spaces — a
+    * leading tab would survive and break idempotence (caught by the
+    * property spec). */
   def normalizeStr(c: Column): Column =
-    nullif(lower(trim(regexp_replace(c, "[^a-zA-Z0-9\\s]", ""))), lit(""))
+    nullif(lower(regexp_replace(
+      regexp_replace(c, "[^a-zA-Z0-9\\s]", ""), "^\\s+|\\s+$", "")), lit(""))
 
   /** validateTopics (ScipiStream.java:233-257): per-element normalize,
     * drop nulls and elements longer than 30 chars, dedup. */

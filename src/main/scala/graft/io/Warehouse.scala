@@ -31,6 +31,14 @@ object Warehouse {
   def bucketedJoin(spark: SparkSession, left: String, right: String, key: String): DataFrame =
     spark.table(left).join(spark.table(right), key)
 
+  /** Hive-style partitioned write: one directory per distinct value of
+    * `partitionCol`. Readers filtering on the partition column prune at
+    * the *file listing* level — a WHERE day='…' over 100 TB of events
+    * reads one day's files, not the table (WarehouseSpec asserts the
+    * pruned scan). */
+  def writePartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
+
   /** Salted aggregation: spread a skewed groupBy key over `salts`
     * sub-keys, partial-aggregate, then merge — two small shuffles
     * instead of one shuffle with a straggler partition. `agg` must be

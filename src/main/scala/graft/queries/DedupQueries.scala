@@ -229,7 +229,7 @@ object DedupQueries extends QueryPack {
     "dedup_exact" ->
       """SELECT min(doc_id) AS survivor, count(*) AS n_copies
         |FROM documents
-        |GROUP BY nullif(lower(trim(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))), '')""".stripMargin,
+        |GROUP BY nullif(lower(regexp_replace(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'), '^\s+|\s+$', '', 'g')), '')""".stripMargin,
 
     "dedup_ngram_jaccard" -> jaccardOracle,
     "dedup_clusters" -> clustersOracle,

@@ -93,7 +93,7 @@ object TextQueries extends QueryPack {
     "text_normalize_filter" ->
       """WITH n AS (
         |  SELECT lang, source,
-        |         nullif(lower(trim(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))), '') AS norm
+        |         nullif(lower(regexp_replace(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'), '^\s+|\s+$', '', 'g')), '') AS norm
         |  FROM documents)
         |SELECT lang, source, count(*) AS cnt, sum(length(norm)) AS total_len
         |FROM n

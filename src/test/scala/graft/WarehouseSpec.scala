@@ -23,6 +23,22 @@ class WarehouseSpec extends AnyFunSuite {
     assert(joined.count() == 10000) // 100 keys x 10 x 10
   }
 
+  test("partitioned write prunes non-matching partitions at scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val df = (1 to 300).map(i => (f"2024-01-${i % 3 + 1}%02d", i)).toDF("day", "v")
+    Warehouse.writePartitioned(df, s"$dir/t", "day")
+    val q = spark.read.parquet(s"$dir/t").where(col("day") === "2024-01-01")
+    assert(q.count() == 100)
+    val scan = q.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    assert(scan.metadata("PartitionFilters").contains("day"),
+      s"partition filter missing: ${scan.metadata}")
+    assert(scan.relation.location.inputFiles.length >= 3) // table has 3 partitions
+    assert(scan.selectedPartitions.totalNumberOfFiles < scan.relation.location.inputFiles.length,
+      "scan should read a strict subset of the table's files")
+  }
+
   test("salted count equals plain count") {
     val df = (Seq.fill(500)("hot") ++ Seq("a", "b", "c")).toDF("k")
     val salted = Warehouse.saltedCount(df, "k").as[(String, Long)].collect().toMap
