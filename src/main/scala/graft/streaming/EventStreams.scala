@@ -28,6 +28,22 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("cnt"), col("sum_value"))
 
+  /** Streaming exact dedup by key — the streaming twin of the batch
+    * dedup family. With a watermark column present, state for a key is
+    * dropped once the watermark passes (`withinWatermark`), so state
+    * stays bounded; without one it falls back to global dedup
+    * (grow-forever state, the reference's model). */
+  def dedupStream(
+      events: DataFrame,
+      keys: Seq[String],
+      watermarkCol: Option[String] = Some("ts"),
+      lateness: String = "1 hour"): DataFrame =
+    watermarkCol match {
+      case Some(c) =>
+        events.withWatermark(c, lateness).dropDuplicatesWithinWatermark(keys)
+      case None => events.dropDuplicates(keys)
+    }
+
   case class Event(user_id: Long, ts: Timestamp, value: Double)
   case class SessionState(start: Long, last: Long, n: Long, sum: Double)
   case class Session(user_id: Long, n_events: Long, duration_us: Long, sum_value: Double)
