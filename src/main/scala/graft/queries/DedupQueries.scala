@@ -78,8 +78,11 @@ object DedupQueries extends QueryPack {
     "dedup_clusters" -> ((s, d) => {
       import s.implicits._
       val pairs = jaccardPairs(s, d)
+      // near-dup pair sets are tiny relative to the corpus: run the
+      // iterative CC on a few partitions, not the session default
       val erdd = pairs.select("i", "j").rdd
         .map(r => org.apache.spark.graphx.Edge(r.getLong(0), r.getLong(1), 1.0))
+        .coalesce(4)
       val cc = org.apache.spark.graphx.Graph.fromEdges(erdd, 0)
         .connectedComponents()  // component label == min vertex id: deterministic
       cc.vertices.toDF("doc_id", "root")

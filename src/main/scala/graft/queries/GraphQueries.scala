@@ -27,12 +27,21 @@ object GraphQueries extends QueryPack {
       .where(col("w") >= 2)
   }
 
+  /** An iterative graph job schedules ~3 stages per superstep; with a
+    * small edge set, 32 near-empty tasks per stage cost more wall time
+    * than the compute. Size partitions to the data (one per ~50k edges,
+    * min 4) — on a real cluster the same rule yields hundreds. */
+  private def sizedPartitions(s: org.apache.spark.sql.SparkSession, nEdges: Long): Int =
+    math.max(4, math.min(s.sparkContext.defaultParallelism, (nEdges / 50000L).toInt))
+
   override def queries: Map[String, Q] = Map(
     // G3 + A7: score-attenuated label propagation, label histogram.
     "graph_part_communities" -> ((s, d) => {
       import s.implicits._
-      val erdd = cooccurEdges(s, d)
+      val edf = cooccurEdges(s, d).persist()
+      val erdd = edf
         .rdd.map(r => Edge(r.getLong(0), r.getLong(1), r.getLong(2).toDouble))
+        .coalesce(sizedPartitions(s, edf.count()))
       val g = Graph.fromEdges(erdd, 0L)
       val labeled = CommunityDetection.run(g, iterations = 10, delta = 0.5)
       labeled.vertices.map { case (_, label) => label }.toDF("label")
@@ -44,8 +53,10 @@ object GraphQueries extends QueryPack {
     // Connected components (GraphX built-in) — component size histogram.
     "graph_part_components" -> ((s, d) => {
       import s.implicits._
-      val erdd = cooccurEdges(s, d)
+      val edf = cooccurEdges(s, d).persist()
+      val erdd = edf
         .rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1.0))
+        .coalesce(sizedPartitions(s, edf.count()))
       val g = Graph.fromEdges(erdd, 0L)
       g.connectedComponents().vertices.map(_._2).toDF("component")
         .groupBy("component").agg(count(lit(1)).as("cnt"))
