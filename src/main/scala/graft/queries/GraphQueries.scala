@@ -50,6 +50,34 @@ object GraphQueries extends QueryPack {
         .agg(count(lit(1)).as("n_communities"))
     }),
 
+    // PageRank over the co-occurrence graph: top-20 "hub" parts.
+    // Float summation order varies per run -> rounded, rows-only check.
+    "graph_part_pagerank" -> ((s, d) => {
+      import s.implicits._
+      val edf = cooccurEdges(s, d).persist()
+      val erdd = edf.rdd.map(r => Edge(r.getLong(0), r.getLong(1), r.getLong(2).toDouble))
+        .coalesce(sizedPartitions(s, edf.count()))
+      Graph.fromEdges(erdd, 0L).staticPageRank(10)
+        .vertices.toDF("pkey", "rank")
+        .select(col("pkey"), round(col("rank"), 4).as("rank"))
+        .orderBy(col("rank").desc, col("pkey").asc)
+        .limit(20)
+    }),
+
+    // Triangle counts: how clique-ish each part's neighborhood is.
+    "graph_part_triangles" -> ((s, d) => {
+      import s.implicits._
+      val edf = cooccurEdges(s, d).persist()
+      val erdd = edf.rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1.0))
+        .coalesce(sizedPartitions(s, edf.count()))
+      Graph.fromEdges(erdd, 0L)
+        .partitionBy(org.apache.spark.graphx.PartitionStrategy.EdgePartition2D)
+        .triangleCount()
+        .vertices.toDF("pkey", "triangles")
+        .where(col("triangles") > 0)
+        .groupBy("triangles").agg(count(lit(1)).as("n_parts"))
+    }),
+
     // Connected components (GraphX built-in) — component size histogram.
     "graph_part_components" -> ((s, d) => {
       import s.implicits._

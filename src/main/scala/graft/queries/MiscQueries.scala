@@ -29,6 +29,15 @@ object MiscQueries extends QueryPack {
           approx_count_distinct(col("user_id"), rsd = 0.01).as("n_users_approx"),
           countDistinct(col("user_id")).as("n_users_exact"))),
 
+    // Deterministic train/test split (id-hash bucketing): every doc
+    // lands in exactly one split, stable across runs and engines.
+    "q_train_test_split" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang"),
+          when(pmod(col("doc_id"), lit(10)) < 2, "test").otherwise("train").as("split"))
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("cnt"))),
+
     // Semi-structured JSON column: extract a field, bucket, aggregate
     // (the engine's schema-on-read path for the events props payload).
     "q_events_props" -> ((s, d) =>
@@ -51,6 +60,11 @@ object MiscQueries extends QueryPack {
     }))
 
   override def oracles: Map[String, String] = Map(
+    "q_train_test_split" ->
+      """SELECT CASE WHEN doc_id % 10 < 2 THEN 'test' ELSE 'train' END AS split,
+        |  lang, count(*) AS cnt
+        |FROM documents GROUP BY 1, 2""".stripMargin,
+
     "q_distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
         |FROM events GROUP BY 1""".stripMargin,
