@@ -30,6 +30,22 @@ object GraftSession {
         s"/tmp/graft-warehouse-${ProcessHandle.current().pid()}")
       .config("spark.ui.enabled", "false")
 
+  /** The conf profile for a real multi-executor deployment (not used by
+    * the local harness; documents how the same code ships at 100 TB).
+    * Shuffle partitions start high and AQE coalesces down; file split
+    * and broadcast sizes are tuned for object-store parquet. */
+  def clusterBuilder(): SparkSession.Builder =
+    SparkSession.builder()
+      .appName("graft")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.shuffle.partitions", "2000")
+      .config("spark.sql.files.maxPartitionBytes", "256m")
+      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+      .config("spark.sql.parquet.compression.codec", "zstd")
+      .config("spark.sql.session.timeZone", "UTC")
+
   def get(cores: Int = 4): SparkSession = {
     val s = builder(cores).getOrCreate()
     s.sparkContext.setLogLevel("WARN")

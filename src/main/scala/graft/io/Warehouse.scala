@@ -39,6 +39,50 @@ object Warehouse {
   def writePartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
     df.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
 
+  /** MERGE/upsert for plain parquet (the batch twin of the streaming
+    * foreachBatch upsert, and of the reference's Cassandra
+    * upsert-by-PK): rows of `target` whose key appears in `updates`
+    * are replaced, new keys appended. Left-anti join + union, written
+    * to a temp dir then swapped, so a failed write never corrupts the
+    * target. On a real deployment this is a transactional table
+    * format's MERGE INTO; the dataflow is identical. */
+  def upsertParquet(spark: SparkSession, targetPath: String, updates: DataFrame,
+      keys: Seq[String]): Unit = {
+    val fs = new java.io.File(targetPath)
+    val merged =
+      if (!fs.exists()) updates
+      else spark.read.parquet(targetPath)
+        .join(broadcast(updates.select(keys.map(col): _*)), keys, "left_anti")
+        .unionByName(updates)
+    val tmp = targetPath + ".tmp-" + System.nanoTime()
+    merged.write.mode("overwrite").parquet(tmp)
+    val del = new scala.reflect.io.Directory(fs); del.deleteRecursively()
+    new java.io.File(tmp).renameTo(fs)
+  }
+
+  /** Small-file compaction: rewrite a parquet dir into files of
+    * ~`targetMB` (small-file listing + open overhead is a top cluster
+    * tax at 100 TB; compaction after high-parallelism writes is
+    * routine hygiene). */
+  def compact(spark: SparkSession, path: String, targetMB: Int = 256): Unit = {
+    val bytes = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    val nFiles = math.max(1, (bytes / (targetMB.toLong << 20)).toInt)
+    val tmp = path + ".tmp-" + System.nanoTime()
+    spark.read.parquet(path).repartition(nFiles).write.mode("overwrite").parquet(tmp)
+    val del = new scala.reflect.io.Directory(new java.io.File(path)); del.deleteRecursively()
+    new java.io.File(tmp).renameTo(new java.io.File(path))
+  }
+
+  /** Range-clustered write: range-partition + sort within partitions on
+    * `cols`, so parquet min/max stats per file are narrow and
+    * range-filtered scans skip most files (poor man's Z-order for a
+    * single sort dimension). */
+  def writeClustered(df: DataFrame, path: String, cols: Seq[String], files: Int = 8): Unit =
+    df.repartitionByRange(files, cols.map(col): _*)
+      .sortWithinPartitions(cols.map(col): _*)
+      .write.mode("overwrite").parquet(path)
+
   /** Salted aggregation: spread a skewed groupBy key over `salts`
     * sub-keys, partial-aggregate, then merge — two small shuffles
     * instead of one shuffle with a straggler partition. `agg` must be

@@ -72,6 +72,24 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static enrichment join broadcasts the dimension") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val mem = MemoryStream[(Long, Double)]
+    val stream = mem.toDF().toDF("user_id", "value")
+      .join(org.apache.spark.sql.functions.broadcast(dim), Seq("user_id"), "left")
+    val q = stream.writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData((1L, 5.0), (2L, 1.0), (9L, 2.0))
+      q.processAllAvailable()
+      val got = spark.table("enriched").as[(Long, Double, Option[String])]
+        .collect().map(r => r._1 -> r._3).toMap
+      assert(got == Map(1L -> Some("gold"), 2L -> Some("basic"), 9L -> None))
+    } finally q.stop()
+  }
+
   test("windowed counts run identically on a batch frame") {
     import spark.implicits._
     val batch = Seq((ts(1), "click", 1.0), (ts(4), "click", 2.0))

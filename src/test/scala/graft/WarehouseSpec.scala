@@ -39,6 +39,45 @@ class WarehouseSpec extends AnyFunSuite {
       "scan should read a strict subset of the table's files")
   }
 
+  test("upsertParquet replaces matched keys and appends new ones") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+    val t = s"$dir/t"
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").write.parquet(t)
+    Warehouse.upsertParquet(spark, t, Seq((2L, "B"), (3L, "c")).toDF("k", "v"), Seq("k"))
+    val got = spark.read.parquet(t).as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "a"), (2L, "B"), (3L, "c")))
+    // idempotent re-apply
+    Warehouse.upsertParquet(spark, t, Seq((3L, "c")).toDF("k", "v"), Seq("k"))
+    assert(spark.read.parquet(t).count() == 3)
+  }
+
+  test("compact rewrites many small files into few") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val t = s"$dir/t"
+    (1 to 2000).toDF("v").repartition(50).write.parquet(t)
+    def nFiles = new java.io.File(t).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(nFiles == 50)
+    Warehouse.compact(spark, t, targetMB = 256)
+    assert(nFiles <= 2)
+    assert(spark.read.parquet(t).count() == 2000)
+  }
+
+  test("clustered write yields range-disjoint files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cluster").toString
+    val t = s"$dir/t"
+    val df = (1 to 10000).map(i => (i * 37 % 10000, s"r$i")).toDF("k", "v")
+    Warehouse.writeClustered(df, t, Seq("k"), files = 4)
+    val ranges = spark.read.parquet(t)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("k").as("lo"), max("k").as("hi"))
+      .as[(String, Int, Int)].collect().sortBy(_._2)
+    assert(ranges.length >= 3)
+    ranges.sliding(2).foreach {
+      case Array((_, _, hi1), (_, lo2, _)) => assert(hi1 <= lo2, "files overlap in range")
+      case _ => ()
+    }
+  }
+
   test("salted count equals plain count") {
     val df = (Seq.fill(500)("hot") ++ Seq("a", "b", "c")).toDF("k")
     val salted = Warehouse.saltedCount(df, "k").as[(String, Long)].collect().toMap
