@@ -20,7 +20,8 @@ object SparkEntry {
     GraphQueries,
     MultimodalQueries,
     WindowQueries,
-    MiscQueries)
+    MiscQueries,
+    AlgebraQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,84 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.GeoMean
+
+/** Relational-algebra breadth the reference never needed but a
+  * complete engine surface includes: pivot, EXCEPT, semi/anti joins,
+  * and a typed-Aggregator UDAF. Semi/anti joins never materialize the
+  * probe side's payload — at scale they beat IN-subquery rewrites by
+  * shuffling only the join keys.
+  */
+object AlgebraQueries extends QueryPack {
+
+  override def queries: Map[String, Q] = Map(
+    // Pivot: order counts per year x status.
+    "q_pivot_status" -> ((s, d) => {
+      val statuses = Seq("F", "O", "P")
+      Tables.orders(s, d)
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .pivot("o_orderstatus", statuses)
+        .count()
+        .select(col("o_year") +:
+          statuses.map(st => coalesce(col(st), lit(0L)).as(st)): _*)
+    }),
+
+    // EXCEPT: customers active in 1995 but not in 1996.
+    "q_except_customers" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      o.where(year(col("o_orderdate")) === 1995).select("o_custkey")
+        .except(o.where(year(col("o_orderdate")) === 1996).select("o_custkey"))
+    }),
+
+    // Left-semi: orders having at least one heavy lineitem.
+    "q_semi_join" -> ((s, d) =>
+      Tables.orders(s, d)
+        .join(Tables.lineitem(s, d).where(col("l_quantity") >= 45)
+            .select(col("l_orderkey")),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"))),
+
+    // Left-anti: parts never ordered, per brand.
+    "q_anti_join" -> ((s, d) =>
+      Tables.part(s, d)
+        .join(Tables.lineitem(s, d).select(col("l_partkey")),
+          col("p_partkey") === col("l_partkey"), "left_anti")
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("cnt"))),
+
+    // Typed Aggregator UDAF: geometric mean of part price per brand.
+    "q_geomean_price" -> ((s, d) =>
+      Tables.part(s, d)
+        .groupBy("p_brand")
+        .agg(round(GeoMean.column(col("p_retailprice")), 6).as("geo_price"))))
+
+  override def oracles: Map[String, String] = Map(
+    "q_pivot_status" ->
+      """SELECT year(o_orderdate) AS o_year,
+        |  count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS "F",
+        |  count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS "O",
+        |  count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS "P"
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "q_except_customers" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT o_orderstatus, count(*) AS cnt FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+        |GROUP BY 1""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT p_brand, count(*) AS cnt FROM part
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+        |GROUP BY 1""".stripMargin,
+
+    "q_geomean_price" ->
+      """SELECT p_brand, round(exp(avg(ln(p_retailprice))), 6) AS geo_price
+        |FROM part WHERE p_retailprice > 0 GROUP BY 1""".stripMargin)
+}
