@@ -49,8 +49,10 @@ object RelationalQueries extends QueryPack {
           sum(dec(col("l_extendedprice"))).as("sum_base_price"),
           sum(dec(col("l_extendedprice")) *
             (lit(1).cast("decimal(1,0)") - dec(col("l_discount")))).as("sum_disc_price"),
-          round(avg(col("l_quantity")), 6).as("avg_qty"),
-          round(avg(col("l_discount")), 6).as("avg_disc"),
+          round(sum(col("l_quantity").cast("decimal(18,6)")).cast("double") /
+            count(lit(1)), 6).as("avg_qty"),
+          round(sum(col("l_discount").cast("decimal(9,6)")).cast("double") /
+            count(lit(1)), 6).as("avg_disc"),
           count(lit(1)).as("count_order"))),
 
     // A3 + P7/P8: year-wise single/joint distribution with percentages.
@@ -193,13 +195,18 @@ object RelationalQueries extends QueryPack {
     }),
 
     // Events rollup: per type per hour count + mean value (string-typed
-    // hour so engine timestamp-zone encodings can't diverge).
+    // hour so engine timestamp-zone encodings can't diverge; the mean
+    // goes through an exact DECIMAL sum then ONE double division —
+    // avg(double) is summation-order-dependent and flipped a 6th-decimal
+    // rounding boundary at sf0.1).
     "q_events_hourly" -> ((s, d) =>
       Tables.events(s, d)
         .groupBy(
           col("event_type"),
           date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"))
-        .agg(count(lit(1)).as("cnt"), round(avg(col("value")), 6).as("avg_value"))))
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("value").cast("decimal(18,6)")).cast("double") / count(lit(1)), 6)
+            .as("avg_value"))))
 
   override def oracles: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -208,8 +215,8 @@ object RelationalQueries extends QueryPack {
         |  sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS sum_base_price,
         |  sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
         |      (CAST(1 AS DECIMAL(1,0)) - CAST(l_discount AS DECIMAL(18,4)))) AS sum_disc_price,
-        |  round(avg(l_quantity), 6) AS avg_qty,
-        |  round(avg(l_discount), 6) AS avg_disc,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_qty,
+        |  round(CAST(sum(CAST(l_discount AS DECIMAL(9,6))) AS DOUBLE) / count(*), 6) AS avg_disc,
         |  count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= '1998-09-02'
@@ -329,6 +336,7 @@ object RelationalQueries extends QueryPack {
     "q_events_hourly" ->
       """SELECT event_type,
         |  strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
-        |  count(*) AS cnt, round(avg(value), 6) AS avg_value
+        |  count(*) AS cnt,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_value
         |FROM events GROUP BY 1, 2""".stripMargin)
 }

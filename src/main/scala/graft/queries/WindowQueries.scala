@@ -35,7 +35,7 @@ object WindowQueries extends QueryPack {
         .agg(
           count(lit(1)).as("n_events"),
           (max("us") - min("us")).as("duration_us"),
-          round(sum("value"), 6).as("sum_value"))
+          sum(col("value").cast("decimal(18,6)")).as("sum_value"))
     }),
 
     // Exact percentiles of per-document token counts.
@@ -78,7 +78,7 @@ object WindowQueries extends QueryPack {
          |  FROM e)
          |SELECT user_id, session_id, count(*) AS n_events,
          |  max(us) - min(us) AS duration_us,
-         |  round(sum(value), 6) AS sum_value
+         |  sum(CAST(value AS DECIMAL(18,6))) AS sum_value
          |FROM s GROUP BY 1, 2""".stripMargin,
 
     "q_token_percentiles" ->

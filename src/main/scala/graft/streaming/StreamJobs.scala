@@ -62,14 +62,17 @@ object StreamJobs {
     "aap" -> PubAggregates.avgAuthorsPerPaper(pubs),
     "hyper_authorship" -> PubAggregates.hyperAuthorship(pubs))
 
-  /** S3: raw-publication append sink with (doi, title) in-batch dedup —
-    * the relational equivalent of Cassandra's upsert-by-partition-key. */
+  /** S3: raw-publication sink with cross-batch (doi, title) upsert —
+    * exact relational parity with Cassandra's upsert-by-partition-key
+    * (re-delivered or revised records replace, never duplicate; also
+    * what makes the sink idempotent under micro-batch retries). */
   def rawSink(pubs: DataFrame, path: String, checkpoint: String): DataStreamWriter[Row] =
     pubs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        Normalize.dedupByKey(batch).write.mode("append").parquet(path)
+        graft.io.Warehouse.upsertParquet(
+          batch.sparkSession, path, Normalize.dedupByKey(batch), Seq("doi", "title"))
       }
 
   /** S4: keyed-aggregate upsert sink. Complete-mode + idempotent
