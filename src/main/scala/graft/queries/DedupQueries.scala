@@ -29,6 +29,7 @@ import graft.functions.VectorFunctions._
 object DedupQueries extends QueryPack {
 
   private val JaccardThreshold = 0.8
+  private val ContainmentThreshold = 0.9
   private val CosineThreshold = 0.4
   private val Dim = 64
 
@@ -89,6 +90,26 @@ object DedupQueries extends QueryPack {
         .groupBy(col("root").as("survivor"))
         .agg(count(lit(1)).as("cluster_size"),
           concat_ws("|", sort_array(collect_list(col("doc_id")))).as("members"))
+    }),
+
+    // Containment (asymmetric Jaccard): |A∩B| / min(|A|,|B|) — catches
+    // a short doc embedded in a longer one, which symmetric Jaccard
+    // dilutes below threshold. Same inverted-index shape.
+    "dedup_containment" -> ((s, d) => {
+      val sh = docShingleHashes(s, d).persist()
+      val sizes = sh.select(col("doc_id"), size(col("hs")).as("n"))
+      val ex = sh.select(col("doc_id"), explode(col("hs")).as("h"))
+      val common = ex.as("a").join(ex.as("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+        .agg(count(lit(1)).as("c"))
+      common
+        .join(sizes.as("sa"), col("i") === col("sa.doc_id"))
+        .join(sizes.as("sb"), col("j") === col("sb.doc_id"))
+        .select(col("i"), col("j"),
+          round(col("c").cast("double") / least(col("sa.n"), col("sb.n")), 6)
+            .as("containment"))
+        .where(col("containment") >= ContainmentThreshold)
     }),
 
     // MinHash(64) + LSH(16 bands × 4) candidates, exact-verified.
@@ -236,6 +257,13 @@ object DedupQueries extends QueryPack {
 
     "dedup_ngram_jaccard" -> jaccardOracle,
     "dedup_clusters" -> clustersOracle,
+    "dedup_containment" ->
+      s"""WITH $jaccardCtes
+         |SELECT i, j, round(c * 1.0 / least(sa.n, sb.n), 6) AS containment
+         |FROM common
+         |JOIN sizes sa ON i = sa.doc_id
+         |JOIN sizes sb ON j = sb.doc_id
+         |WHERE round(c * 1.0 / least(sa.n, sb.n), 6) >= $ContainmentThreshold""".stripMargin,
     // LSH+verify equals brute force w.h.p. — graded against the same
     // exact oracle, which is the point of the verify stage.
     "dedup_minhash_lsh" -> jaccardOracle,

@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import graft.Tables
 import graft.assoc.Association
 import org.apache.spark.sql.functions.col
 
@@ -21,6 +22,19 @@ class AssociationSpec extends AnyFunSuite {
     assert(sims(1) == 0.0)
     assert(math.abs(sims(2) - 2.0 / math.sqrt(6.0)) < 1e-12)
     assert(sims(3) == 0.0)
+  }
+
+  test("ShingleCosineExpr executes inside whole-stage codegen") {
+    // a parquet scan keeps the projection out of constant folding, so
+    // the expression must run through its doGenCode path
+    val df = Tables.part(spark, "/root/testdata/sf0.001")
+      .select(Association.shingleCosine(col("p_name"), col("p_type")).as("s"))
+    // "*(n)" prefixes mark operators inside a WholeStageCodegen stage
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [shingle_cosine"),
+      s"expected the projection inside a codegen stage:\n$plan")
+    val vals = df.as[Double].collect()
+    assert(vals.nonEmpty && vals.forall(s => s >= 0.0 && s <= 1.0))
   }
 
   test("A8 association sums similarity per (keyword, author)") {
