@@ -38,6 +38,18 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
+  val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Register every testdata table as a temp view so the SQL string
+    * interface works against the whole schema (spark.sql("... FROM
+    * lineitem JOIN orders ...")). */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    names.foreach { n =>
+      val df = if (n == "events") events(spark, sfDir) else table(spark, sfDir, n)
+      df.createOrReplaceTempView(n)
+    }
+
   /** Decouple compute parallelism from scan splits. The sketch/similarity
     * stages do orders-of-magnitude more work per input byte than a scan
     * (64 minhash passes, O(candidates²) pair math), so their parallelism
