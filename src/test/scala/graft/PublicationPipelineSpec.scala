@@ -111,6 +111,33 @@ class PublicationPipelineSpec extends AnyFunSuite {
     assert(cut.head._3 == 0.5)
   }
 
+  test("A12/A13/A14: latest-years slice, top-N, community strength") {
+    val byYear = Seq(("2018", 5L), ("2019", 7L), ("2020", 9L), ("2021", 1L))
+      .toDF("year", "no_articles")
+    val latest = PubAggregates.latestYears(byYear, maxYear = "2020", n = 2)
+      .as[(String, Long)].collect()
+    assert(latest.toSeq == Seq(("2020", 9L), ("2019", 7L)))
+
+    val top = PubAggregates.topTopics(
+      Seq(("a", 3L), ("b", 9L), ("c", 5L)).toDF("t", "cnt"), "cnt", 2)
+      .as[(String, Long)].collect()
+    assert(top.toSeq == Seq(("b", 9L), ("c", 5L)))
+
+    val strength = PubAggregates.communityStrength(
+      Seq(30L, 10L).toDF("cnt")).as[Double].collect().head
+    assert(strength == (900.0 + 100.0) / 40.0 / 100.0)
+  }
+
+  test("qualityScore is bounded and favors clean prose") {
+    import graft.functions.TextFunctions.qualityScore
+    val rows = Seq(
+      "The quick brown fox jumps over the lazy dog and keeps running through the field " * 3,
+      "!!!??? ### $$$ %%% ^^^ &&& *** ((( )))")
+      .toDF("s").select(qualityScore($"s")).as[Double].collect()
+    assert(rows.forall(v => v >= 0.0 && v <= 1.0))
+    assert(rows(0) > rows(1), "clean prose should outscore symbol noise")
+  }
+
   test("A15 adjacency table") {
     val pairs = Seq(("a", "b"), ("a", "c")).toDF("a", "b")
     val adj = PubAggregates.adjacencyTable(pairs)
