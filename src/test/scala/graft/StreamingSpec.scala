@@ -62,6 +62,25 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("text quality filtering runs unchanged on a stream") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions.qualityCounters
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val q = mem.toDF().toDF("text")
+      .select(col("text"), qualityCounters(col("text")).as("q"))
+      .where(col("q.n_toks") >= 3 && col("q.n_stop") > 0)
+      .writeStream.format("memory").queryName("quality_pass")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+    try {
+      mem.addData("the quick brown fox", "short", "zebra penguin walrus qqq???")
+      q.processAllAvailable()
+      val kept = spark.table("quality_pass").select("text").as[String].collect()
+      assert(kept.toSeq == Seq("the quick brown fox"))
+    } finally q.stop()
+  }
+
   test("end-to-end topology writes raw + aggregate tables") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
