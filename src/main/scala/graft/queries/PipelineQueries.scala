@@ -1,0 +1,61 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** The whole training-data text pipeline composed as ONE declarative
+  * query — normalize → acceptance filter → quality gate → exact dedup
+  * (keep-first) → train/test split → per-split stats. Every stage is
+  * deterministic, so the end-to-end composition is oracle-checked, not
+  * just its pieces.
+  *
+  * Scale shape: narrow maps + one window over the content-hash
+  * partitioning (the dedup) + one final aggregation. The only shuffle
+  * of document payloads is the dedup exchange, keyed on an 8-byte
+  * content hash.
+  */
+object PipelineQueries extends QueryPack {
+
+  override def queries: Map[String, Q] = Map(
+    "pipe_text_corpus" -> ((s, d) => {
+      val byContent = Window.partitionBy("h").orderBy("doc_id")
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), normalizeStr(col("text")).as("norm"),
+          qualityCounters(col("text")).as("q"))
+        // acceptance: normalized content present and long enough
+        .where(col("norm").isNotNull && length(col("norm")) >= 50)
+        // quality gate: some stopword evidence, sane mean token length
+        .where(col("q.n_stop") > 0 && col("q.n_toks") >= 10)
+        // exact dedup keep-first on content hash
+        .withColumn("h", xxhash64(col("norm")))
+        .withColumn("rn", row_number().over(byContent))
+        .where(col("rn") === 1)
+        // deterministic split + stats
+        .withColumn("split",
+          when(pmod(col("doc_id"), lit(10)) < 2, "test").otherwise("train"))
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("q.n_toks")).as("total_tokens"))
+    }))
+
+  override def oracles: Map[String, String] = Map(
+    "pipe_text_corpus" ->
+      """WITH prep AS (
+        |  SELECT doc_id, lang,
+        |    nullif(lower(regexp_replace(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'), '^\s+|\s+$', '', 'g')), '') AS norm,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0) AS toks
+        |  FROM documents),
+        |scored AS (
+        |  SELECT doc_id, lang, norm, len(toks) AS n_toks,
+        |    len(list_filter(toks, x -> x IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','be','this'))) AS n_stop
+        |  FROM prep
+        |  WHERE norm IS NOT NULL AND length(norm) >= 50),
+        |gated AS (
+        |  SELECT *, row_number() OVER (PARTITION BY norm ORDER BY doc_id) AS rn
+        |  FROM scored WHERE n_stop > 0 AND n_toks >= 10)
+        |SELECT CASE WHEN doc_id % 10 < 2 THEN 'test' ELSE 'train' END AS split,
+        |  lang, count(*) AS n_docs, sum(n_toks) AS total_tokens
+        |FROM gated WHERE rn = 1
+        |GROUP BY 1, 2""".stripMargin)
+}
