@@ -24,6 +24,14 @@ class AssociationSpec extends AnyFunSuite {
     assert(sims(3) == 0.0)
   }
 
+  test("shingle cosine is null-safe") {
+    val got = Seq((null.asInstanceOf[String], "abc"), ("abc", null.asInstanceOf[String]))
+      .toDF("a", "b")
+      .select(Association.shingleCosine(col("a"), col("b")).as("s"))
+      .as[Option[Double]].collect()
+    assert(got.toSeq == Seq(None, None))
+  }
+
   test("ShingleCosineExpr executes inside whole-stage codegen") {
     // a parquet scan keeps the projection out of constant folding, so
     // the expression must run through its doGenCode path

@@ -10,6 +10,18 @@ class BatchJobsSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
+  test("S2: nested markup inside <title> concatenates like the reference SAX pass") {
+    val xml =
+      """<dblp><inproceedings key="conf/b/2">
+        |  <author>Cy D</author>
+        |  <title>Learning <i>deep</i> nets &amp; graphs</title>
+        |  <year>2020</year><booktitle>NIPS</booktitle>
+        |</inproceedings></dblp>""".stripMargin
+    val r = DblpXml.parse(xml)
+    assert(r.records.length == 1)
+    assert(r.records.head.contains(""""title":"Learning deep nets & graphs""""))
+  }
+
   test("S2: DBLP XML SAX parse emits the producer JSON shape") {
     val xml =
       """<?xml version="1.0"?>

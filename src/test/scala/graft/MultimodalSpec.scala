@@ -1,0 +1,38 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.multimodal.Multimodal
+
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def media = Multimodal.mediaFromDocuments(
+    Seq((0L, "x" * 100), (1L, "y" * 700), (2L, "z" * 10))
+      .toDF("doc_id", "text"))
+
+  test("decode stub derives dimensions from payload length; kind cycles") {
+    val d = Multimodal.decode(media).collect().map(r => r.media_id -> r).toMap
+    assert(d(0L).kind == "image" && d(1L).kind == "audio" && d(2L).kind == "video")
+    assert(d(0L).width == 64 + 100 % 192 && d(0L).height == 64 + (100 / 7) % 192)
+    assert(d(0L).channels == 3 && d(1L).channels == 1)
+  }
+
+  test("feature kernel is deterministic and shape-stable") {
+    val f1 = Multimodal.features(media, dim = 8).collect().map(f => f.media_id -> f.feature.toSeq).toMap
+    val f2 = Multimodal.features(media, dim = 8).collect().map(f => f.media_id -> f.feature.toSeq).toMap
+    assert(f1 == f2)
+    assert(f1.values.forall(_.length == 8))
+    assert(f1(0L) != f1(1L), "different payloads -> different features")
+  }
+
+  test("frame sampling counts: ceil split, every 4th kept") {
+    val fs = Multimodal.frameSample(media, frameBytes = 256, stride = 4)
+      .select("media_id", "n_frames", "n_sampled")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(fs(0L) == (1L, 1L))  // 100 bytes -> 1 frame, offset 0 sampled
+    assert(fs(1L) == (3L, 1L))  // 700 -> 3 frames, offsets {0}
+    assert(fs(2L) == (1L, 1L))
+  }
+}
