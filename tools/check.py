@@ -51,7 +51,13 @@ def main(sf_dir, out_dir):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
     results = {}
-    for name in sorted(d.name for d in Path(out_dir).iterdir() if d.is_dir()):
+    present = sorted(d.name for d in Path(out_dir).iterdir() if d.is_dir())
+    manifest_path = Path(out_dir) / "queries.json"
+    if manifest_path.exists():
+        for name in json.loads(manifest_path.read_text()):
+            if name not in present:
+                results[name] = {"status": "missing_result", "ok": False}
+    for name in present:
         spark_rel = con.execute(f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
         s_cols = [c[0] for c in spark_rel.description]
         s_rows = spark_rel.fetchall()
