@@ -22,7 +22,8 @@ object SparkEntry {
     WindowQueries,
     MiscQueries,
     AlgebraQueries,
-    PipelineQueries)
+    PipelineQueries,
+    TpchQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,104 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.AsofJoin
+
+/** Classic decision-support shapes (TPC-H Q3/Q6/Q10 analogues) plus the
+  * as-of join — point-in-time enrichment verified against DuckDB's
+  * native ASOF JOIN.
+  */
+object TpchQueries extends QueryPack {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,4)")
+  private def discPrice =
+    dec(col("l_extendedprice")) * (lit(1).cast("decimal(1,0)") - dec(col("l_discount")))
+
+  override def queries: Map[String, Q] = Map(
+    // Q3: top-10 open orders by potential revenue in a segment.
+    "q3_shipping_priority" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)
+          .where(col("c_mktsegment") === "BUILDING")),
+          col("o_custkey") === col("c_custkey"))
+        .where(col("o_orderdate") < lit("1998-03-15") &&
+          col("l_shipdate") > lit("1998-03-15"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum(discPrice).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)),
+
+    // Q6: forecast revenue change — single exact-decimal scan aggregate.
+    "q6_forecast_revenue" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .where(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1997-01-01") &&
+          col("l_discount").between(0.03, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n"))),
+
+    // Q10: top-20 customers by returned-item revenue.
+    "q10_returned_items" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .where(col("l_returnflag") === "R")
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(sum(discPrice).as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(20)),
+
+    // As-of join: each click enriched with the user's latest prior (or
+    // simultaneous) signup event id.
+    "q_events_asof" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val signups = ev.where(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"), col("event_id").as("signup_id"))
+      AsofJoin.asof(clicks, signups, key = "user_id",
+          leftTime = "ts", rightTime = "ts", payload = Seq("signup_id"))
+        .select("event_id", "user_id", "signup_id")
+    }))
+
+  private val discPriceSql =
+    "CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(1,0)) - CAST(l_discount AS DECIMAL(18,4)))"
+
+  override def oracles: Map[String, String] = Map(
+    "q3_shipping_priority" ->
+      s"""SELECT l_orderkey, o_orderdate, o_orderpriority, sum($discPriceSql) AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < '1998-03-15' AND l_shipdate > '1998-03-15'
+         |GROUP BY 1, 2, 3
+         |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+
+    "q6_forecast_revenue" ->
+      """SELECT sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+        |  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""".stripMargin,
+
+    "q10_returned_items" ->
+      s"""SELECT c_custkey, c_name, n_name, sum($discPriceSql) AS revenue, count(*) AS n_items
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE l_returnflag = 'R'
+         |GROUP BY 1, 2, 3
+         |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin,
+
+    "q_events_asof" ->
+      """SELECT l.event_id, l.user_id, r.signup_id
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
+        |ASOF LEFT JOIN
+        |  (SELECT event_id AS signup_id, user_id, ts FROM events WHERE event_type = 'signup') r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin)
+}
