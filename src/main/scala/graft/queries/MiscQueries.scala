@@ -47,6 +47,40 @@ object MiscQueries extends QueryPack {
         .groupBy(col("event_type"), expr("k div 10").as("k_decile"))
         .agg(count(lit(1)).as("cnt"), sum("k").as("sum_k"))),
 
+    // Range join via binning: map each price to its uniform band by
+    // arithmetic instead of a nested-loop BETWEEN join — the interval
+    // side joins as a broadcast equi-join on the bin id, the technique
+    // that keeps range joins O(n) at scale. Oracle uses the naive
+    // BETWEEN join; results are identical because bands are uniform.
+    "q_price_band_join" -> ((s, d) => {
+      import s.implicits._
+      val bandWidth = 200.0
+      val bands = broadcast((0 until 10)
+        .map(i => (i, i * bandWidth, (i + 1) * bandWidth))
+        .toDF("band", "lo", "hi"))
+      Tables.part(s, d)
+        .where(col("p_retailprice") >= 0 && col("p_retailprice") < 10 * bandWidth)
+        .withColumn("band", floor(col("p_retailprice") / bandWidth).cast("int"))
+        .join(bands, Seq("band"))
+        .groupBy("band", "lo", "hi")
+        .agg(count(lit(1)).as("n_parts"),
+          sum(col("p_retailprice").cast("decimal(18,4)")).as("sum_price"))
+    }),
+
+    // Count-Min Sketch heavy hitters: CMS estimate next to the exact
+    // count for the top parts (estimate >= exact always; rows-only
+    // check — Spark's CMS hashing isn't reproducible in DuckDB).
+    "q_heavy_hitters_cms" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val cms = li.stat.countMinSketch(col("l_partkey"), eps = 0.001,
+        confidence = 0.99, seed = 42)
+      val top = li.groupBy("l_partkey").agg(count(lit(1)).as("exact"))
+        .orderBy(col("exact").desc, col("l_partkey").asc).limit(10)
+      val est = udf((k: Long) => cms.estimateCount(k))
+      top.withColumn("cms_estimate", est(col("l_partkey")))
+        .withColumn("overcount", col("cms_estimate") - col("exact"))
+    }),
+
     // The same pricing summary through the SQL string interface.
     "q_sql_interface" -> ((s, d) => {
       Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
@@ -68,6 +102,15 @@ object MiscQueries extends QueryPack {
     "q_distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
         |FROM events GROUP BY 1""".stripMargin,
+
+    "q_price_band_join" ->
+      """WITH bands AS (
+        |  SELECT i AS band, i * 200.0 AS lo, (i + 1) * 200.0 AS hi
+        |  FROM range(0, 10) t(i))
+        |SELECT band, lo, hi, count(*) AS n_parts,
+        |  sum(CAST(p_retailprice AS DECIMAL(18,4))) AS sum_price
+        |FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
+        |GROUP BY 1, 2, 3""".stripMargin,
 
     "q_events_props" ->
       """SELECT event_type, CAST(props->>'k' AS INTEGER) // 10 AS k_decile,
