@@ -39,9 +39,9 @@ object VectorFunctions {
     * (512 here) make janino spend >10 s compiling the generated method —
     * more than the whole query's runtime — while the primitive loop is
     * compile-free and equally distributed. */
-  def srpBucket(v: Column, dim: Int, planes: Int): Column = {
+  def srpBucket(v: Column, dim: Int, planes: Int, table: Int = 0): Column = {
     val coeffs = Array.tabulate(planes, dim) { (p, i) =>
-      ((splitmix64(p.toLong * dim + i) & 1023L).toDouble / 1024.0) - 0.5
+      ((splitmix64((table.toLong * planes + p) * dim + i) & 1023L).toDouble / 1024.0) - 0.5
     }
     val f = udf { (vec: Array[Float]) =>
       var bucket = 0
