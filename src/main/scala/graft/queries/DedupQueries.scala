@@ -8,8 +8,9 @@ import graft.functions.HashFunctions._
 import graft.functions.VectorFunctions._
 
 /** Deduplication query surface over `documents` / `embeddings`:
-  * exact (hash-groupBy), exact n-gram Jaccard, MinHash+LSH, SimHash,
-  * and embedding-cosine near-dup.
+  * exact (hash-groupBy), exact n-gram Jaccard + containment,
+  * MinHash+LSH, SimHash, embedding-cosine near-dup, and
+  * connected-component clustering of the pair graph.
   *
   * Scale notes (100 TB):
   *  - Exact dedup groups on a 64-bit content hash, not the text — the

@@ -15,9 +15,10 @@ import graft.functions.VectorFunctions._
   *    (the `label` column stands in for a k-means assignment) — an
   *    equi-join on the cluster id, O(Q×N/k), also exact *within* the
   *    probed cluster so it stays oracle-checkable.
-  *  - SRP-LSH: sign-random-projection buckets + hamming-1 multiprobe,
-  *    then exact re-rank of candidates only — the 100 TB path
-  *    (approximate ⇒ rows-only check).
+  *  - SRP-LSH: 3 independent sign-random-projection tables with
+  *    hamming<=2 multiprobe, then exact re-rank of candidates only —
+  *    the 100 TB path (approximate ⇒ rows-only check; recall floor
+  *    pinned in SimilaritySpec).
   */
 object SimilarityQueries extends QueryPack {
 
