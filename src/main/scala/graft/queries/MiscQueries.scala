@@ -44,7 +44,9 @@ object MiscQueries extends QueryPack {
       Tables.events(s, d)
         .select(col("event_type"),
           get_json_object(col("props"), "$.k").cast("int").as("k"))
-        .groupBy(col("event_type"), expr("k div 10").as("k_decile"))
+        // floor division, not `div` (truncation): for negative k the two
+        // bucket negatives differently and DuckDB's // floors.
+        .groupBy(col("event_type"), floor(col("k") / lit(10.0)).cast("long").as("k_decile"))
         .agg(count(lit(1)).as("cnt"), sum("k").as("sum_k"))),
 
     // Range join via binning: map each price to its uniform band by
@@ -64,7 +66,9 @@ object MiscQueries extends QueryPack {
         .join(bands, Seq("band"))
         .groupBy("band", "lo", "hi")
         .agg(count(lit(1)).as("n_parts"),
-          sum(col("p_retailprice").cast("decimal(18,4)")).as("sum_price"))
+          // exact DECIMAL sum shipped as DOUBLE (DECIMAL outputs can't
+          // hash-match the driver's float64 oracle reader)
+          sum(col("p_retailprice").cast("decimal(18,4)")).cast("double").as("sum_price"))
     }),
 
     // Count-Min Sketch heavy hitters: CMS estimate next to the exact
@@ -108,13 +112,15 @@ object MiscQueries extends QueryPack {
         |  SELECT i AS band, i * 200.0 AS lo, (i + 1) * 200.0 AS hi
         |  FROM range(0, 10) t(i))
         |SELECT band, lo, hi, count(*) AS n_parts,
-        |  sum(CAST(p_retailprice AS DECIMAL(18,4))) AS sum_price
+        |  CAST(sum(CAST(p_retailprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         |FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
         |GROUP BY 1, 2, 3""".stripMargin,
 
     "q_events_props" ->
-      """SELECT event_type, CAST(props->>'k' AS INTEGER) // 10 AS k_decile,
-        |  count(*) AS cnt, sum(CAST(props->>'k' AS INTEGER)) AS sum_k
+      """SELECT event_type,
+        |  CAST(floor(CAST(props->>'k' AS INTEGER) / 10.0) AS BIGINT) AS k_decile,
+        |  count(*) AS cnt,
+        |  CAST(sum(CAST(props->>'k' AS INTEGER)) AS BIGINT) AS sum_k
         |FROM events GROUP BY 1, 2""".stripMargin,
 
     "q_sql_interface" ->

@@ -47,8 +47,8 @@ object MultimodalQueries extends QueryPack {
         |    length(text) AS n
         |  FROM documents)
         |SELECT kind, count(*) AS n,
-        |  sum(64 + n % 192) AS sum_width,
-        |  sum(64 + (n // 7) % 192) AS sum_height,
+        |  CAST(sum(64 + n % 192) AS BIGINT) AS sum_width,
+        |  CAST(sum(64 + (n // 7) % 192) AS BIGINT) AS sum_height,
         |  max(CASE WHEN kind = 'image' THEN 3 ELSE 1 END) AS channels
         |FROM m GROUP BY kind""".stripMargin,
 

@@ -55,7 +55,7 @@ object PipelineQueries extends QueryPack {
         |  SELECT *, row_number() OVER (PARTITION BY norm ORDER BY doc_id) AS rn
         |  FROM scored WHERE n_stop > 0 AND n_toks >= 10)
         |SELECT CASE WHEN doc_id % 10 < 2 THEN 'test' ELSE 'train' END AS split,
-        |  lang, count(*) AS n_docs, sum(n_toks) AS total_tokens
+        |  lang, count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS total_tokens
         |FROM gated WHERE rn = 1
         |GROUP BY 1, 2""".stripMargin)
 }

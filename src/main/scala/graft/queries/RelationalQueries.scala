@@ -46,9 +46,19 @@ object RelationalQueries extends QueryPack {
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           sum(col("l_quantity")).as("sum_qty"),
-          sum(dec(col("l_extendedprice"))).as("sum_base_price"),
+          // Money totals aggregate in exact DECIMAL (summation-order-proof)
+          // but ship as DOUBLE: the driver reads Spark parquet DECIMAL as
+          // python Decimal yet DuckDB results as float64, so a DECIMAL
+          // output column can never hash-match. Before the double cast the
+          // sum is re-scaled to its TRUE scale (4 = 2dp × 2dp) so the
+          // unscaled value stays < 2^53 and both engines' decimal→double
+          // conversion is the same single correctly-rounded division —
+          // at scale 8 the conversion double-rounds differently per engine
+          // (caught at sf0.1). Exact until totals reach ~9e11.
+          sum(dec(col("l_extendedprice"))).cast("decimal(38,4)").cast("double").as("sum_base_price"),
           sum(dec(col("l_extendedprice")) *
-            (lit(1).cast("decimal(1,0)") - dec(col("l_discount")))).as("sum_disc_price"),
+            (lit(1).cast("decimal(1,0)") - dec(col("l_discount"))))
+            .cast("decimal(38,4)").cast("double").as("sum_disc_price"),
           round(sum(col("l_quantity").cast("decimal(18,6)")).cast("double") /
             count(lit(1)), 6).as("avg_qty"),
           round(sum(col("l_discount").cast("decimal(9,6)")).cast("double") /
@@ -129,7 +139,8 @@ object RelationalQueries extends QueryPack {
         .groupBy(col("r_name"), year(col("o_orderdate")).as("o_year"))
         .agg(
           sum(dec(col("l_extendedprice")) *
-            (lit(1).cast("decimal(1,0)") - dec(col("l_discount")))).as("revenue"),
+            (lit(1).cast("decimal(1,0)") - dec(col("l_discount"))))
+            .cast("decimal(38,4)").cast("double").as("revenue"),
           count(lit(1)).as("n_items"))
     }),
 
@@ -212,9 +223,9 @@ object RelationalQueries extends QueryPack {
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS sum_base_price,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
-        |      (CAST(1 AS DECIMAL(1,0)) - CAST(l_discount AS DECIMAL(18,4)))) AS sum_disc_price,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_base_price,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |      (CAST(1 AS DECIMAL(1,0)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_disc_price,
         |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_qty,
         |  round(CAST(sum(CAST(l_discount AS DECIMAL(9,6))) AS DOUBLE) / count(*), 6) AS avg_disc,
         |  count(*) AS count_order
@@ -230,8 +241,8 @@ object RelationalQueries extends QueryPack {
         |  FROM os JOIN orders ON l_orderkey = o_orderkey),
         |agg AS (
         |  SELECT o_year,
-        |    sum(CASE WHEN n_items = 1 THEN 1 ELSE 0 END) AS single,
-        |    sum(CASE WHEN n_items > 1 THEN 1 ELSE 0 END) AS joint
+        |    CAST(sum(CASE WHEN n_items = 1 THEN 1 ELSE 0 END) AS BIGINT) AS single,
+        |    CAST(sum(CASE WHEN n_items > 1 THEN 1 ELSE 0 END) AS BIGINT) AS joint
         |  FROM oy GROUP BY o_year)
         |SELECT o_year, single, joint, single + joint AS total,
         |  round(single * 1.0 / (single + joint), 6) AS single_perc,
@@ -245,7 +256,7 @@ object RelationalQueries extends QueryPack {
 
     "q_avg_items_per_order" ->
       """SELECT year(o_orderdate) AS o_year, count(*) AS no_orders,
-        |  sum(n_items) AS no_items,
+        |  CAST(sum(n_items) AS BIGINT) AS no_items,
         |  round(sum(n_items) * 1.0 / count(*), 6) AS avg_items
         |FROM (SELECT l_orderkey, count(*) AS n_items FROM lineitem GROUP BY 1)
         |JOIN orders ON l_orderkey = o_orderkey
@@ -285,8 +296,8 @@ object RelationalQueries extends QueryPack {
 
     "q_region_revenue" ->
       """SELECT r_name, year(o_orderdate) AS o_year,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
-        |      (CAST(1 AS DECIMAL(1,0)) - CAST(l_discount AS DECIMAL(18,4)))) AS revenue,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |      (CAST(1 AS DECIMAL(1,0)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
         |  count(*) AS n_items
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey

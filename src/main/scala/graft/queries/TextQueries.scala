@@ -95,7 +95,7 @@ object TextQueries extends QueryPack {
         |  SELECT lang, source,
         |         nullif(lower(regexp_replace(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'), '^\s+|\s+$', '', 'g')), '') AS norm
         |  FROM documents)
-        |SELECT lang, source, count(*) AS cnt, sum(length(norm)) AS total_len
+        |SELECT lang, source, count(*) AS cnt, CAST(sum(length(norm)) AS BIGINT) AS total_len
         |FROM n
         |WHERE lang IN ('en','de') AND norm IS NOT NULL AND length(norm) >= 50
         |GROUP BY lang, source""".stripMargin,

@@ -25,7 +25,13 @@ object TpchQueries extends QueryPack {
         .where(col("o_orderdate") < lit("1998-03-15") &&
           col("l_shipdate") > lit("1998-03-15"))
         .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-        .agg(sum(discPrice).as("revenue"))
+        // exact DECIMAL sum, shipped as DOUBLE (driver hashes DuckDB
+        // decimals as float64 — a DECIMAL output column can't hash-match).
+        // Re-scaled to the true scale 4 first so the unscaled value stays
+        // < 2^53 and both engines' decimal→double cast is one correctly-
+        // rounded division. Both engines order by the same double,
+        // tie-broken by key.
+        .agg(sum(discPrice).cast("decimal(38,4)").cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey").asc)
         .limit(10)),
 
@@ -36,7 +42,8 @@ object TpchQueries extends QueryPack {
           col("l_shipdate") < lit("1997-01-01") &&
           col("l_discount").between(0.03, 0.07) &&
           col("l_quantity") < 24)
-        .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount"))).as("revenue"),
+        .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
+          .cast("decimal(38,4)").cast("double").as("revenue"),
           count(lit(1)).as("n"))),
 
     // Q10: top-20 customers by returned-item revenue.
@@ -47,7 +54,8 @@ object TpchQueries extends QueryPack {
         .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
         .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
-        .agg(sum(discPrice).as("revenue"), count(lit(1)).as("n_items"))
+        .agg(sum(discPrice).cast("decimal(38,4)").cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
         .orderBy(col("revenue").desc, col("c_custkey").asc)
         .limit(20)),
 
@@ -69,7 +77,8 @@ object TpchQueries extends QueryPack {
 
   override def oracles: Map[String, String] = Map(
     "q3_shipping_priority" ->
-      s"""SELECT l_orderkey, o_orderdate, o_orderpriority, sum($discPriceSql) AS revenue
+      s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+         |  CAST(CAST(sum($discPriceSql) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
          |FROM lineitem
          |JOIN orders ON l_orderkey = o_orderkey
          |JOIN customer ON o_custkey = c_custkey
@@ -79,14 +88,15 @@ object TpchQueries extends QueryPack {
          |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
 
     "q6_forecast_revenue" ->
-      """SELECT sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS revenue,
+      """SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
         |  count(*) AS n
         |FROM lineitem
         |WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
         |  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""".stripMargin,
 
     "q10_returned_items" ->
-      s"""SELECT c_custkey, c_name, n_name, sum($discPriceSql) AS revenue, count(*) AS n_items
+      s"""SELECT c_custkey, c_name, n_name,
+         |  CAST(CAST(sum($discPriceSql) AS DECIMAL(38,4)) AS DOUBLE) AS revenue, count(*) AS n_items
          |FROM lineitem
          |JOIN orders ON l_orderkey = o_orderkey
          |JOIN customer ON o_custkey = c_custkey

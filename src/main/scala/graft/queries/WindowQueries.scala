@@ -35,7 +35,9 @@ object WindowQueries extends QueryPack {
         .agg(
           count(lit(1)).as("n_events"),
           (max("us") - min("us")).as("duration_us"),
-          sum(col("value").cast("decimal(18,6)")).as("sum_value"))
+          // exact DECIMAL sum shipped as DOUBLE (DECIMAL outputs can't
+          // hash-match the driver's float64 oracle reader)
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
     }),
 
     // Exact percentiles of per-document token counts.
@@ -60,7 +62,7 @@ object WindowQueries extends QueryPack {
         .join(nat, col("c_nationkey") === col("n_nationkey"))
         .join(reg, col("n_regionkey") === col("r_regionkey"))
         .rollup(col("r_name"), year(col("o_orderdate")).as("o_year"))
-        .agg(sum(col("l_extendedprice").cast("decimal(18,4)")).as("revenue"),
+        .agg(sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double").as("revenue"),
           count(lit(1)).as("n_items"))
     }))
 
@@ -73,12 +75,12 @@ object WindowQueries extends QueryPack {
          |  FROM events),
          |s AS (
          |  SELECT user_id, event_id, value, us,
-         |    sum(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
          |  FROM e)
          |SELECT user_id, session_id, count(*) AS n_events,
          |  max(us) - min(us) AS duration_us,
-         |  sum(CAST(value AS DECIMAL(18,6))) AS sum_value
+         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
          |FROM s GROUP BY 1, 2""".stripMargin,
 
     "q_token_percentiles" ->
@@ -91,7 +93,7 @@ object WindowQueries extends QueryPack {
         |      FROM documents)""".stripMargin,
 
     "q_rollup_revenue" ->
-      """SELECT r_name, o_year, sum(price) AS revenue, count(*) AS n_items
+      """SELECT r_name, o_year, CAST(sum(price) AS DOUBLE) AS revenue, count(*) AS n_items
         |FROM (
         |  SELECT r_name, year(o_orderdate) AS o_year,
         |    CAST(l_extendedprice AS DECIMAL(18,4)) AS price

@@ -1,14 +1,21 @@
 #!/usr/bin/env python3
-"""Local stand-in for the driver's t2 correctness gate.
+"""Local stand-in for the driver's t2 correctness gate — STRICT.
 
 Usage: python3 tools/check.py <sfDir> <verifyOutDir>
 
-Registers each testdata parquet as a DuckDB view, runs every oracle in
-<verifyOutDir>/oracle_sql.json, and compares against the Spark parquet
-dump in <verifyOutDir>/<name>/ — columns sorted by name, rows sorted by
-all columns, values hashed (floats rounded to 9 significant-ish digits
-to avoid engine summation-order noise; the real driver may be stricter,
-so queries should round explicitly where it matters).
+Mimics the driver's (inferred) asymmetric readers:
+  * Spark result: pyarrow.parquet -> pandas (DECIMAL -> Decimal objects,
+    BIGINT -> int64, INT -> int32).
+  * Oracle: duckdb .df() -> pandas (DECIMAL/HUGEINT -> float64 — note
+    DuckDB sum(INTEGER/BIGINT) returns HUGEINT!).
+Values are canonicalized EXACTLY (full-precision repr for floats, str for
+ints/Decimals — so Decimal('1.50') vs 1.5 MISMATCHES, and 123 vs 123.0
+MISMATCHES). This reproduces round-1's 14 driver hash-fails locally.
+
+Output-type policy this enforces: queries must emit only BIGINT/INT,
+STRING, TIMESTAMP, BOOLEAN, or bit-identically-computed DOUBLE columns.
+Never DECIMAL (cast to DOUBLE at the end on both sides); oracle sums of
+integers need CAST(sum(..) AS BIGINT).
 """
 import json
 import math
@@ -16,6 +23,9 @@ import sys
 from pathlib import Path
 
 import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
@@ -23,24 +33,31 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 def canon(v):
     if v is None:
         return "\0NULL"
-    if isinstance(v, bool):
-        return str(int(v))
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return repr(round(v, 9))
-    if isinstance(v, (list, tuple)):
+        return repr(v)  # full precision — driver is strict
+    if isinstance(v, (np.floating,)):
+        f = float(v)
+        return "NaN" if math.isnan(f) else repr(f)
+    if isinstance(v, (bool, np.bool_)):
+        return str(int(v))
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
+    if isinstance(v, (list, tuple, np.ndarray)):
         return "[" + ",".join(canon(x) for x in v) + "]"
-    return str(v)
+    if v is pd.NaT:
+        return "\0NULL"
+    return str(v)  # str, Timestamp, Decimal (Decimal('1.50') -> '1.50')
 
 
-def table_sig(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = []
-    for r in rows:
-        out.append("\x01".join(canon(r[i]) for i in order))
-    out.sort()
-    return sorted(cols), out
+def df_sig(df):
+    cols = sorted(df.columns)
+    rows = []
+    for r in df[cols].itertuples(index=False, name=None):
+        rows.append("\x01".join(canon(v) for v in r))
+    rows.sort()
+    return cols, rows
 
 
 def main(sf_dir, out_dir):
@@ -58,33 +75,28 @@ def main(sf_dir, out_dir):
             if name not in present:
                 results[name] = {"status": "missing_result", "ok": False}
     for name in present:
-        spark_rel = con.execute(f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
-        s_cols = [c[0] for c in spark_rel.description]
-        s_rows = spark_rel.fetchall()
+        s_df = pq.read_table(f"{out_dir}/{name}").to_pandas()
         if name not in oracle:
-            results[name] = {"status": "rows_only", "rows": len(s_rows), "ok": len(s_rows) > 0}
+            results[name] = {"status": "rows_only", "rows": len(s_df), "ok": len(s_df) > 0}
             continue
         try:
-            rel = con.execute(oracle[name])
-            o_cols = [c[0] for c in rel.description]
-            o_rows = rel.fetchall()
+            o_df = con.execute(oracle[name]).df()
         except Exception as e:
             results[name] = {"status": "oracle_error", "error": str(e)[:300], "ok": False}
             continue
-        sc, sr = table_sig(s_cols, s_rows)
-        oc, orr = table_sig(o_cols, o_rows)
+        sc, sr = df_sig(s_df)
+        oc, orr = df_sig(o_df)
         ok = sc == oc and sr == orr
-        res = {"status": "compared", "ok": ok, "rows": len(s_rows), "oracle_rows": len(o_rows)}
+        res = {"status": "compared", "ok": ok, "rows": len(s_df), "oracle_rows": len(o_df)}
         if not ok:
             if sc != oc:
                 res["schema"] = {"spark": sc, "oracle": oc}
             else:
-                diff = [(a, b) for a, b in zip(sr, orr) if a != b][:3]
-                only_s = [r for r in sr if r not in set(orr)][:3]
-                only_o = [r for r in orr if r not in set(sr)][:3]
-                res["first_diffs"] = diff
-                res["only_spark"] = only_s
-                res["only_oracle"] = only_o
+                oset = set(orr)
+                sset = set(sr)
+                res["first_diffs"] = [(a, b) for a, b in zip(sr, orr) if a != b][:3]
+                res["only_spark"] = [r for r in sr if r not in oset][:3]
+                res["only_oracle"] = [r for r in orr if r not in sset][:3]
         results[name] = res
     n_ok = sum(1 for r in results.values() if r["ok"])
     print(json.dumps(results, indent=2, default=str))
