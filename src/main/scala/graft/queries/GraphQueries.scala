@@ -92,6 +92,45 @@ object GraphQueries extends QueryPack {
         .agg(count(lit(1)).as("n_components"))
     }))
 
-  // Community/component membership isn't SQL-expressible → rows-only.
-  override def oracles: Map[String, String] = Map.empty
+  /** The co-occurrence edge set (w >= 2), as SQL — shared by the oracle
+    * queries below. */
+  private val edgesCte =
+    """edges AS (
+      |  WITH op AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey FROM lineitem)
+      |  SELECT a.pkey AS src, b.pkey AS dst, count(*) AS w
+      |  FROM op a JOIN op b ON a.okey = b.okey AND a.pkey < b.pkey
+      |  GROUP BY 1, 2 HAVING count(*) >= 2)""".stripMargin
+
+  // Community labels and PageRank scores depend on algorithm dynamics /
+  // float summation order → rows-only. Components and triangle counts
+  // are deterministic graph facts and get exact SQL oracles.
+  override def oracles: Map[String, String] = Map(
+    // Connected components via min-label transitive closure (the giant
+    // component makes this quadratic — fine at oracle scale).
+    "graph_part_components" ->
+      s"""WITH RECURSIVE $edgesCte,
+         |dedges AS (SELECT src AS a, dst AS b FROM edges UNION ALL SELECT dst, src FROM edges),
+         |dnodes AS (SELECT DISTINCT a AS v FROM dedges),
+         |cc(v, lbl) AS (
+         |  SELECT v, v FROM dnodes
+         |  UNION
+         |  SELECT e.b, cc.lbl FROM cc JOIN dedges e ON cc.v = e.a),
+         |roots AS (SELECT v, min(lbl) AS root FROM cc GROUP BY v),
+         |sizes AS (SELECT root, count(*) AS cnt FROM roots GROUP BY root)
+         |SELECT cnt AS component_size, count(*) AS n_components
+         |FROM sizes GROUP BY 1""".stripMargin,
+
+    // Per-vertex triangle incidence via the canonical 3-way self-join,
+    // then the same (>0) histogram the GraphX side produces.
+    "graph_part_triangles" ->
+      s"""WITH $edgesCte,
+         |e AS (SELECT DISTINCT src AS a, dst AS b FROM edges),
+         |tris AS (
+         |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |  FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+         |  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+         |pv AS (SELECT v, count(*) AS triangles FROM (
+         |  SELECT x AS v FROM tris UNION ALL SELECT y FROM tris
+         |  UNION ALL SELECT z FROM tris) GROUP BY v)
+         |SELECT triangles, count(*) AS n_parts FROM pv GROUP BY 1""".stripMargin)
 }

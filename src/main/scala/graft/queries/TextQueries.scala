@@ -135,8 +135,34 @@ object TextQueries extends QueryPack {
       |    ELSE 1.0 - len(list_distinct(toks)) * 1.0 / len(toks) END, 6) AS rep_ratio
       |FROM t""".stripMargin
 
+  /** Marker-count argmax as plain SQL. Tie-break order mirrors Spark's
+    * array_max over (score, lang) structs: highest score, then the
+    * lexicographically largest language code (zh > fr > es > en > de). */
+  private val langidOracle =
+    """WITH t AS (
+      |  SELECT lang, list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0) AS toks
+      |  FROM documents),
+      |s AS (
+      |  SELECT lang,
+      |    len(list_filter(toks, x -> x IN ('der','die','und','das','ist'))) AS s_de,
+      |    len(list_filter(toks, x -> x IN ('the','and','of','is','to'))) AS s_en,
+      |    len(list_filter(toks, x -> x IN ('el','la','de','que','los'))) AS s_es,
+      |    len(list_filter(toks, x -> x IN ('le','la','les','et','est'))) AS s_fr,
+      |    len(list_filter(toks, x -> x IN ('de5','shi4','le5','zai4','he2'))) AS s_zh
+      |  FROM t)
+      |SELECT lang, pred, count(*) AS cnt FROM (
+      |  SELECT lang,
+      |    CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+      |         WHEN s_zh = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'zh'
+      |         WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+      |         WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+      |         WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+      |         ELSE 'de' END AS pred
+      |  FROM s) GROUP BY 1, 2""".stripMargin
+
   override def oracles: Map[String, String] =
-    oraclesBase + ("text_repetition" -> repetitionOracle)
-  // text_fingerprint / text_langid: xxhash64 and the marker argmax are not
-  // reproducible in DuckDB SQL → rows-only check (oracle omitted).
+    oraclesBase + ("text_repetition" -> repetitionOracle) +
+      ("text_langid" -> langidOracle)
+  // text_fingerprint: xxhash64 is not reproducible in DuckDB SQL →
+  // rows-only check (oracle omitted).
 }
