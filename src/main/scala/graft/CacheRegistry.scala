@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.Dataset
+
+/** Tracks intermediates a query `persist()`ed so the session can release
+  * them deterministically once the query's action completes.
+  *
+  * Why: several queries pin a multi-consumer subtree (the shingle-hash
+  * sketch table, the LSH signature index) because column pruning
+  * specializes each consumer branch and defeats exchange reuse. A bare
+  * `persist()` with no owner leaks executor memory across a long-lived
+  * session — round 1's bench only stayed flat because it called
+  * `spark.catalog.clearCache()` between queries, which an embedding
+  * caller has no reason to do. Queries register pinned relations here;
+  * [[SparkEntry.releaseCaches]] (called by Verify/Bench after each
+  * query, and available to any library user) frees them.
+  */
+object CacheRegistry {
+  private val tracked = new java.util.concurrent.ConcurrentLinkedQueue[Dataset[_]]()
+
+  /** persist() + register for later release. */
+  def persistTracked[T](ds: Dataset[T]): Dataset[T] = {
+    ds.persist()
+    tracked.add(ds)
+    ds
+  }
+
+  /** Unpersist everything registered since the last release. */
+  def releaseAll(): Unit = {
+    var d = tracked.poll()
+    while (d != null) {
+      d.unpersist(blocking = false)
+      d = tracked.poll()
+    }
+  }
+}

@@ -37,4 +37,10 @@ object SparkEntry {
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     packs.flatMap(_.oracles).toMap
+
+  /** Release every intermediate a query pinned with `persist()` (the
+    * sketch/signature tables). Call after consuming a query's result —
+    * Verify/Bench do; so should any embedding application that runs
+    * queries in a long-lived session. */
+  def releaseCaches(): Unit = CacheRegistry.releaseAll()
 }

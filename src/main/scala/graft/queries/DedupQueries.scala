@@ -44,11 +44,14 @@ object DedupQueries extends QueryPack {
   private def jaccard(common: Column, na: Column, nb: Column): Column =
     round(common.cast("double") / (na + nb - common), 6)
 
-  /** Exact near-dup pairs (i < j, jaccard >= threshold) via the
-    * inverted shingle-hash index. `sh` feeds both the index and the
-    * size table; persisted so the shingle UDF runs once per doc. */
-  private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
-    val sh = docShingleHashes(s, d).persist()
+  /** Shared pair-derivation core for the exact Jaccard / containment /
+    * clustering family: candidate pairs (i < j) with shared-shingle
+    * count `c` and the two set sizes `na`/`nb`, via the inverted
+    * shingle-hash index. `sh` feeds both the index and the size table;
+    * persisted (tracked — released by [[graft.SparkEntry.releaseCaches]])
+    * so the shingle UDF runs once per doc. */
+  private def commonWithSizes(s: SparkSession, d: String): DataFrame = {
+    val sh = graft.CacheRegistry.persistTracked(docShingleHashes(s, d))
     val sizes = sh.select(col("doc_id"), size(col("hs")).as("n"))
     val ex = sh.select(col("doc_id"), explode(col("hs")).as("h"))
     val common = ex.as("a").join(ex.as("b"),
@@ -58,9 +61,14 @@ object DedupQueries extends QueryPack {
     common
       .join(sizes.as("sa"), col("i") === col("sa.doc_id"))
       .join(sizes.as("sb"), col("j") === col("sb.doc_id"))
-      .select(col("i"), col("j"), jaccard(col("c"), col("sa.n"), col("sb.n")).as("jac"))
-      .where(col("jac") >= JaccardThreshold)
+      .select(col("i"), col("j"), col("c"), col("sa.n").as("na"), col("sb.n").as("nb"))
   }
+
+  /** Exact near-dup pairs (i < j, jaccard >= threshold). */
+  private def jaccardPairs(s: SparkSession, d: String): DataFrame =
+    commonWithSizes(s, d)
+      .select(col("i"), col("j"), jaccard(col("c"), col("na"), col("nb")).as("jac"))
+      .where(col("jac") >= JaccardThreshold)
 
   override def queries: Map[String, Q] = Map(
     // Exact dedup: group on content hash, keep min doc_id.
@@ -95,23 +103,14 @@ object DedupQueries extends QueryPack {
 
     // Containment (asymmetric Jaccard): |A∩B| / min(|A|,|B|) — catches
     // a short doc embedded in a longer one, which symmetric Jaccard
-    // dilutes below threshold. Same inverted-index shape.
-    "dedup_containment" -> ((s, d) => {
-      val sh = docShingleHashes(s, d).persist()
-      val sizes = sh.select(col("doc_id"), size(col("hs")).as("n"))
-      val ex = sh.select(col("doc_id"), explode(col("hs")).as("h"))
-      val common = ex.as("a").join(ex.as("b"),
-          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
-        .agg(count(lit(1)).as("c"))
-      common
-        .join(sizes.as("sa"), col("i") === col("sa.doc_id"))
-        .join(sizes.as("sb"), col("j") === col("sb.doc_id"))
+    // dilutes below threshold. Same shared inverted-index core as the
+    // Jaccard query, different final ratio.
+    "dedup_containment" -> ((s, d) =>
+      commonWithSizes(s, d)
         .select(col("i"), col("j"),
-          round(col("c").cast("double") / least(col("sa.n"), col("sb.n")), 6)
+          round(col("c").cast("double") / least(col("na"), col("nb")), 6)
             .as("containment"))
-        .where(col("containment") >= ContainmentThreshold)
-    }),
+        .where(col("containment") >= ContainmentThreshold)),
 
     // MinHash(64) + LSH(16 bands × 4) candidates, exact-verified.
     "dedup_minhash_lsh" -> ((s, d) => {
@@ -121,9 +120,9 @@ object DedupQueries extends QueryPack {
       // so exchange reuse can't kick in — persist() materializes the
       // sketch index once, the way a production dedup pipeline
       // checkpoints its signature table before the candidate join.
-      val sig = sh.select(col("doc_id"), col("hs"),
-          lshBands(minhashSignature(col("hs"), 64), 16, 4).as("bands"))
-        .persist()
+      val sig = graft.CacheRegistry.persistTracked(
+        sh.select(col("doc_id"), col("hs"),
+          lshBands(minhashSignature(col("hs"), 64), 16, 4).as("bands")))
       val buckets = sig.select(col("doc_id"), explode(col("bands")).as("bb"))
         .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
       val cand = buckets.as("a").join(buckets.as("b"),
@@ -172,6 +171,16 @@ object DedupQueries extends QueryPack {
       val e = Tables.fanout(Tables.embeddings(s, d))
         .select(col("vec_id"), col("embedding"))
         .as[(Long, Array[Float])]
+      // Hard size gate: the brute tier materializes the build side on
+      // the driver (exactly like Spark's own BroadcastExchange would).
+      // Beyond the broadcast envelope the right tool is the bucketed
+      // approximate path — fail fast toward it instead of OOMing the
+      // driver at cluster scale.
+      val n = e.count()
+      val maxBuildRows = 2000000L // ~512 MB at 64 float dims
+      require(n <= maxBuildRows,
+        s"dedup_embedding_cosine is the brute-force reference tier: $n vectors exceed " +
+          s"the $maxBuildRows-row broadcast envelope; use sim_topk_srp (SRP-LSH) at this scale")
       val all = e.collect().sortBy(_._1) // == the BNLJ build side
       val norms = all.map { case (_, v) =>
         var nsq = 0.0; var i = 0

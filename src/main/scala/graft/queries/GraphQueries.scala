@@ -34,63 +34,95 @@ object GraphQueries extends QueryPack {
   private def sizedPartitions(s: org.apache.spark.sql.SparkSession, nEdges: Long): Int =
     math.max(4, math.min(s.sparkContext.defaultParallelism, (nEdges / 50000L).toInt))
 
+  /** Build the co-occurrence graph, run `algo` on it, reduce its vertex
+    * values to a tiny histogram-shaped result DISTRIBUTED (the collect
+    * below moves at most a few dozen aggregated rows, like any action),
+    * then release every cache the run pinned — the GraphX RDD caches are
+    * NOT covered by `spark.catalog.clearCache()`, and round-1 left them
+    * resident across the whole bench, turning later queries into GC
+    * lotteries. Eager evaluation is what makes the deterministic
+    * `unpersist` possible: the caller gets a small LocalRelation. */
+  private def graphHistogram(s: org.apache.spark.sql.SparkSession, d: String,
+      schema: Seq[String])(
+      algo: Graph[Long, Double] => Seq[org.apache.spark.sql.Row]): org.apache.spark.sql.DataFrame = {
+    val edf = cooccurEdges(s, d).persist()
+    val erdd = edf
+      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), r.getLong(2).toDouble))
+      .coalesce(sizedPartitions(s, edf.count()))
+    val g = Graph.fromEdges(erdd, 0L)
+    try {
+      val rows = algo(g)
+      s.createDataFrame(
+        s.sparkContext.parallelize(rows, 1),
+        org.apache.spark.sql.types.StructType(schema.map(n =>
+          org.apache.spark.sql.types.StructField(n, org.apache.spark.sql.types.LongType, nullable = false))))
+    } finally {
+      g.unpersist(blocking = false)
+      edf.unpersist(blocking = false)
+    }
+  }
+
+  import org.apache.spark.sql.Row
+
   override def queries: Map[String, Q] = Map(
     // G3 + A7: score-attenuated label propagation, label histogram.
-    "graph_part_communities" -> ((s, d) => {
-      import s.implicits._
-      val edf = cooccurEdges(s, d).persist()
-      val erdd = edf
-        .rdd.map(r => Edge(r.getLong(0), r.getLong(1), r.getLong(2).toDouble))
-        .coalesce(sizedPartitions(s, edf.count()))
-      val g = Graph.fromEdges(erdd, 0L)
-      val labeled = CommunityDetection.run(g, iterations = 10, delta = 0.5)
-      labeled.vertices.map { case (_, label) => label }.toDF("label")
-        .groupBy("label").agg(count(lit(1)).as("cnt"))
-        .groupBy(col("cnt").as("community_size"))
-        .agg(count(lit(1)).as("n_communities"))
-    }),
+    "graph_part_communities" -> ((s, d) =>
+      graphHistogram(s, d, Seq("community_size", "n_communities")) { g =>
+        val labeled = CommunityDetection.run(g, iterations = 10, delta = 0.5)
+        val hist = labeled.vertices
+          .map { case (_, label) => (label, 1L) }.reduceByKey(_ + _)
+          .map { case (_, size) => (size, 1L) }.reduceByKey(_ + _)
+          .collect().sortBy(_._1)
+        labeled.unpersist(blocking = false)
+        hist.map { case (size, n) => Row(size, n) }.toSeq
+      }),
 
     // PageRank over the co-occurrence graph: top-20 "hub" parts.
     // Float summation order varies per run -> rounded, rows-only check.
     "graph_part_pagerank" -> ((s, d) => {
-      import s.implicits._
       val edf = cooccurEdges(s, d).persist()
       val erdd = edf.rdd.map(r => Edge(r.getLong(0), r.getLong(1), r.getLong(2).toDouble))
         .coalesce(sizedPartitions(s, edf.count()))
-      Graph.fromEdges(erdd, 0L).staticPageRank(10)
-        .vertices.toDF("pkey", "rank")
-        .select(col("pkey"), round(col("rank"), 4).as("rank"))
-        .orderBy(col("rank").desc, col("pkey").asc)
-        .limit(20)
+      val pr = Graph.fromEdges(erdd, 0L).staticPageRank(10)
+      try {
+        val top = pr.vertices
+          .map { case (id, rank) => (id, math.rint(rank * 1e4) / 1e4) }
+          .top(20)(Ordering.by { case (id, rank) => (rank, -id) })
+        s.createDataFrame(
+          s.sparkContext.parallelize(top.toSeq.map { case (id, r) => Row(id, r) }, 1),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("pkey", org.apache.spark.sql.types.LongType, nullable = false),
+            org.apache.spark.sql.types.StructField("rank", org.apache.spark.sql.types.DoubleType, nullable = false))))
+      } finally {
+        pr.unpersist(blocking = false)
+        edf.unpersist(blocking = false)
+      }
     }),
 
     // Triangle counts: how clique-ish each part's neighborhood is.
-    "graph_part_triangles" -> ((s, d) => {
-      import s.implicits._
-      val edf = cooccurEdges(s, d).persist()
-      val erdd = edf.rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1.0))
-        .coalesce(sizedPartitions(s, edf.count()))
-      Graph.fromEdges(erdd, 0L)
-        .partitionBy(org.apache.spark.graphx.PartitionStrategy.EdgePartition2D)
-        .triangleCount()
-        .vertices.toDF("pkey", "triangles")
-        .where(col("triangles") > 0)
-        .groupBy("triangles").agg(count(lit(1)).as("n_parts"))
-    }),
+    "graph_part_triangles" -> ((s, d) =>
+      graphHistogram(s, d, Seq("triangles", "n_parts")) { g =>
+        val tc = g.partitionBy(org.apache.spark.graphx.PartitionStrategy.EdgePartition2D)
+          .triangleCount()
+        val hist = tc.vertices
+          .filter { case (_, t) => t > 0 }
+          .map { case (_, t) => (t.toLong, 1L) }.reduceByKey(_ + _)
+          .collect().sortBy(_._1)
+        tc.unpersist(blocking = false)
+        hist.map { case (t, n) => Row(t, n) }.toSeq
+      }),
 
     // Connected components (GraphX built-in) — component size histogram.
-    "graph_part_components" -> ((s, d) => {
-      import s.implicits._
-      val edf = cooccurEdges(s, d).persist()
-      val erdd = edf
-        .rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1.0))
-        .coalesce(sizedPartitions(s, edf.count()))
-      val g = Graph.fromEdges(erdd, 0L)
-      g.connectedComponents().vertices.map(_._2).toDF("component")
-        .groupBy("component").agg(count(lit(1)).as("cnt"))
-        .groupBy(col("cnt").as("component_size"))
-        .agg(count(lit(1)).as("n_components"))
-    }))
+    "graph_part_components" -> ((s, d) =>
+      graphHistogram(s, d, Seq("component_size", "n_components")) { g =>
+        val cc = g.connectedComponents()
+        val hist = cc.vertices
+          .map { case (_, comp) => (comp, 1L) }.reduceByKey(_ + _)
+          .map { case (_, size) => (size, 1L) }.reduceByKey(_ + _)
+          .collect().sortBy(_._1)
+        cc.unpersist(blocking = false)
+        hist.map { case (size, n) => Row(size, n) }.toSeq
+      }))
 
   /** The co-occurrence edge set (w >= 2), as SQL — shared by the oracle
     * queries below. */
