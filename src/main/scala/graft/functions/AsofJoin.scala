@@ -25,7 +25,8 @@ object AsofJoin {
     * @param key       equality key column (both sides)
     * @param leftTime  event-time column in `left`
     * @param rightTime event-time column in `right`
-    * @param payload   columns of `right` to carry (null when no match)
+    * @param payload   columns of `right` to carry (null when no match);
+    *                  names must not collide with `left`'s columns
     */
   def asof(
       left: DataFrame,
@@ -35,22 +36,31 @@ object AsofJoin {
       rightTime: String,
       payload: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    require(payload.nonEmpty, "asof: payload must name at least one right column")
+    val collisions = payload.filter(leftCols.contains)
+    require(collisions.isEmpty,
+      s"asof: payload column(s) ${collisions.mkString(", ")} already exist in the left " +
+        "relation and would be silently overwritten — rename one side first")
+    // Carry the whole payload as ONE struct that is non-null for every
+    // right row: last(ignoreNulls) then keys on "was there a right row",
+    // not on each field's value, so a newer right row whose payload
+    // value is legitimately NULL still wins over a stale older one.
+    val pStructType = org.apache.spark.sql.types.StructType(payload.map(p => right.schema(p)))
     val l = left.withColumn("__t", col(leftTime)).withColumn("__side", lit(1))
+      .withColumn("__p", lit(null).cast(pStructType))
     val r = right.select(
-      (col(key) +: col(rightTime).as("__t") +: lit(0).as("__side") +:
-        payload.map(col)): _*)
-    // align schemas: left gets null payload slots, right gets null left cols
-    val lAligned = payload.foldLeft(l)((df, p) =>
-      df.withColumn(p, lit(null).cast(right.schema(p).dataType)))
+      col(key), col(rightTime).as("__t"), lit(0).as("__side"),
+      struct(payload.map(col): _*).as("__p"))
     val rAligned = leftCols.filterNot(c => c == key).foldLeft(r)((df, c) =>
       df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
-    val unioned = lAligned.select((leftCols ++ Seq("__t", "__side") ++ payload).map(col): _*)
-      .unionByName(rAligned.select((leftCols ++ Seq("__t", "__side") ++ payload).map(col): _*))
+    val projection = (leftCols ++ Seq("__t", "__side", "__p")).map(col)
+    val unioned = l.select(projection: _*).unionByName(rAligned.select(projection: _*))
     val w = Window.partitionBy(key)
       .orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payload.foldLeft(unioned)((df, p) =>
-      df.withColumn(p, last(col(p), ignoreNulls = true).over(w)))
-    carried.where(col("__side") === 1).drop("__t", "__side")
+    val carried = unioned.withColumn("__p", last(col("__p"), ignoreNulls = true).over(w))
+    val withPayload = payload.foldLeft(carried)((df, p) =>
+      df.withColumn(p, col("__p").getField(p)))
+    withPayload.where(col("__side") === 1).drop("__t", "__side", "__p")
   }
 }

@@ -39,39 +39,71 @@ object Warehouse {
   def writePartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
     df.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
 
+  /** Swap `tmp` into `target` without a data-loss window: move the live
+    * target aside, move the new data in, then delete the aside copy.
+    * Every rename's result is checked — at no point is the only copy of
+    * the table deleted before its replacement is in place, so a crash
+    * at any step leaves either the old or the new data readable (worst
+    * case: old data parked at `<target>.bak-*`, recoverable by hand).
+    * Goes through Hadoop [[org.apache.hadoop.fs.FileSystem]] so the same
+    * code runs on local FS, HDFS, or an object-store connector — note
+    * object-store "rename" is copy-based and non-atomic; production
+    * deployments should layer a transactional table format on top. */
+  private def swapIn(spark: SparkSession, tmp: String, target: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val targetP = new org.apache.hadoop.fs.Path(target)
+    val fs = targetP.getFileSystem(conf)
+    val tmpP = new org.apache.hadoop.fs.Path(tmp)
+    val asideP = new org.apache.hadoop.fs.Path(target + ".bak-" + System.nanoTime())
+    val hadOld = fs.exists(targetP)
+    if (hadOld && !fs.rename(targetP, asideP))
+      throw new java.io.IOException(s"swapIn: failed to move $targetP aside to $asideP")
+    if (!fs.rename(tmpP, targetP)) {
+      // Put the old data back so the table stays readable, then fail.
+      if (hadOld) fs.rename(asideP, targetP)
+      throw new java.io.IOException(s"swapIn: failed to move $tmpP into place at $targetP")
+    }
+    if (hadOld) fs.delete(asideP, true)
+  }
+
   /** MERGE/upsert for plain parquet (the batch twin of the streaming
     * foreachBatch upsert, and of the reference's Cassandra
     * upsert-by-PK): rows of `target` whose key appears in `updates`
     * are replaced, new keys appended. Left-anti join + union, written
-    * to a temp dir then swapped, so a failed write never corrupts the
-    * target. On a real deployment this is a transactional table
-    * format's MERGE INTO; the dataflow is identical. */
+    * to a temp dir then swapped via [[swapIn]] (checked renames, old
+    * data parked until the new data is in place), so neither a failed
+    * write nor a failed swap loses the target. On a real deployment
+    * this is a transactional table format's MERGE INTO; the dataflow
+    * is identical. */
   def upsertParquet(spark: SparkSession, targetPath: String, updates: DataFrame,
       keys: Seq[String]): Unit = {
-    val fs = new java.io.File(targetPath)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val targetP = new org.apache.hadoop.fs.Path(targetPath)
+    val exists = targetP.getFileSystem(conf).exists(targetP)
     val merged =
-      if (!fs.exists()) updates
+      if (!exists) updates
       else spark.read.parquet(targetPath)
         .join(broadcast(updates.select(keys.map(col): _*)), keys, "left_anti")
         .unionByName(updates)
     val tmp = targetPath + ".tmp-" + System.nanoTime()
     merged.write.mode("overwrite").parquet(tmp)
-    val del = new scala.reflect.io.Directory(fs); del.deleteRecursively()
-    new java.io.File(tmp).renameTo(fs)
+    swapIn(spark, tmp, targetPath)
   }
 
   /** Small-file compaction: rewrite a parquet dir into files of
     * ~`targetMB` (small-file listing + open overhead is a top cluster
     * tax at 100 TB; compaction after high-parallelism writes is
-    * routine hygiene). */
+    * routine hygiene). Same checked swap as [[upsertParquet]]. */
   def compact(spark: SparkSession, path: String, targetMB: Int = 256): Unit = {
-    val bytes = new java.io.File(path).listFiles()
-      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val bytes = fs.listStatus(p)
+      .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
     val nFiles = math.max(1, (bytes / (targetMB.toLong << 20)).toInt)
     val tmp = path + ".tmp-" + System.nanoTime()
     spark.read.parquet(path).repartition(nFiles).write.mode("overwrite").parquet(tmp)
-    val del = new scala.reflect.io.Directory(new java.io.File(path)); del.deleteRecursively()
-    new java.io.File(tmp).renameTo(new java.io.File(path))
+    swapIn(spark, tmp, path)
   }
 
   /** Range-clustered write: range-partition + sort within partitions on

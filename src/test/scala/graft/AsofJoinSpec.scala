@@ -29,4 +29,24 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(got == Map(1L -> None, 2L -> Some("a"), 3L -> Some("a"),
       4L -> Some("b"), 5L -> Some("b")))
   }
+
+  test("asof: a newer right row with a NULL payload beats a stale non-null one") {
+    val left = Seq((1L, 1L, 40L)).toDF("id", "k", "t")
+    val right = Seq((1L, 10L, Some("old")), (1L, 30L, None: Option[String]))
+      .toDF("k", "t", "v")
+    val got = AsofJoin.asof(left, right, "k", "t", "t", Seq("v"))
+      .select("id", "v").as[(Long, Option[String])].collect().toMap
+    // The t=30 right row is the as-of match; its payload is genuinely
+    // null and must NOT be replaced by the stale t=10 value.
+    assert(got == Map(1L -> None))
+  }
+
+  test("asof rejects payload names that collide with left columns") {
+    val left = Seq((1L, 1L, 10L, "mine")).toDF("id", "k", "t", "v")
+    val right = Seq((1L, 5L, "theirs")).toDF("k", "t", "v")
+    val e = intercept[IllegalArgumentException] {
+      AsofJoin.asof(left, right, "k", "t", "t", Seq("v"))
+    }
+    assert(e.getMessage.contains("collide") || e.getMessage.contains("already exist"))
+  }
 }

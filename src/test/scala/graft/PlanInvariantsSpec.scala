@@ -1,0 +1,70 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Plan-shape invariants for the headline / most expensive queries, so
+  * the pushdown / broadcast / no-cartesian claims in PLANS.md cannot
+  * silently rot when a query is edited: the suite fails the moment a
+  * plan loses the property the 100 TB design depends on.
+  *
+  * Asserted on the *pre-execution* physical plan (explicit `broadcast()`
+  * hints and pushed filters are visible there; AQE only refines later),
+  * at sf0.001 so the suite stays fast.
+  */
+class PlanInvariantsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, sf)
+    val s = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    SparkEntry.releaseCaches()
+    s
+  }
+
+  test("q1_pricing_summary: shipdate filter pushed to the parquet scan") {
+    val p = planOf("q1_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"shipdate filter not pushed:\n$p")
+    // partial aggregate before the exchange: HashAggregate appears on
+    // both sides of the shuffle (map-side combine)
+    assert("(?s)HashAggregate.*Exchange.*HashAggregate".r.findFirstIn(p).isDefined,
+      s"no partial aggregation before the exchange:\n$p")
+  }
+
+  test("q1_pricing_summary: scan reads only the referenced columns") {
+    val p = planOf("q1_pricing_summary")
+    val readSchema = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    val cols = readSchema.split(",").map(_.split(":")(0).trim).toSet
+    assert(cols.size <= 6, s"q1 should read 6 of lineitem's 16 columns, got $cols")
+  }
+
+  test("q_region_revenue: all dimension joins broadcast, fact never shuffled for a dim") {
+    val p = planOf("q_region_revenue")
+    assert(p.contains("BroadcastHashJoin"), s"dimension joins should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in plan:\n$p")
+  }
+
+  test("q_top_parts: top-k via TakeOrdered, never a global sort of the aggregate") {
+    val p = planOf("q_top_parts")
+    assert(p.contains("TakeOrderedAndProject"), s"global top-k should be TakeOrdered:\n$p")
+    assert(!"\\(\\d+\\) Sort\\b".r.findFirstIn(p).isDefined,
+      s"top-k must not globally sort the aggregate output:\n$p")
+  }
+
+  test("q_part_cooccur and dedup_minhash_lsh: no cartesian / nested-loop pair blowup") {
+    for (q <- Seq("q_part_cooccur", "dedup_minhash_lsh")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join:\n$p")
+    }
+  }
+
+  test("q_events_sessions: exactly one shuffle (window + agg reuse the same hash partitioning)") {
+    val p = planOf("q_events_sessions")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 2, s"sessionization should not re-shuffle per stage, got $exchanges:\n$p")
+  }
+}
