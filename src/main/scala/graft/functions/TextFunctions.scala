@@ -120,9 +120,11 @@ object TextFunctions {
 
   /** 64-bit document fingerprint: hash of the normalized token stream
     * (order-sensitive; same fingerprint ⇔ same normalized content).
-    * ANSI-safe — xxhash64 instead of an overflowing polynomial hash. */
+    * [[PolyHash64Expr]] (codegen'd wrapping poly-31) rather than
+    * xxhash64 so the value is reproducible in the DuckDB oracle's
+    * HUGEINT arithmetic — hard value check instead of rows-only. */
   def fingerprint(text: Column): Column =
-    xxhash64(concat_ws("\\u0001", tokens(text)))
+    PolyHash64Expr(concat_ws("\u0001", tokens(text)))
 
   /** Within-document repetition: 1 - distinct_tokens/total_tokens
     * (templated/spammy text scores high). */

@@ -28,14 +28,23 @@ object MultimodalQueries extends QueryPack {
         .select(col("media_id"), col("n_frames"), col("n_sampled"))
     }),
 
-    // rolling-hash feature stub → per-dimension corpus means
-    // (hash-derived → rows-only check; pins the feature plumbing).
+    // rolling-hash feature stub → per-dimension corpus means.
+    // The kernel's float accumulation is EXACT (each contribution is a
+    // multiple of 2^-16 and per-dim totals stay < 2^8, so every partial
+    // sum fits the 24-bit float mantissa) — so v*65536 is an exact
+    // integer, the corpus sum is an exact BIGINT, and the mean is one
+    // identical double division on both engines. That turns a "hash-
+    // derived, rows-only" query into a hard value-checked one.
     "mm_feature_means" -> ((s, d) => {
       val media = Multimodal.mediaFromDocuments(Tables.documents(s, d))
       Multimodal.features(media, dim = 8)
         .select(posexplode(col("feature")).as(Seq("dim", "v")))
         .groupBy("dim")
-        .agg(round(avg("v"), 4).as("mean_v"), count(lit(1)).as("n"))
+        .agg(sum((col("v").cast("double") * 65536).cast("long")).as("q16"),
+          count(lit(1)).as("n"))
+        .select(col("dim"),
+          (col("q16").cast("double") / (col("n") * 65536)).as("mean_v"),
+          col("n"))
     }))
 
   override def oracles: Map[String, String] = Map(
@@ -56,5 +65,24 @@ object MultimodalQueries extends QueryPack {
       """SELECT doc_id AS media_id,
         |  CAST(ceil(length(text) * 1.0 / 256) AS BIGINT) AS n_frames,
         |  CAST(ceil(ceil(length(text) * 1.0 / 256) / 4.0) AS BIGINT) AS n_sampled
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+
+    // The feature kernel's rolling hash replayed byte-by-byte: a
+    // recursive CTE carries h_i = (h_{i-1}*31 + byte_i) mod 2^64 in
+    // HUGEINT (== JVM wrapping Long for the ASCII payloads), and each
+    // position contributes (h_i mod 65536) to its dim's exact q16 sum.
+    "mm_feature_means" ->
+      """WITH RECURSIVE hh(doc_id, i, n, h) AS (
+        |  SELECT doc_id, 0, length(text), CAST(1125899906842597 AS HUGEINT) FROM documents
+        |  UNION ALL
+        |  SELECT hh.doc_id, hh.i + 1, hh.n,
+        |    (hh.h * 31 + ord(substr(d.text, hh.i + 1, 1))) % CAST('18446744073709551616' AS HUGEINT)
+        |  FROM hh JOIN documents d ON hh.doc_id = d.doc_id WHERE hh.i < hh.n),
+        |contrib AS (
+        |  SELECT CAST((i - 1) % 8 AS INT) AS dim, CAST(h % 65536 AS BIGINT) AS m
+        |  FROM hh WHERE i >= 1)
+        |SELECT dim,
+        |  CAST(CAST(sum(m) AS BIGINT) AS DOUBLE) / (65536 * (SELECT count(*) FROM documents)) AS mean_v,
+        |  (SELECT count(*) FROM documents) AS n
+        |FROM contrib GROUP BY dim""".stripMargin)
 }

@@ -160,9 +160,31 @@ object TextQueries extends QueryPack {
       |         ELSE 'de' END AS pred
       |  FROM s) GROUP BY 1, 2""".stripMargin
 
+  /** The poly-31 rolling hash in 128-bit arithmetic: HUGEINT mod 2^64
+    * reproduces the JVM's wrapping Long exactly (ASCII corpus, so char
+    * codes == code points == bytes); the final CASE folds the unsigned
+    * residue back to the signed BIGINT Spark emits. */
+  private val fingerprintOracle =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> length(t) > 0) AS ts
+      |  FROM documents),
+      |joined AS (SELECT doc_id, array_to_string(ts, chr(1)) AS s FROM toks),
+      |hashed AS (
+      |  SELECT doc_id,
+      |    list_reduce(
+      |      list_prepend(CAST(1125899906842597 AS HUGEINT),
+      |        list_transform(range(1, length(s) + 1), i -> CAST(ord(substr(s, i, 1)) AS HUGEINT))),
+      |      (acc, b) -> (acc * 31 + b) % CAST('18446744073709551616' AS HUGEINT)) AS h
+      |  FROM joined),
+      |signed AS (
+      |  SELECT doc_id, CAST(CASE WHEN h >= CAST('9223372036854775808' AS HUGEINT)
+      |    THEN h - CAST('18446744073709551616' AS HUGEINT) ELSE h END AS BIGINT) AS fp
+      |  FROM hashed)
+      |SELECT fp, count(*) AS n_docs, min(doc_id) AS min_doc
+      |FROM signed GROUP BY fp""".stripMargin
+
   override def oracles: Map[String, String] =
     oraclesBase + ("text_repetition" -> repetitionOracle) +
-      ("text_langid" -> langidOracle)
-  // text_fingerprint: xxhash64 is not reproducible in DuckDB SQL →
-  // rows-only check (oracle omitted).
+      ("text_langid" -> langidOracle) +
+      ("text_fingerprint" -> fingerprintOracle)
 }
