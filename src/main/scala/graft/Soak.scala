@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Weak-scaling soak: replicate the driver testdata N× with DISJOINT
+  * keys/content per copy, then time the heavy query families at each
+  * factor. The reference processed 38 GB / 20.2 M publications in one
+  * run (reference report §results); the driver testdata tops out at
+  * sf0.1, so nonlinear surprises (quadratic candidate blowup, GC walls,
+  * driver materialization) only show up under a scaled corpus. This main
+  * is that probe — run it one-off, record the curve in NOTES.
+  *
+  * Scaling is *weak* (structure-preserving): each copy of `documents`
+  * re-keys doc_id and suffixes every token with the copy index, so
+  * shingle spaces are disjoint across copies — per-copy near-dup
+  * structure is identical, corpus size grows k×, and a healthy inverted-
+  * index path should grow ~k× in wall time (bucket sizes are unchanged).
+  * An all-pairs path would grow k². Same idea for `lineitem`: order and
+  * part keys shift per copy, so the co-occurrence graph becomes k
+  * disjoint isomorphic components.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=<dir> SPARK_GRAFT_SOAK_FACTORS=1,2,5,10
+  *        sbt "runMain graft.Soak"
+  * Emits one JSON line per factor: {"factor":k,"queries":{name:sec,…}}.
+  */
+object Soak {
+
+  /** Queries whose scale behavior is worth probing: the dedup family
+    * (inverted index + LSH + CC), the iterative graph family, and the
+    * biggest relational self-join. */
+  val SoakQueries: Seq[String] = Seq(
+    "dedup_exact", "dedup_ngram_jaccard", "dedup_containment",
+    "dedup_minhash_lsh", "dedup_simhash", "dedup_clusters",
+    "graph_part_communities", "graph_part_components",
+    "q_part_cooccur", "text_fingerprint", "text_quality")
+
+  /** documents scaled k×: copy c shifts doc_id by c·10^9 and suffixes
+    * tokens with `_c` (copy 0 keeps the original text so factor 1 == the
+    * input).
+    *
+    * `sharedDen = 0` (default) suffixes EVERY token — shingle spaces are
+    * fully disjoint across copies, so inverted-index bucket sizes stay
+    * constant and a healthy index path scales ~k×.
+    *
+    * `sharedDen = d > 0` keeps tokens with xxhash64(t) % d == 0
+    * unsuffixed (deterministic ~1/d of the vocabulary SHARED across all
+    * copies) — the realistic regime: common phrases recur corpus-wide,
+    * so the shared shingles' buckets grow k× and the exact inverted-index
+    * join pays O((k·bucket)²) on that slice while MinHash+LSH only
+    * buckets on whole-band signature collisions (i.e. genuinely similar
+    * docs) and stays ~linear. This is the regime that motivates LSH. */
+  private def scaleDocuments(docs: DataFrame, k: Int, sharedDen: Int): DataFrame = {
+    val copies = (0 until k).map { c =>
+      if (c == 0) docs
+      else {
+        val suffix = (t: org.apache.spark.sql.Column) =>
+          if (sharedDen <= 0) concat(t, lit(s"_$c"))
+          else when(pmod(xxhash64(t), lit(sharedDen)) === 0, t)
+            .otherwise(concat(t, lit(s"_$c")))
+        docs
+          .withColumn("doc_id", col("doc_id") + lit(c.toLong * 1000000000L))
+          .withColumn("text",
+            concat_ws(" ", transform(split(col("text"), "\\s+"), suffix)))
+      }
+    }
+    copies.reduce(_.unionByName(_))
+  }
+
+  /** lineitem scaled k×: copy c shifts l_orderkey / l_partkey so the
+    * co-occurrence graph gains k disjoint isomorphic components. */
+  private def scaleLineitem(li: DataFrame, k: Int): DataFrame = {
+    val copies = (0 until k).map { c =>
+      if (c == 0) li
+      else li
+        .withColumn("l_orderkey", col("l_orderkey") + lit(c.toLong * 1000000000L))
+        .withColumn("l_partkey", col("l_partkey") + lit(c.toLong * 1000000000L))
+    }
+    copies.reduce(_.unionByName(_))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val factors = sys.env.getOrElse("SPARK_GRAFT_SOAK_FACTORS", "1,2,5,10")
+      .split(",").map(_.trim.toInt).toSeq
+    // 0 = disjoint shingle spaces; d>0 = ~1/d of tokens shared corpus-wide
+    val sharedDen = sys.env.getOrElse("SPARK_GRAFT_SOAK_SHARED_DEN", "0").toInt
+    val onlyQueries = sys.env.get("SPARK_GRAFT_SOAK_QUERIES")
+      .map(_.split(",").map(_.trim).toSeq).getOrElse(SoakQueries)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val workRoot = s"/tmp/graft_soak_${System.nanoTime()}"
+    try {
+      factors.foreach { k =>
+        val dir = s"$workRoot/x$k"
+        scaleDocuments(Tables.documents(spark, sfDir), k, sharedDen)
+          .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+        if (onlyQueries.exists(q => q.contains("part") || q.contains("graph")))
+          scaleLineitem(Tables.lineitem(spark, sfDir), k)
+            .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+        val results = onlyQueries.map { name =>
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          val n = SparkEntry.queries(name)(spark, dir).count()
+          val dt = (System.nanoTime() - t0) / 1e9
+          SparkEntry.releaseCaches()
+          (name, dt, n)
+        }
+        val qs = results.map { case (n, t, _) => s"\"$n\":$t" }.mkString("{", ",", "}")
+        val rows = results.map { case (n, _, r) => s"\"$n\":$r" }.mkString("{", ",", "}")
+        println(s"""{"factor":$k,"sharedDen":$sharedDen,"queries":$qs,"rows":$rows}""")
+      }
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(workRoot)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(p, true)
+      spark.stop()
+    }
+  }
+}
