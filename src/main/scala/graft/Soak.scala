@@ -50,7 +50,7 @@ object Soak {
     * join pays O((k·bucket)²) on that slice while MinHash+LSH only
     * buckets on whole-band signature collisions (i.e. genuinely similar
     * docs) and stays ~linear. This is the regime that motivates LSH. */
-  private def scaleDocuments(docs: DataFrame, k: Int, sharedDen: Int): DataFrame = {
+  private[graft] def scaleDocuments(docs: DataFrame, k: Int, sharedDen: Int): DataFrame = {
     val copies = (0 until k).map { c =>
       if (c == 0) docs
       else {
@@ -69,7 +69,7 @@ object Soak {
 
   /** lineitem scaled k×: copy c shifts l_orderkey / l_partkey so the
     * co-occurrence graph gains k disjoint isomorphic components. */
-  private def scaleLineitem(li: DataFrame, k: Int): DataFrame = {
+  private[graft] def scaleLineitem(li: DataFrame, k: Int): DataFrame = {
     val copies = (0 until k).map { c =>
       if (c == 0) li
       else li

@@ -59,6 +59,27 @@ object VectorFunctions {
     f(v)
   }
 
+  /** max |a[i]|, unrolled (floored at 1e-30 so a zero vector quantizes
+    * to all-zeros instead of NaN). */
+  def maxAbsExpr(a: Column, dim: Int): Column =
+    greatest(lit(1e-30) +: (0 until dim).map(i => abs(a.getItem(i).cast("double"))): _*)
+
+  /** Symmetric int8 quantization: q[i] = floor(a[i] * 127 / maxAbs + 0.5)
+    * ∈ [-127, 127], dequant step = maxAbs / 127. floor(x + 0.5) rather
+    * than round() so the rule is engine-agnostic (round() half-even vs
+    * half-up varies); here only Spark evaluates it, but the convention
+    * costs nothing. Unrolled → whole-stage codegen. */
+  def int8QuantExpr(a: Column, dim: Int, maxAbs: Column): Column =
+    array((0 until dim).map(i =>
+      floor(a.getItem(i).cast("double") * 127.0 / maxAbs + 0.5).cast("int")): _*)
+
+  /** Integer dot of two int8 arrays, unrolled (max |value| is
+    * 127²·dim ≈ 10⁶ at dim 64 — comfortably int). On a columnar native
+    * engine this is the VNNI/SDOT kernel; here the point is the 4×
+    * smaller candidate-scan payload and no sqrt/norms until re-rank. */
+  def intDotExpr(a: Column, b: Column, dim: Int): Column =
+    (0 until dim).map(i => a.getItem(i) * b.getItem(i)).reduce(_ + _)
+
   private def splitmix64(seed: Long): Long = {
     var z = seed + 0x9e3779b97f4a7c15L
     z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L

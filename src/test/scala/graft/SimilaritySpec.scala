@@ -22,6 +22,13 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.6, s"recall@5 regressed: $recall")
   }
 
+  test("int8 scan + exact re-rank equals brute force exactly") {
+    // Not just recall: the candidate margin (10x K) is meant to make the
+    // quantized tier's OUTPUT identical to the exact one — the property
+    // the shared DuckDB oracle grades. Pin it here too, with pairs.
+    assert(topkSet("sim_topk_int8") == topkSet("sim_topk_bruteforce"))
+  }
+
   test("IVF tier returns exact top-k within the probed cluster") {
     // every IVF hit must also rank in that cluster's brute-force order:
     // validated structurally — results are oracle-checked; here assert

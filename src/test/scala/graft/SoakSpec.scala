@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the invariants the Soak weak-scaling transforms promise: the
+  * scaled corpus must preserve per-copy structure exactly, or the
+  * scaling curves measure the generator, not the engine. */
+class SoakSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("scaleDocuments: disjoint mode multiplies rows, keeps copy 0 verbatim, disjoins shingles") {
+    val base = Tables.documents(spark, sf)
+    val n = base.count()
+    val scaled = Soak.scaleDocuments(base, 3, sharedDen = 0).cache()
+    assert(scaled.count() == 3 * n)
+    // copy 0 is bit-identical to the input
+    assert(scaled.where(col("doc_id") < 1000000000L).exceptAll(base).count() == 0)
+    // doc_ids never collide across copies
+    assert(scaled.select("doc_id").distinct().count() == 3 * n)
+    // token spaces are disjoint: no token of copy 1 appears in copy 2
+    val toks = (c: Int) => scaled
+      .where(col("doc_id").between(c * 1000000000L, c * 1000000000L + 999999999L))
+      .select(explode(split(col("text"), "\\s+")).as("t")).distinct()
+    assert(toks(1).join(toks(2), "t").count() == 0)
+    scaled.unpersist()
+  }
+
+  test("scaleDocuments: shared mode keeps a deterministic token slice common to all copies") {
+    val base = Tables.documents(spark, sf)
+    val scaled = Soak.scaleDocuments(base, 3, sharedDen = 4).cache()
+    val toks = (c: Int) => scaled
+      .where(col("doc_id").between(c * 1000000000L, c * 1000000000L + 999999999L))
+      .select(explode(split(col("text"), "\\s+")).as("t")).distinct()
+    val shared12 = toks(1).join(toks(2), "t")
+    // the shared slice exists and is exactly the xxhash64 % 4 == 0 tokens
+    assert(shared12.count() > 0)
+    assert(shared12.where(pmod(xxhash64(col("t")), lit(4)) =!= 0).count() == 0)
+    scaled.unpersist()
+  }
+
+  test("scaleLineitem: co-occurrence structure is copied, not entangled") {
+    val base = Tables.lineitem(spark, sf)
+    val scaled = Soak.scaleLineitem(base, 2)
+    assert(scaled.count() == 2 * base.count())
+    // no order key spans copies: every order's parts stay in one copy,
+    // so the co-occurrence graph gains a disjoint isomorphic component
+    val span = scaled.groupBy("l_orderkey")
+      .agg(min(col("l_partkey") >= 1000000000L).as("lo"),
+        max(col("l_partkey") >= 1000000000L).as("hi"))
+      .where(col("lo") =!= col("hi"))
+    assert(span.count() == 0)
+  }
+}
