@@ -1,0 +1,95 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+
+import graft.functions.HashFunctions._
+
+/** Streaming near-duplicate detection: the streaming twin of the batch
+  * `dedup_minhash_lsh` query, sharing its sketch kernels
+  * (wordShingleHashes / minhashSignature / lshBands) so stream and
+  * batch agree on what "near-dup" means.
+  *
+  * Dataflow: per document compute the MinHash signature once, explode
+  * to its LSH (band, bucket) keys, then keep per-bucket state of the
+  * signatures seen there. An arriving document is compared against its
+  * bucket-mates only — the same no-O(n²) property as the batch path.
+  *
+  * Two deliberate trade-offs vs batch:
+  *  - Verification is by signature agreement (matching minhash slots /
+  *    k, an unbiased Jaccard estimator with σ ≈ √(j(1−j)/k)), not by
+  *    exact shingle intersection — per-bucket state stores k longs per
+  *    doc, never the shingle sets. Pick `threshold` below the target
+  *    Jaccard by a few σ (e.g. 0.7 for j ≥ 0.8 at k = 64).
+  *  - A pair sharing multiple bands is emitted once per shared band
+  *    (bucket states are independent shards — global dedup would need a
+  *    second stateful stage); consumers needing distinct pairs drop
+  *    duplicates downstream.
+  *
+  * State is bounded twice over: event-time timeout evicts buckets idle
+  * past `retentionMs` (driven by the input watermark), and each bucket
+  * retains at most `maxPerBucket` signatures (newest win — a bucket
+  * that hot is a degenerate shingle, not a dedup signal). At cluster
+  * scale the state store shards by bucket key across executors; skew is
+  * capped by the same `maxPerBucket` bound.
+  */
+object StreamingDedup {
+
+  case class Doc(doc_id: Long, ts: Timestamp, text: String)
+  case class NearDup(doc_id: Long, dup_of: Long, est_jaccard: Double)
+  case class BucketEntry(id: Long, sig: Array[Long])
+  case class BucketState(entries: List[BucketEntry], lastTs: Long)
+
+  def nearDupPairs(
+      docs: Dataset[Doc],
+      k: Int = 64,
+      bands: Int = 16,
+      rowsPerBand: Int = 4,
+      threshold: Double = 0.7,
+      maxPerBucket: Int = 64,
+      lateness: String = "10 minutes",
+      retentionMs: Long = 3600L * 1000): Dataset[NearDup] = {
+    import docs.sparkSession.implicits._
+    val sig = docs.toDF()
+      .withWatermark("ts", lateness)
+      .withColumn("hs", wordShingleHashes(col("text"), 3))
+      .where(size(col("hs")) > 0)
+      .withColumn("sig", minhashSignature(col("hs"), k))
+      .select(col("doc_id"), col("ts"), col("sig"),
+        explode(lshBands(col("sig"), bands, rowsPerBand)).as("bb"))
+      .select(col("doc_id"), col("ts"), col("sig"),
+        concat_ws(":", col("bb.band"), col("bb.bucket")).as("bkey"))
+      .as[(Long, Timestamp, Array[Long], String)]
+
+    sig.groupByKey(_._4)
+      .flatMapGroupsWithState[BucketState, NearDup](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_, rows, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            // deterministic arrival order inside a micro-batch
+            val sorted = rows.toArray.sortBy(r => (r._2.getTime, r._1))
+            var st = state.getOption.getOrElse(BucketState(Nil, 0L))
+            val out = List.newBuilder[NearDup]
+            sorted.foreach { case (id, ts, sg, _) =>
+              if (!st.entries.exists(_.id == id)) {
+                st.entries.foreach { e =>
+                  var eq = 0; var i = 0
+                  while (i < sg.length) { if (e.sig(i) == sg(i)) eq += 1; i += 1 }
+                  val est = eq.toDouble / sg.length
+                  if (est >= threshold) out += NearDup(id, e.id, est)
+                }
+                st = BucketState((BucketEntry(id, sg) :: st.entries).take(maxPerBucket),
+                  math.max(st.lastTs, ts.getTime))
+              } else st = st.copy(lastTs = math.max(st.lastTs, ts.getTime))
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(st.lastTs + retentionMs)
+            out.result().iterator
+          }
+      }
+  }
+}
