@@ -104,13 +104,28 @@ object HashFunctions {
 
   /** 63-bit SimHash over a token array: bit j is set iff more element
     * hashes have bit j set than clear. (63 bits, not 64, to stay in
-    * positive Long territory.) */
+    * positive Long territory.)
+    *
+    * One primitive pass (|arr|·63 bit tests) as a typed UDF: the
+    * columnar formulation — 63 × `size(filter(...))` — re-walks the
+    * array once per bit through interpreted lambda eval (higher-order
+    * functions don't codegen), measured 3.8 s vs ~1 s for the whole
+    * dedup_simhash query at sf0.1. Same majority rule, same output. */
   def simhash(tokenHashes: Column, bits: Int = 63): Column = {
-    val n = size(tokenHashes)
-    (0 until bits).map { j =>
-      val ones = size(filter(tokenHashes, h => shiftright(h, j).bitwiseAND(1) === 1))
-      when(ones * 2 > n, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    val f = udf { (hs0: Array[Long]) =>
+      val hs = if (hs0 == null) Array.emptyLongArray else hs0
+      val counts = new Array[Int](bits)
+      var i = 0
+      while (i < hs.length) {
+        val h = hs(i); var j = 0
+        while (j < bits) { counts(j) += ((h >>> j) & 1L).toInt; j += 1 }
+        i += 1
+      }
+      var out = 0L; var j = 0
+      while (j < bits) { if (counts(j) * 2 > hs.length) out |= (1L << j); j += 1 }
+      out
+    }
+    f(tokenHashes)
   }
 
   /** Split a simhash into `chunks` bit-chunks for hamming-LSH banding:

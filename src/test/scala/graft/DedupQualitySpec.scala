@@ -17,6 +17,27 @@ class DedupQualitySpec extends AnyFunSuite {
     assert(pairs("dedup_minhash_lsh") == pairs("dedup_ngram_jaccard"))
   }
 
+  test("simhash primitive kernel matches the majority-bit definition") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.HashFunctions._
+    import spark.implicits._
+    // fixed fixture incl. negative hashes (sign-extension trap) and ties
+    val hs = Seq(
+      Array(0x5L, 0x3L, -0x9L, Long.MinValue + 7, 0x7fffffffffffff01L),
+      Array(-1L, -1L, 1L),
+      Array(0L),
+      Array.empty[Long])
+    val got = hs.toDF("hs").select(simhash(col("hs")).as("sh"))
+      .as[Long].collect().toSeq
+    val want = hs.map { arr =>
+      (0 until 63).foldLeft(0L) { (acc, j) =>
+        val ones = arr.count(h => ((h >>> j) & 1L) == 1L)
+        if (ones * 2 > arr.length) acc | (1L << j) else acc
+      }
+    }
+    assert(got == want)
+  }
+
   test("SimHash hamming bands recover nearly all true near-dup pairs") {
     import org.apache.spark.sql.functions._
     import graft.functions.TextFunctions._
