@@ -1,6 +1,8 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column support: image/audio/video as opaque `binary`
@@ -10,37 +12,84 @@ import org.apache.spark.sql.functions._
   * The *plumbing* is real and scale-shaped — binary columns ride
   * parquet; kernels iterate partition batches exactly where a PySpark
   * pipeline would run `mapInPandas` with an image/audio codec; outputs
-  * are columnar rows with explicit schemas. The *codecs* are
-  * deterministic STUBs (this container has no image/audio libraries):
-  * decode derives dimensions arithmetically from payload size, features
-  * from a rolling hash. Swap `decodeKernel`/`featureKernel` for real
-  * codecs and nothing else changes.
+  * are columnar rows with explicit schemas.
+  *
+  * The payload is a REAL container: a valid 54-byte BMP header
+  * (BITMAPFILEHEADER + BITMAPINFOHEADER, little-endian) followed by the
+  * sample data, and `decode` parses the header fields with ByteBuffer —
+  * an actual byte-level format parse, not arithmetic on length. What
+  * remains synthetic (this container ships no codec libraries): the
+  * sample data is manufactured from document text rather than pixels,
+  * and features come from a rolling hash rather than a vision model.
+  * The dimension VALUES written at encode time are derived from the
+  * data length by fixed formulas, which is what keeps the full
+  * encode→parquet→decode round-trip oracle-checkable in SQL. Swap
+  * `featureKernel` for a real embedding and `mediaFromDocuments` for a
+  * blob-store scan and nothing else changes.
   */
 object Multimodal {
+
+  /** BITMAPFILEHEADER (14) + BITMAPINFOHEADER (40). */
+  val HeaderBytes = 54
 
   case class MediaRow(media_id: Long, kind: String, payload: Array[Byte])
   case class Decoded(media_id: Long, kind: String, width: Int, height: Int, channels: Int)
   case class Features(media_id: Long, feature: Array[Float])
 
-  /** Manufacture a media table from the documents table (payload =
-    * UTF-8 bytes; kind round-robins image/audio/video). Stands in for a
-    * real blob-store scan. */
-  def mediaFromDocuments(docs: DataFrame): DataFrame =
-    docs.select(
-      col("doc_id").as("media_id"),
-      element_at(array(lit("image"), lit("audio"), lit("video")),
-        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
-      encode(col("text"), "UTF-8").as("payload"))
+  /** Build a valid BMP header + data payload. Width/height are the
+    * fixed formulas of the data length (64 + n % 192, 64 + (n/7) % 192);
+    * bits-per-pixel carries channels·8. The data section is raw samples
+    * (no BMP row padding — documented deviation; header fields are what
+    * real-world probes like `identify` read anyway). */
+  private[multimodal] def bmpWrap(data: Array[Byte], channels: Int): Array[Byte] = {
+    val n = data.length
+    val out = ByteBuffer.allocate(HeaderBytes + n).order(ByteOrder.LITTLE_ENDIAN)
+    out.put('B'.toByte).put('M'.toByte)
+    out.putInt(HeaderBytes + n)       // file size
+    out.putInt(0)                     // reserved
+    out.putInt(HeaderBytes)           // data offset
+    out.putInt(40)                    // info header size
+    out.putInt(64 + n % 192)          // width
+    out.putInt(64 + (n / 7) % 192)    // height
+    out.putShort(1)                   // planes
+    out.putShort((channels * 8).toShort) // bits per pixel
+    out.putInt(0)                     // compression = BI_RGB
+    out.putInt(n)                     // image data size
+    out.putInt(2835).putInt(2835)     // pixels/metre
+    out.putInt(0).putInt(0)           // palette sizes
+    out.put(data)
+    out.array()
+  }
 
-  /** STUB decode: dimensions derived from payload length (a real codec
-    * parses the header here). Kept arithmetic-in-length so the driver
-    * oracle can check the full pipeline end-to-end in SQL. */
+  /** Manufacture a media table from the documents table (data = UTF-8
+    * bytes wrapped in a BMP container; kind round-robins
+    * image/audio/video). Stands in for a real blob-store scan. */
+  def mediaFromDocuments(docs: DataFrame): DataFrame = {
+    val wrap = udf { (text: String, kind: String) =>
+      bmpWrap(text.getBytes("UTF-8"), if (kind == "image") 3 else 1)
+    }
+    docs.select(
+        col("doc_id").as("media_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
+        col("text"))
+      .select(col("media_id"), col("kind"),
+        wrap(col("text"), col("kind")).as("payload"))
+  }
+
+  /** REAL header parse: validates the magic and reads width / height /
+    * bits-per-pixel from their BITMAPINFOHEADER offsets. Malformed
+    * payloads fail loudly — a silent fallback here would hide corrupt
+    * blobs until they poisoned a training run. */
   private def decodeKernel(r: MediaRow): Decoded = {
-    val n = r.payload.length
+    val b = ByteBuffer.wrap(r.payload).order(ByteOrder.LITTLE_ENDIAN)
+    require(r.payload.length >= HeaderBytes &&
+      b.get(0) == 'B'.toByte && b.get(1) == 'M'.toByte,
+      s"media ${r.media_id}: not a BMP container")
     Decoded(r.media_id, r.kind,
-      width = 64 + n % 192,
-      height = 64 + (n / 7) % 192,
-      channels = if (r.kind == "image") 3 else 1)
+      width = b.getInt(18),
+      height = b.getInt(22),
+      channels = b.getShort(28) / 8)
   }
 
   /** Decode stage: typed mapPartitions — the kernel sees an iterator
@@ -54,7 +103,8 @@ object Multimodal {
   }
 
   /** STUB feature extraction: `dim` floats from a rolling hash over the
-    * payload (a real pipeline embeds pixels/audio frames here). */
+    * DATA section (header skipped — features describe content, not
+    * container). A real pipeline embeds pixels/audio frames here. */
   def features(media: DataFrame, dim: Int = 8): Dataset[Features] = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -63,10 +113,10 @@ object Multimodal {
         it.map { r =>
           val f = new Array[Float](dim)
           var h = 1125899906842597L
-          var i = 0
+          var i = HeaderBytes
           while (i < r.payload.length) {
             h = h * 31 + r.payload(i)
-            f(i % dim) += (h & 0xffff).toFloat / 65536.0f
+            f((i - HeaderBytes) % dim) += (h & 0xffff).toFloat / 65536.0f
             i += 1
           }
           Features(r.media_id, f)
@@ -74,13 +124,14 @@ object Multimodal {
       }
   }
 
-  /** Video frame sampling as pure column ops: split the payload into
-    * `frameBytes` chunks, keep every `stride`-th. Returns
+  /** Video frame sampling as pure column ops over the DATA section:
+    * split into `frameBytes` chunks, keep every `stride`-th. Returns
     * (media_id, n_frames, n_sampled, sampled_offsets). */
   def frameSample(media: DataFrame, frameBytes: Int = 256, stride: Int = 4): DataFrame =
     media.select(
         col("media_id"),
-        ceil(length(col("payload")).cast("double") / frameBytes).cast("long").as("n_frames"))
+        ceil((length(col("payload")) - HeaderBytes).cast("double") / frameBytes)
+          .cast("long").as("n_frames"))
       .withColumn("sampled_offsets",
         filter(sequence(lit(0), col("n_frames") - 1), i => i % stride === 0))
       .withColumn("n_sampled", size(col("sampled_offsets")).cast("long"))

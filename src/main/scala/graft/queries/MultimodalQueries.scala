@@ -4,13 +4,16 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.multimodal.Multimodal
 
-/** Driver surface for the multimodal layer: payloads manufactured from
-  * `documents` (UTF-8 bytes), decode/frame-sample stubs arithmetic-in-
-  * length so DuckDB can oracle the full binary-column pipeline. */
+/** Driver surface for the multimodal layer: payloads are real BMP
+  * containers (54-byte header + data manufactured from `documents`
+  * text), decode is a byte-level header parse, and frames/features run
+  * over the data section. The header fields are written from fixed
+  * formulas of the data length, so DuckDB can still oracle the full
+  * encode→parquet→decode pipeline in SQL. */
 object MultimodalQueries extends QueryPack {
 
   override def queries: Map[String, Q] = Map(
-    // decode stub over binary payloads → per-kind shape stats.
+    // header-parsing decode over BMP payloads → per-kind shape stats.
     "mm_decode_stats" -> ((s, d) => {
       val media = Multimodal.mediaFromDocuments(Tables.documents(s, d))
       Multimodal.decode(media)

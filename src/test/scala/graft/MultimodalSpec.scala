@@ -12,7 +12,22 @@ class MultimodalSpec extends AnyFunSuite {
     Seq((0L, "x" * 100), (1L, "y" * 700), (2L, "z" * 10))
       .toDF("doc_id", "text"))
 
-  test("decode stub derives dimensions from payload length; kind cycles") {
+  test("payload is a valid BMP container and corrupt magic fails loudly") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val p = media.where(col("media_id") === 0L)
+      .select("payload").as[Array[Byte]].head()
+    assert(p(0) == 'B'.toByte && p(1) == 'M'.toByte)
+    val bb = ByteBuffer.wrap(p).order(ByteOrder.LITTLE_ENDIAN)
+    assert(bb.getInt(2) == p.length)            // file size field
+    assert(bb.getInt(10) == Multimodal.HeaderBytes) // data offset
+    assert(bb.getInt(34) == 100)                // image data size == data len
+    val bad = p.clone(); bad(0) = 'X'.toByte
+    val badDf = Seq((99L, "image", bad)).toDF("media_id", "kind", "payload")
+    val e = intercept[Exception] { Multimodal.decode(badDf).collect() }
+    assert(e.getMessage != null)
+  }
+
+  test("decode parses dimensions back out of the BMP header; kind cycles") {
     val d = Multimodal.decode(media).collect().map(r => r.media_id -> r).toMap
     assert(d(0L).kind == "image" && d(1L).kind == "audio" && d(2L).kind == "video")
     assert(d(0L).width == 64 + 100 % 192 && d(0L).height == 64 + (100 / 7) % 192)
