@@ -85,6 +85,30 @@ object MiscQueries extends QueryPack {
         .withColumn("overcount", col("cms_estimate") - col("exact"))
     }),
 
+    // Bloom-prefilter join: build a Bloom filter on the small side's
+    // keys, drop non-matching big-side rows BEFORE the join (the
+    // runtime-filter / semi-join-pushdown pattern — at 100 TB the bloom
+    // kills ~99% of probe rows at the scan, so the shuffle carries only
+    // plausible matches), then the exact join removes the bloom's false
+    // positives. Output therefore EQUALS the plain join — oracle-graded
+    // by it. The filter itself is a few MB broadcast, same envelope as
+    // any broadcast dim.
+    "q_bloom_prefilter" -> ((s, d) => {
+      val hot = Tables.orders(s, d)
+        .where(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 150000.0)
+        .select(col("o_orderkey"))
+      val bf = hot.stat.bloomFilter("o_orderkey", 100000L, 0.01)
+      val bc = s.sparkContext.broadcast(bf)
+      val mightContain = udf((k: Long) => bc.value.mightContainLong(k))
+      Tables.lineitem(s, d)
+        .where(mightContain(col("l_orderkey")))      // bloom cut at the scan
+        .join(hot, col("l_orderkey") === col("o_orderkey")) // exact: drops FPs
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_items"),
+          // quantities are integer-valued doubles -> the sum is exact
+          sum(col("l_quantity")).cast("long").as("sum_qty"))
+    }),
+
     // The same pricing summary through the SQL string interface.
     "q_sql_interface" -> ((s, d) => {
       Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
@@ -122,6 +146,13 @@ object MiscQueries extends QueryPack {
         |  count(*) AS cnt,
         |  CAST(sum(CAST(props->>'k' AS INTEGER)) AS BIGINT) AS sum_k
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_bloom_prefilter" ->
+      """SELECT l_returnflag, count(*) AS n_items,
+        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000.0
+        |GROUP BY 1""".stripMargin,
 
     "q_sql_interface" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,

@@ -37,9 +37,48 @@ object PipelineQueries extends QueryPack {
           when(pmod(col("doc_id"), lit(10)) < 2, "test").otherwise("train"))
         .groupBy("split", "lang")
         .agg(count(lit(1)).as("n_docs"), sum(col("q.n_toks")).as("total_tokens"))
+    }),
+
+    // Sequence packing (concatenate-and-chunk): docs are laid out in
+    // doc_id order within a shard and cut into fixed `SeqLen`-token
+    // context windows — the standard packed-pretraining prep, where a
+    // doc may straddle a window boundary. Sharding makes the layout
+    // embarrassingly parallel: ONE window cumsum per shard, no global
+    // sort (a single global ordering would serialize 100 TB through one
+    // partition — the shard count is the knob real pipelines use).
+    // Output: where each doc lands (start offset + first/last window).
+    "pipe_seq_packing" -> ((s, d) => {
+      val w = Window.partitionBy("shard").orderBy("doc_id")
+      Tables.documents(s, d)
+        .select(col("doc_id"), tokenCount(col("text")).as("n_tok"))
+        .where(col("n_tok") > 0)
+        .withColumn("shard", pmod(col("doc_id"), lit(PackShards)))
+        .withColumn("end_tok", sum(col("n_tok")).over(w))
+        .select(col("doc_id"), col("shard"),
+          (col("end_tok") - col("n_tok")).as("start_tok"),
+          floor((col("end_tok") - col("n_tok")) / SeqLen.toDouble).cast("long").as("first_window"),
+          floor((col("end_tok") - 1) / SeqLen.toDouble).cast("long").as("last_window"))
     }))
 
+  private val SeqLen = 2048
+  private val PackShards = 32
+
   override def oracles: Map[String, String] = Map(
+    "pipe_seq_packing" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, doc_id % $PackShards AS shard,
+         |    len(list_filter(string_split_regex(lower(text), '\\s+'), x -> length(x) > 0)) AS n_tok
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, shard, n_tok,
+         |    sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id) AS end_tok
+         |  FROM t WHERE n_tok > 0)
+         |SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+         |  CAST(end_tok - n_tok AS BIGINT) AS start_tok,
+         |  CAST((end_tok - n_tok) // $SeqLen AS BIGINT) AS first_window,
+         |  CAST((end_tok - 1) // $SeqLen AS BIGINT) AS last_window
+         |FROM c""".stripMargin,
+
     "pipe_text_corpus" ->
       """WITH prep AS (
         |  SELECT doc_id, lang,

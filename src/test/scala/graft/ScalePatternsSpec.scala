@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the *mechanism* claims of the scale-pattern queries (their
+  * results are oracle-graded by the driver gate; these assert the part
+  * the oracle can't see). */
+class ScalePatternsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("bloom prefilter actually cuts probe rows before the join") {
+    val hot = Tables.orders(spark, sf)
+      .where(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 150000.0)
+      .select(col("o_orderkey"))
+    val bf = hot.stat.bloomFilter("o_orderkey", 100000L, 0.01)
+    val bc = spark.sparkContext.broadcast(bf)
+    val mightContain = udf((k: Long) => bc.value.mightContainLong(k))
+    val li = Tables.lineitem(spark, sf)
+    val total = li.count()
+    val kept = li.where(mightContain(col("l_orderkey"))).count()
+    val trueMatches = li.join(hot, col("l_orderkey") === col("o_orderkey")).count()
+    assert(kept < total / 2, s"bloom kept $kept of $total — no real cut")
+    assert(kept >= trueMatches, "bloom may never drop a true match")
+  }
+
+  test("sequence packing: windows tile each shard's token stream exactly") {
+    import spark.implicits._
+    val out = SparkEntry.queries("pipe_seq_packing")(spark, sf)
+      .select("doc_id", "shard", "start_tok", "first_window", "last_window")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    // within a shard, start offsets strictly increase with doc_id and
+    // first_window is consistent with the 2048-token window size
+    out.groupBy(_._2).foreach { case (_, docs) =>
+      val sorted = docs.sortBy(_._1)
+      assert(sorted.map(_._3).toSeq == sorted.map(_._3).sorted.toSeq, "offsets out of order")
+      sorted.foreach { case (_, _, start, fw, lw) =>
+        assert(fw == start / 2048)
+        assert(lw >= fw)
+      }
+    }
+  }
+}
