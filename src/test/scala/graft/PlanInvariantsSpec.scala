@@ -62,6 +62,43 @@ class PlanInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_bloom_prefilter: bloom filter applied at the scan, below the broadcast join") {
+    val p = planOf("q_bloom_prefilter")
+    assert(p.contains("BroadcastHashJoin"), s"exact join should broadcast the key side:\n$p")
+    // the UDF filter must sit under the join (probe rows cut pre-shuffle):
+    // in the formatted plan the Filter node containing the UDF appears
+    // with a higher step number than the join consuming it
+    val filterStep = "\\((\\d+)\\) Filter".r.findAllMatchIn(p).map(_.group(1).toInt).toSeq
+    val joinStep = "\\((\\d+)\\) BroadcastHashJoin".r.findFirstMatchIn(p).map(_.group(1).toInt)
+    assert(filterStep.nonEmpty && joinStep.nonEmpty, s"missing filter/join:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  // formatted mode prints nodes as "(n) Exchange" with the partitioning
+  // on a separate Arguments line
+  private def exchangeCount(p: String): Int =
+    "\\(\\d+\\) Exchange\\b".r.findAllIn(p).length
+
+  test("pipe_seq_packing: one shuffle total (shard window, no global sort)") {
+    val p = planOf("pipe_seq_packing")
+    assert(exchangeCount(p) == 1,
+      s"packing must shuffle once, on the shard key:\n$p")
+    assert(p.contains("hashpartitioning(shard"),
+      s"the one exchange must hash on the shard key:\n$p")
+    assert(!p.contains("rangepartitioning"), s"packing must not globally sort:\n$p")
+  }
+
+  test("sim_topk_int8: one qid hash exchange reused by both rank windows") {
+    val p = planOf("sim_topk_int8")
+    // fanout round-robins are deliberate (compute balancing); the HASH
+    // shuffle on qid must happen exactly once, shared by candidate rank
+    // and exact re-rank
+    val hashEx = "hashpartitioning\\(qid".r.findAllIn(p).length
+    assert(hashEx == 1, s"both windows must reuse one qid partitioning, got $hashEx:\n$p")
+    // rank limits must be pushed into the sorts (no full-window materialization)
+    assert(p.contains("WindowGroupLimit"), s"rank limit not pushed into the window:\n$p")
+  }
+
   test("q_events_sessions: exactly one shuffle (window + agg reuse the same hash partitioning)") {
     val p = planOf("q_events_sessions")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
