@@ -17,12 +17,16 @@ import graft.graph.CommunityDetection
 object GraphQueries extends QueryPack {
 
   private def cooccurEdges(s: org.apache.spark.sql.SparkSession, d: String) = {
-    val op = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("okey"), col("l_partkey").as("pkey"))
-      .distinct()
-    op.as("a").join(op.as("b"),
-        col("a.okey") === col("b.okey") && col("a.pkey") < col("b.pkey"))
-      .groupBy(col("a.pkey").as("src"), col("b.pkey").as("dst"))
+    // group-then-expand (one okey shuffle + in-partition pair
+    // generation), not distinct + self-join (three shuffles) — see the
+    // q_part_cooccur comment in RelationalQueries; output identical
+    Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_partkey")).as("ps"))
+      .select(explode(col("ps")).as("src"), col("ps"))
+      .select(col("src"), explode(col("ps")).as("dst"))
+      .where(col("src") < col("dst"))
+      .groupBy("src", "dst")
       .agg(count(lit(1)).as("w"))
       .where(col("w") >= 2)
   }

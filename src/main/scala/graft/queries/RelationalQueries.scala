@@ -163,12 +163,21 @@ object RelationalQueries extends QueryPack {
     // J5: bipartite top-projection analogue — parts co-occurring in the
     // same order (order↔part is the author↔keyword bipartite graph).
     "q_part_cooccur" -> ((s, d) => {
-      val op = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("okey"), col("l_partkey").as("pkey"))
-        .distinct()
-      op.as("a").join(op.as("b"),
-          col("a.okey") === col("b.okey") && col("a.pkey") < col("b.pkey"))
-        .groupBy(col("a.pkey").as("p1"), col("b.pkey").as("p2"))
+      // Group-then-expand instead of distinct + self-join: ONE shuffle
+      // on okey (collect_set dedups parts per order as a map-side
+      // partial), pairs generated by two in-partition generators, then
+      // the unavoidable pair-count shuffle. The join formulation pays
+      // three shuffles for the same output. Per-order part counts are
+      // small (TPC-H ≤ 7), so the k² in-partition expansion is bounded;
+      // a degenerate "order" with millions of items would need the same
+      // clique cap PubGraph applies (graph/PubGraph.scala).
+      Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(collect_set(col("l_partkey")).as("ps"))
+        .select(explode(col("ps")).as("p1"), col("ps"))
+        .select(col("p1"), explode(col("ps")).as("p2"))
+        .where(col("p1") < col("p2"))
+        .groupBy("p1", "p2")
         .agg(count(lit(1)).as("cnt"))
     }),
 
