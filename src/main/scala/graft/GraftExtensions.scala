@@ -15,8 +15,10 @@ import graft.functions.ShingleCosineExpr
   * built session use [[GraftExtensions.register]].
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.shingleCosine)
+    ext.injectFunction(GraftExtensions.polyHash64)
+  }
 }
 
 object GraftExtensions {
@@ -32,7 +34,17 @@ object GraftExtensions {
           "shingle_cosine(str, str[, k literal]) expected")
       })
 
+  private val polyHash64 = (
+    new FunctionIdentifier("poly_hash64"),
+    new ExpressionInfo(classOf[graft.functions.PolyHash64Expr].getName, "poly_hash64"),
+    (children: Seq[Expression]) =>
+      children match {
+        case Seq(a) => graft.functions.PolyHash64Expr(a)
+        case _ => throw new IllegalArgumentException("poly_hash64(str) expected")
+      })
+
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
-      shingleCosine._1, shingleCosine._2, shingleCosine._3)
+    Seq(shingleCosine, polyHash64).foreach { f =>
+      spark.sessionState.functionRegistry.registerFunction(f._1, f._2, f._3)
+    }
 }

@@ -85,4 +85,11 @@ class GoldenPipelineSpec extends AnyFunSuite {
       .as[Double].collect().head
     assert(got4 == 1.0)
   }
+
+  test("poly_hash64 is callable from SQL and matches the expression path") {
+    GraftExtensions.register(spark)
+    val viaSql = spark.sql("SELECT poly_hash64('hello world') AS h")
+      .as[Long].collect().head
+    assert(viaSql == graft.functions.PolyHash64Expr.compute("hello world"))
+  }
 }
