@@ -17,6 +17,8 @@ import org.apache.spark.sql.Dataset
   */
 object CacheRegistry {
   private val tracked = new java.util.concurrent.ConcurrentLinkedQueue[Dataset[_]]()
+  private val broadcasts =
+    new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.broadcast.Broadcast[_]]()
 
   /** persist() + register for later release. */
   def persistTracked[T](ds: Dataset[T]): Dataset[T] = {
@@ -25,12 +27,26 @@ object CacheRegistry {
     ds
   }
 
+  /** Register a per-query broadcast (bloom filters, lookup sets) so it is
+    * destroyed — not just dereferenced — once the query's action
+    * completes. Repeated invocations would otherwise accumulate
+    * driver+executor copies for the life of the session. */
+  def broadcastTracked[T](bc: org.apache.spark.broadcast.Broadcast[T]): org.apache.spark.broadcast.Broadcast[T] = {
+    broadcasts.add(bc)
+    bc
+  }
+
   /** Unpersist everything registered since the last release. */
   def releaseAll(): Unit = {
     var d = tracked.poll()
     while (d != null) {
       d.unpersist(blocking = false)
       d = tracked.poll()
+    }
+    var b = broadcasts.poll()
+    while (b != null) {
+      b.destroy()
+      b = broadcasts.poll()
     }
   }
 }

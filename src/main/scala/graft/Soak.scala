@@ -50,7 +50,21 @@ object Soak {
     * join pays O((k·bucket)²) on that slice while MinHash+LSH only
     * buckets on whole-band signature collisions (i.e. genuinely similar
     * docs) and stays ~linear. This is the regime that motivates LSH. */
+  /** The per-copy key shift. Copies are only disjoint if every base key
+    * is below it — checked before scaling, because a collision would
+    * silently entangle the supposedly isomorphic components and corrupt
+    * the whole weak-scaling premise. */
+  private val KeyShift = 1000000000L
+
+  private def requireKeysBelowShift(df: DataFrame, keyCols: String*): Unit =
+    keyCols.foreach { kc =>
+      val mx = df.agg(max(col(kc))).head.getLong(0)
+      require(mx < KeyShift,
+        s"$kc max $mx >= shift $KeyShift: scaled copies would collide")
+    }
+
   private[graft] def scaleDocuments(docs: DataFrame, k: Int, sharedDen: Int): DataFrame = {
+    if (k > 1) requireKeysBelowShift(docs, "doc_id")
     val copies = (0 until k).map { c =>
       if (c == 0) docs
       else {
@@ -59,7 +73,7 @@ object Soak {
           else when(pmod(xxhash64(t), lit(sharedDen)) === 0, t)
             .otherwise(concat(t, lit(s"_$c")))
         docs
-          .withColumn("doc_id", col("doc_id") + lit(c.toLong * 1000000000L))
+          .withColumn("doc_id", col("doc_id") + lit(c.toLong * KeyShift))
           .withColumn("text",
             concat_ws(" ", transform(split(col("text"), "\\s+"), suffix)))
       }
@@ -70,11 +84,12 @@ object Soak {
   /** lineitem scaled k×: copy c shifts l_orderkey / l_partkey so the
     * co-occurrence graph gains k disjoint isomorphic components. */
   private[graft] def scaleLineitem(li: DataFrame, k: Int): DataFrame = {
+    if (k > 1) requireKeysBelowShift(li, "l_orderkey", "l_partkey")
     val copies = (0 until k).map { c =>
       if (c == 0) li
       else li
-        .withColumn("l_orderkey", col("l_orderkey") + lit(c.toLong * 1000000000L))
-        .withColumn("l_partkey", col("l_partkey") + lit(c.toLong * 1000000000L))
+        .withColumn("l_orderkey", col("l_orderkey") + lit(c.toLong * KeyShift))
+        .withColumn("l_partkey", col("l_partkey") + lit(c.toLong * KeyShift))
     }
     copies.reduce(_.unionByName(_))
   }

@@ -65,8 +65,12 @@ object Multimodal {
     * bytes wrapped in a BMP container; kind round-robins
     * image/audio/video). Stands in for a real blob-store scan. */
   def mediaFromDocuments(docs: DataFrame): DataFrame = {
+    // Null text wraps an EMPTY data section (valid header, zero
+    // samples) rather than NPE-ing inside the UDF: a missing blob is a
+    // data condition, not a pipeline crash, and decode still parses it.
     val wrap = udf { (text: String, kind: String) =>
-      bmpWrap(text.getBytes("UTF-8"), if (kind == "image") 3 else 1)
+      val data = if (text == null) Array.emptyByteArray else text.getBytes("UTF-8")
+      bmpWrap(data, if (kind == "image") 3 else 1)
     }
     docs.select(
         col("doc_id").as("media_id"),
@@ -132,8 +136,12 @@ object Multimodal {
         col("media_id"),
         ceil((length(col("payload")) - HeaderBytes).cast("double") / frameBytes)
           .cast("long").as("n_frames"))
+      // Guard the empty payload: sequence(0, -1) evaluates DESCENDING to
+      // [0, -1], which would report one sampled frame for zero frames.
       .withColumn("sampled_offsets",
-        filter(sequence(lit(0), col("n_frames") - 1), i => i % stride === 0))
+        when(col("n_frames") > 0,
+          filter(sequence(lit(0L), col("n_frames") - 1), i => i % stride === 0))
+          .otherwise(array().cast("array<bigint>")))
       .withColumn("n_sampled", size(col("sampled_offsets")).cast("long"))
       .select("media_id", "n_frames", "n_sampled", "sampled_offsets")
 }

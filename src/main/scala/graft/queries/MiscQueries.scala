@@ -97,8 +97,13 @@ object MiscQueries extends QueryPack {
       val hot = Tables.orders(s, d)
         .where(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 150000.0)
         .select(col("o_orderkey"))
-      val bf = hot.stat.bloomFilter("o_orderkey", 100000L, 0.01)
-      val bc = s.sparkContext.broadcast(bf)
+      // Size the filter from the observed build side (floor keeps tiny
+      // builds honest): a fixed capacity silently degrades the FPP
+      // toward 1 once the hot set outgrows it — the join stays exact
+      // but the prefilter stops cutting rows, which is the mechanism
+      // this query exists to demonstrate (see ScalePatternsSpec).
+      val bf = hot.stat.bloomFilter("o_orderkey", math.max(hot.count(), 1024L), 0.01)
+      val bc = graft.CacheRegistry.broadcastTracked(s.sparkContext.broadcast(bf))
       val mightContain = udf((k: Long) => bc.value.mightContainLong(k))
       Tables.lineitem(s, d)
         .where(mightContain(col("l_orderkey")))      // bloom cut at the scan

@@ -50,4 +50,17 @@ class MultimodalSpec extends AnyFunSuite {
     assert(fs(1L) == (3L, 1L))  // 700 -> 3 frames, offsets {0}
     assert(fs(2L) == (1L, 1L))
   }
+
+  test("null / empty text: header-only payload, zero frames (no [0,-1] sequence)") {
+    val edge = Multimodal.mediaFromDocuments(
+      Seq((0L, null.asInstanceOf[String]), (1L, "")).toDF("doc_id", "text"))
+    // both wrap to a bare 54-byte header; decode still parses it
+    val d = Multimodal.decode(edge).collect().map(r => r.media_id -> r).toMap
+    assert(d(0L).width == 64 && d(1L).width == 64)
+    val fs = Multimodal.frameSample(edge, frameBytes = 256, stride = 4)
+      .select("media_id", "n_frames", "n_sampled")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(fs(0L) == (0L, 0L), "empty payload must sample zero frames")
+    assert(fs(1L) == (0L, 0L))
+  }
 }

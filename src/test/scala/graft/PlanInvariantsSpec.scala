@@ -66,11 +66,14 @@ class PlanInvariantsSpec extends AnyFunSuite {
     val p = planOf("q_bloom_prefilter")
     assert(p.contains("BroadcastHashJoin"), s"exact join should broadcast the key side:\n$p")
     // the UDF filter must sit under the join (probe rows cut pre-shuffle):
-    // in the formatted plan the Filter node containing the UDF appears
-    // with a higher step number than the join consuming it
+    // formatted explain numbers children LOWER than parents, so the
+    // Filter node must carry a smaller step number than the join
+    // consuming it
     val filterStep = "\\((\\d+)\\) Filter".r.findAllMatchIn(p).map(_.group(1).toInt).toSeq
     val joinStep = "\\((\\d+)\\) BroadcastHashJoin".r.findFirstMatchIn(p).map(_.group(1).toInt)
     assert(filterStep.nonEmpty && joinStep.nonEmpty, s"missing filter/join:\n$p")
+    assert(joinStep.exists(j => filterStep.exists(_ < j)),
+      s"bloom Filter must sit UNDER the join (lower step number), got filters=$filterStep join=$joinStep:\n$p")
     assert(!p.contains("CartesianProduct"))
   }
 

@@ -53,4 +53,15 @@ class SoakSpec extends AnyFunSuite {
       .where(col("lo") =!= col("hi"))
     assert(span.count() == 0)
   }
+
+  test("keys at or above the copy shift are rejected, not silently entangled") {
+    import spark.implicits._
+    val big = Seq((1000000000L, "a b c")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Soak.scaleDocuments(big, 2, sharedDen = 0).count()
+    }
+    assert(e.getMessage.contains("collide"))
+    val bigLi = Seq((5L, 1000000001L)).toDF("l_orderkey", "l_partkey")
+    intercept[IllegalArgumentException] { Soak.scaleLineitem(bigLi, 2).count() }
+  }
 }
