@@ -23,6 +23,7 @@ object SparkEntry {
     MiscQueries,
     AlgebraQueries,
     PipelineQueries,
+    CurationQueries,
     TpchQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

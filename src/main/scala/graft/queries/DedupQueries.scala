@@ -212,6 +212,42 @@ object DedupQueries extends QueryPack {
       }.toDF("i", "j", "raw")
         .select(col("i"), col("j"), round(col("raw"), 6).as("sim"))
         .where(col("sim") >= thr)
+    }),
+
+    // SemDeDup-style semantic dedup: assign every embedding to its
+    // nearest of K fixed centroids (here the K lowest vec_ids — a real
+    // pipeline plugs in trained k-means centers; the assignment math is
+    // identical), then look for near-dups only WITHIN a cluster. The
+    // clusters are the candidate buckets that keep the pair stage at
+    // O(Σ cluster²) instead of O(n²) — the trade is recall (pairs that
+    // straddle a cluster boundary are missed; CurationSpec pins the
+    // within-cluster slice against the brute-force query). Output: one row
+    // per vector with its cluster, centroid similarity, and whether an
+    // earlier cluster member already covers it (is_dup).
+    "dedup_semantic" -> ((s, d) => {
+      val K = 8
+      val cents = Tables.embeddings(s, d).where(col("vec_id") < K)
+        .select(col("vec_id").as("cluster"), col("embedding").as("cvec"))
+      val bySim = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id").orderBy(col("sim").desc, col("cluster").asc)
+      val assign = graft.CacheRegistry.persistTracked(
+        Tables.fanout(Tables.embeddings(s, d))
+          .select(col("vec_id"), col("embedding"))
+          .crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("cluster"), col("embedding"),
+            round(cosineExpr(col("embedding"), col("cvec"), Dim), 6).as("sim"))
+          .withColumn("rn", row_number().over(bySim))
+          .where(col("rn") === 1)
+          .drop("rn"))
+      val dups = assign.as("a").join(assign.as("b"),
+          col("a.cluster") === col("b.cluster") &&
+            col("a.vec_id") < col("b.vec_id") &&
+            round(cosineExpr(col("a.embedding"), col("b.embedding"), Dim), 6)
+              >= CosineThreshold)
+        .select(col("b.vec_id").as("vec_id")).distinct()
+      assign.join(dups.withColumn("hit", lit(1L)), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cluster"), col("sim"),
+          coalesce(col("hit"), lit(0L)).as("is_dup"))
     }))
 
   /** DuckDB 1-indexed unrolled dot product, same index order as
@@ -283,7 +319,30 @@ object DedupQueries extends QueryPack {
          |  sqrt((${dotSql("a", "a")}) * (${dotSql("b", "b")})), 6) AS sim
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          |WHERE round((${dotSql("a", "b")}) /
-         |  sqrt((${dotSql("a", "a")}) * (${dotSql("b", "b")})), 6) >= $CosineThreshold""".stripMargin)
+         |  sqrt((${dotSql("a", "a")}) * (${dotSql("b", "b")})), 6) >= $CosineThreshold""".stripMargin,
+
+    "dedup_semantic" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cluster, embedding FROM embeddings WHERE vec_id < 8),
+         |sims AS (
+         |  SELECT v.vec_id, c.cluster, round((${dotSql("v", "c")}) /
+         |    sqrt((${dotSql("v", "v")}) * (${dotSql("c", "c")})), 6) AS sim
+         |  FROM embeddings v CROSS JOIN cents c),
+         |a1 AS (
+         |  SELECT vec_id, cluster, sim FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY sim DESC, cluster ASC) AS rn FROM sims)
+         |  WHERE rn = 1),
+         |dups AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM a1 a JOIN a1 b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         |  JOIN embeddings x ON x.vec_id = a.vec_id
+         |  JOIN embeddings y ON y.vec_id = b.vec_id
+         |  WHERE round((${dotSql("x", "y")}) /
+         |    sqrt((${dotSql("x", "x")}) * (${dotSql("y", "y")})), 6) >= $CosineThreshold)
+         |SELECT a1.vec_id, a1.cluster, a1.sim,
+         |  CAST(CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_dup
+         |FROM a1 LEFT JOIN dups d ON a1.vec_id = d.vec_id""".stripMargin)
   // dedup_simhash: xxhash64-derived fingerprints aren't reproducible in
   // DuckDB → rows-only check.
 }
