@@ -29,18 +29,18 @@ object CurationQueries extends QueryPack {
     * plumbing. */
   private val N = 5
 
-  /** Every doc's distinct word-5-grams as STRINGS. Joining on the raw
-    * gram keeps the result exactly equal to the oracle; at 100 TB you
-    * would join on xxhash64(gram) instead and accept a 2^-64 per-gram
-    * false-positive — the plan shape is identical, only the key width
-    * changes. */
+  /** Every doc's distinct word-5-grams as STRINGS (the shared
+    * [[graft.functions.TextFunctions.wordNgrams]] kernel — the streaming
+    * ingest guard uses the same one, so batch and stream agree on what
+    * "contaminated" means). Joining on the raw gram keeps the result
+    * exactly equal to the oracle; at 100 TB you would join on
+    * xxhash64(gram) instead and accept a 2^-64 per-gram false-positive —
+    * the plan shape is identical, only the key width changes. */
   private def docGrams(s: org.apache.spark.sql.SparkSession, d: String) =
     Tables.documents(s, d)
-      .select(col("doc_id"), tokens(col("text")).as("ts"))
-      .where(size(col("ts")) >= N)
       .select(col("doc_id"),
-        array_distinct(transform(sequence(lit(1), size(col("ts")) - (N - 1)),
-          i => concat_ws(" ", slice(col("ts"), i, lit(N))))).as("gs"))
+        array_distinct(wordNgrams(tokens(col("text")), N)).as("gs"))
+      .where(size(col("gs")) > 0)
 
   override def queries: Map[String, Q] = Map(
     // Benchmark decontamination: which held-out (eval) documents share

@@ -102,6 +102,31 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), s"rank limit not pushed into the window:\n$p")
   }
 
+  test("pipe_decontaminate: train grams cut by a broadcast LEFT SEMI, never shuffled for the probe") {
+    val p = planOf("pipe_decontaminate")
+    assert(p.contains("BroadcastHashJoin LeftSemi"),
+      s"the eval gram set must broadcast into a semi-join at the train scan:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no gram-keyed shuffle join anywhere:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("text_tfidf_terms: top-3 rank limit pushed into the window sort") {
+    val p = planOf("text_tfidf_terms")
+    assert(p.contains("WindowGroupLimit"), s"rank filter must push into the window:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the vocabulary-sized df table must broadcast onto tf:\n$p")
+  }
+
+  test("dedup_semantic: assignment computed once (cached), centroids broadcast") {
+    val p = planOf("dedup_semantic")
+    // the K-centroid cross product is a deliberate 8-row broadcast
+    assert(p.contains("BroadcastNestedLoopJoin Cross BuildRight"),
+      s"centroid assignment should be a tiny broadcast cross:\n$p")
+    // the self-join must read the persisted assignment, not recompute it
+    assert(p.contains("InMemoryTableScan"),
+      s"assignment must be reused via cache in the pair stage:\n$p")
+  }
+
   test("q_events_sessions: exactly one shuffle (window + agg reuse the same hash partitioning)") {
     val p = planOf("q_events_sessions")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length

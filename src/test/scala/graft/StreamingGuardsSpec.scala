@@ -1,0 +1,65 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamingGuards
+import graft.streaming.StreamingGuards.Doc
+
+/** Ingest-time guards: stateless tags agree with the batch kernels and
+  * survive micro-batch boundaries. */
+class StreamingGuardsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def ts(minute: Int) = new Timestamp(1700000000000L + minute * 60000L)
+
+  private val evalText = "alpha beta gamma delta epsilon zeta eta theta"
+
+  test("decontamination tag: exact copy fully flagged, clean doc untouched, across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evalSet = StreamingGuards.evalGramSet(
+      Seq((0L, evalText)).toDF("doc_id", "text"))
+    assert(evalSet.size == 4, "8 tokens -> 4 distinct 5-grams")
+    val bc = spark.sparkContext.broadcast(evalSet)
+    val mem = MemoryStream[Doc]
+    val q = StreamingGuards.decontaminationTag(mem.toDS(), bc)
+      .writeStream.format("memory").queryName("decon_tags")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(Doc(1, ts(0), evalText))                       // exact copy
+      mem.addData(Doc(2, ts(1), "one unique sentence nobody else ever wrote at all"))
+      q.processAllAvailable()
+      mem.addData(Doc(3, ts(2), "short"))                        // < 5 tokens
+      q.processAllAvailable()
+      val got = spark.table("decon_tags")
+        .select("doc_id", "n_grams", "n_contaminated", "clean")
+        .as[(Long, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+      assert(got(1L) == ((1L, 4L, 4L, false)), "exact copy: every gram contaminated")
+      assert(got(2L)._3 == 0L && got(2L)._4, "clean doc passes")
+      assert(got(3L) == ((3L, 0L, 0L, true)), "sub-n doc has no grams, counts as clean")
+    } finally q.stop()
+  }
+
+  test("quality tag matches the batch gate's thresholds") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Doc]
+    val q = StreamingGuards.qualityTag(mem.toDS())
+      .writeStream.format("memory").queryName("quality_tags")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // 12 tokens incl. stopwords -> accepted; no stopwords -> rejected
+      mem.addData(
+        Doc(1, ts(0), "the quick brown fox jumps over a lazy dog in the field"),
+        Doc(2, ts(1), "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"))
+      q.processAllAvailable()
+      val got = spark.table("quality_tags")
+        .select("doc_id", "accept").as[(Long, Boolean)].collect().toMap
+      assert(got(1L) && !got(2L))
+    } finally q.stop()
+  }
+}
