@@ -33,7 +33,8 @@ object Soak {
     "dedup_exact", "dedup_ngram_jaccard", "dedup_containment",
     "dedup_minhash_lsh", "dedup_simhash", "dedup_clusters",
     "graph_part_communities", "graph_part_components",
-    "q_part_cooccur", "text_fingerprint", "text_quality")
+    "q_part_cooccur", "text_fingerprint", "text_quality",
+    "pipe_decontaminate", "text_tfidf_terms", "dedup_semantic")
 
   /** documents scaled k×: copy c shifts doc_id by c·10^9 and suffixes
     * tokens with `_c` (copy 0 keeps the original text so factor 1 == the
@@ -83,6 +84,20 @@ object Soak {
 
   /** lineitem scaled k×: copy c shifts l_orderkey / l_partkey so the
     * co-occurrence graph gains k disjoint isomorphic components. */
+  /** embeddings scaled k×: copy c shifts vec_id. The centroid PARAMS of
+    * `dedup_semantic` stay `vec_id < 8` (copy 0 only) — deliberately:
+    * this measures the fixed-K regime, where clusters grow k× and the
+    * intra-cluster pair stage grows ~k², which is the documented reason
+    * production SemDeDup scales K with the corpus. */
+  private[graft] def scaleEmbeddings(e: DataFrame, k: Int): DataFrame = {
+    if (k > 1) requireKeysBelowShift(e, "vec_id")
+    val copies = (0 until k).map { c =>
+      if (c == 0) e
+      else e.withColumn("vec_id", col("vec_id") + lit(c.toLong * KeyShift))
+    }
+    copies.reduce(_.unionByName(_))
+  }
+
   private[graft] def scaleLineitem(li: DataFrame, k: Int): DataFrame = {
     if (k > 1) requireKeysBelowShift(li, "l_orderkey", "l_partkey")
     val copies = (0 until k).map { c =>
@@ -119,6 +134,9 @@ object Soak {
         if (onlyQueries.exists(q => q.contains("part") || q.contains("graph")))
           scaleLineitem(Tables.lineitem(spark, sfDir), k)
             .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+        if (onlyQueries.exists(q => q.contains("semantic") || q.contains("sim_")))
+          scaleEmbeddings(Tables.embeddings(spark, sfDir), k)
+            .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
         val results = onlyQueries.map { name =>
           spark.catalog.clearCache()
           val t0 = System.nanoTime()

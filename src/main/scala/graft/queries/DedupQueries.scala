@@ -214,6 +214,40 @@ object DedupQueries extends QueryPack {
         .where(col("sim") >= thr)
     }),
 
+    // Incremental dedup: near-dups of an arriving batch against the
+    // HISTORICAL corpus (plus within the batch), without touching
+    // history-vs-history — the query a daily ingest actually runs.
+    // The history side stands in for a persisted shingle index
+    // (Warehouse-bucketed in production); only the new batch's shingles
+    // probe it, so incremental cost scales with the batch, not the
+    // corpus. Split here: even doc_ids = history, odd = new batch.
+    "dedup_incremental" -> ((s, d) => {
+      val sh = graft.CacheRegistry.persistTracked(
+        Tables.fanout(Tables.documents(s, d))
+          .select(col("doc_id"), wordShingleHashes(col("text"), 3).as("hs"))
+          .where(size(col("hs")) > 0)
+          .withColumn("is_new", pmod(col("doc_id"), lit(2)) === 1))
+      val sizes = sh.select(col("doc_id"), size(col("hs")).as("n"))
+      val ex = sh.select(col("doc_id"), col("is_new"), explode(col("hs")).as("h"))
+      // probe = new batch only; build = everything (history index + the
+      // batch itself, for new-vs-new pairs). i < j dedups new-new pairs;
+      // new-vs-history keeps the NEW doc on the left.
+      val common = ex.where(col("is_new")).as("a")
+        .join(ex.as("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") =!= col("b.doc_id") &&
+            (!col("b.is_new") || col("a.doc_id") < col("b.doc_id")))
+        .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+          col("b.is_new").as("j_is_new"))
+        .agg(count(lit(1)).as("c"))
+      common
+        .join(sizes.as("sa"), col("i") === col("sa.doc_id"))
+        .join(sizes.as("sb"), col("j") === col("sb.doc_id"))
+        .select(col("i"), col("j"),
+          when(col("j_is_new"), "batch").otherwise("history").as("against"),
+          jaccard(col("c"), col("sa.n"), col("sb.n")).as("jac"))
+        .where(col("jac") >= JaccardThreshold)
+    }),
+
     // SemDeDup-style semantic dedup: assign every embedding to its
     // nearest of K fixed centroids (here the K lowest vec_ids — a real
     // pipeline plugs in trained k-means centers; the assignment math is
@@ -320,6 +354,28 @@ object DedupQueries extends QueryPack {
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          |WHERE round((${dotSql("a", "b")}) /
          |  sqrt((${dotSql("a", "a")}) * (${dotSql("b", "b")})), 6) >= $CosineThreshold""".stripMargin,
+
+    "dedup_incremental" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0) AS ts
+         |  FROM documents),
+         |sh AS (
+         |  SELECT doc_id, list_distinct(list_transform(range(1, len(ts)-1),
+         |           i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS shingles
+         |  FROM toks WHERE len(ts) >= 3),
+         |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+         |common AS (
+         |  SELECT a.doc_id AS i, b.doc_id AS j, (b.doc_id % 2 = 1) AS j_is_new, count(*) AS c
+         |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id % 2 = 1 AND a.doc_id <> b.doc_id
+         |    AND (b.doc_id % 2 = 0 OR a.doc_id < b.doc_id)
+         |  GROUP BY 1, 2, 3),
+         |sizes AS (SELECT doc_id, len(shingles) AS n FROM sh)
+         |SELECT i, j, CASE WHEN j_is_new THEN 'batch' ELSE 'history' END AS against,
+         |  round(c * 1.0 / (sa.n + sb.n - c), 6) AS jac
+         |FROM common
+         |JOIN sizes sa ON i = sa.doc_id
+         |JOIN sizes sb ON j = sb.doc_id
+         |WHERE round(c * 1.0 / (sa.n + sb.n - c), 6) >= $JaccardThreshold""".stripMargin,
 
     "dedup_semantic" ->
       s"""WITH cents AS (

@@ -17,6 +17,21 @@ class DedupQualitySpec extends AnyFunSuite {
     assert(pairs("dedup_minhash_lsh") == pairs("dedup_ngram_jaccard"))
   }
 
+  test("incremental dedup is exactly the new-batch slice of the full pair set") {
+    val full = pairs("dedup_ngram_jaccard")
+    SparkEntry.releaseCaches()
+    val expected = full.collect {
+      case (i, j) if i % 2 == 1 && j % 2 == 1 => (i, j, "batch")     // new-new, i < j
+      case (i, j) if i % 2 == 1 && j % 2 == 0 => (i, j, "history")   // new on the left
+      case (i, j) if i % 2 == 0 && j % 2 == 1 => (j, i, "history")
+    }
+    val got = SparkEntry.queries("dedup_incremental")(spark, sf)
+      .select("i", "j", "against").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    SparkEntry.releaseCaches()
+    assert(got == expected, "every pair touching a new doc, oriented new-first; no history-history work")
+  }
+
   test("simhash primitive kernel matches the majority-bit definition") {
     import org.apache.spark.sql.functions._
     import graft.functions.HashFunctions._
