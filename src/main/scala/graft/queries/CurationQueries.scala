@@ -132,6 +132,25 @@ object CurationQueries extends QueryPack {
         .select("doc_id", "term", "tf", "df", "score")
     }),
 
+    // Stratified sampling: a fixed quota per language, chosen by a
+    // deterministic hash order (multiplicative hash in exact integer
+    // arithmetic — reproducible on any engine, unlike rand(seed), and
+    // stable under corpus growth: a doc keeps its rank unless hashier
+    // docs arrive). One shuffle on the stratum key; the per-group limit
+    // pushes into the window sort (WindowGroupLimit), so no stratum is
+    // ever fully materialized.
+    "pipe_stratified_sample" -> ((s, d) => {
+      val quota = 20
+      val byHash = Window.partitionBy("lang")
+        .orderBy(col("h").asc, col("doc_id").asc)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          pmod(col("doc_id") * lit(2654435761L), lit(4294967291L)).as("h"))
+        .withColumn("rn", row_number().over(byHash))
+        .where(col("rn") <= quota)
+        .select(col("doc_id"), col("lang"), col("h"))
+    }),
+
     // Ordered conversion funnel over the event stream: users whose
     // first view precedes a click that precedes a purchase. Strict
     // event-time ordering (not mere presence) — the thing a naive
@@ -228,6 +247,16 @@ object CurationQueries extends QueryPack {
         |  FROM tfc JOIN dfc ON tfc.term = dfc.term)
         |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score
         |FROM r WHERE rn <= 3""".stripMargin,
+
+    "pipe_stratified_sample" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang, (doc_id * 2654435761) % 4294967291 AS h
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, lang, h,
+        |    row_number() OVER (PARTITION BY lang ORDER BY h ASC, doc_id ASC) AS rn
+        |  FROM h)
+        |SELECT doc_id, lang, CAST(h AS BIGINT) AS h FROM r WHERE rn <= 20""".stripMargin,
 
     "q_events_funnel" ->
       """WITH v AS (

@@ -127,6 +127,13 @@ class PlanInvariantsSpec extends AnyFunSuite {
       s"assignment must be reused via cache in the pair stage:\n$p")
   }
 
+  test("pipe_stratified_sample: per-stratum quota pushed into the window sort, one shuffle") {
+    val p = planOf("pipe_stratified_sample")
+    assert(p.contains("WindowGroupLimit"),
+      s"the quota must push into the window (no stratum materialized):\n$p")
+    assert(exchangeCount(p) == 1, s"one shuffle on the stratum key only:\n$p")
+  }
+
   test("q_events_sessions: exactly one shuffle (window + agg reuse the same hash partitioning)") {
     val p = planOf("q_events_sessions")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
