@@ -40,6 +40,24 @@ object WindowQueries extends QueryPack {
           sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
     }),
 
+    // Event-time rolling aggregates: per user, each event carries its
+    // trailing-1-hour event count and value sum. RANGE frame on the
+    // epoch-micros ordering (equal timestamps are peers on any engine);
+    // the exact-decimal sum ships as DOUBLE like every money aggregate
+    // here. Same one-shuffle shape as sessionization: hash on user_id,
+    // sort+frame within the partition.
+    "q_events_rolling" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("us"))
+        .rangeBetween(-3600000000L, 0) // trailing hour, microseconds
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("value"),
+          unix_micros(col("ts")).as("us"))
+        .select(col("user_id"), col("event_id"), col("us"),
+          count(lit(1)).over(w).as("n_1h"),
+          sum(col("value").cast("decimal(18,6)")).over(w)
+            .cast("double").as("sum_1h"))
+    }),
+
     // Exact percentiles of per-document token counts.
     "q_token_percentiles" -> ((s, d) =>
       Tables.documents(s, d)
@@ -82,6 +100,14 @@ object WindowQueries extends QueryPack {
          |  max(us) - min(us) AS duration_us,
          |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
          |FROM s GROUP BY 1, 2""".stripMargin,
+
+    "q_events_rolling" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS us,
+        |  count(*) OVER w AS n_1h,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
 
     "q_token_percentiles" ->
       """SELECT
