@@ -35,7 +35,8 @@ object StreamingGuards {
     * embedding-cosine brute tier. */
   def evalGramSet(evalDocs: DataFrame, n: Int = 5, maxGrams: Long = 50000000L): Set[String] = {
     val grams = evalDocs
-      .select(explode(array_distinct(wordNgrams(tokens(col("text")), n))).as("s"))
+      .select(tokens(col("text")).as("ts"))
+      .select(explode(array_distinct(wordNgrams(col("ts"), n))).as("s"))
       .distinct()
     val cnt = grams.count()
     require(cnt <= maxGrams,
@@ -53,7 +54,8 @@ object StreamingGuards {
       gs.count(ev.contains).toLong
     }
     docs.toDF()
-      .withColumn("gs", array_distinct(wordNgrams(tokens(col("text")), n)))
+      .withColumn("toks", tokens(col("text"))) // materialized pre-lambda, see docGrams
+      .withColumn("gs", array_distinct(wordNgrams(col("toks"), n)))
       .select(col("doc_id"), col("ts"),
         size(col("gs")).cast("long").as("n_grams"),
         hits(col("gs")).as("n_contaminated"))

@@ -134,6 +134,12 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert(exchangeCount(p) == 1, s"one shuffle on the stratum key only:\n$p")
   }
 
+  test("q_events_rolling: one user_id shuffle; the RANGE frame rides the same partitioning") {
+    val p = planOf("q_events_rolling")
+    assert(exchangeCount(p) == 1, s"rolling frame must reuse the one hash exchange:\n$p")
+    assert(p.contains("hashpartitioning(user_id"), s"the exchange must hash on user_id:\n$p")
+  }
+
   test("q_events_sessions: exactly one shuffle (window + agg reuse the same hash partitioning)") {
     val p = planOf("q_events_sessions")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
