@@ -249,9 +249,10 @@ object DedupQueries extends QueryPack {
     }),
 
     // SemDeDup-style semantic dedup: assign every embedding to its
-    // nearest of K fixed centroids (here the K lowest vec_ids — a real
-    // pipeline plugs in trained k-means centers; the assignment math is
-    // identical), then look for near-dups only WITHIN a cluster. The
+    // nearest of K fixed centroids (here the K lowest vec_ids, which
+    // keeps the query SQL-oracle-able; `VectorKMeans.fit` is the
+    // deterministic trainer a production run plugs in — the assignment
+    // math is identical), then look for near-dups only WITHIN a cluster. The
     // clusters are the candidate buckets that keep the pair stage at
     // O(Σ cluster²) instead of O(n²) — the trade is recall (pairs that
     // straddle a cluster boundary are missed; CurationSpec pins the
