@@ -30,7 +30,14 @@ object CacheRegistry {
   /** Register a per-query broadcast (bloom filters, lookup sets) so it is
     * destroyed — not just dereferenced — once the query's action
     * completes. Repeated invocations would otherwise accumulate
-    * driver+executor copies for the life of the session. */
+    * driver+executor copies for the life of the session.
+    *
+    * Contract (same as [[persistTracked]], but harder): `releaseAll`
+    * INVALIDATES every DataFrame whose plan captured a tracked
+    * broadcast — executing one afterwards fails with "Broadcast ...
+    * destroyed". Release only between queries, never between building
+    * a query and running it; rebuild (`SparkEntry.queries(name)(...)`)
+    * after a release instead of reusing a stale DataFrame. */
   def broadcastTracked[T](bc: org.apache.spark.broadcast.Broadcast[T]): org.apache.spark.broadcast.Broadcast[T] = {
     broadcasts.add(bc)
     bc

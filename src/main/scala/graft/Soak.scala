@@ -57,12 +57,17 @@ object Soak {
     * the whole weak-scaling premise. */
   private val KeyShift = 1000000000L
 
-  private def requireKeysBelowShift(df: DataFrame, keyCols: String*): Unit =
-    keyCols.foreach { kc =>
-      val mx = df.agg(max(col(kc))).head.getLong(0)
-      require(mx < KeyShift,
-        s"$kc max $mx >= shift $KeyShift: scaled copies would collide")
+  private def requireKeysBelowShift(df: DataFrame, keyCols: String*): Unit = {
+    // one combined aggregate (one scan, not one per key); null-safe for
+    // an empty table (max of nothing = null = trivially in range)
+    val row = df.agg(max(col(keyCols.head).cast("long")),
+      keyCols.tail.map(kc => max(col(kc).cast("long"))): _*).head
+    keyCols.zipWithIndex.foreach { case (kc, i) =>
+      if (!row.isNullAt(i))
+        require(row.getLong(i) < KeyShift,
+          s"$kc max ${row.getLong(i)} >= shift $KeyShift: scaled copies would collide")
     }
+  }
 
   private[graft] def scaleDocuments(docs: DataFrame, k: Int, sharedDen: Int): DataFrame = {
     if (k > 1) requireKeysBelowShift(docs, "doc_id")

@@ -66,6 +66,12 @@ object TextFunctions {
     Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
       "that", "for", "on", "with", "as", "at", "by", "be", "this")
 
+  /** The stopword list as a SQL IN-list, for oracle strings — ONE source
+    * of truth, so editing [[stopwords]] can never silently desync an
+    * oracle from the kernel the Spark side runs. */
+  val stopwordsSqlList: String =
+    stopwords.map(w => s"'$w'").mkString("(", ",", ")")
+
   def stopwordRatio(text: Column): Column = {
     val toks = tokens(text)
     when(size(toks) === 0, 0.0).otherwise(

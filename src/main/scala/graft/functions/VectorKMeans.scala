@@ -53,10 +53,21 @@ object VectorKMeans {
     d
   }
 
+  private def assertDim(emb: org.apache.spark.sql.Column, dim: Int) = {
+    val f = udf { (v: Seq[Float]) =>
+      require(v != null && v.length == dim,
+        s"embedding has ${if (v == null) "null" else v.length.toString} dims, expected $dim")
+      true
+    }
+    f(emb)
+  }
+
   def fit(vecs: DataFrame, k: Int, dim: Int, iters: Int = 3): KMeansModel = {
     require(k > 0 && iters > 0)
-    val spark = vecs.sparkSession
+    // ragged embeddings fail HERE with a named reason, not as an
+    // executor IndexOutOfBounds deep inside the argmin kernel
     val v = vecs.select(col("vec_id"), col("embedding"))
+      .where(assertDim(col("embedding"), dim))
 
     // deterministic seeds: the k lowest-id vectors
     var centers: Array[Array[Double]] = v.orderBy("vec_id").limit(k)

@@ -148,9 +148,14 @@ object CurationQueries extends QueryPack {
       val quota = 20
       val byHash = Window.partitionBy("lang")
         .orderBy(col("h").asc, col("doc_id").asc)
+      // reduce BEFORE multiplying: (id % 2^30-ish prime) * A tops out at
+      // ~2.9e18 < Long.Max, so the arithmetic is exact for ANY doc_id —
+      // a bare id * A would silently wrap past id ≈ 3.5e9 in Spark and
+      // overflow-error in DuckDB
       Tables.documents(s, d)
         .select(col("doc_id"), col("lang"),
-          pmod(col("doc_id") * lit(2654435761L), lit(4294967291L)).as("h"))
+          pmod(pmod(col("doc_id"), lit(1073741789L)) * lit(2654435761L),
+            lit(4294967291L)).as("h"))
         .withColumn("rn", row_number().over(byHash))
         .where(col("rn") <= quota)
         .select(col("doc_id"), col("lang"), col("h"))
@@ -178,8 +183,7 @@ object CurationQueries extends QueryPack {
         .unionByName(stage(2, "view_click_purchase", p))
     }))
 
-  private val stopwordsSql =
-    "('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','be','this')"
+  private val stopwordsSql = stopwordsSqlList
 
   private val gramCtes =
     s"""toks AS (
@@ -255,7 +259,7 @@ object CurationQueries extends QueryPack {
 
     "pipe_stratified_sample" ->
       """WITH h AS (
-        |  SELECT doc_id, lang, (doc_id * 2654435761) % 4294967291 AS h
+        |  SELECT doc_id, lang, ((doc_id % 1073741789) * 2654435761) % 4294967291 AS h
         |  FROM documents),
         |r AS (
         |  SELECT doc_id, lang, h,

@@ -33,15 +33,18 @@ object StreamingGuards {
     * into a driver set, ready to broadcast. Deliberate driver
     * materialization — size-gated for the same reason as the
     * embedding-cosine brute tier. */
-  def evalGramSet(evalDocs: DataFrame, n: Int = 5, maxGrams: Long = 50000000L): Set[String] = {
-    val grams = evalDocs
-      .select(tokens(col("text")).as("ts"))
+  def evalGramSet(evalDocs: DataFrame, n: Int = 5, maxGrams: Int = 50000000): Set[String] = {
+    // one job: fetch at most maxGrams+1 rows, so the gate both bounds
+    // driver memory and avoids a separate count() recomputation
+    val rows = evalDocs
+      .select(tokens(coalesce(col("text"), lit(""))).as("ts"))
       .select(explode(array_distinct(wordNgrams(col("ts"), n))).as("s"))
       .distinct()
-    val cnt = grams.count()
-    require(cnt <= maxGrams,
-      s"eval gram set has $cnt grams (> $maxGrams): too large for a driver set; use a Bloom filter")
-    grams.collect().map(_.getString(0)).toSet
+      .limit(maxGrams + 1)
+      .collect()
+    require(rows.length <= maxGrams,
+      s"eval gram set exceeds $maxGrams grams: too large for a driver set; use a Bloom filter")
+    rows.map(_.getString(0)).toSet
   }
 
   /** Tag each arriving document with its benchmark-overlap counts:
@@ -54,7 +57,10 @@ object StreamingGuards {
       gs.count(ev.contains).toLong
     }
     docs.toDF()
-      .withColumn("toks", tokens(col("text"))) // materialized pre-lambda, see docGrams
+      // null text is a data condition, not a crash (same rule as the
+      // multimodal wrap): coalesce to empty -> zero grams -> clean.
+      // Tokens materialized pre-lambda, see CurationQueries.docGrams.
+      .withColumn("toks", tokens(coalesce(col("text"), lit(""))))
       .withColumn("gs", array_distinct(wordNgrams(col("toks"), n)))
       .select(col("doc_id"), col("ts"),
         size(col("gs")).cast("long").as("n_grams"),

@@ -37,6 +37,16 @@ class CurationSpec extends AnyFunSuite {
     assert(got(50L)._2 == 0L && got(50L)._3 == 0.0, "clean eval doc reports zero overlap")
   }
 
+  test("every oracle's stopword IN-list matches the kernel's canonical list") {
+    // pipe_text_corpus's oracle literal can't interpolate (its regex
+    // anchors collide with s-string syntax), so pin it to the single
+    // source of truth instead
+    val canon = graft.functions.TextFunctions.stopwordsSqlList
+    assert(SparkEntry.oracleSql("pipe_text_corpus").contains(canon),
+      s"pipe_text_corpus oracle stopword list diverged from TextFunctions.stopwords: $canon")
+    assert(SparkEntry.oracleSql("pipe_quality_funnel").contains(canon))
+  }
+
   test("quality funnel: retention is monotone non-increasing and starts at 1.0") {
     val rows = SparkEntry.queries("pipe_quality_funnel")(spark, sf)
       .orderBy("stage_idx")

@@ -65,15 +65,21 @@ class PlanInvariantsSpec extends AnyFunSuite {
   test("q_bloom_prefilter: bloom filter applied at the scan, below the broadcast join") {
     val p = planOf("q_bloom_prefilter")
     assert(p.contains("BroadcastHashJoin"), s"exact join should broadcast the key side:\n$p")
-    // the UDF filter must sit under the join (probe rows cut pre-shuffle):
-    // formatted explain numbers children LOWER than parents, so the
-    // Filter node must carry a smaller step number than the join
-    // consuming it
-    val filterStep = "\\((\\d+)\\) Filter".r.findAllMatchIn(p).map(_.group(1).toInt).toSeq
+    // THE BLOOM UDF's Filter must sit under the join (probe rows cut
+    // pre-shuffle). Formatted explain numbers children LOWER than
+    // parents, and anchoring on the detail block whose Condition
+    // actually contains the UDF keeps the check from being satisfied by
+    // the build side's ordinary predicate filter.
+    val udfFilterStep = p.split("\n\n").toSeq.collect {
+      case block if block.startsWith("(") &&
+        "^\\((\\d+)\\) Filter".r.findFirstIn(block).isDefined &&
+        block.contains("UDF(") =>
+        "^\\((\\d+)\\) Filter".r.findFirstMatchIn(block).get.group(1).toInt
+    }
     val joinStep = "\\((\\d+)\\) BroadcastHashJoin".r.findFirstMatchIn(p).map(_.group(1).toInt)
-    assert(filterStep.nonEmpty && joinStep.nonEmpty, s"missing filter/join:\n$p")
-    assert(joinStep.exists(j => filterStep.exists(_ < j)),
-      s"bloom Filter must sit UNDER the join (lower step number), got filters=$filterStep join=$joinStep:\n$p")
+    assert(udfFilterStep.nonEmpty && joinStep.nonEmpty, s"missing UDF filter/join:\n$p")
+    assert(joinStep.exists(j => udfFilterStep.exists(_ < j)),
+      s"bloom UDF Filter must sit UNDER the join (lower step number), got UDF filters=$udfFilterStep join=$joinStep:\n$p")
     assert(!p.contains("CartesianProduct"))
   }
 

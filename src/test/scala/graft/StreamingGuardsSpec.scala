@@ -34,6 +34,7 @@ class StreamingGuardsSpec extends AnyFunSuite {
       mem.addData(Doc(2, ts(1), "one unique sentence nobody else ever wrote at all"))
       q.processAllAvailable()
       mem.addData(Doc(3, ts(2), "short"))                        // < 5 tokens
+      mem.addData(Doc(4, ts(3), null))                           // missing blob
       q.processAllAvailable()
       val got = spark.table("decon_tags")
         .select("doc_id", "n_grams", "n_contaminated", "clean")
@@ -41,6 +42,7 @@ class StreamingGuardsSpec extends AnyFunSuite {
       assert(got(1L) == ((1L, 4L, 4L, false)), "exact copy: every gram contaminated")
       assert(got(2L)._3 == 0L && got(2L)._4, "clean doc passes")
       assert(got(3L) == ((3L, 0L, 0L, true)), "sub-n doc has no grams, counts as clean")
+      assert(got(4L) == ((4L, 0L, 0L, true)), "null text is a data condition, not a crash")
     } finally q.stop()
   }
 
