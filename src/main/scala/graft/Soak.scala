@@ -69,16 +69,31 @@ object Soak {
     }
   }
 
-  private[graft] def scaleDocuments(docs: DataFrame, k: Int, sharedDen: Int): DataFrame = {
+  /** History-only weak scaling for `dedup_incremental`'s headline claim
+    * (cost ∝ batch, not corpus): copies c > 0 keep only EVEN doc_ids —
+    * the query's history side — and the shift preserves parity, so the
+    * new batch (odd ids) stays CONSTANT while the probed index grows k×.
+    * A healthy incremental path stays ~flat across factors; anything
+    * rescanning history-vs-history grows ~k². */
+  private[graft] def scaleDocumentsHistoryOnly(docs: DataFrame, k: Int, sharedDen: Int): DataFrame =
+    scaleCopies(docs, k, sharedDen, historyOnly = true)
+
+  private[graft] def scaleDocuments(docs: DataFrame, k: Int, sharedDen: Int): DataFrame =
+    scaleCopies(docs, k, sharedDen, historyOnly = false)
+
+  private def scaleCopies(docs: DataFrame, k: Int, sharedDen: Int, historyOnly: Boolean): DataFrame = {
     if (k > 1) requireKeysBelowShift(docs, "doc_id")
     val copies = (0 until k).map { c =>
       if (c == 0) docs
       else {
+        // KeyShift is even, so the shift preserves doc_id parity (the
+        // history/new split key of dedup_incremental)
+        val base = if (historyOnly) docs.where(pmod(col("doc_id"), lit(2)) === 0) else docs
         val suffix = (t: org.apache.spark.sql.Column) =>
           if (sharedDen <= 0) concat(t, lit(s"_$c"))
           else when(pmod(xxhash64(t), lit(sharedDen)) === 0, t)
             .otherwise(concat(t, lit(s"_$c")))
-        docs
+        base
           .withColumn("doc_id", col("doc_id") + lit(c.toLong * KeyShift))
           .withColumn("text",
             concat_ws(" ", transform(split(col("text"), "\\s+"), suffix)))
@@ -120,6 +135,9 @@ object Soak {
       .split(",").map(_.trim.toInt).toSeq
     // 0 = disjoint shingle spaces; d>0 = ~1/d of tokens shared corpus-wide
     val sharedDen = sys.env.getOrElse("SPARK_GRAFT_SOAK_SHARED_DEN", "0").toInt
+    // 1 = grow only the history half (even doc_ids); the new batch stays
+    // constant — the dedup_incremental cost-∝-batch probe
+    val historyOnly = sys.env.getOrElse("SPARK_GRAFT_SOAK_HISTORY_ONLY", "0") == "1"
     val onlyQueries = sys.env.get("SPARK_GRAFT_SOAK_QUERIES")
       .map(_.split(",").map(_.trim).toSeq).getOrElse(SoakQueries)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -134,7 +152,8 @@ object Soak {
     try {
       factors.foreach { k =>
         val dir = s"$workRoot/x$k"
-        scaleDocuments(Tables.documents(spark, sfDir), k, sharedDen)
+        (if (historyOnly) scaleDocumentsHistoryOnly(Tables.documents(spark, sfDir), k, sharedDen)
+         else scaleDocuments(Tables.documents(spark, sfDir), k, sharedDen))
           .write.mode("overwrite").parquet(s"$dir/documents.parquet")
         if (onlyQueries.exists(q => q.contains("part") || q.contains("graph")))
           scaleLineitem(Tables.lineitem(spark, sfDir), k)
@@ -152,7 +171,7 @@ object Soak {
         }
         val qs = results.map { case (n, t, _) => s"\"$n\":$t" }.mkString("{", ",", "}")
         val rows = results.map { case (n, _, r) => s"\"$n\":$r" }.mkString("{", ",", "}")
-        println(s"""{"factor":$k,"sharedDen":$sharedDen,"queries":$qs,"rows":$rows}""")
+        println(s"""{"factor":$k,"sharedDen":$sharedDen,"historyOnly":$historyOnly,"queries":$qs,"rows":$rows}""")
       }
     } finally {
       val p = new org.apache.hadoop.fs.Path(workRoot)

@@ -54,6 +54,18 @@ class SoakSpec extends AnyFunSuite {
     assert(span.count() == 0)
   }
 
+  test("history-only scaling grows even doc_ids only and preserves parity") {
+    val base = Tables.documents(spark, sf)
+    val nEven = base.where(col("doc_id") % 2 === 0).count()
+    val nOdd = base.where(col("doc_id") % 2 === 1).count()
+    val scaled = Soak.scaleDocumentsHistoryOnly(base, 3, sharedDen = 0)
+    // new batch (odd ids) constant; history (even ids) grows k×
+    assert(scaled.where(col("doc_id") % 2 === 1).count() == nOdd)
+    assert(scaled.where(col("doc_id") % 2 === 0).count() == 3 * nEven)
+    // copies carry only history: every shifted id is even
+    assert(scaled.where(col("doc_id") >= 1000000000L && col("doc_id") % 2 === 1).count() == 0)
+  }
+
   test("keys at or above the copy shift are rejected, not silently entangled") {
     import spark.implicits._
     val big = Seq((1000000000L, "a b c")).toDF("doc_id", "text")
