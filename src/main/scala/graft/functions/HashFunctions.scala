@@ -20,6 +20,21 @@ object HashFunctions {
     * shuffles carry 8-byte keys, not text). */
   def elementHashes(arr: Column): Column = transform(arr, x => xxhash64(x))
 
+  /** Same shape but via [[PolyHash64Expr]] + splitmix64 finalization —
+    * exactly reproducible in DuckDB HUGEINT arithmetic, which is what
+    * upgrades `dedup_simhash` from rows-only to a hard value oracle.
+    * The finalizer is NOT optional: raw poly-31 bits are biased (short
+    * ASCII tokens leave the high bits structured), and simhash majority
+    * votes amplify any corpus-wide bias into identical chunks on every
+    * document — measured as a full candidate cross-join before the
+    * finalizer went in. */
+  def polyElementHashes(arr: Column): Column = {
+    val fin = udf { (hs: Seq[Long]) =>
+      if (hs == null) null else hs.map(splitmix64).toArray
+    }
+    fin(transform(arr, x => PolyHash64Expr(x)))
+  }
+
   /** Distinct word-n-gram shingle hashes of a text, one primitive pass:
     * lowercase, split on whitespace runs, hash each n-gram (poly-31 over
     * the joined gram, splitmix-finalized), dedup. Semantically identical

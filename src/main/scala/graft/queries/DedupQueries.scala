@@ -140,9 +140,12 @@ object DedupQueries extends QueryPack {
     }),
 
     // SimHash fingerprint + hamming-band candidate counts per doc.
+    // Element hashes are PolyHash64 (not xxhash64) so the ENTIRE sketch
+    // — 63-bit majority vote, 16-bit hamming bands, candidate counts —
+    // is reproduced in DuckDB HUGEINT arithmetic and value-graded.
     "dedup_simhash" -> ((s, d) => {
       val docs = Tables.fanout(Tables.documents(s, d))
-        .select(col("doc_id"), simhash(elementHashes(tokens(col("text")))).as("sh"))
+        .select(col("doc_id"), simhash(polyElementHashes(tokens(col("text")))).as("sh"))
       val chunks = docs
         .select(col("doc_id"), explode(simhashChunks(col("sh"))).as("cc"))
         .select(col("doc_id"), col("cc.chunk").as("chunk"), col("cc.value").as("value"))
@@ -285,6 +288,60 @@ object DedupQueries extends QueryPack {
           coalesce(col("hit"), lit(0L)).as("is_dup"))
     }))
 
+  /** The whole SimHash sketch reproduced in DuckDB: PolyHash64 per token
+    * in HUGEINT mod-2^64 (same trick as the fingerprint oracle; ASCII
+    * corpus so ord(char) == byte), bit j extracted as (h // 2^j) % 2
+    * (identical to the JVM's logical shift on the unsigned residue),
+    * 63-term majority vote, then the 4×16-bit hamming-band candidate
+    * join. Value-grades simhash AND the banding counts. */
+  private val simhashOracle: String = {
+    val two64 = "CAST('18446744073709551616' AS HUGEINT)"
+    val seed = "CAST(1125899906842597 AS HUGEINT)"
+    // splitmix64 in HUGEINT, staged as chained list_transforms so each
+    // stage's input is a bound variable (never a re-evaluated
+    // subexpression). 64×64 multiply mod 2^64 splits the multiplicand
+    // at 2^32 to stay inside HUGEINT.
+    val K0 = java.lang.Long.toUnsignedString(0x9e3779b97f4a7c15L)
+    val K1 = java.lang.Long.toUnsignedString(0xbf58476d1ce4e5b9L)
+    val K2 = java.lang.Long.toUnsignedString(0x94d049bb133111ebL)
+    def mul64(a: String, k: String) =
+      s"((($a // 4294967296) * $k % 4294967296) * 4294967296 + ($a % 4294967296) * $k) % $two64"
+    val bitTerms = (0 until 63).map { j =>
+      val p = BigInt(2).pow(j).toString
+      s"(CASE WHEN 2 * list_sum(list_transform(hs, h -> CAST((h // $p) % 2 AS BIGINT))) > len(hs) THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+    val chunkRows = (0 until 4).map { c =>
+      val div = BigInt(2).pow(16 * c).toString
+      val sel = if (c == 0) s"SELECT doc_id, 0 AS c, (simhash // $div) % 65536 AS v FROM sh"
+      else s"SELECT doc_id, $c, (simhash // $div) % 65536 FROM sh"
+      sel
+    }.mkString("\n  UNION ALL ")
+    s"""WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0) AS ts
+  FROM documents),
+poly AS (
+  SELECT doc_id, list_transform(ts, t ->
+    (list_reduce(
+      list_prepend($seed,
+        list_transform(range(1, length(t) + 1), i -> CAST(ord(substr(t, i, 1)) AS HUGEINT))),
+      (acc, b) -> (acc * 31 + b) % $two64) + $K0) % $two64) AS h0
+  FROM toks),
+sm1 AS (SELECT doc_id, list_transform(h0, z -> xor(z, z // 1073741824)) AS h1 FROM poly),
+sm2 AS (SELECT doc_id, list_transform(h1, w -> ${mul64("w", K1)}) AS h2 FROM sm1),
+sm3 AS (SELECT doc_id, list_transform(h2, z -> xor(z, z // 134217728)) AS h3 FROM sm2),
+sm4 AS (SELECT doc_id, list_transform(h3, w -> ${mul64("w", K2)}) AS h4 FROM sm3),
+hashed AS (SELECT doc_id, list_transform(h4, z -> xor(z, z // 2147483648)) AS hs FROM sm4),
+sh AS (SELECT doc_id, CAST($bitTerms AS BIGINT) AS simhash FROM hashed),
+ex AS (
+  $chunkRows),
+cand AS (
+  SELECT DISTINCT a.doc_id, b.doc_id AS other
+  FROM ex a JOIN ex b ON a.c = b.c AND a.v = b.v AND a.doc_id <> b.doc_id),
+cnt AS (SELECT doc_id, count(*) AS n FROM cand GROUP BY 1)
+SELECT sh.doc_id, sh.simhash, CAST(coalesce(cnt.n, 0) AS BIGINT) AS n_band_candidates
+FROM sh LEFT JOIN cnt ON sh.doc_id = cnt.doc_id"""
+  }
+
   /** DuckDB 1-indexed unrolled dot product, same index order as
     * [[VectorFunctions.dotExpr]] so double summation matches bitwise. */
   private def dotSql(a: String, b: String): String =
@@ -356,6 +413,8 @@ object DedupQueries extends QueryPack {
          |WHERE round((${dotSql("a", "b")}) /
          |  sqrt((${dotSql("a", "a")}) * (${dotSql("b", "b")})), 6) >= $CosineThreshold""".stripMargin,
 
+    "dedup_simhash" -> simhashOracle,
+
     "dedup_incremental" ->
       s"""WITH toks AS (
          |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0) AS ts
@@ -400,6 +459,4 @@ object DedupQueries extends QueryPack {
          |SELECT a1.vec_id, a1.cluster, a1.sim,
          |  CAST(CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_dup
          |FROM a1 LEFT JOIN dups d ON a1.vec_id = d.vec_id""".stripMargin)
-  // dedup_simhash: xxhash64-derived fingerprints aren't reproducible in
-  // DuckDB → rows-only check.
 }
