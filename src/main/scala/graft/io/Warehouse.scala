@@ -115,6 +115,43 @@ object Warehouse {
       .sortWithinPartitions(cols.map(col): _*)
       .write.mode("overwrite").parquet(path)
 
+  /** 16-bit Morton (Z-curve) interleave of two normalized coordinates —
+    * pure bit expressions, stays in whole-stage codegen. */
+  private def morton16(x: Column, y: Column): Column =
+    (0 until 16).map { i =>
+      (shiftright(x, i).bitwiseAND(1) * lit(1L << (2 * i))) +
+        (shiftright(y, i).bitwiseAND(1) * lit(1L << (2 * i + 1)))
+    }.reduce(_ + _)
+
+  /** Z-ORDERED write: cluster files along a two-dimensional Z-curve so
+    * a selective predicate on EITHER column (or a box on both) touches
+    * few files — the layout lever `writeClustered` can't give once a
+    * second filter dimension matters, because lexicographic sort
+    * scatters the minor column across every file.
+    *
+    * Each column is min/max-normalized to 16 bits (one tiny agg job —
+    * at cluster scale these bounds come from table stats), the Morton
+    * code interleaves the bits, and files are range-partitioned + sorted
+    * by that code. WarehouseSpec measures the effect directly: matching
+    * rows for a box predicate concentrate in a fraction of the files
+    * that a round-robin layout spreads them over. */
+  def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String, files: Int = 16): Unit = {
+    val b = df.agg(
+      min(col(colA).cast("double")), max(col(colA).cast("double")),
+      min(col(colB).cast("double")), max(col(colB).cast("double"))).head
+    val (loA, hiA, loB, hiB) = (b.getDouble(0), b.getDouble(1), b.getDouble(2), b.getDouble(3))
+    def norm(c: String, lo: Double, hi: Double): Column = {
+      val span = math.max(hi - lo, Double.MinPositiveValue)
+      least(lit(65535), greatest(lit(0),
+        floor((col(c).cast("double") - lit(lo)) / lit(span) * 65535.0))).cast("long")
+    }
+    df.withColumn("__z", morton16(norm(colA, loA, hiA), norm(colB, loB, hiB)))
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Salted aggregation: spread a skewed groupBy key over `salts`
     * sub-keys, partial-aggregate, then merge — two small shuffles
     * instead of one shuffle with a straggler partition. `agg` must be

@@ -78,6 +78,23 @@ class WarehouseSpec extends AnyFunSuite {
     }
   }
 
+  test("z-order concentrates a box predicate into few files; round-robin spreads it") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder_").toString
+    // 100k points on a 1000x100 grid, two independent filter dimensions
+    val df = (0 until 100000).map(i => (i % 1000, i / 1000, i.toLong)).toDF("x", "y", "id")
+    Warehouse.writeZOrdered(df, s"$dir/z", "x", "y", files = 16)
+    df.repartition(16).write.mode("overwrite").parquet(s"$dir/rr")
+    def filesTouched(path: String): Long = spark.read.parquet(path)
+      .where(col("x").between(100, 150) && col("y").between(20, 40))
+      .select(input_file_name()).distinct().count()
+    val (z, rr) = (filesTouched(s"$dir/z"), filesTouched(s"$dir/rr"))
+    // same rows either way; the layout decides how many files hold them
+    assert(spark.read.parquet(s"$dir/z")
+      .where(col("x").between(100, 150) && col("y").between(20, 40)).count() == 51L * 21)
+    assert(rr == 16, s"round-robin should scatter the box across all files, got $rr")
+    assert(z <= 6, s"z-order should confine the box to a corner of the curve, got $z files")
+  }
+
   test("salted count equals plain count") {
     val df = (Seq.fill(500)("hot") ++ Seq("a", "b", "c")).toDF("k")
     val salted = Warehouse.saltedCount(df, "k").as[(String, Long)].collect().toMap
