@@ -48,6 +48,49 @@ object EventStreams {
   case class SessionState(start: Long, last: Long, n: Long, sum: Double)
   case class Session(user_id: Long, n_events: Long, duration_us: Long, sum_value: Double)
 
+  case class TypedEvent(user_id: Long, ts: Timestamp, event_type: String)
+  case class FunnelState(stage: Int, stageTs: Long)
+  case class FunnelAdvance(user_id: Long, stage_idx: Long, stage: String, ts: Timestamp)
+
+  /** Streaming conversion funnel: per-user stage machine over an
+    * ordered `stages` chain, the streaming twin of `q_events_funnel`.
+    * Emits one row each time a user ADVANCES a stage (strictly later
+    * event time than the previous stage — presence alone never
+    * advances, same rule as the batch query).
+    *
+    * State per user is two longs — stage index and its event time —
+    * regardless of traffic volume. Within a micro-batch events are
+    * sorted by event time; ACROSS batches the machine only moves
+    * forward, so an out-of-order straggler that arrives after a later
+    * stage was already taken is ignored (documented at-least-stage
+    * semantics — buffering until the watermark would trade state size
+    * for exact replay, which the batch query provides anyway). */
+  def streamingFunnel(
+      events: Dataset[TypedEvent],
+      stages: Seq[String] = Seq("view", "click", "purchase")): Dataset[FunnelAdvance] = {
+    import events.sparkSession.implicits._
+    require(stages.nonEmpty)
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelAdvance](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[TypedEvent], state: GroupState[FunnelState]) =>
+          val sorted = rows.toSeq.sortBy(_.ts.getTime)
+          var st = state.getOption.getOrElse(FunnelState(-1, Long.MinValue))
+          val out = Seq.newBuilder[FunnelAdvance]
+          sorted.foreach { e =>
+            val next = st.stage + 1
+            if (next < stages.length && e.event_type == stages(next) &&
+                (st.stage < 0 || e.ts.getTime > st.stageTs)) {
+              st = FunnelState(next, e.ts.getTime)
+              out += FunnelAdvance(user, next.toLong, stages(next), e.ts)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** Gap-based sessionization with explicit state
     * (flatMapGroupsWithState + processing-time timeout): a session
     * closes when `gapUs` passes without events; closed sessions are

@@ -90,6 +90,39 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming funnel: strict ordering per user, advances across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.EventStreams.TypedEvent
+    val mem = MemoryStream[TypedEvent]
+    val q = EventStreams.streamingFunnel(mem.toDS())
+      .writeStream.format("memory").queryName("funnel_adv")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(
+        // user 1: full ordered funnel within one batch
+        TypedEvent(1, ts(1), "view"), TypedEvent(1, ts(2), "click"), TypedEvent(1, ts(3), "purchase"),
+        // user 2: purchase BEFORE click -> purchase never counts
+        TypedEvent(2, ts(1), "view"), TypedEvent(2, ts(2), "purchase"), TypedEvent(2, ts(3), "click"),
+        // user 3: click BEFORE view -> only the view stage
+        TypedEvent(3, ts(1), "click"), TypedEvent(3, ts(2), "view"))
+      q.processAllAvailable()
+      // user 4 advances across separate micro-batches
+      mem.addData(TypedEvent(4, ts(1), "view"))
+      q.processAllAvailable()
+      mem.addData(TypedEvent(4, ts(2), "click"))
+      q.processAllAvailable()
+      val got = spark.table("funnel_adv")
+        .groupBy("user_id").count().as[(Long, Long)].collect().toMap
+      // stages reached: u1 all three, u2 view+click, u3 view only, u4 view+click
+      assert(got == Map(1L -> 3L, 2L -> 2L, 3L -> 1L, 4L -> 2L))
+      // and the emitted stage names respect the chain order per user
+      val u1 = spark.table("funnel_adv").where($"user_id" === 1L)
+        .orderBy("stage_idx").select("stage").as[String].collect().toSeq
+      assert(u1 == Seq("view", "click", "purchase"))
+    } finally q.stop()
+  }
+
   test("windowed counts run identically on a batch frame") {
     import spark.implicits._
     val batch = Seq((ts(1), "click", 1.0), (ts(4), "click", 2.0))
