@@ -59,7 +59,10 @@ object EventStreams {
     * advances, same rule as the batch query).
     *
     * State per user is two longs — stage index and its event time —
-    * regardless of traffic volume. Within a micro-batch events are
+    * regardless of traffic volume, and is DROPPED once the user
+    * completes the chain (a later first-stage event then starts a new
+    * conversion cycle — repeat conversions are separate funnel runs).
+    * Within a micro-batch events are
     * sorted by event time; ACROSS batches the machine only moves
     * forward, so an out-of-order straggler that arrives after a later
     * stage was already taken is ignored (documented at-least-stage
@@ -86,7 +89,10 @@ object EventStreams {
               out += FunnelAdvance(user, next.toLong, stages(next), e.ts)
             }
           }
-          state.update(st)
+          // a completed user can never advance again — drop the state
+          // rather than carrying it for the stream's lifetime
+          if (st.stage == stages.length - 1) state.remove()
+          else state.update(st)
           out.result().iterator
       }
   }
