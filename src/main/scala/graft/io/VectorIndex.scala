@@ -1,0 +1,80 @@
+package graft.io
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{VectorKMeans, VectorFunctions}
+import graft.functions.VectorFunctions._
+
+/** Persistent IVF index: the serving-path companion of the
+  * `sim_topk_ivf` query, with REAL trained centroids instead of the
+  * testdata's label column. `build` fits [[VectorKMeans]] (deterministic
+  * Lloyd) and writes the assignments bucketed by cluster; `probe` scans
+  * only each query's `nprobe` nearest cells.
+  *
+  * Probe plan shape (same logic as [[DedupIndex]]): the query batch +
+  * its probe list broadcast, the cell-bucketed index streams from disk
+  * unshuffled, and the only exchange is the per-query top-k window.
+  * Recall is a function of `nprobe`/`k`: VectorIndexSpec measures it
+  * against the brute-force query rather than assuming it.
+  */
+object VectorIndex {
+
+  /** Squared L2 distance between a vector column and a center column
+    * (unrolled, double math — same codegen posture as dotExpr). */
+  private def l2Sq(v: Column, c: Column, dim: Int): Column =
+    (0 until dim).map { i =>
+      val d = v.getItem(i).cast("double") - c.getItem(i).cast("double")
+      d * d
+    }.reduce(_ + _)
+
+  /** Fit k centers and persist `(vec_id, embedding, cluster)` bucketed
+    * by cluster as `table`, plus the centers as `<table>_centroids`.
+    * Returns the trained centers. */
+  def build(spark: SparkSession, vecs: DataFrame, table: String,
+      k: Int = 8, dim: Int = 64, iters: Int = 3, buckets: Int = 16): Array[Array[Double]] = {
+    import spark.implicits._
+    val model = VectorKMeans.fit(vecs, k, dim, iters)
+    vecs.select(col("vec_id"), col("embedding"))
+      .join(model.assign, "vec_id")
+      .write.mode("overwrite")
+      .bucketBy(buckets, "cluster").sortBy("cluster")
+      .format("parquet")
+      .saveAsTable(table)
+    model.centers.zipWithIndex
+      .map { case (ctr, c) => (c.toLong, ctr.toSeq) }.toSeq
+      .toDF("cluster", "center")
+      .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_centroids")
+    model.centers
+  }
+
+  /** Top-`k` cosine neighbors per query vector, scanning only the
+    * `nprobe` nearest cells of each query. `queries` needs columns
+    * (qid, qvec). */
+  def probe(spark: SparkSession, queries: DataFrame, table: String,
+      k: Int = 5, nprobe: Int = 2, dim: Int = 64): DataFrame = {
+    val cents = spark.table(s"${table}_centroids")
+    val byDist = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("d2").asc, col("cluster").asc)
+    // nprobe nearest cells per query — centroid table is k rows, the
+    // whole selection is a broadcast-sized computation
+    val probes = queries.crossJoin(broadcast(cents))
+      .select(col("qid"), col("qvec"), col("cluster"),
+        l2Sq(col("qvec"), col("center"), dim).as("d2"))
+      .withColumn("pr", row_number().over(byDist))
+      .where(col("pr") <= nprobe)
+      .select(col("qid"), col("qvec"), col("cluster"))
+    val idx = spark.table(table)
+    val bySim = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("sim").desc, col("vec_id").asc)
+    broadcast(probes).join(idx, "cluster")
+      .where(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        round(dotExpr(col("qvec"), col("embedding"), dim) /
+          sqrt(normSqExpr(col("qvec"), dim) * normSqExpr(col("embedding"), dim)), 6)
+          .as("sim"))
+      .withColumn("rank", row_number().over(bySim))
+      .where(col("rank") <= k)
+      .drop("rank")
+  }
+}
