@@ -152,8 +152,7 @@ object Soak {
     try {
       factors.foreach { k =>
         val dir = s"$workRoot/x$k"
-        (if (historyOnly) scaleDocumentsHistoryOnly(Tables.documents(spark, sfDir), k, sharedDen)
-         else scaleDocuments(Tables.documents(spark, sfDir), k, sharedDen))
+        scaleCopies(Tables.documents(spark, sfDir), k, sharedDen, historyOnly)
           .write.mode("overwrite").parquet(s"$dir/documents.parquet")
         if (onlyQueries.exists(q => q.contains("part") || q.contains("graph")))
           scaleLineitem(Tables.lineitem(spark, sfDir), k)

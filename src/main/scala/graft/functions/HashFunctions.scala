@@ -29,10 +29,15 @@ object HashFunctions {
     * document — measured as a full candidate cross-join before the
     * finalizer went in. */
   def polyElementHashes(arr: Column): Column = {
-    val fin = udf { (hs: Seq[Long]) =>
-      if (hs == null) null else hs.map(splitmix64).toArray
+    // one UDF pass (hash + finalize per element) — an interpreted
+    // transform feeding a second UDF would pay per-element expression
+    // eval plus an array ser/deser round-trip, the exact overhead this
+    // file's other kernels were measured out of
+    val f = udf { (ts: Seq[String]) =>
+      if (ts == null) null
+      else ts.map(t => splitmix64(PolyHash64Expr.compute(t))).toArray
     }
-    fin(transform(arr, x => PolyHash64Expr(x)))
+    f(arr)
   }
 
   /** Distinct word-n-gram shingle hashes of a text, one primitive pass:

@@ -139,6 +139,12 @@ object Warehouse {
     val b = df.agg(
       min(col(colA).cast("double")), max(col(colA).cast("double")),
       min(col(colB).cast("double")), max(col(colB).cast("double"))).head
+    if (b.isNullAt(0) || b.isNullAt(2)) {
+      // empty input (or all-null cluster column): nothing to order —
+      // write as-is instead of NPEing on the missing bounds
+      df.write.mode("overwrite").parquet(path)
+      return
+    }
     val (loA, hiA, loB, hiB) = (b.getDouble(0), b.getDouble(1), b.getDouble(2), b.getDouble(3))
     def norm(c: String, lo: Double, hi: Double): Column = {
       val span = math.max(hi - lo, Double.MinPositiveValue)

@@ -59,10 +59,15 @@ object EventStreams {
     * advances, same rule as the batch query).
     *
     * State per user is two longs — stage index and its event time —
-    * regardless of traffic volume, and is DROPPED once the user
-    * completes the chain (a later first-stage event then starts a new
-    * conversion cycle — repeat conversions are separate funnel runs).
-    * Within a micro-batch events are
+    * regardless of traffic volume, and is bounded two ways: completing
+    * the chain resets the machine immediately (a later first-stage
+    * event — same batch or later — starts a new conversion cycle, so
+    * output never depends on micro-batch boundaries), and users stalled
+    * mid-funnel longer than `idleTimeout` are evicted by a
+    * processing-time timeout (pass None to disable — note that with a
+    * timeout armed, the stream schedules batches continuously to fire
+    * evictions, so `processAllAvailable`-style test drivers should
+    * disable it). Within a micro-batch events are
     * sorted by event time; ACROSS batches the machine only moves
     * forward, so an out-of-order straggler that arrives after a later
     * stage was already taken is ignored (documented at-least-stage
@@ -70,30 +75,48 @@ object EventStreams {
     * for exact replay, which the batch query provides anyway). */
   def streamingFunnel(
       events: Dataset[TypedEvent],
-      stages: Seq[String] = Seq("view", "click", "purchase")): Dataset[FunnelAdvance] = {
+      stages: Seq[String] = Seq("view", "click", "purchase"),
+      idleTimeout: Option[String] = Some("7 days")): Dataset[FunnelAdvance] = {
     import events.sparkSession.implicits._
     require(stages.nonEmpty)
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[FunnelState, FunnelAdvance](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf) {
         (user: Long, rows: Iterator[TypedEvent], state: GroupState[FunnelState]) =>
-          val sorted = rows.toSeq.sortBy(_.ts.getTime)
-          var st = state.getOption.getOrElse(FunnelState(-1, Long.MinValue))
-          val out = Seq.newBuilder[FunnelAdvance]
-          sorted.foreach { e =>
-            val next = st.stage + 1
-            if (next < stages.length && e.event_type == stages(next) &&
-                (st.stage < 0 || e.ts.getTime > st.stageTs)) {
-              st = FunnelState(next, e.ts.getTime)
-              out += FunnelAdvance(user, next.toLong, stages(next), e.ts)
+          if (state.hasTimedOut) {
+            // stalled mid-funnel past idleTimeout: most users never
+            // convert, and without this the state store grows with
+            // lifetime distinct users, not active ones
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var st = state.getOption.getOrElse(FunnelState(-1, Long.MinValue))
+            val out = Seq.newBuilder[FunnelAdvance]
+            sorted.foreach { e =>
+              val next = st.stage + 1
+              if (next < stages.length && e.event_type == stages(next) &&
+                  (st.stage < 0 || e.ts.getTime > st.stageTs)) {
+                st = FunnelState(next, e.ts.getTime)
+                out += FunnelAdvance(user, next.toLong, stages(next), e.ts)
+                // completion resets IN the loop, so a later first-stage
+                // event in the SAME batch starts the next conversion
+                // cycle exactly as it would from a later batch — output
+                // must not depend on micro-batch boundaries
+                if (next == stages.length - 1) st = FunnelState(-1, Long.MinValue)
+              }
             }
+            if (st.stage < 0) state.remove()
+            else {
+              state.update(st)
+              idleTimeout.foreach(state.setTimeoutDuration)
+            }
+            out.result().iterator
           }
-          // a completed user can never advance again — drop the state
-          // rather than carrying it for the stream's lifetime
-          if (st.stage == stages.length - 1) state.remove()
-          else state.update(st)
-          out.result().iterator
       }
   }
 

@@ -16,6 +16,7 @@ class DedupIndexSpec extends AnyFunSuite {
   test("probe equals dedup_incremental's history slice; index side never exchanges") {
     val docs = Tables.documents(spark, sf)
     DedupIndex.build(docs.where(pmod(col("doc_id"), lit(2)) === 0), "dedup_idx_hist")
+    try {
     val probe = DedupIndex.probe(spark,
       docs.where(pmod(col("doc_id"), lit(2)) === 1), "dedup_idx_hist")
 
@@ -39,6 +40,6 @@ class DedupIndexSpec extends AnyFunSuite {
     assert(exchanges == 1, s"only the aggregation may exchange, got $exchanges:\n$p")
     assert(p.contains("BroadcastHashJoin Inner BuildLeft"),
       s"small batch should broadcast against the streamed index:\n$p")
-    spark.sql("DROP TABLE IF EXISTS dedup_idx_hist")
+    } finally spark.sql("DROP TABLE IF EXISTS dedup_idx_hist")
   }
 }

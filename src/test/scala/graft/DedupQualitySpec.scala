@@ -73,7 +73,8 @@ class DedupQualitySpec extends AnyFunSuite {
     // 5000 bound was an xxhash64-specific lucky number; the poly+
     // splitmix base lands at ~5.6k on this corpus — same order, and the
     // claim that matters is the fraction cut, not the hash's draw.)
-    val allPairs = 500L * 499 / 2
+    val n = Tables.documents(spark, sf).count()
+    val allPairs = n * (n - 1) / 2
     assert(cand.size < allPairs / 20, s"candidate explosion: ${cand.size} of $allPairs")
   }
 }

@@ -95,7 +95,10 @@ class EventStreamsSpec extends AnyFunSuite {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.EventStreams.TypedEvent
     val mem = MemoryStream[TypedEvent]
-    val q = EventStreams.streamingFunnel(mem.toDS())
+    // idleTimeout disabled: with a timeout armed the stream schedules
+    // batches continuously to fire evictions and processAllAvailable
+    // never settles (see streamingFunnel scaladoc)
+    val q = EventStreams.streamingFunnel(mem.toDS(), idleTimeout = None)
       .writeStream.format("memory").queryName("funnel_adv")
       .outputMode(OutputMode.Append).start()
     try {
@@ -105,17 +108,23 @@ class EventStreamsSpec extends AnyFunSuite {
         // user 2: purchase BEFORE click -> purchase never counts
         TypedEvent(2, ts(1), "view"), TypedEvent(2, ts(2), "purchase"), TypedEvent(2, ts(3), "click"),
         // user 3: click BEFORE view -> only the view stage
-        TypedEvent(3, ts(1), "click"), TypedEvent(3, ts(2), "view"))
+        TypedEvent(3, ts(1), "click"), TypedEvent(3, ts(2), "view"),
+        // user 5: completes AND re-enters within one batch — the reset
+        // must not depend on the micro-batch boundary
+        TypedEvent(5, ts(1), "view"), TypedEvent(5, ts(2), "click"),
+        TypedEvent(5, ts(3), "purchase"), TypedEvent(5, ts(4), "view"))
       q.processAllAvailable()
-      // user 4 advances across separate micro-batches
-      mem.addData(TypedEvent(4, ts(1), "view"))
+      // user 4 advances across separate micro-batches; user 5's second
+      // cycle continues from the view taken in the previous batch
+      mem.addData(TypedEvent(4, ts(1), "view"), TypedEvent(5, ts(5), "click"))
       q.processAllAvailable()
       mem.addData(TypedEvent(4, ts(2), "click"))
       q.processAllAvailable()
       val got = spark.table("funnel_adv")
         .groupBy("user_id").count().as[(Long, Long)].collect().toMap
-      // stages reached: u1 all three, u2 view+click, u3 view only, u4 view+click
-      assert(got == Map(1L -> 3L, 2L -> 2L, 3L -> 1L, 4L -> 2L))
+      // stages reached: u1 all three, u2 view+click, u3 view only,
+      // u4 view+click, u5 full cycle + second cycle view+click
+      assert(got == Map(1L -> 3L, 2L -> 2L, 3L -> 1L, 4L -> 2L, 5L -> 5L))
       // and the emitted stage names respect the chain order per user
       val u1 = spark.table("funnel_adv").where($"user_id" === 1L)
         .orderBy("stage_idx").select("stage").as[String].collect().toSeq

@@ -16,6 +16,7 @@ class VectorIndexSpec extends AnyFunSuite {
   test("probe recall vs brute force is measured and bounded; index never exchanges") {
     val vecs = Tables.embeddings(spark, sf)
     VectorIndex.build(spark, vecs, "vec_idx_test", k = 8, dim = 64, iters = 2)
+    try {
     val queries = vecs.where(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     val probe = VectorIndex.probe(spark, queries, "vec_idx_test", k = 5, nprobe = 2)
@@ -32,17 +33,26 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(recall >= 0.75, s"IVF recall@5 regressed: $recall")
     assert(got.size == truth.size, "probe returns a full top-k per query")
 
-    // plan: both Exchanges are BATCH-proportional (the nprobe-selection
-    // window over queries×centroids — Q·k rows — and the per-query
-    // top-k window); the probe list broadcasts into the join, so the
-    // corpus-proportional index side streams from disk unshuffled
+    // plan: the probe list broadcasts into the join, so the
+    // corpus-proportional index side streams from disk unshuffled. Two
+    // Exchanges remain — the nprobe-selection window (Q·k rows) and the
+    // per-query top-k — and the top-k one is NOT the candidate slice:
+    // a partial WindowGroupLimit below it prunes every map partition to
+    // k rows per query before the shuffle.
     val p = probe.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-    val exchanges = "\\(\\d+\\) Exchange\\b".r.findAllIn(p).length
-    assert(exchanges == 2, s"only batch-sized subplans may exchange, got $exchanges:\n$p")
+    val exchanges = "\\(\\d+\\) Exchange\\b".r.findAllIn(p).map(identity).toSeq
+    assert(exchanges.length == 2, s"only pruned subplans may exchange, got $exchanges:\n$p")
     assert(p.contains("BroadcastHashJoin Inner BuildLeft"),
       s"the probe list must broadcast against the streamed index:\n$p")
-    spark.sql("DROP TABLE IF EXISTS vec_idx_test")
-    spark.sql("DROP TABLE IF EXISTS vec_idx_test_centroids")
+    val steps = "\\((\\d+)\\) (Exchange|WindowGroupLimit)\\b".r.findAllMatchIn(p)
+      .map(m => (m.group(1).toInt, m.group(2))).toSeq
+    val lastExchange = steps.collect { case (n, "Exchange") => n }.max
+    assert(steps.exists { case (n, kind) => kind == "WindowGroupLimit" && n < lastExchange },
+      s"map-side rank limit must prune below the top-k exchange:\n$p")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS vec_idx_test")
+      spark.sql("DROP TABLE IF EXISTS vec_idx_test_centroids")
+    }
   }
 }
