@@ -15,7 +15,13 @@ object Bench {
       spark.read.parquet(s"$sfDir/lineitem.parquet").count()
       SparkEntry.queries("text_token_count")(spark, sfDir).count()
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=a,b,c: time a few queries during local iteration
+    // (the driver never sets it — its bench always covers everything)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       // drop cross-query cached relations so each query pays its own cost
       spark.catalog.clearCache()
       val t0 = System.nanoTime()

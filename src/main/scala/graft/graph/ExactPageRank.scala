@@ -1,0 +1,97 @@
+package graft.graph
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** PageRank over scaled 64-bit integers — bit-identical on every run,
+  * partitioning, and engine.
+  *
+  * Float PageRank (GraphX `staticPageRank`, reference
+  * ScipiBatchCommunity-style jobs) is only reproducible up to summation
+  * order, which is why `graph_part_pagerank` is rows-only-checked. This
+  * variant makes the *whole* iteration integer arithmetic:
+  *
+  *   - ranks are scaled by 1e9 (`Scale`), initialised to `Scale`
+  *   - a vertex sends `rank div deg` to each neighbour (truncating
+  *     64-bit division — all values non-negative, so Spark's `div` and
+  *     DuckDB's `//` agree)
+  *   - new rank = `0.15*Scale + (85 * sum(contribs)) div 100`
+  *
+  * Integer addition is associative and commutative, so the shuffle's
+  * combine order can't change a single bit — the result is a hard value
+  * oracle for DuckDB (the same ten iterations unrolled as CTEs).
+  *
+  * Scale envelope: total rank mass stays ~`V * Scale`; the `85 * sum`
+  * intermediate needs `85 * V * 1e9 < 2^63`, good to ~1e8 vertices. A
+  * larger graph lowers `Scale` (the iteration is exact at any scale;
+  * only the published precision changes).
+  *
+  * The graph is treated as undirected (each edge sends both ways), which
+  * is the natural reading of a co-occurrence graph. Every vertex has
+  * degree >= 1 by construction (it appears in an edge), so there are no
+  * dangling-mass corrections and the contribution join is inner.
+  */
+object ExactPageRank {
+
+  val Scale: Long = 1000000000L           // 1e9: rank fixed-point scale
+  val Reset: Long = 150000000L            // 0.15 * Scale
+  val DampNum = 85L                       // 0.85 damping as a ratio
+  val DampDen = 100L
+
+  /** Ranks after `iters` synchronous iterations.
+    *
+    * @param edges (src: long, dst: long) undirected edge list, one row
+    *              per unordered pair (the transform adds the reverse
+    *              direction itself)
+    * @return (v: long, rank_scaled: long)
+    */
+  def run(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    // Hash-partition the directed edge list by src BEFORE caching: the
+    // per-iteration contribution join then finds both sides already
+    // partitioned on the join key (contrib inherits hashpartitioning(v)
+    // from the previous groupBy), so each iteration pays exactly ONE
+    // exchange — the message stream regrouping by dst. Without this the
+    // edge table (the big side) re-exchanges every iteration: measured
+    // ~10× slower at sf0.1.
+    val und = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("src"))
+    // Degree table doubles as the vertex set; caching it (and the edge
+    // list) keeps the 10-iteration plan from rescanning the source.
+    val deg = graft.CacheRegistry.persistTracked(
+      und.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg")))
+    val undC = graft.CacheRegistry.persistTracked(und)
+
+    var rank = deg.select(col("v"), lit(Scale).as("rank"))
+    for (_ <- 1 to iters) {
+      val contrib = rank.join(deg, "v")
+        .select(col("v").as("cv"), expr("rank div deg").as("c"))
+      rank = undC.join(contrib, undC("src") === col("cv"))
+        .groupBy(col("dst").as("v"))
+        .agg((lit(Reset) + expr(s"($DampNum * sum(c)) div $DampDen")).as("rank"))
+    }
+    rank.select(col("v"), col("rank").as("rank_scaled"))
+  }
+
+  /** The identical ten iterations as one DuckDB query: `r0..r{iters}`
+    * unrolled CTEs over an `edges(src, dst)` CTE supplied by the caller.
+    * Emits the same `(v, rank_scaled)` relation as [[run]].
+    */
+  def oracleCtes(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""r$i AS (
+         |  SELECT u.dst AS v,
+         |         CAST($Reset + ($DampNum * sum(r.rank // g.deg)) // $DampDen AS BIGINT) AS rank
+         |  FROM und u
+         |  JOIN r${i - 1} r ON r.v = u.src
+         |  JOIN deg g ON g.v = u.src
+         |  GROUP BY 1)""".stripMargin
+    }
+    (Seq(
+      "und AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges)",
+      "deg AS (SELECT src AS v, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY 1)",
+      s"r0 AS (SELECT v, CAST($Scale AS BIGINT) AS rank FROM deg)") ++ steps)
+      .mkString(",\n")
+  }
+}

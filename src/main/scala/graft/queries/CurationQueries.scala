@@ -161,6 +161,33 @@ object CurationQueries extends QueryPack {
         .select(col("doc_id"), col("lang"), col("h"))
     }),
 
+    // Vocabulary-coverage curve: what fraction of all token occurrences
+    // the top-K most frequent tokens cover — the datapoint a
+    // tokenizer/vocab-size decision reads. K = 5/10/25 keeps the curve
+    // populated on the synthetic 31-term vocabulary; a real corpus uses
+    // 1e3..1e5 with the identical plan. The token count is one
+    // map-side-combined shuffle; the top-K head is a TakeOrdered (no
+    // global sort of the vocabulary), and the cumsum window runs on
+    // those few rows only. Rows for a K larger than the vocabulary are
+    // absent on both engines alike.
+    "pipe_vocab_coverage" -> ((s, d) => {
+      val counts = Tables.documents(s, d)
+        .select(explode(tokens(col("text"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("cnt"))
+      val total = counts.agg(sum(col("cnt")).as("total_tokens"))
+      val byCnt = Window.partitionBy().orderBy(col("cnt").desc, col("term").asc)
+      counts.orderBy(col("cnt").desc, col("term").asc).limit(25)
+        .withColumn("k", row_number().over(byCnt).cast("long"))
+        .withColumn("covered_tokens", sum(col("cnt")).over(
+          byCnt.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .where(col("k").isin(5L, 10L, 25L))
+        .crossJoin(broadcast(total))
+        .select(col("k"), col("covered_tokens"), col("total_tokens"),
+          round(col("covered_tokens").cast("double") / col("total_tokens"), 6)
+            .as("coverage"))
+        .orderBy("k")
+    }),
+
     // Ordered conversion funnel over the event stream: users whose
     // first view precedes a click that precedes a purchase. Strict
     // event-time ordering (not mere presence) — the thing a naive
@@ -266,6 +293,24 @@ object CurationQueries extends QueryPack {
         |    row_number() OVER (PARTITION BY lang ORDER BY h ASC, doc_id ASC) AS rn
         |  FROM h)
         |SELECT doc_id, lang, CAST(h AS BIGINT) AS h FROM r WHERE rn <= 20""".stripMargin,
+
+    "pipe_vocab_coverage" ->
+      """WITH t AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |    t -> length(t) > 0)) AS term
+        |  FROM documents),
+        |c AS (SELECT term, count(*) AS cnt FROM t GROUP BY 1),
+        |tot AS (SELECT sum(cnt) AS total FROM c),
+        |r AS (
+        |  SELECT cnt,
+        |    row_number() OVER (ORDER BY cnt DESC, term ASC) AS k,
+        |    sum(cnt) OVER (ORDER BY cnt DESC, term ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM c)
+        |SELECT CAST(k AS BIGINT) AS k, CAST(cum AS BIGINT) AS covered_tokens,
+        |  CAST(total AS BIGINT) AS total_tokens,
+        |  round(cum * 1.0 / total, 6) AS coverage
+        |FROM r, tot WHERE k IN (5, 10, 25) ORDER BY k""".stripMargin,
 
     "q_events_funnel" ->
       """WITH v AS (

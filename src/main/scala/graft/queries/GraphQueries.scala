@@ -103,6 +103,18 @@ object GraphQueries extends QueryPack {
       }
     }),
 
+    // PageRank again, but in scaled-integer arithmetic (ExactPageRank):
+    // bit-identical under any partitioning/summation order, so unlike
+    // the float tier above it gets a hard DuckDB value oracle (the same
+    // ten iterations unrolled as CTEs). Top-20 hub parts.
+    // run() tracks its edge/degree caches in CacheRegistry; the
+    // Verify/Bench harness releases them after consuming the result.
+    "graph_part_pagerank_exact" -> ((s, d) =>
+      graft.graph.ExactPageRank.run(cooccurEdges(s, d).select("src", "dst"), iters = 10)
+        .orderBy(col("rank_scaled").desc, col("v").asc)
+        .limit(20)
+        .select(col("v").as("pkey"), col("rank_scaled"))),
+
     // Triangle counts: how clique-ish each part's neighborhood is.
     "graph_part_triangles" -> ((s, d) =>
       graphHistogram(s, d, Seq("triangles", "n_parts")) { g =>
@@ -141,6 +153,14 @@ object GraphQueries extends QueryPack {
   // float summation order → rows-only. Components and triangle counts
   // are deterministic graph facts and get exact SQL oracles.
   override def oracles: Map[String, String] = Map(
+    // The scaled-integer PageRank is exactly reproducible, so the oracle
+    // replays the identical ten iterations (unrolled CTEs) in DuckDB.
+    "graph_part_pagerank_exact" ->
+      s"""WITH $edgesCte,
+         |${graft.graph.ExactPageRank.oracleCtes(10)}
+         |SELECT v AS pkey, rank AS rank_scaled FROM r10
+         |ORDER BY rank_scaled DESC, pkey ASC LIMIT 20""".stripMargin,
+
     // Connected components via min-label transitive closure (the giant
     // component makes this quadratic — fine at oracle scale).
     "graph_part_components" ->

@@ -114,6 +114,24 @@ object MiscQueries extends QueryPack {
           sum(col("l_quantity")).cast("long").as("sum_qty"))
     }),
 
+    // Salted skew join: the planned fix for a hot probe key — each
+    // lineitem row picks a deterministic shard from its own content,
+    // orders replicate once per shard, and the join key becomes
+    // (orderkey, shard) so no single reducer owns a hot key's whole
+    // mass. Output EQUALS the plain join (the salt never reaches the
+    // result), so the plain-join SQL oracles it; ScalePatternsSpec pins
+    // the mechanism (probe rows of one key really do spread).
+    "q_skew_salted_join" -> ((s, d) =>
+      graft.functions.SkewJoin.salted(
+          Tables.lineitem(s, d), Tables.orders(s, d),
+          probeKey = "l_orderkey", buildKey = "o_orderkey", salts = 8,
+          probeSalt = xxhash64(col("l_orderkey"), col("l_linenumber")))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          // quantities are integer-valued doubles -> the sum is exact
+          sum(col("l_quantity")).cast("long").as("sum_qty"))
+        .orderBy("o_orderpriority")),
+
     // The same pricing summary through the SQL string interface.
     "q_sql_interface" -> ((s, d) => {
       Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
@@ -158,6 +176,14 @@ object MiscQueries extends QueryPack {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000.0
         |GROUP BY 1""".stripMargin,
+
+    // The salt is internal to the shuffle layout — the result is the
+    // plain join's, so the plain join grades it.
+    "q_skew_salted_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_sql_interface" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,

@@ -59,6 +59,48 @@ object TpchQueries extends QueryPack {
         .orderBy(col("revenue").desc, col("c_custkey").asc)
         .limit(20)),
 
+    // Q4 analogue: correlated EXISTS with an inequality on the outer row
+    // (orders with any line shipped after the order date). Spark's
+    // decorrelation target is a LEFT SEMI join carrying the extra
+    // predicate — no per-row subquery execution, one shuffle pair.
+    // (The testdata lineitem has no commit/receipt dates, so "late
+    // shipment" stands in for TPC-H's commit-vs-receipt test.)
+    "q4_order_priority" -> ((s, d) =>
+      Tables.orders(s, d)
+        .where(col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1996-04-01"))
+        .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_shipdate")),
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderpriority"))),
+
+    // Q17 analogue: correlated scalar-aggregate subquery (lines under
+    // 20% of their part's average quantity), decorrelated by hand into
+    // a per-part aggregate joined back — the subquery runs once as a
+    // grouped agg, not once per outer row. The brand filter broadcasts
+    // into BOTH the probe scan and the average (a part's average is
+    // unaffected by filtering on the part's own brand), so at scale the
+    // heavy table is cut before any shuffle.
+    // Determinism note: quantities are integer-valued doubles, so
+    // sum/avg are exact in IEEE double and 0.2*avg is one correctly-
+    // rounded multiply — identical in DuckDB.
+    "q17_small_qty_revenue" -> ((s, d) => {
+      val bparts = Tables.part(s, d)
+        .where(col("p_brand") === "Brand#23").select(col("p_partkey"))
+      val li = Tables.lineitem(s, d)
+        .join(broadcast(bparts), col("l_partkey") === col("p_partkey"))
+      val cutoff = li.groupBy(col("l_partkey").as("c_pkey"))
+        .agg((lit(0.2) * avg(col("l_quantity"))).as("qty_cutoff"))
+      li.join(broadcast(cutoff), col("l_partkey") === col("c_pkey"))
+        .where(col("l_quantity") < col("qty_cutoff"))
+        .agg((sum(dec(col("l_extendedprice"))).cast("decimal(38,4)")
+          .cast("double") / 7.0).as("avg_yearly"),
+          count(lit(1)).as("n_lines"))
+    }),
+
     // As-of join: each click enriched with the user's latest prior (or
     // simultaneous) signup event id.
     "q_events_asof" -> ((s, d) => {
@@ -104,6 +146,22 @@ object TpchQueries extends QueryPack {
          |WHERE l_returnflag = 'R'
          |GROUP BY 1, 2, 3
          |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin,
+
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q17_small_qty_revenue" ->
+      """SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) / 7.0 AS avg_yearly,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#23'
+        |  AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+        |                    WHERE l2.l_partkey = lineitem.l_partkey)""".stripMargin,
 
     "q_events_asof" ->
       """SELECT l.event_id, l.user_id, r.signup_id

@@ -58,6 +58,35 @@ object WindowQueries extends QueryPack {
             .cast("double").as("sum_1h"))
     }),
 
+    // Attribution interval join: every click paired with the view(s) it
+    // follows within an hour, same user. The SHARED kernel with the
+    // streaming path (EventStreams.clickAttribution — watermarked
+    // stream-stream join with bounded state); in batch the same plan is
+    // an equi-join on user_id with the interval as a post-join filter.
+    "q_events_attribution" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      graft.streaming.EventStreams.clickAttribution(
+          views = ev.where(col("event_type") === "view"),
+          clicks = ev.where(col("event_type") === "click"),
+          horizon = "1 hour")
+        .select("click_id", "user_id", "view_id")
+    }),
+
+    // Cohort retention curve: users grouped by first-activity day, how
+    // many are still active N days later. ONE shuffle on user_id — the
+    // per-user day set rides a collect_set (bounded: the table spans 30
+    // days, and map-side combine dedups before the exchange), the cohort
+    // day is just array_min of it, and the final day_offset histogram is
+    // a ~30-key aggregate.
+    "q_events_retention" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .groupBy("user_id").agg(collect_set("day").as("days"))
+        .select(explode(col("days")).as("day"), array_min(col("days")).as("d0"))
+        .select(datediff(col("day"), col("d0")).cast("long").as("day_offset"))
+        .groupBy("day_offset").agg(count(lit(1)).as("n_users"))
+        .orderBy("day_offset")),
+
     // Exact percentiles of per-document token counts.
     "q_token_percentiles" -> ((s, d) =>
       Tables.documents(s, d)
@@ -108,6 +137,21 @@ object WindowQueries extends QueryPack {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q_events_attribution" ->
+      """SELECT c.event_id AS click_id, c.user_id, v.event_id AS view_id
+        |FROM events c
+        |JOIN events v ON c.user_id = v.user_id
+        |  AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL 1 HOUR
+        |WHERE c.event_type = 'click' AND v.event_type = 'view'""".stripMargin,
+
+    "q_events_retention" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |c AS (SELECT user_id, min(day) AS d0 FROM ud GROUP BY 1)
+        |SELECT CAST(date_diff('day', d0, day) AS BIGINT) AS day_offset,
+        |  count(*) AS n_users
+        |FROM ud JOIN c USING (user_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_token_percentiles" ->
       """SELECT

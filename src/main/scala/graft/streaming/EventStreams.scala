@@ -120,6 +120,36 @@ object EventStreams {
       }
   }
 
+  /** Stream-stream interval join — the attribution join: every click
+    * paired with the view(s) it follows within `horizon` for the same
+    * user. In streaming BOTH sides must carry watermarks and the join
+    * condition must bound event-time distance; together they let Spark
+    * evict buffered rows once `watermark - horizon` passes, so join
+    * state is bounded by traffic inside the horizon, not the stream's
+    * lifetime. The same plan runs on batch DataFrames (watermark is a
+    * no-op there): an equi-join on user_id with the interval as a
+    * post-join filter — per-user row counts bound the work, no
+    * cartesian blowup. Inner join: un-attributed clicks drop (a left
+    * outer variant would emit them with nulls once the watermark
+    * closes the window — semantics identical, latency deferred).
+    */
+  def clickAttribution(
+      views: DataFrame,
+      clicks: DataFrame,
+      horizon: String = "1 hour",
+      lateness: String = "30 minutes"): DataFrame = {
+    val v = views.select(col("event_id").as("view_id"),
+        col("user_id").as("v_user"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", lateness)
+    val c = clicks.select(col("event_id").as("click_id"),
+        col("user_id"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", lateness)
+    c.join(v, expr(
+        s"user_id = v_user AND v_ts <= c_ts AND v_ts >= c_ts - INTERVAL $horizon"))
+      .select(col("click_id"), col("user_id"), col("view_id"),
+        col("v_ts"), col("c_ts"))
+  }
+
   /** Gap-based sessionization with explicit state
     * (flatMapGroupsWithState + processing-time timeout): a session
     * closes when `gapUs` passes without events; closed sessions are

@@ -132,6 +132,43 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join attributes clicks to in-horizon views") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[(Long, Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    val cols = Seq("event_id", "user_id", "ts")
+    val q = EventStreams.clickAttribution(
+        views.toDF().toDF(cols: _*), clicks.toDF().toDF(cols: _*),
+        horizon = "1 hour", lateness = "10 minutes")
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1: view at t0 and t30; clicks at t20 (sees view@0) and
+      // t75 (sees only view@30 — view@0 is past the 1h horizon).
+      // user 2: click with NO prior view -> never emitted (inner join).
+      // view AFTER the click (user 1 view@80 vs click@75) never matches.
+      views.addData((100L, 1L, ts(0)), (101L, 1L, ts(30)), (102L, 1L, ts(80)))
+      clicks.addData((200L, 1L, ts(20)), (201L, 1L, ts(75)), (202L, 2L, ts(75)))
+      q.processAllAvailable()
+      val got = spark.table("attrib").select("click_id", "view_id")
+        .as[(Long, Long)].collect().toSet
+      // click@20 -> view@0 only; click@75 -> view@30 only (view@0 is
+      // outside the horizon, view@80 is after the click); user 2 absent
+      assert(got == Set((200L, 100L), (201L, 101L)))
+    } finally q.stop()
+  }
+
+  test("interval join kernel runs identically on batch frames") {
+    import spark.implicits._
+    val cols = Seq("event_id", "user_id", "ts")
+    val v = Seq((100L, 1L, ts(0)), (101L, 1L, ts(30))).toDF(cols: _*)
+    val c = Seq((200L, 1L, ts(20)), (201L, 1L, ts(75))).toDF(cols: _*)
+    val got = EventStreams.clickAttribution(v, c).select("click_id", "view_id")
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((200L, 100L), (201L, 101L)))
+  }
+
   test("windowed counts run identically on a batch frame") {
     import spark.implicits._
     val batch = Seq((ts(1), "click", 1.0), (ts(4), "click", 2.0))

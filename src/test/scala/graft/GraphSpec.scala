@@ -58,4 +58,51 @@ class GraphSpec extends AnyFunSuite {
     val sub = CommunityDetection.subgraphByLabels(g, Set(10L))
     assert(sub.vertices.count() == 2 && sub.edges.count() == 1)
   }
+
+  /** Plain-Scala replay of ExactPageRank's integer iteration — an
+    * implementation-independent reference for the Spark version. */
+  private def referenceRanks(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    import graft.graph.ExactPageRank._
+    val und = edges ++ edges.map { case (a, b) => (b, a) }
+    val nbrs = und.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val deg = nbrs.view.mapValues(_.size.toLong).toMap
+    var rank = deg.keys.map(_ -> Scale).toMap
+    for (_ <- 1 to iters) {
+      val contrib = rank.map { case (v, r) => v -> r / deg(v) }
+      rank = nbrs.map { case (v, ns) =>
+        v -> (Reset + (DampNum * ns.map(contrib).sum) / DampDen)
+      }
+    }
+    rank
+  }
+
+  test("ExactPageRank matches a plain-Scala replay bit-for-bit") {
+    val fixture = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+    val edges = fixture.toDF("src", "dst")
+    val got = graft.graph.ExactPageRank.run(edges, iters = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(got == referenceRanks(fixture, 10))
+    // the degree-3 hub of the triangle+pendant must outrank everyone
+    assert(got(3L) == got.values.max)
+    SparkEntry.releaseCaches()
+  }
+
+  test("ExactPageRank is invariant under repartitioning (integer determinism)") {
+    val fixture = (1L to 40L).flatMap(i => Seq((i, i % 20 + 41L), (i, (i * 7) % 20 + 41L)))
+      .distinct
+    val a = graft.graph.ExactPageRank.run(fixture.toDF("src", "dst"), iters = 10)
+      .as[(Long, Long)].collect().toMap
+    SparkEntry.releaseCaches()
+    val b = graft.graph.ExactPageRank.run(
+        fixture.toDF("src", "dst").repartition(13), iters = 10)
+      .as[(Long, Long)].collect().toMap
+    SparkEntry.releaseCaches()
+    assert(a == b)
+    // floor division only ever loses mass: total stays within (V*Scale] and
+    // the leak across 10 iterations is bounded (sanity on the fixed point)
+    val v = a.size.toLong
+    import graft.graph.ExactPageRank.Scale
+    assert(a.values.sum <= v * Scale)
+    assert(a.values.sum >= (v * Scale * 97L) / 100L)
+  }
 }

@@ -146,6 +146,40 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert(p.contains("hashpartitioning(user_id"), s"the exchange must hash on user_id:\n$p")
   }
 
+  test("q_skew_salted_join: build replicated via explode, join keyed on (key, salt)") {
+    val p = planOf("q_skew_salted_join")
+    // formatted mode prints the node as "(n) Generate" with the
+    // explode() on its Arguments line
+    assert("\\(\\d+\\) Generate".r.findFirstIn(p).isDefined && p.contains("explode("),
+      s"build side must replicate once per salt shard via explode:\n$p")
+    assert(p.contains("__salt"), s"join keys must include the salt shard:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q17_small_qty_revenue: brand filter pushed to the part scan, cutoff broadcast back") {
+    val p = planOf("q17_small_qty_revenue")
+    assert(p.contains("EqualTo(p_brand,Brand#23)"),
+      s"brand filter must reach the part parquet scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"brand part keys and per-part cutoffs must broadcast (the probe never shuffles):\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"nothing in q17 should shuffle-join at this dimensionality:\n$p")
+  }
+
+  test("q_events_attribution: interval join stays an equi-join on user_id") {
+    val p = planOf("q_events_attribution")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"the time interval must be a post-join filter on the user_id equi-join, not a nested loop:\n$p")
+  }
+
+  test("q_events_retention: per-user day set rides one user_id hash partitioning") {
+    val p = planOf("q_events_retention")
+    assert(p.contains("hashpartitioning(user_id"),
+      s"retention must aggregate day sets on a user_id exchange:\n$p")
+    assert(p.contains("objHashAggregate") || p.contains("ObjectHashAggregate"),
+      s"collect_set should run as an object hash aggregate:\n$p")
+  }
+
   test("q_events_sessions: exactly one shuffle (window + agg reuse the same hash partitioning)") {
     val p = planOf("q_events_sessions")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length

@@ -26,6 +26,28 @@ class ScalePatternsSpec extends AnyFunSuite {
     assert(kept >= trueMatches, "bloom may never drop a true match")
   }
 
+  test("salted join: equals the plain join AND really spreads a hot key") {
+    import spark.implicits._
+    import graft.functions.SkewJoin
+    // hot fixture: one key owns 90% of the probe side
+    val probe = ((1 to 900).map(i => (7L, i.toLong)) ++
+      (1 to 100).map(i => (i.toLong % 5, 1000L + i))).toDF("k", "payload")
+    val build = Seq((7L, "hot"), (0L, "a"), (1L, "b"), (2L, "c"),
+      (3L, "d"), (4L, "e")).toDF("bk", "name")
+    val salted = SkewJoin.salted(probe, build, "k", "bk",
+      salts = 8, probeSalt = xxhash64(col("k"), col("payload")))
+    val plain = probe.join(build, col("k") === col("bk"))
+    assert(salted.select("k", "payload", "bk", "name").as[(Long, Long, Long, String)]
+      .collect().sorted.toSeq ==
+      plain.select("k", "payload", "bk", "name").as[(Long, Long, Long, String)]
+        .collect().sorted.toSeq)
+    // the mechanism: the hot key's probe rows occupy SEVERAL salt shards
+    val shards = probe.where(col("k") === 7L)
+      .select(pmod(xxhash64(col("k"), col("payload")), lit(8L)))
+      .distinct().count()
+    assert(shards >= 6, s"hot key only hit $shards of 8 salt shards")
+  }
+
   test("sequence packing: windows tile each shard's token stream exactly") {
     import spark.implicits._
     val out = SparkEntry.queries("pipe_seq_packing")(spark, sf)
