@@ -31,6 +31,26 @@ object AlgebraQueries extends QueryPack {
         .except(o.where(year(col("o_orderdate")) === 1996).select("o_custkey"))
     }),
 
+    // INTERSECT: customers active in BOTH 1995 and 1996 (set semantics —
+    // dedup rides the same hash exchange as the intersection itself).
+    "q_intersect_customers" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      o.where(year(col("o_orderdate")) === 1995).select("o_custkey")
+        .intersect(o.where(year(col("o_orderdate")) === 1996).select("o_custkey"))
+    }),
+
+    // CUBE: order counts over every subset of (year, status) — all four
+    // grouping sets in ONE shuffle (the expansion happens map-side, each
+    // row tagged with its grouping id before the exchange).
+    "q_cube_orders" -> ((s, d) =>
+      Tables.orders(s, d)
+        .cube(year(col("o_orderdate")).as("o_year"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          // totalprice has cents: exact DECIMAL sum shipped as DOUBLE,
+          // same policy as every money aggregate
+          sum(col("o_totalprice").cast("decimal(18,4)")).cast("double")
+            .as("sum_price"))),
+
     // Left-semi: orders having at least one heavy lineitem.
     "q_semi_join" -> ((s, d) =>
       Tables.orders(s, d)
@@ -66,6 +86,18 @@ object AlgebraQueries extends QueryPack {
       """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
         |EXCEPT
         |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996""".stripMargin,
+
+    "q_intersect_customers" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996""".stripMargin,
+
+    "q_cube_orders" ->
+      """SELECT year(o_orderdate) AS o_year, o_orderstatus,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |GROUP BY CUBE (year(o_orderdate), o_orderstatus)""".stripMargin,
 
     "q_semi_join" ->
       """SELECT o_orderstatus, count(*) AS cnt FROM orders

@@ -101,6 +101,26 @@ object TpchQueries extends QueryPack {
           count(lit(1)).as("n_lines"))
     }),
 
+    // Q15 analogue: global-max scalar subquery — supplier(s) whose
+    // quarterly revenue EQUALS the maximum. The equality runs on exact
+    // DECIMALs (never compare doubles for selection!); only the shipped
+    // column casts to DOUBLE. The 1-row max broadcasts, as does the
+    // 100-row supplier dim — the revenue table shuffles once, on
+    // l_suppkey, with map-side partial sums.
+    "q15_top_supplier" -> ((s, d) => {
+      val rev = Tables.lineitem(s, d)
+        .where(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1996-04-01"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(discPrice).as("rev"))
+      val top = rev.agg(max(col("rev")).as("maxrev"))
+      rev.join(broadcast(top), col("rev") === col("maxrev"))
+        .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("rev").cast("decimal(38,4)").cast("double").as("total_revenue"))
+        .orderBy("s_suppkey")
+    }),
+
     // As-of join: each click enriched with the user's latest prior (or
     // simultaneous) signup event id.
     "q_events_asof" -> ((s, d) => {
@@ -162,6 +182,18 @@ object TpchQueries extends QueryPack {
         |WHERE p_brand = 'Brand#23'
         |  AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
         |                    WHERE l2.l_partkey = lineitem.l_partkey)""".stripMargin,
+
+    "q15_top_supplier" ->
+      s"""WITH rev AS (
+         |  SELECT l_suppkey, sum($discPriceSql) AS rev
+         |  FROM lineitem
+         |  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+         |  GROUP BY 1)
+         |SELECT s_suppkey, s_name,
+         |  CAST(CAST(rev AS DECIMAL(38,4)) AS DOUBLE) AS total_revenue
+         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+         |WHERE rev = (SELECT max(rev) FROM rev)
+         |ORDER BY s_suppkey""".stripMargin,
 
     "q_events_asof" ->
       """SELECT l.event_id, l.user_id, r.signup_id

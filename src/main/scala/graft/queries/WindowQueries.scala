@@ -72,6 +72,26 @@ object WindowQueries extends QueryPack {
         .select("click_id", "user_id", "view_id")
     }),
 
+    // Gap-filled hourly series: per-type hourly counts with missing
+    // hours present as zeros — the generated-dimension pattern (a
+    // time-series consumer needs a dense axis). The hour axis is
+    // sequence()-generated from the observed span (1 row -> ~720) and
+    // cross-joined with the 5 types: both broadcast; only the count
+    // aggregation touches the fact table.
+    "q_events_gapfill" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      val counts = ev.groupBy("event_type", "hr").agg(count(lit(1)).as("cnt"))
+      val hours = ev.agg(min("hr").as("lo"), max("hr").as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"),
+          expr("INTERVAL 1 HOUR"))).as("hr"))
+      val types = ev.select("event_type").distinct()
+      broadcast(types).crossJoin(broadcast(hours))
+        .join(counts, Seq("event_type", "hr"), "left")
+        .select(col("event_type"), col("hr"),
+          coalesce(col("cnt"), lit(0L)).as("cnt"))
+    }),
+
     // Cohort retention curve: users grouped by first-activity day, how
     // many are still active N days later. ONE shuffle on user_id — the
     // per-user day set rides a collect_set (bounded: the table spans 30
@@ -137,6 +157,16 @@ object WindowQueries extends QueryPack {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q_events_gapfill" ->
+      """WITH e AS (SELECT event_type, date_trunc('hour', ts) AS hr FROM events),
+        |span AS (SELECT min(hr) AS lo, max(hr) AS hi FROM e),
+        |hours AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr FROM span),
+        |types AS (SELECT DISTINCT event_type FROM e),
+        |c AS (SELECT event_type, hr, count(*) AS cnt FROM e GROUP BY 1, 2)
+        |SELECT t.event_type, h.hr, CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt
+        |FROM types t CROSS JOIN hours h
+        |LEFT JOIN c ON c.event_type = t.event_type AND c.hr = h.hr""".stripMargin,
 
     "q_events_attribution" ->
       """SELECT c.event_id AS click_id, c.user_id, v.event_id AS view_id
