@@ -42,7 +42,11 @@ object ExactPageRank {
     *
     * @param edges (src: long, dst: long) undirected edge list, one row
     *              per unordered pair (the transform adds the reverse
-    *              direction itself)
+    *              direction itself). Contract: pairs distinct, no
+    *              self-loops — a duplicate pair or loop would double
+    *              degrees AND messages (deduping here would cost a
+    *              shuffle the caller usually already paid; cooccurEdges'
+    *              groupBy guarantees both)
     * @return (v: long, rank_scaled: long)
     */
   def run(edges: DataFrame, iters: Int): DataFrame = {
@@ -57,17 +61,21 @@ object ExactPageRank {
     val und = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .repartition(col("src"))
-    // Degree table doubles as the vertex set; caching it (and the edge
-    // list) keeps the 10-iteration plan from rescanning the source.
+    // Degree table doubles as the vertex set (rank init); the sender's
+    // degree is pre-joined INTO the cached edge table so the loop never
+    // joins rank with deg — each iteration is exactly one co-partitioned
+    // join (edges ⋈ rank on src/v, both hash-partitioned already) plus
+    // the one message exchange the algorithm genuinely needs.
     val deg = graft.CacheRegistry.persistTracked(
       und.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg")))
-    val undC = graft.CacheRegistry.persistTracked(und)
+    val undD = graft.CacheRegistry.persistTracked(
+      und.join(deg, und("src") === deg("v"))
+        .select(col("src"), col("dst"), col("deg")))
 
     var rank = deg.select(col("v"), lit(Scale).as("rank"))
     for (_ <- 1 to iters) {
-      val contrib = rank.join(deg, "v")
-        .select(col("v").as("cv"), expr("rank div deg").as("c"))
-      rank = undC.join(contrib, undC("src") === col("cv"))
+      rank = undD.join(rank, undD("src") === rank("v"))
+        .select(col("dst"), expr("rank div deg").as("c"))
         .groupBy(col("dst").as("v"))
         .agg((lit(Reset) + expr(s"($DampNum * sum(c)) div $DampDen")).as("rank"))
     }

@@ -174,8 +174,8 @@ class PlanInvariantsSpec extends AnyFunSuite {
 
   test("q_events_retention: per-user day set rides one user_id hash partitioning") {
     val p = planOf("q_events_retention")
-    assert(p.contains("hashpartitioning(user_id"),
-      s"retention must aggregate day sets on a user_id exchange:\n$p")
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).length == 1,
+      s"retention must shuffle on user_id exactly once:\n$p")
     assert(p.contains("objHashAggregate") || p.contains("ObjectHashAggregate"),
       s"collect_set should run as an object hash aggregate:\n$p")
   }
