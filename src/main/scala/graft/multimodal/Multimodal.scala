@@ -36,12 +36,12 @@ object Multimodal {
   case class Decoded(media_id: Long, kind: String, width: Int, height: Int, channels: Int)
   case class Features(media_id: Long, feature: Array[Float])
 
-  /** Build a valid BMP header + data payload. Width/height are the
-    * fixed formulas of the data length (64 + n % 192, 64 + (n/7) % 192);
+  /** Build a valid BMP header + data payload with explicit dimensions;
     * bits-per-pixel carries channels·8. The data section is raw samples
     * (no BMP row padding — documented deviation; header fields are what
     * real-world probes like `identify` read anyway). */
-  private[multimodal] def bmpWrap(data: Array[Byte], channels: Int): Array[Byte] = {
+  private[multimodal] def bmpWrapDims(
+      data: Array[Byte], channels: Int, width: Int, height: Int): Array[Byte] = {
     val n = data.length
     val out = ByteBuffer.allocate(HeaderBytes + n).order(ByteOrder.LITTLE_ENDIAN)
     out.put('B'.toByte).put('M'.toByte)
@@ -49,8 +49,8 @@ object Multimodal {
     out.putInt(0)                     // reserved
     out.putInt(HeaderBytes)           // data offset
     out.putInt(40)                    // info header size
-    out.putInt(64 + n % 192)          // width
-    out.putInt(64 + (n / 7) % 192)    // height
+    out.putInt(width)
+    out.putInt(height)
     out.putShort(1)                   // planes
     out.putShort((channels * 8).toShort) // bits per pixel
     out.putInt(0)                     // compression = BI_RGB
@@ -60,6 +60,12 @@ object Multimodal {
     out.put(data)
     out.array()
   }
+
+  /** Encode-time wrapper: width/height are fixed formulas of the data
+    * length (64 + n % 192, 64 + (n/7) % 192) — what keeps the
+    * encode→parquet→decode round-trip oracle-checkable in SQL. */
+  private[multimodal] def bmpWrap(data: Array[Byte], channels: Int): Array[Byte] =
+    bmpWrapDims(data, channels, 64 + data.length % 192, 64 + (data.length / 7) % 192)
 
   /** Manufacture a media table from the documents table (data = UTF-8
     * bytes wrapped in a BMP container; kind round-robins
@@ -104,6 +110,46 @@ object Multimodal {
     import spark.implicits._
     media.select("media_id", "kind", "payload").as[MediaRow]
       .mapPartitions { it => it.map(decodeKernel) }
+  }
+
+  /** Resize stage: REAL byte-level container work — parse the incoming
+    * header, 1-D nearest-neighbor subsample the data section down to
+    * the target pixel budget (m = n · targetW·targetH / (w·h) samples,
+    * source index floor(j·n/m) — the classic NN index map), and rewrite
+    * a valid header carrying the target dimensions. Honest stub of 2-D
+    * pixel resampling (no codec libs in this container): the sampling
+    * arithmetic, header rewrite, and size bookkeeping are exactly a
+    * thumbnailer's; only the sample unit (bytes, not pixels) is
+    * synthetic. Upscales keep at most the source byte count — this
+    * stage exists to SHRINK payloads before they shuffle. */
+  def resize(media: DataFrame, targetW: Int, targetH: Int): Dataset[MediaRow] = {
+    require(targetW > 0 && targetH > 0, "target dimensions must be positive")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "kind", "payload").as[MediaRow]
+      .mapPartitions { it =>
+        it.map { r =>
+          val b = ByteBuffer.wrap(r.payload).order(ByteOrder.LITTLE_ENDIAN)
+          require(r.payload.length >= HeaderBytes &&
+            b.get(0) == 'B'.toByte && b.get(1) == 'M'.toByte,
+            s"media ${r.media_id}: not a BMP container")
+          val w = b.getInt(18)
+          val h = b.getInt(22)
+          require(w > 0 && h > 0,
+            s"media ${r.media_id}: degenerate dimensions ${w}x$h")
+          val ch = b.getShort(28) / 8
+          val n = r.payload.length - HeaderBytes
+          val m = math.min(n.toLong,
+            n.toLong * targetW * targetH / (w.toLong * h)).toInt
+          val out = new Array[Byte](m)
+          var j = 0
+          while (j < m) {
+            out(j) = r.payload(HeaderBytes + (j.toLong * n / m).toInt)
+            j += 1
+          }
+          MediaRow(r.media_id, r.kind, bmpWrapDims(out, ch, targetW, targetH))
+        }
+      }
   }
 
   /** STUB feature extraction: `dim` floats from a rolling hash over the

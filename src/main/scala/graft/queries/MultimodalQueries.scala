@@ -31,6 +31,22 @@ object MultimodalQueries extends QueryPack {
         .select(col("media_id"), col("n_frames"), col("n_sampled"))
     }),
 
+    // resize stage: NN-subsample every payload to a 64x64 pixel budget,
+    // rewrite the header, then PROVE the rewrite by decoding the
+    // resized container — dims come from the new header parse, n_bytes
+    // from the new payload length, both SQL-derivable from n_chars.
+    "mm_resize_stats" -> ((s, d) => {
+      val media = Multimodal.mediaFromDocuments(Tables.documents(s, d))
+      val rs = graft.CacheRegistry.persistTracked(
+        Multimodal.resize(media, targetW = 64, targetH = 64).toDF())
+      Multimodal.decode(rs).toDF()
+        .join(rs.select(col("media_id").as("mid"),
+          (length(col("payload")) - Multimodal.HeaderBytes).cast("long").as("n_bytes")),
+          col("media_id") === col("mid"))
+        .select(col("media_id"), col("width"), col("height"),
+          col("channels"), col("n_bytes"))
+    }),
+
     // rolling-hash feature stub → per-dimension corpus means.
     // The kernel's float accumulation is EXACT (each contribution is a
     // multiple of 2^-16 and per-dim totals stay < 2^8, so every partial
@@ -63,6 +79,22 @@ object MultimodalQueries extends QueryPack {
         |  CAST(sum(64 + (n // 7) % 192) AS BIGINT) AS sum_height,
         |  max(CASE WHEN kind = 'image' THEN 3 ELSE 1 END) AS channels
         |FROM m GROUP BY kind""".stripMargin,
+
+    // the resized container replayed in SQL: original dims from the
+    // encode formulas, budget scale m = n·4096/(w·h) (the least() guard
+    // mirrors the kernel's upscale cap), target dims from the rewrite.
+    "mm_resize_stats" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |    length(text) AS n
+        |  FROM documents),
+        |c AS (SELECT media_id, kind, n,
+        |        64 + n % 192 AS w, 64 + (n // 7) % 192 AS h FROM m)
+        |SELECT media_id, CAST(64 AS INT) AS width, CAST(64 AS INT) AS height,
+        |  CAST(CASE WHEN kind = 'image' THEN 3 ELSE 1 END AS INT) AS channels,
+        |  CAST(least(n, (n * 4096) // (w * h)) AS BIGINT) AS n_bytes
+        |FROM c""".stripMargin,
 
     "mm_frame_sample" ->
       """SELECT doc_id AS media_id,

@@ -72,6 +72,24 @@ object WindowQueries extends QueryPack {
         .select("click_id", "user_id", "view_id")
     }),
 
+    // Day-over-day growth: per-type daily counts with lag() percent
+    // change — the dashboard-analytics window shape. Partitioned by
+    // type, so the window never funnels to one task; first day of each
+    // type keeps a NULL growth on both engines.
+    "q_events_growth" -> ((s, d) => {
+      val w = Window.partitionBy("event_type").orderBy("day")
+      Tables.events(s, d)
+        // date_trunc (timestamp), not to_date: the driver reads Spark
+        // dates as date objects but DuckDB dates as datetimes — a DATE
+        // output column can never hash-match (same asymmetry as DECIMAL)
+        .select(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("cnt"))
+        .withColumn("prev", lag("cnt", 1).over(w))
+        .select(col("event_type"), col("day"), col("cnt"),
+          round((col("cnt") - col("prev")).cast("double") / col("prev"), 6)
+            .as("growth"))
+    }),
+
     // Gap-filled hourly series: per-type hourly counts with missing
     // hours present as zeros — the generated-dimension pattern (a
     // time-series consumer needs a dense axis). The hour axis is
@@ -157,6 +175,16 @@ object WindowQueries extends QueryPack {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q_events_growth" ->
+      """WITH c AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, day, cnt,
+        |  round((cnt - prev) * 1.0 / prev, 6) AS growth
+        |FROM (SELECT event_type, day, cnt,
+        |        lag(cnt) OVER (PARTITION BY event_type ORDER BY day) AS prev
+        |      FROM c)""".stripMargin,
 
     "q_events_gapfill" ->
       """WITH e AS (SELECT event_type, date_trunc('hour', ts) AS hr FROM events),

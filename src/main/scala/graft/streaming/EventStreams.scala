@@ -129,15 +129,20 @@ object EventStreams {
     * lifetime. The same plan runs on batch DataFrames (watermark is a
     * no-op there): an equi-join on user_id with the interval as a
     * post-join filter — per-user row counts bound the work, no
-    * cartesian blowup. Inner join: un-attributed clicks drop (a left
-    * outer variant would emit them with nulls once the watermark
-    * closes the window — semantics identical, latency deferred).
+    * cartesian blowup.
+    *
+    * `joinType = "inner"` drops un-attributed clicks immediately;
+    * `"left_outer"` emits them with a null view — but only once the
+    * watermark proves no matching view can still arrive, so outer rows
+    * trail the inner ones by up to horizon + lateness (the standard
+    * outer-join latency trade; EventStreamsSpec demonstrates it).
     */
   def clickAttribution(
       views: DataFrame,
       clicks: DataFrame,
       horizon: String = "1 hour",
-      lateness: String = "30 minutes"): DataFrame = {
+      lateness: String = "30 minutes",
+      joinType: String = "inner"): DataFrame = {
     val v = views.select(col("event_id").as("view_id"),
         col("user_id").as("v_user"), col("ts").as("v_ts"))
       .withWatermark("v_ts", lateness)
@@ -145,7 +150,8 @@ object EventStreams {
         col("user_id"), col("ts").as("c_ts"))
       .withWatermark("c_ts", lateness)
     c.join(v, expr(
-        s"user_id = v_user AND v_ts <= c_ts AND v_ts >= c_ts - INTERVAL $horizon"))
+        s"user_id = v_user AND v_ts <= c_ts AND v_ts >= c_ts - INTERVAL $horizon"),
+        joinType)
       .select(col("click_id"), col("user_id"), col("view_id"),
         col("v_ts"), col("c_ts"))
   }

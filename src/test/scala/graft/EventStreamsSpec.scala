@@ -159,6 +159,40 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("left-outer interval join emits un-attributed clicks after the watermark closes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[(Long, Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    val cols = Seq("event_id", "user_id", "ts")
+    val q = EventStreams.clickAttribution(
+        views.toDF().toDF(cols: _*), clicks.toDF().toDF(cols: _*),
+        horizon = "1 hour", lateness = "10 minutes", joinType = "left_outer")
+      .writeStream.format("memory").queryName("attrib_outer")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1 click has a view; user 9 click has none
+      views.addData((100L, 1L, ts(0)))
+      clicks.addData((200L, 1L, ts(20)), (300L, 9L, ts(20)))
+      q.processAllAvailable()
+      // the null row can only emit once the watermark (min across BOTH
+      // inputs) passes click_ts + horizon + lateness — advance both
+      views.addData((101L, 1L, ts(600)))
+      clicks.addData((201L, 1L, ts(600)))
+      q.processAllAvailable()
+      // outer rows materialize on the state-eviction pass; one more
+      // micro-batch gives the join a batch in which to emit them
+      views.addData((102L, 1L, ts(700)))
+      clicks.addData((202L, 1L, ts(700)))
+      q.processAllAvailable()
+      val got = spark.table("attrib_outer").select("click_id", "view_id")
+        .as[(Long, Option[Long])].collect().toMap
+      assert(got(200L) == Some(100L), "attributed click keeps its view")
+      assert(got.contains(300L) && got(300L).isEmpty,
+        s"un-attributed click must emit with a null view after watermark closure, got $got")
+    } finally q.stop()
+  }
+
   test("interval join kernel runs identically on batch frames") {
     import spark.implicits._
     val cols = Seq("event_id", "user_id", "ts")

@@ -34,6 +34,32 @@ class MultimodalSpec extends AnyFunSuite {
     assert(d(0L).channels == 3 && d(1L).channels == 1)
   }
 
+  test("resize rewrites the header to target dims and NN-subsamples the data") {
+    val rs = Multimodal.resize(media.toDF(), targetW = 64, targetH = 64)
+    val byId = rs.collect().map(r => r.media_id -> r.payload).toMap
+    // decode must read back the TARGET dims from the rewritten header
+    val dec = Multimodal.decode(rs.toDF()).collect().map(r => r.media_id -> r).toMap
+    assert(dec.values.forall(d => d.width == 64 && d.height == 64))
+    assert(dec(0L).channels == 3 && dec(1L).channels == 1) // channels survive
+    // size bookkeeping: m = min(n, n*4096/(w*h)) with the encode formulas
+    for ((id, n) <- Seq(0L -> 100L, 1L -> 700L, 2L -> 10L)) {
+      val w = 64 + n % 192; val h = 64 + (n / 7) % 192
+      val m = math.min(n, n * 4096 / (w * h))
+      assert(byId(id).length == Multimodal.HeaderBytes + m,
+        s"media $id: expected $m data bytes")
+    }
+    // the bytes really are the NN subsample of the source data section
+    val src = media.where(col("media_id") === 1L)
+      .select("payload").as[Array[Byte]].head()
+    val out = byId(1L)
+    val n = src.length - Multimodal.HeaderBytes
+    val m = out.length - Multimodal.HeaderBytes
+    (0 until m).foreach { j =>
+      assert(out(Multimodal.HeaderBytes + j) ==
+        src(Multimodal.HeaderBytes + (j.toLong * n / m).toInt))
+    }
+  }
+
   test("feature kernel is deterministic and shape-stable") {
     val f1 = Multimodal.features(media, dim = 8).collect().map(f => f.media_id -> f.feature.toSeq).toMap
     val f2 = Multimodal.features(media, dim = 8).collect().map(f => f.media_id -> f.feature.toSeq).toMap

@@ -37,6 +37,8 @@ class ScalePatternsSpec extends AnyFunSuite {
     val salted = SkewJoin.salted(probe, build, "k", "bk",
       salts = 8, probeSalt = xxhash64(col("k"), col("payload")))
     val plain = probe.join(build, col("k") === col("bk"))
+    assert(salted.columns.toSeq == plain.columns.toSeq,
+      "the salt must not leak into the output schema")
     assert(salted.select("k", "payload", "bk", "name").as[(Long, Long, Long, String)]
       .collect().sorted.toSeq ==
       plain.select("k", "payload", "bk", "name").as[(Long, Long, Long, String)]
