@@ -125,6 +125,32 @@ object WindowQueries extends QueryPack {
         .groupBy("day_offset").agg(count(lit(1)).as("n_users"))
         .orderBy("day_offset")),
 
+    // Sliding (overlapping) windows in batch: 1-hour windows every 15
+    // minutes, so each event lands in exactly 4 windows. Spark expands
+    // the windows map-side before ONE aggregation shuffle; windows
+    // align to the epoch (session TZ pinned UTC), which the oracle
+    // replays as floor-to-15min minus j·15min for j in 0..3.
+    "q_events_sliding" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("cnt"))),
+
+    // Grouped exact quartiles: linear-interpolation percentile per
+    // return flag, one pass, no window (percentile is an aggregate).
+    // Quantities are integer-valued and the 0.25 grid is binary-exact,
+    // so the interpolated values are bit-identical across engines;
+    // round(6) guards the general case.
+    "q_quartiles_by_flag" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(transform(
+          percentile(col("l_quantity"), array(lit(0.25), lit(0.5), lit(0.75))),
+          x => round(x, 6)).as("quartiles"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")),
+
     // Exact percentiles of per-document token counts.
     "q_token_percentiles" -> ((s, d) =>
       Tables.documents(s, d)
@@ -210,6 +236,25 @@ object WindowQueries extends QueryPack {
         |  count(*) AS n_users
         |FROM ud JOIN c USING (user_id)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_events_sliding" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    (epoch_us(ts) // 900000000) * 900000000 AS f15
+        |  FROM events),
+        |w AS (
+        |  SELECT event_type, f15 - j * 900000000 AS ws
+        |  FROM e CROSS JOIN range(0, 4) t(j))
+        |SELECT make_timestamp(ws) AS window_start, event_type,
+        |  count(*) AS cnt
+        |FROM w GROUP BY 1, 2""".stripMargin,
+
+    "q_quartiles_by_flag" ->
+      """SELECT l_returnflag,
+        |  list_transform(quantile_cont(l_quantity, [0.25, 0.5, 0.75]),
+        |    x -> round(x, 6)) AS quartiles,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_token_percentiles" ->
       """SELECT
