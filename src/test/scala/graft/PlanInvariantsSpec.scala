@@ -180,6 +180,16 @@ class PlanInvariantsSpec extends AnyFunSuite {
       s"collect_set should run as an object hash aggregate:\n$p")
   }
 
+  test("q_events_sliding: windows expand map-side before ONE aggregation shuffle") {
+    val p = planOf("q_events_sliding")
+    // the 4-windows-per-event expansion must sit under the exchange
+    // (Expand below Exchange), and there is exactly one shuffle
+    assert("\\(\\d+\\) Expand".r.findFirstIn(p).isDefined,
+      s"sliding windows should expand via Expand:\n$p")
+    assert(exchangeCount(p) == 1,
+      s"window expansion must happen before the single aggregation exchange:\n$p")
+  }
+
   test("q_events_sessions: exactly one shuffle (window + agg reuse the same hash partitioning)") {
     val p = planOf("q_events_sessions")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
