@@ -45,10 +45,17 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    // manifest of every declared query, so the checker can flag results
-    // that failed to materialize instead of silently skipping them
+    // manifest of every DECLARED query (never the filtered subset), so
+    // the checker can flag results that failed to materialize instead of
+    // silently skipping them. If SPARK_GRAFT_ONLY ever leaked into the
+    // gate environment, the full manifest would surface the narrowed run
+    // as missing_result rows rather than a silently-shrunk battery; the
+    // explicit "filtered" marker file makes the narrowing visible too.
     Files.writeString(Paths.get(s"$outDir/queries.json"),
-      selected.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
+      SparkEntry.queries.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
+    if (only.isDefined)
+      Files.writeString(Paths.get(s"$outDir/FILTERED"),
+        selected.keys.toSeq.sorted.mkString(","))
     spark.stop()
   }
 }

@@ -60,10 +60,18 @@ object AlgebraQueries extends QueryPack {
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("cnt"))),
 
-    // Left-anti: parts never ordered, per brand.
+    // Left-anti: parts never ordered, per brand. The anti join only
+    // needs the DISTINCT set of ordered part keys, which is bounded by
+    // the part-key domain (|part| ≪ |lineitem|): pre-aggregate to
+    // distinct keys (map-side partial dedup, 8-byte keys shuffle) and
+    // broadcast, so the big table never shuffles for the join itself —
+    // BroadcastHashJoin LeftAnti, plan-asserted. At a scale where the
+    // key domain outgrows the driver, drop the hint and the same
+    // pre-distinct still shrinks the shuffled build side.
     "q_anti_join" -> ((s, d) =>
       Tables.part(s, d)
-        .join(Tables.lineitem(s, d).select(col("l_partkey")),
+        .join(
+          broadcast(Tables.lineitem(s, d).select(col("l_partkey")).distinct()),
           col("p_partkey") === col("l_partkey"), "left_anti")
         .groupBy("p_brand")
         .agg(count(lit(1)).as("cnt"))),

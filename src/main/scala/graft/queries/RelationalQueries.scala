@@ -29,6 +29,10 @@ object RelationalQueries extends QueryPack {
   /** Exact money arithmetic: decimal, not double (summation-order-proof). */
   private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,4)")
 
+  /** Max neighbors rendered in q_part_adjacency's presentation list —
+    * bounds a hot part's output row at 100× (degree stays exact). */
+  private[queries] val NeighborCap = 64
+
   /** (order_year, n_items) per order — the publication(year, #authors)
     * analogue; several queries below reuse this shape (A3-A6). */
   private def orderSizes(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
@@ -182,20 +186,28 @@ object RelationalQueries extends QueryPack {
     }),
 
     // A15: adjacency table — per part, sorted pipe-joined co-part list +
-    // degree (the collaborator table shape).
-    "q_part_adjacency" -> ((s, d) => {
-      val op = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("okey"), col("l_partkey").as("pkey"))
-        .distinct()
-      op.as("a").join(op.as("b"),
-          col("a.okey") === col("b.okey") && col("a.pkey") =!= col("b.pkey"))
-        .select(col("a.pkey").as("pkey"), col("b.pkey").as("other"))
-        .distinct()
+    // degree (the collaborator table shape). Same group-then-expand
+    // kernel as q_part_cooccur above (ONE shuffle on okey, in-partition
+    // k² expansion) instead of r3's distinct + self-join + pair-distinct
+    // (4 exchanges); pair dedup rides the final collect_set (set
+    // semantics + map-side partial), so the whole query is 2 shuffles.
+    // Hot-part guard for 100×: the neighbor LIST is presentation — cap
+    // it at the NeighborCap smallest keys (slice of the sorted set,
+    // deterministic) while `degree` stays the true distinct-neighbor
+    // count; at sf0.1 every degree < the cap so the oracle sees
+    // identical output, and the cap behavior itself is spec-pinned.
+    "q_part_adjacency" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(collect_set(col("l_partkey")).as("ps"))
+        .select(explode(col("ps")).as("pkey"), col("ps"))
+        .select(col("pkey"), explode(col("ps")).as("other"))
+        .where(col("pkey") =!= col("other"))
         .groupBy("pkey")
-        .agg(
-          concat_ws("|", sort_array(collect_set(col("other")))).as("neighbors"),
-          count(lit(1)).as("degree"))
-    }),
+        .agg(sort_array(collect_set(col("other"))).as("nb"))
+        .select(col("pkey"),
+          concat_ws("|", slice(col("nb"), 1, NeighborCap)).as("neighbors"),
+          size(col("nb")).cast("long").as("degree"))),
 
     // A14: community-strength analogue over the brand histogram.
     "q_brand_strength" -> ((s, d) =>
@@ -332,12 +344,12 @@ object RelationalQueries extends QueryPack {
         |GROUP BY 1, 2""".stripMargin,
 
     "q_part_adjacency" ->
-      """WITH op AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey FROM lineitem),
+      s"""WITH op AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey FROM lineitem),
         |nb AS (
         |  SELECT DISTINCT a.pkey AS pkey, b.pkey AS other
         |  FROM op a JOIN op b ON a.okey = b.okey AND a.pkey <> b.pkey)
         |SELECT pkey,
-        |  array_to_string(list_sort(list(other)), '|') AS neighbors,
+        |  array_to_string(list_sort(list(other))[1:$NeighborCap], '|') AS neighbors,
         |  count(*) AS degree
         |FROM nb GROUP BY pkey""".stripMargin,
 

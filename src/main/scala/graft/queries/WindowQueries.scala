@@ -141,13 +141,17 @@ object WindowQueries extends QueryPack {
     // return flag, one pass, no window (percentile is an aggregate).
     // Quantities are integer-valued and the 0.25 grid is binary-exact,
     // so the interpolated values are bit-identical across engines;
-    // round(6) guards the general case.
+    // round(6) guards the general case. Output policy: scalar columns
+    // only (q1/q2/q3, never an ARRAY) — the driver's canonicalizer
+    // cannot sort/hash nested types (same class as the DECIMAL/DATE
+    // rules; r3's one red row was the ARRAY form of this query).
     "q_quartiles_by_flag" -> ((s, d) =>
       Tables.lineitem(s, d)
         .groupBy("l_returnflag")
-        .agg(transform(
-          percentile(col("l_quantity"), array(lit(0.25), lit(0.5), lit(0.75))),
-          x => round(x, 6)).as("quartiles"),
+        .agg(
+          round(percentile(col("l_quantity"), lit(0.25)), 6).as("q1"),
+          round(percentile(col("l_quantity"), lit(0.5)), 6).as("q2"),
+          round(percentile(col("l_quantity"), lit(0.75)), 6).as("q3"),
           count(lit(1)).as("n"))
         .orderBy("l_returnflag")),
 
@@ -251,8 +255,9 @@ object WindowQueries extends QueryPack {
 
     "q_quartiles_by_flag" ->
       """SELECT l_returnflag,
-        |  list_transform(quantile_cont(l_quantity, [0.25, 0.5, 0.75]),
-        |    x -> round(x, 6)) AS quartiles,
+        |  round(quantile_cont(l_quantity, 0.25), 6) AS q1,
+        |  round(quantile_cont(l_quantity, 0.5), 6) AS q2,
+        |  round(quantile_cont(l_quantity, 0.75), 6) AS q3,
         |  count(*) AS n
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 

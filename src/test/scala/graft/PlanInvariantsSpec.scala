@@ -190,6 +190,35 @@ class PlanInvariantsSpec extends AnyFunSuite {
       s"window expansion must happen before the single aggregation exchange:\n$p")
   }
 
+  test("q_anti_join: distinct key set broadcasts — BroadcastHashJoin LeftAnti, part never shuffle-joins") {
+    val p = planOf("q_anti_join")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"the pre-distincted l_partkey set must broadcast into a hash anti join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the anti join must not sort-merge either side:\n$p")
+    // the build side dedups map-side before its exchange (partial agg)
+    assert("(?s)HashAggregate.*Exchange.*HashAggregate".r.findFirstIn(p).isDefined,
+      s"distinct must partially aggregate before the exchange:\n$p")
+  }
+
+  test("q4_order_priority: implied shipdate bound pushed to the scan; lineitem pre-aggregated before the semi join") {
+    val p = planOf("q4_order_priority")
+    assert(p.contains("GreaterThan(l_shipdate"),
+      s"the window-implied l_shipdate bound must reach the lineitem scan:\n$p")
+    // the semi join's right side is the per-order max-shipdate aggregate,
+    // with map-side combine before its exchange
+    assert("(?s)HashAggregate.*Exchange.*HashAggregate".r.findFirstIn(p).isDefined,
+      s"lineitem must collapse to (orderkey, max shipdate) with a partial agg:\n$p")
+    assert(p.contains("LeftSemi"), s"plan must stay a semi join:\n$p")
+  }
+
+  test("q_part_adjacency: group-then-expand — two shuffles, no join anywhere") {
+    val p = planOf("q_part_adjacency")
+    assert(exchangeCount(p) == 2,
+      s"adjacency is groupBy(okey) + groupBy(pkey), exactly two exchanges:\n$p")
+    assert(!p.contains("Join"), s"the self-join formulation is banned (r3 regression):\n$p")
+  }
+
   test("q_events_sessions: exactly one shuffle (window + agg reuse the same hash partitioning)") {
     val p = planOf("q_events_sessions")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length

@@ -15,7 +15,10 @@ MISMATCHES). This reproduces round-1's 14 driver hash-fails locally.
 Output-type policy this enforces: queries must emit only BIGINT/INT,
 STRING, TIMESTAMP, BOOLEAN, or bit-identically-computed DOUBLE columns.
 Never DECIMAL (cast to DOUBLE at the end on both sides); oracle sums of
-integers need CAST(sum(..) AS BIGINT).
+integers need CAST(sum(..) AS BIGINT). Never ARRAY/MAP/STRUCT — the
+driver's pandas canonicalizer crashes on nested values
+('unhashable type: numpy.ndarray', r3's one red row); split arrays
+into scalar columns (q1/q2/q3) on BOTH sides.
 """
 import json
 import math
@@ -70,12 +73,33 @@ def main(sf_dir, out_dir):
     results = {}
     present = sorted(d.name for d in Path(out_dir).iterdir() if d.is_dir())
     manifest_path = Path(out_dir) / "queries.json"
+    # Verify always writes the FULL declared manifest; a SPARK_GRAFT_ONLY
+    # run additionally drops a FILTERED marker. Missing results are hard
+    # failures on a full run, and explicitly-labeled skips on a filtered
+    # one (so a narrowed run can never silently pass as full coverage).
+    filtered = (Path(out_dir) / "FILTERED").exists()
+    if filtered:
+        print("*** FILTERED RUN (SPARK_GRAFT_ONLY) — NOT full coverage ***",
+              file=sys.stderr)
     if manifest_path.exists():
         for name in json.loads(manifest_path.read_text()):
             if name not in present:
-                results[name] = {"status": "missing_result", "ok": False}
+                results[name] = ({"status": "filtered_out", "ok": True}
+                                 if filtered else
+                                 {"status": "missing_result", "ok": False})
     for name in present:
-        s_df = pq.read_table(f"{out_dir}/{name}").to_pandas()
+        s_tbl = pq.read_table(f"{out_dir}/{name}")
+        # Output-type policy: no nested columns — the driver's pandas
+        # canonicalization cannot sort/hash ndarray/dict cells, so an
+        # ARRAY/MAP/STRUCT output ships ungraded there. Reject locally.
+        import pyarrow.types as pat
+        nested = [f.name for f in s_tbl.schema
+                  if pat.is_nested(f.type)]
+        if nested:
+            results[name] = {"status": "nested_output_columns",
+                             "columns": nested, "ok": False}
+            continue
+        s_df = s_tbl.to_pandas()
         if name not in oracle:
             results[name] = {"status": "rows_only", "rows": len(s_df), "ok": len(s_df) > 0}
             continue
