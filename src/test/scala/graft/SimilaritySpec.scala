@@ -16,10 +16,21 @@ class SimilaritySpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
 
   test("SRP-LSH recall@5 vs brute force clears the documented floor") {
+    // the ranked kernel directly (the driver query wraps it in the
+    // recall certificate; this pins the underlying list quality)
     val bf = topkSet("sim_topk_bruteforce")
-    val srp = topkSet("sim_topk_srp")
+    val srp = graft.queries.SimilarityQueries.srpTopK(spark, sf)
+      .select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (bf intersect srp).size.toDouble / bf.size
     assert(recall >= 0.6, s"recall@5 regressed: $recall")
+  }
+
+  test("sim_topk_srp driver query emits a TRUE recall certificate") {
+    val rows = SparkEntry.queries("sim_topk_srp")(spark, sf).collect()
+    assert(rows.length == 1)
+    assert(rows(0).getAs[Boolean]("floor_met"),
+      s"SRP recall certificate failed: ${rows(0)}")
   }
 
   test("int8 scan + exact re-rank equals brute force exactly") {
