@@ -81,6 +81,20 @@ object GraphQueries extends QueryPack {
         hist.map { case (size, n) => Row(size, n) }.toSeq
       }),
 
+    // Community detection again, but in scaled-integer arithmetic
+    // (ExactCommunities): Leung's update has no division, so fixed-point
+    // makes the whole label propagation bit-deterministic under any
+    // partitioning — and the same 10 supersteps unroll as DuckDB CTEs,
+    // upgrading the community tier to a hard value oracle exactly the
+    // way ExactPageRank upgraded PageRank. Output is the same
+    // community-size histogram shape as the float tier above.
+    "graph_part_communities_exact" -> ((s, d) =>
+      graft.graph.ExactCommunities.run(cooccurEdges(s, d), iters = 10)
+        .groupBy(col("label")).agg(count(lit(1)).as("community_size"))
+        .groupBy(col("community_size"))
+        .agg(count(lit(1)).as("n_communities"))
+        .orderBy(col("community_size"))),
+
     // PageRank over the co-occurrence graph: top-20 "hub" parts.
     // Float summation order varies per run -> rounded, rows-only check.
     "graph_part_pagerank" -> ((s, d) => {
@@ -160,6 +174,15 @@ object GraphQueries extends QueryPack {
          |${graft.graph.ExactPageRank.oracleCtes(10)}
          |SELECT v AS pkey, rank AS rank_scaled FROM r10
          |ORDER BY rank_scaled DESC, pkey ASC LIMIT 20""".stripMargin,
+
+    // The scaled-integer label propagation is exactly reproducible, so
+    // the oracle replays the identical ten supersteps (unrolled CTEs).
+    "graph_part_communities_exact" ->
+      s"""WITH $edgesCte,
+         |${graft.graph.ExactCommunities.oracleCtes(10)},
+         |sizes AS (SELECT label, count(*) AS cnt FROM s10 GROUP BY 1)
+         |SELECT cnt AS community_size, count(*) AS n_communities
+         |FROM sizes GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Connected components via min-label transitive closure (the giant
     // component makes this quadratic — fine at oracle scale).

@@ -105,4 +105,56 @@ class GraphSpec extends AnyFunSuite {
     assert(a.values.sum <= v * Scale)
     assert(a.values.sum >= (v * Scale * 97L) / 100L)
   }
+
+  /** Plain-Scala replay of ExactCommunities' integer superstep — an
+    * implementation-independent reference for the Spark version. */
+  private def referenceLabels(edges: Seq[(Long, Long, Long)], iters: Int): Map[Long, Long] = {
+    import graft.graph.ExactCommunities._
+    val und = edges ++ edges.map { case (a, b, w) => (b, a, w) }
+    val nbrs = und.groupBy(_._1).view.mapValues(_.map(e => (e._2, e._3))).toMap
+    var state: Map[Long, (Long, Long)] = nbrs.keys.map(v => v -> (v, Scale)).toMap
+    for (_ <- 1 to iters) {
+      state = nbrs.map { case (v, ns) =>
+        val sums = ns.groupBy { case (u, _) => state(u)._1 }
+          .map { case (lbl, es) => lbl -> es.map { case (u, w) => state(u)._2 * w }.sum }
+        val (bestLbl, bestSum) = sums.minBy { case (lbl, s) => (-s, lbl) }
+        v -> (bestLbl, math.min(bestSum - DeltaHalf, Cap))
+      }
+    }
+    state.view.mapValues(_._1).toMap
+  }
+
+  test("ExactCommunities matches a plain-Scala replay bit-for-bit") {
+    // weighted, asymmetric: a heavy pair bridged to a light triangle
+    val fixture = Seq((1L, 2L, 5L), (2L, 3L, 1L), (3L, 4L, 2L), (4L, 5L, 2L), (3L, 5L, 2L))
+    val got = graft.graph.ExactCommunities.run(fixture.toDF("src", "dst", "w"), iters = 10)
+      .as[(Long, Long)].collect().toMap
+    SparkEntry.releaseCaches()
+    assert(got == referenceLabels(fixture, 10))
+  }
+
+  test("ExactCommunities: two disconnected triangles, invariant under repartitioning") {
+    val fixture = Seq(
+      (1L, 2L, 1L), (2L, 3L, 1L), (1L, 3L, 1L),
+      (4L, 5L, 1L), (5L, 6L, 1L), (4L, 6L, 1L))
+    val a = graft.graph.ExactCommunities.run(fixture.toDF("src", "dst", "w"), iters = 10)
+      .as[(Long, Long)].collect().toMap
+    SparkEntry.releaseCaches()
+    val b = graft.graph.ExactCommunities.run(
+        fixture.toDF("src", "dst", "w").repartition(13), iters = 10)
+      .as[(Long, Long)].collect().toMap
+    SparkEntry.releaseCaches()
+    assert(a == b, "labels must be partitioning-invariant")
+    assert(Set(1L, 2L, 3L).map(a).size == 1, "triangle 1 should share a label")
+    assert(Set(4L, 5L, 6L).map(a).size == 1, "triangle 2 should share a label")
+    assert(a(1L) != a(4L), "triangles should differ")
+    // while under the cap the integer tier IS the float tier ×Scale:
+    // the Pregel/GraphX implementation must adopt identical labels here
+    val sc = spark.sparkContext
+    val g = Graph.fromEdges(sc.parallelize(fixture.map { case (s, d, w) =>
+      Edge(s, d, w.toDouble) }), 0L)
+    val float = CommunityDetection.run(g, iterations = 10, delta = 0.5)
+      .vertices.collect().toMap
+    assert(float == a, "integer and float tiers must agree under the cap")
+  }
 }
