@@ -17,15 +17,16 @@ import org.apache.spark.sql.functions._
   * The payload is a REAL container: a valid 54-byte BMP header
   * (BITMAPFILEHEADER + BITMAPINFOHEADER, little-endian) followed by the
   * sample data, and `decode` parses the header fields with ByteBuffer —
-  * an actual byte-level format parse, not arithmetic on length. What
-  * remains synthetic (this container ships no codec libraries): the
-  * sample data is manufactured from document text rather than pixels,
-  * and features come from a rolling hash rather than a vision model.
-  * The dimension VALUES written at encode time are derived from the
-  * data length by fixed formulas, which is what keeps the full
-  * encode→parquet→decode round-trip oracle-checkable in SQL. Swap
-  * `featureKernel` for a real embedding and `mediaFromDocuments` for a
-  * blob-store scan and nothing else changes.
+  * an actual byte-level format parse, not arithmetic on length. The
+  * sample data is manufactured from document text; the dimension VALUES
+  * written at encode time are derived from the data length by fixed
+  * formulas, which is what keeps the full encode→parquet→decode
+  * round-trip oracle-checkable in SQL.
+  *
+  * This object carries the container/framing tier (header parse, frame
+  * sampling). The PIXEL tier — real PNG codec decode, true 2-D
+  * nearest-neighbor resize, per-channel statistics via javax.imageio —
+  * lives in [[PixelImage]].
   */
 object Multimodal {
 
@@ -34,7 +35,6 @@ object Multimodal {
 
   case class MediaRow(media_id: Long, kind: String, payload: Array[Byte])
   case class Decoded(media_id: Long, kind: String, width: Int, height: Int, channels: Int)
-  case class Features(media_id: Long, feature: Array[Float])
 
   /** Build a valid BMP header + data payload with explicit dimensions;
     * bits-per-pixel carries channels·8. The data section is raw samples
@@ -110,68 +110,6 @@ object Multimodal {
     import spark.implicits._
     media.select("media_id", "kind", "payload").as[MediaRow]
       .mapPartitions { it => it.map(decodeKernel) }
-  }
-
-  /** Resize stage: REAL byte-level container work — parse the incoming
-    * header, 1-D nearest-neighbor subsample the data section down to
-    * the target pixel budget (m = n · targetW·targetH / (w·h) samples,
-    * source index floor(j·n/m) — the classic NN index map), and rewrite
-    * a valid header carrying the target dimensions. Honest stub of 2-D
-    * pixel resampling (no codec libs in this container): the sampling
-    * arithmetic, header rewrite, and size bookkeeping are exactly a
-    * thumbnailer's; only the sample unit (bytes, not pixels) is
-    * synthetic. Upscales keep at most the source byte count — this
-    * stage exists to SHRINK payloads before they shuffle. */
-  def resize(media: DataFrame, targetW: Int, targetH: Int): Dataset[MediaRow] = {
-    require(targetW > 0 && targetH > 0, "target dimensions must be positive")
-    val spark = media.sparkSession
-    import spark.implicits._
-    media.select("media_id", "kind", "payload").as[MediaRow]
-      .mapPartitions { it =>
-        it.map { r =>
-          val b = ByteBuffer.wrap(r.payload).order(ByteOrder.LITTLE_ENDIAN)
-          require(r.payload.length >= HeaderBytes &&
-            b.get(0) == 'B'.toByte && b.get(1) == 'M'.toByte,
-            s"media ${r.media_id}: not a BMP container")
-          val w = b.getInt(18)
-          val h = b.getInt(22)
-          require(w > 0 && h > 0,
-            s"media ${r.media_id}: degenerate dimensions ${w}x$h")
-          val ch = b.getShort(28) / 8
-          val n = r.payload.length - HeaderBytes
-          val m = math.min(n.toLong,
-            n.toLong * targetW * targetH / (w.toLong * h)).toInt
-          val out = new Array[Byte](m)
-          var j = 0
-          while (j < m) {
-            out(j) = r.payload(HeaderBytes + (j.toLong * n / m).toInt)
-            j += 1
-          }
-          MediaRow(r.media_id, r.kind, bmpWrapDims(out, ch, targetW, targetH))
-        }
-      }
-  }
-
-  /** STUB feature extraction: `dim` floats from a rolling hash over the
-    * DATA section (header skipped — features describe content, not
-    * container). A real pipeline embeds pixels/audio frames here. */
-  def features(media: DataFrame, dim: Int = 8): Dataset[Features] = {
-    val spark = media.sparkSession
-    import spark.implicits._
-    media.select("media_id", "kind", "payload").as[MediaRow]
-      .mapPartitions { it =>
-        it.map { r =>
-          val f = new Array[Float](dim)
-          var h = 1125899906842597L
-          var i = HeaderBytes
-          while (i < r.payload.length) {
-            h = h * 31 + r.payload(i)
-            f((i - HeaderBytes) % dim) += (h & 0xffff).toFloat / 65536.0f
-            i += 1
-          }
-          Features(r.media_id, f)
-        }
-      }
   }
 
   /** Video frame sampling as pure column ops over the DATA section:

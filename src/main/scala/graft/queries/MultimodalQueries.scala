@@ -31,39 +31,37 @@ object MultimodalQueries extends QueryPack {
         .select(col("media_id"), col("n_frames"), col("n_sampled"))
     }),
 
-    // resize stage: NN-subsample every payload to a 64x64 pixel budget,
-    // rewrite the header, then PROVE the rewrite by decoding the
-    // resized container — dims come from the new header parse, n_bytes
-    // from the new payload length, both SQL-derivable from n_chars.
+    // REAL 2-D resize over REAL pixels: encode each doc's deterministic
+    // synthetic image as an actual PNG, ImageIO-decode it, true 2-D NN
+    // resample to 16x12, re-encode, decode AGAIN, and emit per-channel
+    // pixel sums. The oracle replays only the generator formula and the
+    // NN index map in integer SQL — any wrong byte in the encode→decode
+    // →resample→re-encode chain flips the hash (PNG is lossless).
     "mm_resize_stats" -> ((s, d) => {
-      val media = Multimodal.mediaFromDocuments(Tables.documents(s, d))
-      val rs = graft.CacheRegistry.persistTracked(
-        Multimodal.resize(media, targetW = 64, targetH = 64).toDF())
-      Multimodal.decode(rs).toDF()
-        .join(rs.select(col("media_id").as("mid"),
-          (length(col("payload")) - Multimodal.HeaderBytes).cast("long").as("n_bytes")),
-          col("media_id") === col("mid"))
+      val media = graft.multimodal.PixelImage.mediaFromDocuments(Tables.documents(s, d))
+      graft.multimodal.PixelImage.channelStats(
+          graft.multimodal.PixelImage.resize(media, tw = 16, th = 12))
+        .toDF()
         .select(col("media_id"), col("width"), col("height"),
-          col("channels"), col("n_bytes"))
+          col("r_sum"), col("g_sum"), col("b_sum"))
     }),
 
-    // rolling-hash feature stub → per-dimension corpus means.
-    // The kernel's float accumulation is EXACT (each contribution is a
-    // multiple of 2^-16 and per-dim totals stay < 2^8, so every partial
-    // sum fits the 24-bit float mantissa) — so v*65536 is an exact
-    // integer, the corpus sum is an exact BIGINT, and the mean is one
-    // identical double division on both engines. That turns a "hash-
-    // derived, rows-only" query into a hard value-checked one.
+    // Per-channel corpus means over REAL ImageIO-decoded pixels: decode
+    // every PNG, sum each channel, divide the exact integer totals once
+    // on both engines. n_pixels counts every (x, y) position.
     "mm_feature_means" -> ((s, d) => {
-      val media = Multimodal.mediaFromDocuments(Tables.documents(s, d))
-      Multimodal.features(media, dim = 8)
-        .select(posexplode(col("feature")).as(Seq("dim", "v")))
-        .groupBy("dim")
-        .agg(sum((col("v").cast("double") * 65536).cast("long")).as("q16"),
-          count(lit(1)).as("n"))
-        .select(col("dim"),
-          (col("q16").cast("double") / (col("n") * 65536)).as("mean_v"),
-          col("n"))
+      val media = graft.multimodal.PixelImage.mediaFromDocuments(Tables.documents(s, d))
+      graft.multimodal.PixelImage.channelStats(media).toDF()
+        .select(col("width").cast("long").as("wl"), col("height").cast("long").as("hl"),
+          col("r_sum"), col("g_sum"), col("b_sum"))
+        .agg(sum(col("wl") * col("hl")).as("n_pixels"),
+          sum(col("r_sum")).as("rs"), sum(col("g_sum")).as("gs"),
+          sum(col("b_sum")).as("bs"))
+        .select(
+          (col("rs").cast("double") / col("n_pixels")).as("r_mean"),
+          (col("gs").cast("double") / col("n_pixels")).as("g_mean"),
+          (col("bs").cast("double") / col("n_pixels")).as("b_mean"),
+          col("n_pixels"))
     }))
 
   override def oracles: Map[String, String] = Map(
@@ -80,21 +78,24 @@ object MultimodalQueries extends QueryPack {
         |  max(CASE WHEN kind = 'image' THEN 3 ELSE 1 END) AS channels
         |FROM m GROUP BY kind""".stripMargin,
 
-    // the resized container replayed in SQL: original dims from the
-    // encode formulas, budget scale m = n·4096/(w·h) (the least() guard
-    // mirrors the kernel's upscale cap), target dims from the rewrite.
+    // the 2-D NN resample replayed in integer SQL: target pixel (x, y)
+    // reads source (x·w//16, y·h//12); the value is the generator
+    // formula at those coordinates.
     "mm_resize_stats" ->
-      """WITH m AS (
+      """WITH c AS (
         |  SELECT doc_id AS media_id,
-        |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-        |    length(text) AS n
+        |    16 + doc_id % 16 AS w, 12 + (doc_id // 3) % 12 AS h
         |  FROM documents),
-        |c AS (SELECT media_id, kind, n,
-        |        64 + n % 192 AS w, 64 + (n // 7) % 192 AS h FROM m)
-        |SELECT media_id, CAST(64 AS INT) AS width, CAST(64 AS INT) AS height,
-        |  CAST(CASE WHEN kind = 'image' THEN 3 ELSE 1 END AS INT) AS channels,
-        |  CAST(least(n, (n * 4096) // (w * h)) AS BIGINT) AS n_bytes
-        |FROM c""".stripMargin,
+        |px AS (
+        |  SELECT c.media_id, ch.c AS ch,
+        |    (c.media_id * 31 + ((t.x * c.w) // 16) * 7
+        |     + ((u.y * c.h) // 12) * 13 + ch.c * 101) % 256 AS v
+        |  FROM c, range(0, 16) t(x), range(0, 12) u(y), range(0, 3) ch(c))
+        |SELECT media_id, CAST(16 AS INT) AS width, CAST(12 AS INT) AS height,
+        |  CAST(sum(CASE WHEN ch = 0 THEN v END) AS BIGINT) AS r_sum,
+        |  CAST(sum(CASE WHEN ch = 1 THEN v END) AS BIGINT) AS g_sum,
+        |  CAST(sum(CASE WHEN ch = 2 THEN v END) AS BIGINT) AS b_sum
+        |FROM px GROUP BY 1""".stripMargin,
 
     "mm_frame_sample" ->
       """SELECT doc_id AS media_id,
@@ -102,22 +103,25 @@ object MultimodalQueries extends QueryPack {
         |  CAST(ceil(ceil(length(text) * 1.0 / 256) / 4.0) AS BIGINT) AS n_sampled
         |FROM documents""".stripMargin,
 
-    // The feature kernel's rolling hash replayed byte-by-byte: a
-    // recursive CTE carries h_i = (h_{i-1}*31 + byte_i) mod 2^64 in
-    // HUGEINT (== JVM wrapping Long for the ASCII payloads), and each
-    // position contributes (h_i mod 65536) to its dim's exact q16 sum.
+    // per-channel corpus means: the generator formula summed over every
+    // (x, y) position of every image, one double division at the end.
     "mm_feature_means" ->
-      """WITH RECURSIVE hh(doc_id, i, n, h) AS (
-        |  SELECT doc_id, 0, length(text), CAST(1125899906842597 AS HUGEINT) FROM documents
-        |  UNION ALL
-        |  SELECT hh.doc_id, hh.i + 1, hh.n,
-        |    (hh.h * 31 + ord(substr(d.text, hh.i + 1, 1))) % CAST('18446744073709551616' AS HUGEINT)
-        |  FROM hh JOIN documents d ON hh.doc_id = d.doc_id WHERE hh.i < hh.n),
-        |contrib AS (
-        |  SELECT CAST((i - 1) % 8 AS INT) AS dim, CAST(h % 65536 AS BIGINT) AS m
-        |  FROM hh WHERE i >= 1)
-        |SELECT dim,
-        |  CAST(CAST(sum(m) AS BIGINT) AS DOUBLE) / (65536 * (SELECT count(*) FROM documents)) AS mean_v,
-        |  (SELECT count(*) FROM documents) AS n
-        |FROM contrib GROUP BY dim""".stripMargin)
+      """WITH c AS (
+        |  SELECT doc_id AS media_id,
+        |    16 + doc_id % 16 AS w, 12 + (doc_id // 3) % 12 AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT ch.c AS ch,
+        |    (c.media_id * 31 + t.x * 7 + u.y * 13 + ch.c * 101) % 256 AS v
+        |  FROM c, range(0, 31) t(x), range(0, 23) u(y), range(0, 3) ch(c)
+        |  WHERE t.x < c.w AND u.y < c.h)
+        |SELECT
+        |  CAST(CAST(sum(CASE WHEN ch = 0 THEN v END) AS BIGINT) AS DOUBLE)
+        |    / (CAST(count(*) AS BIGINT) // 3) AS r_mean,
+        |  CAST(CAST(sum(CASE WHEN ch = 1 THEN v END) AS BIGINT) AS DOUBLE)
+        |    / (CAST(count(*) AS BIGINT) // 3) AS g_mean,
+        |  CAST(CAST(sum(CASE WHEN ch = 2 THEN v END) AS BIGINT) AS DOUBLE)
+        |    / (CAST(count(*) AS BIGINT) // 3) AS b_mean,
+        |  CAST(count(*) AS BIGINT) // 3 AS n_pixels
+        |FROM px""".stripMargin)
 }

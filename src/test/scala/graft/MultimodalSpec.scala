@@ -34,38 +34,60 @@ class MultimodalSpec extends AnyFunSuite {
     assert(d(0L).channels == 3 && d(1L).channels == 1)
   }
 
-  test("resize rewrites the header to target dims and NN-subsamples the data") {
-    val rs = Multimodal.resize(media.toDF(), targetW = 64, targetH = 64)
-    val byId = rs.collect().map(r => r.media_id -> r.payload).toMap
-    // decode must read back the TARGET dims from the rewritten header
-    val dec = Multimodal.decode(rs.toDF()).collect().map(r => r.media_id -> r).toMap
-    assert(dec.values.forall(d => d.width == 64 && d.height == 64))
-    assert(dec(0L).channels == 3 && dec(1L).channels == 1) // channels survive
-    // size bookkeeping: m = min(n, n*4096/(w*h)) with the encode formulas
-    for ((id, n) <- Seq(0L -> 100L, 1L -> 700L, 2L -> 10L)) {
-      val w = 64 + n % 192; val h = 64 + (n / 7) % 192
-      val m = math.min(n, n * 4096 / (w * h))
-      assert(byId(id).length == Multimodal.HeaderBytes + m,
-        s"media $id: expected $m data bytes")
-    }
-    // the bytes really are the NN subsample of the source data section
-    val src = media.where(col("media_id") === 1L)
-      .select("payload").as[Array[Byte]].head()
-    val out = byId(1L)
-    val n = src.length - Multimodal.HeaderBytes
-    val m = out.length - Multimodal.HeaderBytes
-    (0 until m).foreach { j =>
-      assert(out(Multimodal.HeaderBytes + j) ==
-        src(Multimodal.HeaderBytes + (j.toLong * n / m).toInt))
+  test("PixelImage: PNG encode→ImageIO decode round-trips the generator pixels exactly") {
+    import graft.multimodal.PixelImage
+    val id = 7L
+    val img = PixelImage.decodePng(id, PixelImage.encodePng(PixelImage.synthImage(id)))
+    val (w, h) = PixelImage.dimsOf(id)
+    assert(img.getWidth == w && img.getHeight == h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = img.getRGB(x, y)
+      assert(((p >> 16) & 0xff) == PixelImage.synthPixel(id, x, y, 0))
+      assert(((p >> 8) & 0xff) == PixelImage.synthPixel(id, x, y, 1))
+      assert((p & 0xff) == PixelImage.synthPixel(id, x, y, 2))
     }
   }
 
-  test("feature kernel is deterministic and shape-stable") {
-    val f1 = Multimodal.features(media, dim = 8).collect().map(f => f.media_id -> f.feature.toSeq).toMap
-    val f2 = Multimodal.features(media, dim = 8).collect().map(f => f.media_id -> f.feature.toSeq).toMap
-    assert(f1 == f2)
-    assert(f1.values.forall(_.length == 8))
-    assert(f1(0L) != f1(1L), "different payloads -> different features")
+  test("PixelImage: 2-D NN resize reads source (x*sw/tw, y*sh/th) per pixel") {
+    import graft.multimodal.PixelImage
+    val src = PixelImage.synthImage(3L) // 19 x 13
+    val out = PixelImage.resizeNN(src, 5, 4)
+    assert(out.getWidth == 5 && out.getHeight == 4)
+    for (y <- 0 until 4; x <- 0 until 5)
+      assert(out.getRGB(x, y) ==
+        src.getRGB(x * src.getWidth / 5, y * src.getHeight / 4),
+        s"wrong NN source for target ($x,$y)")
+    // downscale-to-1 degenerate case: the single pixel is source (0, 0)
+    val one = PixelImage.resizeNN(src, 1, 1)
+    assert(one.getRGB(0, 0) == src.getRGB(0, 0))
+  }
+
+  test("PixelImage: corrupt payload fails loudly, never silently") {
+    import graft.multimodal.PixelImage
+    val e = intercept[Exception] {
+      PixelImage.decodePng(99L, Array[Byte](1, 2, 3, 4))
+    }
+    assert(e.getMessage.contains("99"))
+  }
+
+  test("PixelImage: channelStats over the resize stage matches a by-hand replay") {
+    import graft.multimodal.PixelImage
+    val docs = Seq(0L, 1L, 5L).toDF("doc_id")
+    val got = PixelImage.channelStats(
+        PixelImage.resize(PixelImage.mediaFromDocuments(docs), 16, 12))
+      .collect().map(s => s.media_id -> s).toMap
+    for (id <- Seq(0L, 1L, 5L)) {
+      val (w, h) = PixelImage.dimsOf(id)
+      var r = 0L; var g = 0L; var b = 0L
+      for (y <- 0 until 12; x <- 0 until 16) {
+        val sx = x * w / 16; val sy = y * h / 12
+        r += PixelImage.synthPixel(id, sx, sy, 0)
+        g += PixelImage.synthPixel(id, sx, sy, 1)
+        b += PixelImage.synthPixel(id, sx, sy, 2)
+      }
+      val s = got(id)
+      assert((s.width, s.height, s.r_sum, s.g_sum, s.b_sum) == (16, 12, r, g, b))
+    }
   }
 
   test("frame sampling counts: ceil split, every 4th kept") {
