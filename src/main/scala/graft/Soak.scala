@@ -81,6 +81,22 @@ object Soak {
   private[graft] def scaleDocuments(docs: DataFrame, k: Int, sharedDen: Int): DataFrame =
     scaleCopies(docs, k, sharedDen, historyOnly = false)
 
+  /** SPARK_GRAFT_SOAK_HOT_PHRASE=n appends n copies of a stopword token
+    * to EVERY document (all copies, factor 1 included): one shingle —
+    * "the the the" — whose document frequency equals the whole corpus.
+    * This is the adversarial vocab for the inverted-index dedup family:
+    * that single bucket contributes O(N²) candidate pairs that all fail
+    * the Jaccard verify, which is exactly what the df cap exists to
+    * amputate. sharedDen alone cannot manufacture this (it shares
+    * vocabulary across copies, but per-shingle df still only grows ~k). */
+  private def hotPhraseTokens: Int =
+    sys.env.getOrElse("SPARK_GRAFT_SOAK_HOT_PHRASE", "0").toInt
+
+  private def appendHotPhrase(docs: DataFrame): DataFrame =
+    if (hotPhraseTokens <= 0) docs
+    else docs.withColumn("text",
+      concat_ws(" ", col("text") +: Seq.fill(hotPhraseTokens)(lit("the")): _*))
+
   private def scaleCopies(docs: DataFrame, k: Int, sharedDen: Int, historyOnly: Boolean): DataFrame = {
     if (k > 1) requireKeysBelowShift(docs, "doc_id")
     val copies = (0 until k).map { c =>
@@ -99,7 +115,9 @@ object Soak {
             concat_ws(" ", transform(split(col("text"), "\\s+"), suffix)))
       }
     }
-    copies.reduce(_.unionByName(_))
+    // hot phrase appends AFTER suffixing, so the stopword shingle is
+    // identical across every copy — df grows with the WHOLE corpus
+    appendHotPhrase(copies.reduce(_.unionByName(_)))
   }
 
   /** lineitem scaled k×: copy c shifts l_orderkey / l_partkey so the

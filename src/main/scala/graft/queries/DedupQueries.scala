@@ -44,24 +44,55 @@ object DedupQueries extends QueryPack {
   private def jaccard(common: Column, na: Column, nb: Column): Column =
     round(common.cast("double") / (na + nb - common), 6)
 
+  /** Hot-shingle document-frequency cap for the inverted-index family.
+    * A shingle appearing in more than `ShingleDfCap` documents (a
+    * stopword phrase — "the the the") contributes O(df²) candidate
+    * pairs but never *decides* Jaccard at 0.8, because near-dup pairs
+    * share many discriminative shingles too. Capped shingles are
+    * dropped from the CANDIDATE index only; the verify step scores
+    * every candidate on the FULL shingle sets, so any pair that shares
+    * at least one sub-cap shingle gets its exact Jaccard — on this
+    * corpus that is every near-dup pair (the DuckDB brute-force oracle
+    * stays hash-green), and at 100 TB it is the knob that turns the
+    * worst bucket from quadratic to bounded. AQE skew-split remains the
+    * second line of defense for buckets under the cap.
+    * `SPARK_GRAFT_SHINGLE_DF_CAP` overrides (0 disables — used by the
+    * Soak A/B to measure the curve with and without the cap). */
+  private def shingleDfCap: Long =
+    sys.env.get("SPARK_GRAFT_SHINGLE_DF_CAP").map(_.toLong).getOrElse(1000L)
+
   /** Shared pair-derivation core for the exact Jaccard / containment /
     * clustering family: candidate pairs (i < j) with shared-shingle
-    * count `c` and the two set sizes `na`/`nb`, via the inverted
-    * shingle-hash index. `sh` feeds both the index and the size table;
-    * persisted (tracked — released by [[graft.SparkEntry.releaseCaches]])
-    * so the shingle UDF runs once per doc. */
+    * count `c` and the two set sizes `na`/`nb`. Candidates come from
+    * the df-capped inverted shingle-hash index; `c` comes from an exact
+    * array_intersect on the full sets (same candidates-then-verify
+    * shape as the MinHash tier). `sh` feeds the index, the verify, and
+    * the size columns; persisted (tracked — released by
+    * [[graft.SparkEntry.releaseCaches]]) so the shingle UDF runs once
+    * per doc. */
   private def commonWithSizes(s: SparkSession, d: String): DataFrame = {
     val sh = graft.CacheRegistry.persistTracked(docShingleHashes(s, d))
-    val sizes = sh.select(col("doc_id"), size(col("hs")).as("n"))
     val ex = sh.select(col("doc_id"), explode(col("hs")).as("h"))
-    val common = ex.as("a").join(ex.as("b"),
+    val cap = shingleDfCap
+    // df attaches via an h-keyed join; the a/b self-join below reuses
+    // the same hashpartitioning(h), so the cap costs one aggregation,
+    // not an extra exchange on the big exploded relation
+    val cold =
+      if (cap <= 0) ex
+      else ex.join(
+        ex.groupBy("h").agg(count(lit(1)).as("df")).where(col("df") <= cap)
+          .select("h"),
+        Seq("h"), "left_semi")
+    val cand = cold.as("a").join(cold.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
-      .agg(count(lit(1)).as("c"))
-    common
-      .join(sizes.as("sa"), col("i") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("j") === col("sb.doc_id"))
-      .select(col("i"), col("j"), col("c"), col("sa.n").as("na"), col("sb.n").as("nb"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .distinct()
+    cand
+      .join(sh.as("da"), col("i") === col("da.doc_id"))
+      .join(sh.as("db"), col("j") === col("db.doc_id"))
+      .select(col("i"), col("j"),
+        size(array_intersect(col("da.hs"), col("db.hs"))).cast("long").as("c"),
+        size(col("da.hs")).as("na"), size(col("db.hs")).as("nb"))
   }
 
   /** Exact near-dup pairs (i < j, jaccard >= threshold). */
