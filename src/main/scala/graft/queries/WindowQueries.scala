@@ -165,6 +165,33 @@ object WindowQueries extends QueryPack {
           round(percentile(col("n_tokens"), lit(0.99)), 6).as("p99"),
           max("n_tokens").as("p100"))),
 
+    // Approximate percentiles — the 100 TB quantile path (Spark's
+    // Greenwald-Khanna sketch: single pass, mergeable, bounded memory,
+    // no sort). Exact `percentile` materializes every value per group;
+    // at corpus scale the sketch is the only affordable option, and its
+    // contract is a RANK guarantee: accuracy=100 returns an element
+    // whose rank is within ±1% of target. Graded like the HLL/CMS tier:
+    // the certificate asserts the sketch value lies inside the exact
+    // ±2%-rank envelope (computed in the same pass), and the oracle
+    // asserts TRUE — the sketch is deterministic per dataset, so a
+    // broken sketch flips the row red.
+    "q_approx_percentiles" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(size(split(trim(col("text")), "\\s+")).as("n_tokens"))
+        .agg(
+          percentile_approx(col("n_tokens"), lit(0.5), lit(100)).as("a50"),
+          percentile_approx(col("n_tokens"), lit(0.9), lit(100)).as("a90"),
+          percentile(col("n_tokens"), lit(0.48)).as("lo50"),
+          percentile(col("n_tokens"), lit(0.52)).as("hi50"),
+          percentile(col("n_tokens"), lit(0.88)).as("lo90"),
+          percentile(col("n_tokens"), lit(0.92)).as("hi90"),
+          count(lit(1)).as("n"))
+        .select(col("n"),
+          (col("a50") >= col("lo50") && col("a50") <= col("hi50"))
+            .as("p50_within_bound"),
+          (col("a90") >= col("lo90") && col("a90") <= col("hi90"))
+            .as("p90_within_bound"))),
+
     // Rollup: revenue per (region, year) with region and grand totals.
     "q_rollup_revenue" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
@@ -260,6 +287,12 @@ object WindowQueries extends QueryPack {
         |  round(quantile_cont(l_quantity, 0.75), 6) AS q3,
         |  count(*) AS n
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the GK sketch's rank contract asserted as a certificate
+    "q_approx_percentiles" ->
+      """SELECT count(*) AS n, TRUE AS p50_within_bound,
+        |  TRUE AS p90_within_bound
+        |FROM documents""".stripMargin,
 
     "q_token_percentiles" ->
       """SELECT
