@@ -22,7 +22,7 @@ object Bench {
     // SPARK_GRAFT_REPEAT=N: time each query N times, report the MIN —
     // local-iteration noise control (ambient host load swung identical
     // binaries 63 s → 812 s in r3). The driver never sets it (N=1).
-    val repeat = sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt).getOrElse(1)
+    val repeat = math.max(1, sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt).getOrElse(1))
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>

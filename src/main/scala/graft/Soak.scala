@@ -89,8 +89,15 @@ object Soak {
     * the Jaccard verify, which is exactly what the df cap exists to
     * amputate. sharedDen alone cannot manufacture this (it shares
     * vocabulary across copies, but per-shingle df still only grows ~k). */
-  private def hotPhraseTokens: Int =
-    sys.env.getOrElse("SPARK_GRAFT_SOAK_HOT_PHRASE", "0").toInt
+  private def hotPhraseTokens: Int = {
+    val n = sys.env.getOrElse("SPARK_GRAFT_SOAK_HOT_PHRASE", "0").toInt
+    // the dedup family shingles word 3-grams: fewer than 3 appended
+    // tokens yields only boundary shingles containing doc-specific
+    // tokens — no corpus-wide hot shingle, a silently-vacuous A/B
+    require(n == 0 || n >= 3,
+      s"HOT_PHRASE needs >= 3 tokens to form a corpus-wide 3-gram shingle, got $n")
+    n
+  }
 
   private def appendHotPhrase(docs: DataFrame): DataFrame =
     if (hotPhraseTokens <= 0) docs

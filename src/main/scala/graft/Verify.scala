@@ -53,6 +53,12 @@ object Verify {
     // explicit "filtered" marker file makes the narrowing visible too.
     Files.writeString(Paths.get(s"$outDir/queries.json"),
       SparkEntry.queries.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
+    // A stale marker from an earlier filtered run into the same outDir
+    // would flip the checker lenient on a FULL run — delete, then write
+    // only when actually filtering. The marker lists the selected names
+    // so the checker can keep grading selected-but-crashed queries as
+    // missing rather than filtered.
+    Files.deleteIfExists(Paths.get(s"$outDir/FILTERED"))
     if (only.isDefined)
       Files.writeString(Paths.get(s"$outDir/FILTERED"),
         selected.keys.toSeq.sorted.mkString(","))

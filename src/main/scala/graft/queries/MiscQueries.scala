@@ -90,14 +90,19 @@ object MiscQueries extends QueryPack {
       val eps = 0.001
       val cms = li.stat.countMinSketch(col("l_partkey"), eps = eps,
         confidence = 0.99, seed = 42)
-      val n = li.count() // scalar: sizes the eps·N overcount bound
+      // N for the eps·N bound rides the plan as a broadcast 1-row cross
+      // (the sketch build is the one unavoidable extra pass; a separate
+      // driver-side count() would make it three lineitem scans)
+      val tot = li.agg(count(lit(1)).as("n_total"))
       val top = li.groupBy("l_partkey").agg(count(lit(1)).as("exact"))
         .orderBy(col("exact").desc, col("l_partkey").asc).limit(10)
       val est = udf((k: Long) => cms.estimateCount(k))
       top.withColumn("cms_estimate", est(col("l_partkey")))
+        .crossJoin(broadcast(tot))
         .select(col("l_partkey"), col("exact"),
           (col("cms_estimate") >= col("exact") &&
-            col("cms_estimate") <= col("exact") + lit(math.ceil(eps * n).toLong))
+            col("cms_estimate") <= col("exact") +
+              ceil(lit(eps) * col("n_total")).cast("long"))
             .as("within_bound"))
     }),
 

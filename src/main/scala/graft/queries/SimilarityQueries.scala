@@ -123,6 +123,10 @@ object SimilarityQueries extends QueryPack {
     // are deterministic for a given dataset, so the flag is stable —
     // and a recall regression (fewer tables, narrower probe) flips it
     // red. The ranked output stays pinned by SimilaritySpec.
+    // Cost note: certifying recall inherently re-runs the brute-force
+    // ground truth, so this query's bench wall ≈ brute + SRP — read
+    // the SRP kernel's own cost from sim_topk_ivf/int8 or the spec,
+    // not from this row.
     "sim_topk_srp" -> ((s, d) => {
       val matched = bruteTopK(s, d).select(col("qid"), col("vec_id"))
         .join(srpTopK(s, d).select(col("qid"), col("vec_id")),

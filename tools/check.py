@@ -74,18 +74,24 @@ def main(sf_dir, out_dir):
     present = sorted(d.name for d in Path(out_dir).iterdir() if d.is_dir())
     manifest_path = Path(out_dir) / "queries.json"
     # Verify always writes the FULL declared manifest; a SPARK_GRAFT_ONLY
-    # run additionally drops a FILTERED marker. Missing results are hard
-    # failures on a full run, and explicitly-labeled skips on a filtered
-    # one (so a narrowed run can never silently pass as full coverage).
-    filtered = (Path(out_dir) / "FILTERED").exists()
-    if filtered:
+    # run additionally drops a FILTERED marker listing the SELECTED
+    # names. Missing results are hard failures on a full run; on a
+    # filtered run, only queries OUTSIDE the selection are labeled
+    # skips — a selected query that crashed (no parquet written) stays
+    # missing_result, so a narrowed run can't hide the very failure it
+    # was launched to debug.
+    filtered_path = Path(out_dir) / "FILTERED"
+    selected = None
+    if filtered_path.exists():
+        selected = set(filter(None, filtered_path.read_text().split(",")))
         print("*** FILTERED RUN (SPARK_GRAFT_ONLY) — NOT full coverage ***",
               file=sys.stderr)
     if manifest_path.exists():
         for name in json.loads(manifest_path.read_text()):
             if name not in present:
+                skipped = selected is not None and name not in selected
                 results[name] = ({"status": "filtered_out", "ok": True}
-                                 if filtered else
+                                 if skipped else
                                  {"status": "missing_result", "ok": False})
     for name in present:
         s_tbl = pq.read_table(f"{out_dir}/{name}")
