@@ -101,6 +101,46 @@ object DedupQueries extends QueryPack {
       .select(col("i"), col("j"), jaccard(col("c"), col("na"), col("nb")).as("jac"))
       .where(col("jac") >= JaccardThreshold)
 
+  /** Near-dup pair set at LSH-scale dedup rates is orders of magnitude
+    * smaller than the corpus (dozens at sf0.1). Below the gate, run
+    * union-find on the driver — deterministic min-label roots, no
+    * iterative-framework overhead (GraphX CC here cost ~8 s of fixed
+    * Pregel machinery per run on a 25-edge graph). Above the gate (a
+    * corpus whose pair graph itself is big), fall back to GraphX CC —
+    * component label == min vertex id either way, so the two paths are
+    * value-identical. Same size-gated-with-named-fallback discipline as
+    * the brute-cosine and eval-gram materializations. */
+  private val MaxDriverPairs = 2000000L
+
+  private def pairsToClusters(s: SparkSession, pairs: DataFrame): DataFrame = {
+    import s.implicits._
+    val edges = pairs.select("i", "j").as[(Long, Long)]
+    val local = edges.limit((MaxDriverPairs + 1).toInt).collect()
+    if (local.length <= MaxDriverPairs) {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x
+        else { val r = find(p); parent(x) = r; r }
+      }
+      for ((a, b) <- local) {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { // union by MIN root: labels match GraphX's CC
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      val verts = local.flatMap { case (a, b) => Seq(a, b) }.distinct
+      verts.map(v => (v, find(v))).toSeq.toDF("doc_id", "root")
+    } else {
+      val erdd = edges.rdd
+        .map { case (a, b) => org.apache.spark.graphx.Edge(a, b, 1.0) }
+        .coalesce(s.sparkContext.defaultParallelism)
+      org.apache.spark.graphx.Graph.fromEdges(erdd, 0)
+        .connectedComponents() // component label == min vertex id
+        .vertices.toDF("doc_id", "root")
+    }
+  }
+
   override def queries: Map[String, Q] = Map(
     // Exact dedup: group on content hash, keep min doc_id.
     "dedup_exact" -> ((s, d) =>
@@ -118,15 +158,8 @@ object DedupQueries extends QueryPack {
     // the final step a production dedup pipeline actually keys on.
     "dedup_clusters" -> ((s, d) => {
       import s.implicits._
-      val pairs = jaccardPairs(s, d)
-      // near-dup pair sets are tiny relative to the corpus: run the
-      // iterative CC on a few partitions, not the session default
-      val erdd = pairs.select("i", "j").rdd
-        .map(r => org.apache.spark.graphx.Edge(r.getLong(0), r.getLong(1), 1.0))
-        .coalesce(4)
-      val cc = org.apache.spark.graphx.Graph.fromEdges(erdd, 0)
-        .connectedComponents()  // component label == min vertex id: deterministic
-      cc.vertices.toDF("doc_id", "root")
+      val pairs = pairsToClusters(s, jaccardPairs(s, d))
+      pairs
         .groupBy(col("root").as("survivor"))
         .agg(count(lit(1)).as("cluster_size"),
           concat_ws("|", sort_array(collect_list(col("doc_id")))).as("members"))
