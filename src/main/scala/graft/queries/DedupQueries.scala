@@ -70,10 +70,14 @@ object DedupQueries extends QueryPack {
     * the size columns; persisted (tracked — released by
     * [[graft.SparkEntry.releaseCaches]]) so the shingle UDF runs once
     * per doc. */
-  private def commonWithSizes(s: SparkSession, d: String): DataFrame = {
+  private def commonWithSizes(s: SparkSession, d: String): DataFrame =
+    commonWithSizesCap(s, d, shingleDfCap)
+
+  /** Cap-injectable variant — spec'd directly (env is immutable in a
+    * test JVM, so DedupQualitySpec passes the cap explicitly). */
+  private[graft] def commonWithSizesCap(s: SparkSession, d: String, cap: Long): DataFrame = {
     val sh = graft.CacheRegistry.persistTracked(docShingleHashes(s, d))
     val ex = sh.select(col("doc_id"), explode(col("hs")).as("h"))
-    val cap = shingleDfCap
     // df attaches via an h-keyed join; the a/b self-join below reuses
     // the same hashpartitioning(h), so the cap costs one aggregation,
     // not an extra exchange on the big exploded relation

@@ -77,4 +77,49 @@ class DedupQualitySpec extends AnyFunSuite {
     val allPairs = n * (n - 1) / 2
     assert(cand.size < allPairs / 20, s"candidate explosion: ${cand.size} of $allPairs")
   }
+
+  test("df cap: normal near-dup pairs unaffected; only-hot-shingle pairs are the traded tail") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 2 true near-dups (A=10,B=11: long shared text, one word differs);
+    // 2 pathological docs (C=20,D=21: EXACTLY the stopword phrase — the
+    // only shingle they share with anything is the corpus-hot one);
+    // everything carries the hot phrase, so its df = 6 > cap = 4.
+    val phrase = "the the the the the"
+    val body = (1 to 30).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (10L, s"$body alpha $phrase"),
+      (11L, s"$body beta $phrase"),
+      (20L, phrase), (21L, phrase),
+      (30L, (1 to 30).map(i => s"x$i").mkString(" ") + s" $phrase"),
+      (31L, (1 to 30).map(i => s"y$i").mkString(" ") + s" $phrase"))
+      .toDF("doc_id", "text")
+    val dir = s"/tmp/graft_dfcap_fixture_${suiteName.hashCode}"
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    def contained(cap: Long): Set[(Long, Long)] = {
+      val got = graft.queries.DedupQueries.commonWithSizesCap(spark, dir, cap)
+        .select(col("i"), col("j"),
+          (col("c").cast("double") / least(col("na"), col("nb"))).as("cont"))
+        .where(col("cont") >= 0.9)
+        .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      SparkEntry.releaseCaches()
+      got
+    }
+    val uncapped = contained(0L)
+    val capped = contained(4L)
+    // uncapped finds the real near-dup AND every pair involving the
+    // phrase-only docs (their whole set is contained in every doc that
+    // carries the phrase — containment 1/1)
+    assert(uncapped.contains((10L, 11L)) && uncapped.contains((20L, 21L)))
+    // capped: the real pair survives (it shares plenty of sub-cap
+    // shingles); EXACTLY the pairs whose only shared shingle is the
+    // corpus-hot one — all of them involving a phrase-only doc — are
+    // the documented trade
+    val phraseOnly = Set(20L, 21L)
+    assert(capped.contains((10L, 11L)), "cap must not cost real near-dups")
+    assert(capped == uncapped.filterNot { case (i, j) =>
+      phraseOnly.contains(i) || phraseOnly.contains(j) },
+      "the traded tail must be exactly the only-hot-shingle pairs")
+  }
 }
