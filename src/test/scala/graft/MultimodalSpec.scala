@@ -90,6 +90,34 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("PixelImage kernels are stream-safe: decode+stats on a MemoryStream agree with batch") {
+    import graft.multimodal.PixelImage
+    import graft.multimodal.PixelImage.Media
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    // the stats stage is a stateless typed mapPartitions — no state
+    // store, no watermark, append-safe: the same kernel IS the
+    // streaming twin. Prove it across micro-batch boundaries.
+    val mem = MemoryStream[Media]
+    val q = PixelImage.channelStats(mem.toDS())
+      .writeStream.format("memory").queryName("px_stats")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(Media(2L, PixelImage.encodePng(PixelImage.synthImage(2L))))
+      q.processAllAvailable()
+      mem.addData(Media(9L, PixelImage.encodePng(PixelImage.synthImage(9L))))
+      q.processAllAvailable()
+      val streamed = spark.table("px_stats").as[(Long, Int, Int, Long, Long, Long)]
+        .collect().map(r => r._1 -> r).toMap
+      val batch = PixelImage.channelStats(
+          PixelImage.mediaFromDocuments(Seq(2L, 9L).toDF("doc_id")))
+        .collect().map(s =>
+          s.media_id -> ((s.media_id, s.width, s.height, s.r_sum, s.g_sum, s.b_sum))).toMap
+      assert(streamed == batch, "a payload must get identical stats on stream and backfill")
+    } finally q.stop()
+  }
+
   test("frame sampling counts: ceil split, every 4th kept") {
     val fs = Multimodal.frameSample(media, frameBytes = 256, stride = 4)
       .select("media_id", "n_frames", "n_sampled")
