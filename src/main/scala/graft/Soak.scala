@@ -33,6 +33,7 @@ object Soak {
     "dedup_exact", "dedup_ngram_jaccard", "dedup_containment",
     "dedup_minhash_lsh", "dedup_simhash", "dedup_clusters",
     "graph_part_communities", "graph_part_components",
+    "graph_part_communities_exact", "graph_part_pagerank_exact",
     "q_part_cooccur", "text_fingerprint", "text_quality",
     "pipe_decontaminate", "text_tfidf_terms", "dedup_semantic")
 
