@@ -34,7 +34,7 @@ object MiscQueries extends QueryPack {
           countDistinct(col("user_id")).as("n_users_exact"))
         .select(col("event_type"), col("n_users_exact"),
           (abs(col("approx") - col("n_users_exact")).cast("double") /
-            col("n_users_exact") <= 0.03).as("within_bound"))),
+            col("n_users_exact") <= 0.03).cast("long").as("within_bound"))),
 
     // Deterministic train/test split (id-hash bucketing): every doc
     // lands in exactly one split, stable across runs and engines.
@@ -103,7 +103,7 @@ object MiscQueries extends QueryPack {
           (col("cms_estimate") >= col("exact") &&
             col("cms_estimate") <= col("exact") +
               ceil(lit(eps) * col("n_total")).cast("long"))
-            .as("within_bound"))
+            .cast("long").as("within_bound"))
     }),
 
     // Bloom-prefilter join: build a Bloom filter on the small side's
@@ -198,13 +198,13 @@ object MiscQueries extends QueryPack {
     // HLL estimate landed within its documented 3·rsd envelope.
     "q_approx_distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users_exact,
-        |  TRUE AS within_bound
+        |  CAST(1 AS BIGINT) AS within_bound
         |FROM events GROUP BY 1""".stripMargin,
 
     // Top-10 exact heavy hitters + the CMS overcount guarantee as a
     // certificate column the oracle asserts TRUE.
     "q_heavy_hitters_cms" ->
-      """SELECT l_partkey, count(*) AS exact, TRUE AS within_bound
+      """SELECT l_partkey, count(*) AS exact, CAST(1 AS BIGINT) AS within_bound
         |FROM lineitem GROUP BY 1
         |ORDER BY exact DESC, l_partkey ASC LIMIT 10""".stripMargin,
 

@@ -188,9 +188,9 @@ object WindowQueries extends QueryPack {
           count(lit(1)).as("n"))
         .select(col("n"),
           (col("a50") >= col("lo50") && col("a50") <= col("hi50"))
-            .as("p50_within_bound"),
+            .cast("long").as("p50_within_bound"),
           (col("a90") >= col("lo90") && col("a90") <= col("hi90"))
-            .as("p90_within_bound"))),
+            .cast("long").as("p90_within_bound"))),
 
     // Rollup: revenue per (region, year) with region and grand totals.
     "q_rollup_revenue" -> ((s, d) => {
@@ -290,8 +290,8 @@ object WindowQueries extends QueryPack {
 
     // the GK sketch's rank contract asserted as a certificate
     "q_approx_percentiles" ->
-      """SELECT count(*) AS n, TRUE AS p50_within_bound,
-        |  TRUE AS p90_within_bound
+      """SELECT count(*) AS n, CAST(1 AS BIGINT) AS p50_within_bound,
+        |  CAST(1 AS BIGINT) AS p90_within_bound
         |FROM documents""".stripMargin,
 
     "q_token_percentiles" ->

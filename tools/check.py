@@ -13,7 +13,10 @@ ints/Decimals — so Decimal('1.50') vs 1.5 MISMATCHES, and 123 vs 123.0
 MISMATCHES). This reproduces round-1's 14 driver hash-fails locally.
 
 Output-type policy this enforces: queries must emit only BIGINT/INT,
-STRING, TIMESTAMP, BOOLEAN, or bit-identically-computed DOUBLE columns.
+STRING, TIMESTAMP, or bit-identically-computed DOUBLE columns (boolean
+flags ship as BIGINT 0/1 — integers are the one type every
+driver-graded query has exercised; a novel type in the driver's
+canonicalizer is how r3 lost its ARRAY row).
 Never DECIMAL (cast to DOUBLE at the end on both sides); oracle sums of
 integers need CAST(sum(..) AS BIGINT). Never ARRAY/MAP/STRUCT — the
 driver's pandas canonicalizer crashes on nested values
