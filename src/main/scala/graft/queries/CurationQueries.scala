@@ -118,6 +118,43 @@ object CurationQueries extends QueryPack {
             .as("pct_tokens"))
     }),
 
+    // Domain RESAMPLING — the step that turns mixing weights into an
+    // actual corpus (Pile/LLaMA-style "source × epochs"): each doc is
+    // emitted ⌊w⌋ times plus one more with probability frac(w), so a
+    // lang at w=2.5 contributes ~2.5 epochs. The fractional inclusion
+    // is a deterministic integer-rational test — (doc_id mod 1e6) ·
+    // 2654435761 mod 1e6 < frac·1e6 — no floats, no rand(): the same
+    // doc is always in or out, reproducible across runs, engines, and
+    // partitionings (rand() here would poison caches AND grading).
+    // Copies materialize via explode (the real resampler's row shape —
+    // a writer would stream these out); the graded result is the
+    // per-lang epoch accounting.
+    "pipe_domain_resample" -> ((s, d) => {
+      import s.implicits._
+      // (lang, whole epochs, fractional-inclusion threshold in ppm)
+      val weights = broadcast(Seq(
+        ("en", 0L, 500000L), // 0.5 epochs: downsample the head lang
+        ("zh", 2L, 0L),      // 2.0
+        ("es", 1L, 500000L), // 1.5
+        ("de", 2L, 500000L), // 2.5
+        ("fr", 1L, 0L))      // 1.0
+        .toDF("lang", "w_floor", "w_frac_ppm"))
+      Tables.documents(s, d)
+        .join(weights, Seq("lang"))
+        .withColumn("u",
+          pmod(pmod(col("doc_id"), lit(1000000L)) * lit(2654435761L), lit(1000000L)))
+        .withColumn("copies",
+          col("w_floor") + when(col("u") < col("w_frac_ppm"), 1L).otherwise(0L))
+        .where(col("copies") > 0)
+        .select(col("lang"), col("doc_id"),
+          tokenCount(col("text")).cast("long").as("toks"),
+          explode(sequence(lit(1L), col("copies"))).as("copy_i"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs_resampled"),
+          sum(col("toks")).as("n_tokens_resampled"),
+          countDistinct(col("doc_id")).as("n_docs_source"))
+    }),
+
     // Distinctive terms per document, TF-IDF style. The idf is the
     // RATIONAL proxy tf/df — ln() is libm-dependent and would break
     // bit-exact cross-engine grading, while tf/df ranks identically for
@@ -269,6 +306,23 @@ object CurationQueries extends QueryPack {
         |  round(n_docs * 1.0 / sum(n_docs) OVER (), 6) AS pct_docs,
         |  round(n_tokens * 1.0 / sum(n_tokens) OVER (), 6) AS pct_tokens
         |FROM m""".stripMargin,
+
+    // the identical integer-rational inclusion replayed in SQL
+    "pipe_domain_resample" ->
+      """WITH w(lang, w_floor, w_frac_ppm) AS (
+        |  VALUES ('en', 0, 500000), ('zh', 2, 0), ('es', 1, 500000),
+        |         ('de', 2, 500000), ('fr', 1, 0)),
+        |c AS (
+        |  SELECT d.lang, d.doc_id,
+        |    len(list_filter(string_split_regex(lower(d.text), '\s+'), t -> length(t) > 0)) AS toks,
+        |    w.w_floor + CASE WHEN (d.doc_id % 1000000) * 2654435761 % 1000000
+        |      < w.w_frac_ppm THEN 1 ELSE 0 END AS copies
+        |  FROM documents d JOIN w ON d.lang = w.lang)
+        |SELECT lang,
+        |  CAST(sum(copies) AS BIGINT) AS n_docs_resampled,
+        |  CAST(sum(copies * toks) AS BIGINT) AS n_tokens_resampled,
+        |  CAST(count(*) AS BIGINT) AS n_docs_source
+        |FROM c WHERE copies > 0 GROUP BY 1""".stripMargin,
 
     "text_tfidf_terms" ->
       """WITH tf AS (
