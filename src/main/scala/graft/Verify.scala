@@ -22,6 +22,19 @@ object Verify {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
+    // a typo'd ONLY would otherwise dump nothing and still gate green
+    // (every query labeled filtered_out) — fail loudly instead
+    only.foreach { o =>
+      require(selected.nonEmpty,
+        s"SPARK_GRAFT_ONLY matched no queries: ${o.mkString(",")}")
+    }
+    // delete a stale marker from a previous filtered run into this
+    // outDir BEFORE dumping — if this run crashes mid-dump, the checker
+    // must see missing_result rows, not inherit filtered leniency
+    Files.deleteIfExists(Paths.get(s"$outDir/FILTERED"))
+    if (only.isDefined)
+      Files.writeString(Paths.get(s"$outDir/FILTERED"),
+        selected.keys.toSeq.sorted.mkString(","))
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
@@ -53,15 +66,6 @@ object Verify {
     // explicit "filtered" marker file makes the narrowing visible too.
     Files.writeString(Paths.get(s"$outDir/queries.json"),
       SparkEntry.queries.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
-    // A stale marker from an earlier filtered run into the same outDir
-    // would flip the checker lenient on a FULL run — delete, then write
-    // only when actually filtering. The marker lists the selected names
-    // so the checker can keep grading selected-but-crashed queries as
-    // missing rather than filtered.
-    Files.deleteIfExists(Paths.get(s"$outDir/FILTERED"))
-    if (only.isDefined)
-      Files.writeString(Paths.get(s"$outDir/FILTERED"),
-        selected.keys.toSeq.sorted.mkString(","))
     spark.stop()
   }
 }

@@ -118,14 +118,22 @@ object DedupQueries extends QueryPack {
 
   private def pairsToClusters(s: SparkSession, pairs: DataFrame): DataFrame = {
     import s.implicits._
-    val edges = pairs.select("i", "j").as[(Long, Long)]
+    // persist before probing: otherwise the limit+collect gate would run
+    // the whole pair pipeline once to count and the fallback would run
+    // it AGAIN — doubling cost exactly at the scale where it hurts
+    val edges = graft.CacheRegistry.persistTracked(pairs.select("i", "j"))
+      .as[(Long, Long)]
     val local = edges.limit((MaxDriverPairs + 1).toInt).collect()
     if (local.length <= MaxDriverPairs) {
       val parent = scala.collection.mutable.Map[Long, Long]()
+      // iterative find + path compression: a recursive version blows the
+      // JVM stack on one big cluster's long parent chain
       def find(x: Long): Long = {
-        val p = parent.getOrElse(x, x)
-        if (p == x) x
-        else { val r = find(p); parent(x) = r; r }
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (c != r) { val n = parent(c); parent(c) = r; c = n }
+        r
       }
       for ((a, b) <- local) {
         val (ra, rb) = (find(a), find(b))
