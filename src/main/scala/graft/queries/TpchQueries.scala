@@ -36,6 +36,39 @@ object TpchQueries extends QueryPack {
         .limit(10)),
 
     // Q6: forecast revenue change — single exact-decimal scan aggregate.
+    // Q5 analogue: local-supplier volume — revenue per nation for one
+    // region and year, counting only line items whose supplier sits in
+    // the customer's own nation. The classic 6-way join: lineitem is
+    // the only big table; orders shuffles once for the l⋈o equi-join
+    // (pre-cut by the year filter); customer, supplier, nation, and the
+    // region-filtered nation list all broadcast, with the region
+    // predicate reaching the parquet scan. The c_nationkey=s_nationkey
+    // "local" conjunct rides the supplier broadcast join.
+    "q5_local_supplier" -> ((s, d) => {
+      val ord = Tables.orders(s, d)
+        .where(col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1997-01-01"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val cust = broadcast(Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey")))
+      val supp = broadcast(Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_nationkey")))
+      val nat = broadcast(Tables.nation(s, d))
+      val reg = broadcast(Tables.region(s, d).where(col("r_name") === "ASIA"))
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"),
+          col("l_extendedprice"), col("l_discount"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(supp, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(nat, col("s_nationkey") === col("n_nationkey"))
+        .join(reg, col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(discPrice).cast("decimal(38,4)").cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
     "q6_forecast_revenue" -> ((s, d) =>
       Tables.lineitem(s, d)
         .where(col("l_shipdate") >= lit("1996-01-01") &&
@@ -164,6 +197,20 @@ object TpchQueries extends QueryPack {
          |  AND o_orderdate < '1998-03-15' AND l_shipdate > '1998-03-15'
          |GROUP BY 1, 2, 3
          |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+
+    "q5_local_supplier" ->
+      s"""SELECT n_name,
+         |  CAST(CAST(sum($discPriceSql) AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
+         |  count(*) AS n_items
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
+         |GROUP BY 1""".stripMargin,
 
     "q6_forecast_revenue" ->
       """SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue,

@@ -219,6 +219,15 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"the self-join formulation is banned (r3 regression):\n$p")
   }
 
+  test("q5_local_supplier: at most one fact shuffle join, all four dimensions broadcast") {
+    val p = planOf("q5_local_supplier")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 4,
+      s"customer/supplier/nation/region must all broadcast:\n$p")
+    assert("SortMergeJoin".r.findAllIn(p).length <= 1,
+      s"only lineitem⋈orders may shuffle-join:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q_events_sessions: exactly one shuffle (window + agg reuse the same hash partitioning)") {
     val p = planOf("q_events_sessions")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
