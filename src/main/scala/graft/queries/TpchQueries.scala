@@ -170,6 +170,114 @@ object TpchQueries extends QueryPack {
         .orderBy("s_suppkey")
     }),
 
+    // Q7 analogue: volume shipping between two nations, either
+    // direction, by ship year. Shape notes for 100 TB: BOTH big tables
+    // are cut by a broadcast dimension join BEFORE the one
+    // lineitem⋈orders shuffle — supplier(+nation pair) filters lineitem
+    // to suppliers of the two nations, customer(+nation pair) filters
+    // orders likewise, so the expensive equi-join shuffles ~2/25ths of
+    // each side. The cross-pair disjunction (F→G or G→F) can only be
+    // evaluated after both joins and rides the probe side for free.
+    "q7_volume_shipping" -> ((s, d) => {
+      val pairNames = Seq("NATION_1", "NATION_2")
+      val pair = Tables.nation(s, d).where(col("n_name").isin(pairNames: _*))
+      val supp = broadcast(Tables.supplier(s, d)
+        .join(pair.select(col("n_nationkey"), col("n_name").as("supp_nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("supp_nation")))
+      val cust = broadcast(Tables.customer(s, d)
+        .join(pair.select(col("n_nationkey").as("nk2"), col("n_name").as("cust_nation")),
+          col("c_nationkey") === col("nk2"))
+        .select(col("c_custkey"), col("cust_nation")))
+      val li = Tables.lineitem(s, d)
+        .where(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1998-01-01"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          col("l_extendedprice"), col("l_discount"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .join(supp, col("l_suppkey") === col("s_suppkey"))
+      val ord = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .where((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+        .agg(sum(discPrice).cast("decimal(38,4)").cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // Q13 analogue: customer order-count distribution over a filtered
+    // LEFT OUTER join (zero-order customers must appear). Scale shape:
+    // orders pre-aggregates to (custkey, count) with map-side combine
+    // BEFORE the outer join, so the custkey shuffle moves one row per
+    // customer, not one per order; the final histogram is a few dozen
+    // rows. The orderBy is total (n_custs desc, c_count desc), so the
+    // result is deterministic.
+    "q13_order_distribution" -> ((s, d) => {
+      val ocnt = Tables.orders(s, d)
+        .where(col("o_orderpriority") === "1-URGENT")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("cnt"))
+      Tables.customer(s, d).select(col("c_custkey"))
+        .join(ocnt, col("c_custkey") === col("o_custkey"), "left_outer")
+        .select(coalesce(col("cnt"), lit(0L)).as("c_count"))
+        .groupBy(col("c_count")).agg(count(lit(1)).as("n_custs"))
+        .orderBy(col("n_custs").desc, col("c_count").desc)
+    }),
+
+    // Q18 analogue: large-quantity orders (HAVING over a fact
+    // aggregate, then decorate with the order/customer dims). Scale
+    // shape: the only big shuffle is the lineitem groupBy (map-side
+    // partial sums); the HAVING survivor set is rare by construction,
+    // so it BROADCASTS into the orders scan, and that (still small)
+    // result broadcasts into the customer scan — neither dimension
+    // table ever shuffles. sum_qty is a sum of integer-valued doubles
+    // (exact in IEEE), shipped as BIGINT.
+    "q18_large_orders" -> ((s, d) => {
+      val big = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_quantity"))
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).cast("long").as("sum_qty"))
+        .where(col("sum_qty") > 250)
+      val ob = Tables.orders(s, d).join(broadcast(big),
+        col("o_orderkey") === col("l_orderkey"))
+      Tables.customer(s, d).join(broadcast(ob),
+          col("c_custkey") === col("o_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("sum_qty").desc, col("o_orderkey").asc)
+        .limit(100)
+    }),
+
+    // Q22 analogue: rich-but-inactive customers per segment — a global
+    // scalar subquery (average positive balance) plus an anti join
+    // against customers with recent orders. The 1-row cutoff broadcasts
+    // via crossJoin; the anti-join build side pre-distincts to one row
+    // per active customer (map-side combine) and then shuffles on
+    // custkey — deliberately NOT hinted broadcast: at corpus scale most
+    // customers are active, so the distinct key set is proportional to
+    // customer, and AQE picks broadcast only when the SF makes it small.
+    // Balance sums ride exact DECIMAL(18,2) and ship as DOUBLE; the
+    // cutoff itself is one exact-sum→double division, identical on both
+    // engines.
+    "q22_inactive_customers" -> ((s, d) => {
+      val dec2 = (c: org.apache.spark.sql.Column) => c.cast("decimal(18,2)")
+      val cut = Tables.customer(s, d).where(col("c_acctbal") > 0)
+        .agg((sum(dec2(col("c_acctbal"))).cast("decimal(38,2)").cast("double") /
+          count(lit(1))).as("cutoff"))
+      val recent = Tables.orders(s, d)
+        .where(col("o_orderdate") >= lit("2000-01-01"))
+        .select(col("o_custkey")).distinct()
+      Tables.customer(s, d)
+        .crossJoin(broadcast(cut))
+        .where(col("c_acctbal") > col("cutoff"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_custs"),
+          sum(dec2(col("c_acctbal"))).cast("decimal(38,2)").cast("double").as("total_bal"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     // As-of join: each click enriched with the user's latest prior (or
     // simultaneous) signup event id.
     "q_events_asof" -> ((s, d) => {
@@ -257,6 +365,52 @@ object TpchQueries extends QueryPack {
          |FROM rev JOIN supplier ON l_suppkey = s_suppkey
          |WHERE rev = (SELECT max(rev) FROM rev)
          |ORDER BY s_suppkey""".stripMargin,
+
+    "q7_volume_shipping" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |  year(l_shipdate) AS l_year,
+         |  CAST(CAST(sum($discPriceSql) AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
+         |  count(*) AS n_items
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+         |  AND l_shipdate >= '1996-01-01' AND l_shipdate < '1998-01-01'
+         |GROUP BY 1, 2, 3""".stripMargin,
+
+    "q13_order_distribution" ->
+      """SELECT c_count, count(*) AS n_custs FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority = '1-URGENT'
+        |  GROUP BY c_custkey) t
+        |GROUP BY c_count
+        |ORDER BY n_custs DESC, c_count DESC""".stripMargin,
+
+    "q18_large_orders" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
+        |FROM (SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        |      FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 250) b
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |ORDER BY sum_qty DESC, o_orderkey ASC LIMIT 100""".stripMargin,
+
+    "q22_inactive_customers" ->
+      """WITH cut AS (
+        |  SELECT CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE)
+        |           / count(*) AS cutoff
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT c_mktsegment, count(*) AS n_custs,
+        |  CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS total_bal
+        |FROM customer, cut
+        |WHERE c_acctbal > cutoff
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderdate >= '2000-01-01')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_events_asof" ->
       """SELECT l.event_id, l.user_id, r.signup_id

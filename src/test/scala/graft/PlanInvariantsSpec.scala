@@ -233,4 +233,52 @@ class PlanInvariantsSpec extends AnyFunSuite {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
     assert(exchanges <= 2, s"sessionization should not re-shuffle per stage, got $exchanges:\n$p")
   }
+
+  test("q7_volume_shipping: nation pair cuts both fact sides via broadcast BEFORE the one equi-join shuffle") {
+    val p = planOf("q7_volume_shipping")
+    // supplier+nation into lineitem, customer+nation into orders: ≥ 4
+    // broadcast joins total, and the only shuffle join is l⋈o
+    assert("\\(\\d+\\) BroadcastHashJoin".r.findAllIn(p).length >= 4,
+      s"both dimension chains must broadcast into the facts:\n$p")
+    assert("\\(\\d+\\) SortMergeJoin".r.findAllIn(p).length <= 1,
+      s"only lineitem⋈orders may shuffle-join:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"ship-window filter must reach the lineitem scan:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q13_order_distribution: orders pre-aggregated to one row per customer before the outer join") {
+    val p = planOf("q13_order_distribution")
+    // the LEFT OUTER join must consume the (custkey, count) aggregate,
+    // never raw orders rows: partial agg below the join
+    assert(p.contains("LeftOuter"), s"zero-order customers need an outer join:\n$p")
+    val joinStep = "\\((\\d+)\\) (?:SortMergeJoin|BroadcastHashJoin)".r
+      .findFirstMatchIn(p).map(_.group(1).toInt)
+    val aggSteps = "\\((\\d+)\\) HashAggregate".r.findAllMatchIn(p).map(_.group(1).toInt).toSeq
+    assert(joinStep.nonEmpty && aggSteps.exists(_ < joinStep.get),
+      s"orders must aggregate below (before) the outer join, join=$joinStep aggs=$aggSteps:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderpriority), EqualTo(o_orderpriority"),
+      s"priority filter must reach the orders scan:\n$p")
+  }
+
+  test("q18_large_orders: HAVING survivors broadcast into both dims; one fact shuffle; top-k via TakeOrdered") {
+    val p = planOf("q18_large_orders")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      s"the rare survivor set must broadcast into orders and customer:\n$p")
+    assert(exchangeCount(p) == 1,
+      s"only the lineitem groupBy may shuffle:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"limit 100 must be TakeOrdered, not a global sort:\n$p")
+  }
+
+  test("q22_inactive_customers: anti join consumes a pre-distincted key set; scalar cutoff broadcasts") {
+    val p = planOf("q22_inactive_customers")
+    assert(p.contains("LeftAnti"), s"inactivity must stay an anti join:\n$p")
+    // the distinct on recent-order custkeys must partially aggregate
+    // before its exchange (one row per customer crosses the wire)
+    assert("(?s)HashAggregate.*Exchange.*HashAggregate".r.findFirstIn(p).isDefined,
+      s"recent custkeys must pre-distinct with map-side combine:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate"),
+      s"recency filter must reach the orders scan:\n$p")
+  }
 }
