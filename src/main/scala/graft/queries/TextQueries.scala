@@ -80,9 +80,55 @@ object TextQueries extends QueryPack {
       Tables.documents(s, d)
         .select(col("lang"), langId(col("text")).as("pred"))
         .groupBy("lang", "pred")
-        .agg(count(lit(1)).as("cnt"))))
+        .agg(count(lit(1)).as("cnt"))),
+
+    // Bigram-coverage quality score — a deterministic stand-in for the
+    // LM-perplexity filter real curation pipelines run: the share of a
+    // document's distinct word bigrams that are corpus-common
+    // (document frequency ≥ max(3, n_docs/20); the threshold scales
+    // with the corpus so the score discriminates at every SF). Pure
+    // integer counting + ONE final double division, so it replays
+    // exactly in DuckDB — unlike a float LM score. Shape: single scan,
+    // bigram df via a count window over the bigram hash partitioning
+    // (no self-join, no second scan), then one doc_id aggregation —
+    // two shuffles total, both map-combinable at the second stage.
+    "text_bigram_coverage" -> ((s, d) => {
+      val kRow = broadcast(Tables.documents(s, d)
+        .agg(count(lit(1)).as("n_docs"))
+        .select(greatest(lit(3L), expr("n_docs div 20")).as("k")))
+      val docBg = Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+        .where(size(col("t")) >= 2)
+        .select(col("doc_id"), explode(array_distinct(
+          expr("transform(sequence(0, size(t)-2), i -> concat(t[i], ' ', t[i+1]))"))).as("b"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("b")
+      docBg.withColumn("df", count(lit(1)).over(w))
+        .crossJoin(kRow)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(when(col("df") >= col("k"), 1L).otherwise(0L)).as("n_common"))
+        .select(col("doc_id"), col("n_bigrams"), col("n_common"),
+          (col("n_common").cast("double") / col("n_bigrams")).as("coverage"))
+    }))
+
+  private val bigramCoverageOracle =
+    """WITH k AS (
+      |  SELECT greatest(3, count(*) // 20) AS k FROM documents),
+      |toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0) AS t
+      |  FROM documents),
+      |bg AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS b
+      |  FROM toks WHERE len(t) >= 2),
+      |wd AS (SELECT doc_id, count(*) OVER (PARTITION BY b) AS df FROM bg)
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |  CAST(sum(CASE WHEN df >= k THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+      |  CAST(sum(CASE WHEN df >= k THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS coverage
+      |FROM wd, k GROUP BY 1""".stripMargin
 
   private val oraclesBase: Map[String, String] = Map(
+    "text_bigram_coverage" -> bigramCoverageOracle,
     "text_token_count" ->
       """SELECT token, count(*) AS cnt
         |FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS token

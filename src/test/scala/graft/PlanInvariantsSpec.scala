@@ -271,6 +271,18 @@ class PlanInvariantsSpec extends AnyFunSuite {
       s"limit 100 must be TakeOrdered, not a global sort:\n$p")
   }
 
+  test("text_bigram_coverage: df via ONE bigram window partitioning, no self-join, single scan") {
+    val p = planOf("text_bigram_coverage")
+    assert("hashpartitioning\\(b".r.findAllIn(p).length == 1,
+      s"bigram df must ride one hash partitioning on b:\n$p")
+    assert("\\(\\d+\\) SortMergeJoin".r.findFirstIn(p).isEmpty,
+      s"the join-back formulation is banned (window computes df in place):\n$p")
+    // one documents scan only: the k scalar re-scans but reads zero
+    // columns; the bigram pipeline must not duplicate the text scan
+    assert("ReadSchema: struct<doc_id[^>]*text".r.findAllIn(p).length == 1,
+      s"text must be scanned exactly once:\n$p")
+  }
+
   test("q22_inactive_customers: anti join consumes a pre-distincted key set; scalar cutoff broadcasts") {
     val p = planOf("q22_inactive_customers")
     assert(p.contains("LeftAnti"), s"inactivity must stay an anti join:\n$p")
