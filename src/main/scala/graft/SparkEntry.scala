@@ -24,7 +24,8 @@ object SparkEntry {
     AlgebraQueries,
     PipelineQueries,
     CurationQueries,
-    TpchQueries)
+    TpchQueries,
+    TpchDeepQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

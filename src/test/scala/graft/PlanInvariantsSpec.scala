@@ -293,4 +293,56 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate"),
       s"recency filter must reach the orders scan:\n$p")
   }
+
+  test("q8_market_share: every dimension broadcasts; lineitem⋈orders is the only shuffle join") {
+    val p = planOf("q8_market_share")
+    assert("\\(\\d+\\) BroadcastHashJoin".r.findAllIn(p).length >= 5,
+      s"part/supplier/nation/customer/region must all ride broadcast joins:\n$p")
+    assert("\\(\\d+\\) SortMergeJoin".r.findAllIn(p).length == 1,
+      s"exactly one shuffle join (lineitem⋈orders) allowed:\n$p")
+    assert(p.contains("EqualTo(p_type,STANDARD)") && p.contains("EqualTo(r_name,ASIA)"),
+      s"type and region filters must reach their scans:\n$p")
+  }
+
+  test("q19_branded_revenue: quantity envelope AND branch disjunction pushed to the lineitem scan") {
+    val p = planOf("q19_branded_revenue")
+    assert(p.contains("GreaterThanOrEqual(l_quantity,1.0)") &&
+      p.contains("LessThanOrEqual(l_quantity,30.0)"),
+      s"stated quantity envelope must reach the scan:\n$p")
+    assert("\\(\\d+\\) SortMergeJoin".r.findFirstIn(p).isEmpty,
+      s"the brand-filtered part join must broadcast:\n$p")
+  }
+
+  test("q2_best_supplier: window-max decorrelation keeps lineitem to a single scan") {
+    val p = planOf("q2_best_supplier")
+    assert("ReadSchema: struct<l_partkey".r.findAllIn(p).length == 1,
+      s"the join-back formulation (two lineitem passes) is banned:\n$p")
+    assert("\\(\\d+\\) Window".r.findAllIn(p).length == 1,
+      s"per-part max must be one window pass:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"limit 100 must be TakeOrdered, not a global sort:\n$p")
+  }
+
+  test("q21_waiting_suppliers: status pushed; one window pass; supplier decorates the aggregate by broadcast") {
+    val p = planOf("q21_waiting_suppliers")
+    assert(p.contains("EqualTo(o_orderstatus,F)"),
+      s"order-status filter must reach the orders scan:\n$p")
+    // nsupp and nlate share one partition spec -> exactly one Window
+    // node (and its one sort); at scale it rides the join's orderkey
+    // partitioning with zero extra exchanges
+    assert("\\(\\d+\\) Window".r.findAllIn(p).length == 1,
+      s"both per-order counts must share a single Window pass:\n$p")
+    assert("(?s)BroadcastHashJoin.*TakeOrderedAndProject".r.findFirstIn(p).isDefined &&
+      p.contains("TakeOrderedAndProject"),
+      s"supplier must broadcast-decorate the tiny aggregate, top-100 via TakeOrdered:\n$p")
+  }
+
+  test("q16_supplier_counts: excluded suppliers are a broadcast anti join; no shuffle join anywhere") {
+    val p = planOf("q16_supplier_counts")
+    assert("(?s)BroadcastHashJoin LeftAnti".r.findFirstIn(p).isDefined ||
+      "(?s)BroadcastHashJoin.*LeftAnti".r.findFirstIn(p).isDefined,
+      s"negative-balance exclusion must broadcast:\n$p")
+    assert("\\(\\d+\\) SortMergeJoin".r.findFirstIn(p).isEmpty,
+      s"part and supplier joins must broadcast:\n$p")
+  }
 }
