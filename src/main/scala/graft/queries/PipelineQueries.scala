@@ -58,12 +58,47 @@ object PipelineQueries extends QueryPack {
           (col("end_tok") - col("n_tok")).as("start_tok"),
           floor((col("end_tok") - col("n_tok")) / SeqLen.toDouble).cast("long").as("first_window"),
           floor((col("end_tok") - 1) / SeqLen.toDouble).cast("long").as("last_window"))
+    }),
+
+    // Deterministic global shuffle — the step that fixes a training
+    // order: each doc gets a pseudo-random key from an LCG step
+    // (x → (A·x + B) mod P, P = 2^31−1 prime, gcd(A,P)=1 — a BIJECTION
+    // on [0,P), so the order is a true permutation, reproducible across
+    // runs, engines, and partitionings; no rand()), then lands in a
+    // shard (key mod ShuffleShards) at its rank within the shard.
+    // Scale shape: ONE exchange on shard + a per-shard sort — never a
+    // global sort (a single total order would serialize 100 TB through
+    // one partition; the shard count is the knob, 64 here, ~100k at
+    // corpus scale). Pure int64 arithmetic (doc_id < P keeps the
+    // product under 2^62) replays exactly in DuckDB.
+    "pipe_global_shuffle" -> ((s, d) => {
+      val w = Window.partitionBy("shard").orderBy("h", "doc_id")
+      Tables.documents(s, d)
+        .select(col("doc_id"))
+        .withColumn("h", (pmod(col("doc_id"), lit(ShufP)) * ShufA + ShufB) % ShufP)
+        .withColumn("shard", pmod(col("h"), lit(ShuffleShards)))
+        .withColumn("pos", row_number().over(w).cast("long"))
+        .select(col("doc_id"), col("shard"), col("pos"))
     }))
 
   private val SeqLen = 2048
   private val PackShards = 32
+  private val ShufP = 2147483647L // 2^31 − 1 (Mersenne prime)
+  private val ShufA = 1103515245L
+  private val ShufB = 12345L
+  private val ShuffleShards = 64L
 
   override def oracles: Map[String, String] = Map(
+    "pipe_global_shuffle" ->
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |    ((doc_id % $ShufP) * $ShufA + $ShufB) % $ShufP AS h
+         |  FROM documents),
+         |s AS (SELECT doc_id, h, h % $ShuffleShards AS shard FROM h)
+         |SELECT doc_id, shard,
+         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS pos
+         |FROM s""".stripMargin,
+
     "pipe_seq_packing" ->
       s"""WITH t AS (
          |  SELECT doc_id, doc_id % $PackShards AS shard,

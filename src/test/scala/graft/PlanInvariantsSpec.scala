@@ -337,6 +337,16 @@ class PlanInvariantsSpec extends AnyFunSuite {
       s"supplier must broadcast-decorate the tiny aggregate, top-100 via TakeOrdered:\n$p")
   }
 
+  test("pipe_global_shuffle: one shard exchange, per-shard sort only — never a global sort") {
+    val p = planOf("pipe_global_shuffle")
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).length == 1,
+      s"the shuffle must be ONE exchange on shard:\n$p")
+    assert(p.contains("hashpartitioning(shard"),
+      s"exchange must key on shard:\n$p")
+    assert(!p.contains("rangepartitioning"),
+      s"a global (range-partitioned) sort is banned — order is per-shard:\n$p")
+  }
+
   test("q16_supplier_counts: excluded suppliers are a broadcast anti join; no shuffle join anywhere") {
     val p = planOf("q16_supplier_counts")
     assert("(?s)BroadcastHashJoin LeftAnti".r.findFirstIn(p).isDefined ||
