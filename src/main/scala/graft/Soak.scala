@@ -155,6 +155,30 @@ object Soak {
     copies.reduce(_.unionByName(_))
   }
 
+  /** orders / part scaled k× CONSISTENTLY with scaleLineitem's key
+    * shifts, so the TPC-H join family weak-scales: order volume and the
+    * part dimension grow k×, while customer / supplier / nation /
+    * region stay fixed (o_custkey and l_suppkey are not shifted) — the
+    * realistic regime where the same customers and suppliers just
+    * transact k× more. */
+  private[graft] def scaleOrders(ord: DataFrame, k: Int): DataFrame = {
+    if (k > 1) requireKeysBelowShift(ord, "o_orderkey")
+    val copies = (0 until k).map { c =>
+      if (c == 0) ord
+      else ord.withColumn("o_orderkey", col("o_orderkey") + lit(c.toLong * KeyShift))
+    }
+    copies.reduce(_.unionByName(_))
+  }
+
+  private[graft] def scalePart(p: DataFrame, k: Int): DataFrame = {
+    if (k > 1) requireKeysBelowShift(p, "p_partkey")
+    val copies = (0 until k).map { c =>
+      if (c == 0) p
+      else p.withColumn("p_partkey", col("p_partkey") + lit(c.toLong * KeyShift))
+    }
+    copies.reduce(_.unionByName(_))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val factors = sys.env.getOrElse("SPARK_GRAFT_SOAK_FACTORS", "1,2,5,10")
@@ -180,9 +204,22 @@ object Soak {
         val dir = s"$workRoot/x$k"
         scaleCopies(Tables.documents(spark, sfDir), k, sharedDen, historyOnly)
           .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-        if (onlyQueries.exists(q => q.contains("part") || q.contains("graph")))
+        // TPC-H family (q<digit>…): scale the two fact-keyed tables
+        // consistently and copy the fixed dimensions through
+        val tpch = onlyQueries.exists(_.matches("^q\\d.*"))
+        if (tpch || onlyQueries.exists(q => q.contains("part") || q.contains("graph")))
           scaleLineitem(Tables.lineitem(spark, sfDir), k)
             .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+        if (tpch) {
+          scaleOrders(Tables.orders(spark, sfDir), k)
+            .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+          scalePart(Tables.part(spark, sfDir), k)
+            .write.mode("overwrite").parquet(s"$dir/part.parquet")
+          Seq("supplier", "nation", "region", "customer").foreach { n =>
+            Tables.table(spark, sfDir, n)
+              .write.mode("overwrite").parquet(s"$dir/$n.parquet")
+          }
+        }
         if (onlyQueries.exists(q => q.contains("semantic") || q.contains("sim_")))
           scaleEmbeddings(Tables.embeddings(spark, sfDir), k)
             .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
