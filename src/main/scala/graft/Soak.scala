@@ -135,25 +135,26 @@ object Soak {
     * this measures the fixed-K regime, where clusters grow k× and the
     * intra-cluster pair stage grows ~k², which is the documented reason
     * production SemDeDup scales K with the corpus. */
-  private[graft] def scaleEmbeddings(e: DataFrame, k: Int): DataFrame = {
-    if (k > 1) requireKeysBelowShift(e, "vec_id")
+  /** The one shift-and-union kernel behind every keyed table: copy c
+    * shifts each named key by c·KeyShift (copy 0 is the original), so
+    * copies are key-disjoint isomorphic replicas. Keys that two tables
+    * share (l_orderkey/o_orderkey, l_partkey/p_partkey) shift by the
+    * same amount, keeping the join structure intact per copy. */
+  private def scaleShifted(df: DataFrame, k: Int, keys: String*): DataFrame = {
+    if (k > 1) requireKeysBelowShift(df, keys: _*)
     val copies = (0 until k).map { c =>
-      if (c == 0) e
-      else e.withColumn("vec_id", col("vec_id") + lit(c.toLong * KeyShift))
+      if (c == 0) df
+      else keys.foldLeft(df)((d, key) =>
+        d.withColumn(key, col(key) + lit(c.toLong * KeyShift)))
     }
     copies.reduce(_.unionByName(_))
   }
 
-  private[graft] def scaleLineitem(li: DataFrame, k: Int): DataFrame = {
-    if (k > 1) requireKeysBelowShift(li, "l_orderkey", "l_partkey")
-    val copies = (0 until k).map { c =>
-      if (c == 0) li
-      else li
-        .withColumn("l_orderkey", col("l_orderkey") + lit(c.toLong * KeyShift))
-        .withColumn("l_partkey", col("l_partkey") + lit(c.toLong * KeyShift))
-    }
-    copies.reduce(_.unionByName(_))
-  }
+  private[graft] def scaleEmbeddings(e: DataFrame, k: Int): DataFrame =
+    scaleShifted(e, k, "vec_id")
+
+  private[graft] def scaleLineitem(li: DataFrame, k: Int): DataFrame =
+    scaleShifted(li, k, "l_orderkey", "l_partkey")
 
   /** orders / part scaled k× CONSISTENTLY with scaleLineitem's key
     * shifts, so the TPC-H join family weak-scales: order volume and the
@@ -161,23 +162,11 @@ object Soak {
     * region stay fixed (o_custkey and l_suppkey are not shifted) — the
     * realistic regime where the same customers and suppliers just
     * transact k× more. */
-  private[graft] def scaleOrders(ord: DataFrame, k: Int): DataFrame = {
-    if (k > 1) requireKeysBelowShift(ord, "o_orderkey")
-    val copies = (0 until k).map { c =>
-      if (c == 0) ord
-      else ord.withColumn("o_orderkey", col("o_orderkey") + lit(c.toLong * KeyShift))
-    }
-    copies.reduce(_.unionByName(_))
-  }
+  private[graft] def scaleOrders(ord: DataFrame, k: Int): DataFrame =
+    scaleShifted(ord, k, "o_orderkey")
 
-  private[graft] def scalePart(p: DataFrame, k: Int): DataFrame = {
-    if (k > 1) requireKeysBelowShift(p, "p_partkey")
-    val copies = (0 until k).map { c =>
-      if (c == 0) p
-      else p.withColumn("p_partkey", col("p_partkey") + lit(c.toLong * KeyShift))
-    }
-    copies.reduce(_.unionByName(_))
-  }
+  private[graft] def scalePart(p: DataFrame, k: Int): DataFrame =
+    scaleShifted(p, k, "p_partkey")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -202,8 +191,11 @@ object Soak {
     try {
       factors.foreach { k =>
         val dir = s"$workRoot/x$k"
-        scaleCopies(Tables.documents(spark, sfDir), k, sharedDen, historyOnly)
-          .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+        // the per-token suffix rewrite is the most expensive transform —
+        // skip it when every probed query is TPC-H (reads no documents)
+        if (onlyQueries.exists(q => !q.matches("^q\\d.*")))
+          scaleCopies(Tables.documents(spark, sfDir), k, sharedDen, historyOnly)
+            .write.mode("overwrite").parquet(s"$dir/documents.parquet")
         // TPC-H family (q<digit>…): scale the two fact-keyed tables
         // consistently and copy the fixed dimensions through
         val tpch = onlyQueries.exists(_.matches("^q\\d.*"))

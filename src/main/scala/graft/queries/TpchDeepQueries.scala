@@ -20,11 +20,7 @@ import graft.Tables
   */
 object TpchDeepQueries extends QueryPack {
 
-  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,4)")
-  private def discPrice =
-    dec(col("l_extendedprice")) * (lit(1).cast("decimal(1,0)") - dec(col("l_discount")))
-  private def ship(c: org.apache.spark.sql.Column) =
-    c.cast("decimal(38,4)").cast("double")
+  import TpchMoney.{dec, discPrice, ship, discPriceSql, shipSql}
 
   override def queries: Map[String, Q] = Map(
     // Q8 analogue: a nation's market share — the fraction of one
@@ -102,17 +98,21 @@ object TpchDeepQueries extends QueryPack {
     // fixed fraction like TPC-H's 0.0001 goes to zero rows as the part
     // count grows with SF). One lineitem shuffle (map-side partial
     // sums to one row per part); the 1-row global total/count
-    // broadcasts back via crossJoin. The threshold comparison runs on
-    // doubles produced by the identical op sequence in DuckDB
-    // (exact-decimal sums → double, then 1.5·tot/np).
+    // broadcasts back via crossJoin. The threshold comparison is pure
+    // int64 on the DECIMAL's unscaled value (val > 1.5·tot/np ⟺
+    // 2·val·np > 3·tot) — a double total would accumulate in
+    // partition-dependent order and could flip a borderline part
+    // between engines; integers cannot. (Envelope: the products stay
+    // under 2^63 through ~sf100; the shipped `val` is one mirrored
+    // unscaled/10⁴ double division.)
     "q11_important_parts" -> ((s, d) => {
       val v = Tables.lineitem(s, d)
         .groupBy(col("l_partkey"))
-        .agg(ship(sum(discPrice)).as("val"))
-      val t = v.agg(sum(col("val")).as("tot"), count(lit(1)).as("np"))
+        .agg((sum(discPrice).cast("decimal(38,4)") * 10000).cast("long").as("vu"))
+      val t = v.agg(sum(col("vu")).as("tu"), count(lit(1)).as("np"))
       v.crossJoin(broadcast(t))
-        .where(col("val") > lit(1.5) * col("tot") / col("np"))
-        .select(col("l_partkey"), col("val"))
+        .where(col("vu") * 2 * col("np") > col("tu") * 3)
+        .select(col("l_partkey"), (col("vu").cast("double") / 10000.0).as("val"))
     }),
 
     // Q12 analogue: shipping-delay priority split — for lines shipped
@@ -309,10 +309,6 @@ object TpchDeepQueries extends QueryPack {
         .limit(100)
     }))
 
-  private val discPriceSql =
-    "CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(1,0)) - CAST(l_discount AS DECIMAL(18,4)))"
-  private def shipSql(e: String) = s"CAST(CAST($e AS DECIMAL(38,4)) AS DOUBLE)"
-
   override def oracles: Map[String, String] = Map(
     "q8_market_share" ->
       s"""SELECT year(o_orderdate) AS o_year,
@@ -346,11 +342,12 @@ object TpchDeepQueries extends QueryPack {
 
     "q11_important_parts" ->
       s"""WITH v AS (
-         |  SELECT l_partkey, ${shipSql(s"sum($discPriceSql)")} AS val
+         |  SELECT l_partkey,
+         |    CAST(CAST(sum($discPriceSql) AS DECIMAL(38,4)) * 10000 AS BIGINT) AS vu
          |  FROM lineitem GROUP BY 1),
-         |t AS (SELECT sum(val) AS tot, count(*) AS np FROM v)
-         |SELECT l_partkey, val FROM v, t
-         |WHERE val > 1.5 * tot / np""".stripMargin,
+         |t AS (SELECT sum(vu) AS tu, count(*) AS np FROM v)
+         |SELECT l_partkey, CAST(vu AS DOUBLE) / 10000.0 AS val
+         |FROM v, t WHERE vu * 2 * np > tu * 3""".stripMargin,
 
     "q12_late_priority" ->
       """SELECT l_linestatus,

@@ -10,9 +10,7 @@ import graft.functions.AsofJoin
   */
 object TpchQueries extends QueryPack {
 
-  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,4)")
-  private def discPrice =
-    dec(col("l_extendedprice")) * (lit(1).cast("decimal(1,0)") - dec(col("l_discount")))
+  import TpchMoney.{dec, discPrice, discPriceSql}
 
   override def queries: Map[String, Q] = Map(
     // Q3: top-10 open orders by potential revenue in a segment.
@@ -290,9 +288,6 @@ object TpchQueries extends QueryPack {
           leftTime = "ts", rightTime = "ts", payload = Seq("signup_id"))
         .select("event_id", "user_id", "signup_id")
     }))
-
-  private val discPriceSql =
-    "CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(1,0)) - CAST(l_discount AS DECIMAL(18,4)))"
 
   override def oracles: Map[String, String] = Map(
     "q3_shipping_priority" ->

@@ -332,9 +332,13 @@ class PlanInvariantsSpec extends AnyFunSuite {
     // partitioning with zero extra exchanges
     assert("\\(\\d+\\) Window".r.findAllIn(p).length == 1,
       s"both per-order counts must share a single Window pass:\n$p")
-    assert("(?s)BroadcastHashJoin.*TakeOrderedAndProject".r.findFirstIn(p).isDefined &&
-      p.contains("TakeOrderedAndProject"),
-      s"supplier must broadcast-decorate the tiny aggregate, top-100 via TakeOrdered:\n$p")
+    // at sf0.001 EVERY join broadcasts (li⋈ord included); any shuffle
+    // join here means the supplier decoration (or the fact join)
+    // regressed to a shuffle the data size doesn't justify
+    assert("\\(\\d+\\) (SortMergeJoin|ShuffledHashJoin)".r.findFirstIn(p).isEmpty,
+      s"no shuffle join at this size — supplier must broadcast-decorate:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-100 must be TakeOrdered, not a global sort:\n$p")
   }
 
   test("pipe_global_shuffle: one shard exchange, per-shard sort only — never a global sort") {
@@ -349,10 +353,12 @@ class PlanInvariantsSpec extends AnyFunSuite {
 
   test("q16_supplier_counts: excluded suppliers are a broadcast anti join; no shuffle join anywhere") {
     val p = planOf("q16_supplier_counts")
-    assert("(?s)BroadcastHashJoin LeftAnti".r.findFirstIn(p).isDefined ||
-      "(?s)BroadcastHashJoin.*LeftAnti".r.findFirstIn(p).isDefined,
-      s"negative-balance exclusion must broadcast:\n$p")
-    assert("\\(\\d+\\) SortMergeJoin".r.findFirstIn(p).isEmpty,
+    // the tree section renders the node as "BroadcastHashJoin LeftAnti
+    // BuildRight (n)" — match the adjacent pair, not two substrings
+    // anywhere in the plan (which any broadcast + any anti would satisfy)
+    assert(p.contains("BroadcastHashJoin LeftAnti"),
+      s"negative-balance exclusion must be a broadcast anti join:\n$p")
+    assert("\\(\\d+\\) (SortMergeJoin|ShuffledHashJoin)".r.findFirstIn(p).isEmpty,
       s"part and supplier joins must broadcast:\n$p")
   }
 }
