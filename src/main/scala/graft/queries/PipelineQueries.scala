@@ -79,7 +79,28 @@ object PipelineQueries extends QueryPack {
         .withColumn("shard", pmod(col("h"), lit(ShuffleShards)))
         .withColumn("pos", row_number().over(w).cast("long"))
         .select(col("doc_id"), col("shard"), col("pos"))
-    }))
+    }),
+
+    // Group-aware (leakage-safe) train/test split: the assignment unit
+    // is the SOURCE, not the document — near-duplicates and templated
+    // text cluster within a source, so a doc-level hash split leaks
+    // them across the boundary (the test set "contains" the training
+    // set's templates). Splitting on the source's content hash keeps
+    // every doc of a source on one side. PolyHash64 (codegen'd) is the
+    // hash because DuckDB replays it exactly in HUGEINT arithmetic —
+    // same reason as text_fingerprint. One scan, one tiny aggregate
+    // shuffle; the hash is a scalar expression inside codegen.
+    "pipe_grouped_split" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          graft.functions.TextFunctions.tokenCount(col("text")).as("n_tok"))
+        .withColumn("split",
+          when(pmod(graft.functions.PolyHash64Expr(col("source")), lit(10L)) < 3,
+            "test").otherwise("train"))
+        .groupBy(col("split"))
+        .agg(countDistinct(col("source")).as("n_sources"),
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("total_tokens"))))
 
   private val SeqLen = 2048
   private val PackShards = 32
@@ -89,6 +110,28 @@ object PipelineQueries extends QueryPack {
   private val ShuffleShards = 64L
 
   override def oracles: Map[String, String] = Map(
+    "pipe_grouped_split" ->
+      """WITH hashed AS (
+        |  SELECT doc_id, source,
+        |    list_reduce(
+        |      list_prepend(CAST(1125899906842597 AS HUGEINT),
+        |        list_transform(range(1, length(source) + 1), i -> CAST(ord(substr(source, i, 1)) AS HUGEINT))),
+        |      (acc, b) -> (acc * 31 + b) % CAST('18446744073709551616' AS HUGEINT)) AS h,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0)) AS n_tok
+        |  FROM documents),
+        |signed AS (
+        |  SELECT source, n_tok,
+        |    CAST(CASE WHEN h >= CAST('9223372036854775808' AS HUGEINT)
+        |      THEN h - CAST('18446744073709551616' AS HUGEINT) ELSE h END AS BIGINT) AS hs
+        |  FROM hashed),
+        |sp AS (
+        |  SELECT source, n_tok,
+        |    CASE WHEN ((hs % 10) + 10) % 10 < 3 THEN 'test' ELSE 'train' END AS split
+        |  FROM signed)
+        |SELECT split, CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS total_tokens
+        |FROM sp GROUP BY 1""".stripMargin,
+
     "pipe_global_shuffle" ->
       s"""WITH h AS (
          |  SELECT doc_id,
