@@ -11,6 +11,33 @@ import graft.Tables
 object MiscQueries extends QueryPack {
 
   override def queries: Map[String, Q] = Map(
+    // Data-profiling audit — the corpus-health dashboard query every
+    // engine needs before anything else runs: row count, per-column
+    // null counts, low-cardinality distincts, value ranges, and the
+    // exact-decimal total, all in ONE pass over the table (one scan,
+    // one aggregate; the two countDistincts ride the same expand).
+    // The mean is NOT avg() over doubles — summation order is
+    // partition-dependent; it's the exact DECIMAL sum divided once,
+    // mirrored in DuckDB.
+    "q_profile_orders" -> ((s, d) =>
+      Tables.orders(s, d)
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("null_custkey"),
+          sum(when(col("o_orderdate").isNull, 1L).otherwise(0L)).as("null_orderdate"),
+          countDistinct(col("o_orderstatus")).as("n_status"),
+          countDistinct(col("o_orderpriority")).as("n_priority"),
+          min(col("o_orderdate")).as("min_date"),
+          max(col("o_orderdate")).as("max_date"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("decimal(38,2)")
+            .cast("double").as("total_price"))
+        .select(col("n_rows"), col("null_custkey"), col("null_orderdate"),
+          col("n_status"), col("n_priority"), col("min_date"), col("max_date"),
+          col("min_price"), col("max_price"), col("total_price"),
+          (col("total_price") / col("n_rows")).as("mean_price"))),
+
     // Exact distinct aggregation (expand + two-phase agg under AQE).
     "q_distinct_users" -> ((s, d) =>
       Tables.events(s, d)
@@ -189,6 +216,18 @@ object MiscQueries extends QueryPack {
       """SELECT CASE WHEN doc_id % 10 < 2 THEN 'test' ELSE 'train' END AS split,
         |  lang, count(*) AS cnt
         |FROM documents GROUP BY 1, 2""".stripMargin,
+
+    "q_profile_orders" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_custkey,
+        |  CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_orderdate,
+        |  CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_status,
+        |  CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_priority,
+        |  min(o_orderdate) AS min_date, max(o_orderdate) AS max_date,
+        |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS total_price,
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) / count(*) AS mean_price
+        |FROM orders""".stripMargin,
 
     "q_distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
