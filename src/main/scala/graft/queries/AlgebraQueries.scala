@@ -77,10 +77,28 @@ object AlgebraQueries extends QueryPack {
         .agg(count(lit(1)).as("cnt"))),
 
     // Typed Aggregator UDAF: geometric mean of part price per brand.
+    // Grading follows the certificate pattern (same as HLL/CMS/SRP):
+    // a log-sum merges in partition-dependent order, so its low bits —
+    // and any fixed rounding of them — are not stable across runs or
+    // engines (Math.log vs libm are each allowed 1 ulp). The row ships
+    // the EXACT per-brand count and decimal price sum (hash-graded),
+    // plus a within_bound certificate: the UDAF's geomean must sit
+    // within 1e-9 relative of the same engine's built-in
+    // exp(avg(ln)) — asserts the Aggregator's reduce/merge/finish
+    // algebra, with a tolerance that absorbs summation-order noise.
     "q_geomean_price" -> ((s, d) =>
       Tables.part(s, d)
+        .where(col("p_retailprice") > 0)
         .groupBy("p_brand")
-        .agg(round(GeoMean.column(col("p_retailprice")), 6).as("geo_price"))))
+        .agg(
+          count(lit(1)).as("n_parts"),
+          sum(col("p_retailprice").cast("decimal(18,2)")).cast("decimal(38,2)")
+            .cast("double").as("sum_price"),
+          GeoMean.column(col("p_retailprice")).as("udaf_geo"),
+          exp(avg(log(col("p_retailprice")))).as("ref_geo"))
+        .select(col("p_brand"), col("n_parts"), col("sum_price"),
+          when(abs(col("udaf_geo") - col("ref_geo")) <=
+            lit(1e-9) * col("ref_geo"), 1L).otherwise(0L).as("within_bound"))))
 
   override def oracles: Map[String, String] = Map(
     "q_pivot_status" ->
@@ -118,7 +136,11 @@ object AlgebraQueries extends QueryPack {
         |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
         |GROUP BY 1""".stripMargin,
 
+    // The oracle replays the exact columns and asserts the certificate:
+    // the UDAF landed within its documented envelope of the reference.
     "q_geomean_price" ->
-      """SELECT p_brand, round(exp(avg(ln(p_retailprice))), 6) AS geo_price
+      """SELECT p_brand, count(*) AS n_parts,
+        |  CAST(CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_price,
+        |  CAST(1 AS BIGINT) AS within_bound
         |FROM part WHERE p_retailprice > 0 GROUP BY 1""".stripMargin)
 }
