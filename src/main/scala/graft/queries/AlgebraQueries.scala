@@ -51,6 +51,24 @@ object AlgebraQueries extends QueryPack {
           sum(col("o_totalprice").cast("decimal(18,4)")).cast("double")
             .as("sum_price"))),
 
+    // GROUPING SETS — the general form behind cube/rollup: an explicit
+    // subtotal lattice (by status, by priority, by the pair, grand
+    // total), one Expand + one aggregation shuffle like cube. The
+    // grouping() markers disambiguate a NULL data value from a
+    // subtotal row — without them the two hash identically and a
+    // subtotal could silently absorb a data NULL.
+    "q_grouping_sets" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("v_orders_gs")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+          |  CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+          |  CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+          |FROM v_orders_gs
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+          |  (o_orderstatus, o_orderpriority), ())""".stripMargin)
+    }),
+
     // Left-semi: orders having at least one heavy lineitem.
     "q_semi_join" -> ((s, d) =>
       Tables.orders(s, d)
@@ -124,6 +142,15 @@ object AlgebraQueries extends QueryPack {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         |FROM orders
         |GROUP BY CUBE (year(o_orderdate), o_orderstatus)""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+        |  CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+        |  CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+        |  (o_orderstatus, o_orderpriority), ())""".stripMargin,
 
     "q_semi_join" ->
       """SELECT o_orderstatus, count(*) AS cnt FROM orders
