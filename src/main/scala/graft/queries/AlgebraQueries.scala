@@ -24,6 +24,41 @@ object AlgebraQueries extends QueryPack {
           statuses.map(st => coalesce(col(st), lit(0L)).as(st)): _*)
     }),
 
+    // UNPIVOT (melt) — the inverse reshape of q_pivot_status: the wide
+    // per-year status counts fold back to long (o_year, status, cnt)
+    // rows via stack(). Wide→long is a pure map-side Expand — zero
+    // additional shuffles beyond the aggregate that built the wide
+    // table, which is the reason to unpivot AFTER aggregating rather
+    // than re-grouping the fact table a second time.
+    "q_unpivot_status" -> ((s, d) => {
+      val statuses = Seq("F", "O", "P")
+      Tables.orders(s, d)
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .pivot("o_orderstatus", statuses)
+        .count()
+        .select(col("o_year") +:
+          statuses.map(st => coalesce(col(st), lit(0L)).as(st)): _*)
+        .select(col("o_year"),
+          expr("stack(3, 'F', F, 'O', O, 'P', P) AS (status, cnt)"))
+    }),
+
+    // Keep-latest compaction (SCD-1 / CDC snapshot): one surviving row
+    // per key — the user's LATEST event by (ts, event_id) — via a
+    // row_number window over the key partitioning. One shuffle on the
+    // key; the tie-break on event_id makes the survivor deterministic
+    // under any partitioning (ts alone can collide).
+    "pipe_latest_snapshot" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("user_id"), col("event_id").as("last_event"),
+          col("event_type").as("last_type"))
+    }),
+
     // EXCEPT: customers active in 1995 but not in 1996.
     "q_except_customers" -> ((s, d) => {
       val o = Tables.orders(s, d)
@@ -142,6 +177,25 @@ object AlgebraQueries extends QueryPack {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         |FROM orders
         |GROUP BY CUBE (year(o_orderdate), o_orderstatus)""".stripMargin,
+
+    // The oracle computes the long form directly, densified over the
+    // full year × status grid so a status absent in some year still
+    // yields the 0 row the wide table's coalesce produces.
+    "q_unpivot_status" ->
+      """WITH w AS (
+        |  SELECT year(o_orderdate) AS o_year, o_orderstatus AS st, count(*) AS c
+        |  FROM orders GROUP BY 1, 2),
+        |y AS (SELECT DISTINCT o_year FROM w),
+        |s AS (SELECT unnest(['F','O','P']) AS status)
+        |SELECT y.o_year, status, CAST(coalesce(c, 0) AS BIGINT) AS cnt
+        |FROM y CROSS JOIN s LEFT JOIN w ON w.o_year = y.o_year AND w.st = s.status""".stripMargin,
+
+    "pipe_latest_snapshot" ->
+      """SELECT user_id, event_id AS last_event, event_type AS last_type
+        |FROM (SELECT user_id, event_id, event_type,
+        |        row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events) t
+        |WHERE rn = 1""".stripMargin,
 
     "q_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
