@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.Tables
 import graft.functions.GeoMean
 
@@ -12,17 +13,21 @@ import graft.functions.GeoMean
   */
 object AlgebraQueries extends QueryPack {
 
+  /** The wide per-year status-count table behind BOTH reshape twins —
+    * one definition so the pivot and its documented inverse cannot
+    * drift apart. */
+  private val Statuses = Seq("F", "O", "P")
+  private def wideStatusCounts(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .pivot("o_orderstatus", Statuses)
+      .count()
+      .select(col("o_year") +:
+        Statuses.map(st => coalesce(col(st), lit(0L)).as(st)): _*)
+
   override def queries: Map[String, Q] = Map(
     // Pivot: order counts per year x status.
-    "q_pivot_status" -> ((s, d) => {
-      val statuses = Seq("F", "O", "P")
-      Tables.orders(s, d)
-        .groupBy(year(col("o_orderdate")).as("o_year"))
-        .pivot("o_orderstatus", statuses)
-        .count()
-        .select(col("o_year") +:
-          statuses.map(st => coalesce(col(st), lit(0L)).as(st)): _*)
-    }),
+    "q_pivot_status" -> ((s, d) => wideStatusCounts(s, d)),
 
     // UNPIVOT (melt) — the inverse reshape of q_pivot_status: the wide
     // per-year status counts fold back to long (o_year, status, cnt)
@@ -30,17 +35,10 @@ object AlgebraQueries extends QueryPack {
     // additional shuffles beyond the aggregate that built the wide
     // table, which is the reason to unpivot AFTER aggregating rather
     // than re-grouping the fact table a second time.
-    "q_unpivot_status" -> ((s, d) => {
-      val statuses = Seq("F", "O", "P")
-      Tables.orders(s, d)
-        .groupBy(year(col("o_orderdate")).as("o_year"))
-        .pivot("o_orderstatus", statuses)
-        .count()
-        .select(col("o_year") +:
-          statuses.map(st => coalesce(col(st), lit(0L)).as(st)): _*)
+    "q_unpivot_status" -> ((s, d) =>
+      wideStatusCounts(s, d)
         .select(col("o_year"),
-          expr("stack(3, 'F', F, 'O', O, 'P', P) AS (status, cnt)"))
-    }),
+          expr("stack(3, 'F', F, 'O', O, 'P', P) AS (status, cnt)"))),
 
     // Keep-latest compaction (SCD-1 / CDC snapshot): one surviving row
     // per key — the user's LATEST event by (ts, event_id) — via a
@@ -188,7 +186,8 @@ object AlgebraQueries extends QueryPack {
         |y AS (SELECT DISTINCT o_year FROM w),
         |s AS (SELECT unnest(['F','O','P']) AS status)
         |SELECT y.o_year, status, CAST(coalesce(c, 0) AS BIGINT) AS cnt
-        |FROM y CROSS JOIN s LEFT JOIN w ON w.o_year = y.o_year AND w.st = s.status""".stripMargin,
+        |FROM y CROSS JOIN s
+        |LEFT JOIN w ON w.o_year IS NOT DISTINCT FROM y.o_year AND w.st = s.status""".stripMargin,
 
     "pipe_latest_snapshot" ->
       """SELECT user_id, event_id AS last_event, event_type AS last_type
