@@ -39,4 +39,10 @@ class CoverageConsistencySpec extends AnyFunSuite {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracle SQL for undeclared queries: ${orphans.toSeq.sorted}")
   }
+
+  test("driver contract: entry() produces rows on sf0.001") {
+    // the driver smoke-checks rows > 0 — pin it here so a regression
+    // surfaces in the suite, not at driver time
+    assert(SparkEntry.entry(SparkTestSession.spark).count() > 0)
+  }
 }
