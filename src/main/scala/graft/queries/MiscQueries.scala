@@ -152,6 +152,13 @@ object MiscQueries extends QueryPack {
       // this query exists to demonstrate (see ScalePatternsSpec).
       val bf = hot.stat.bloomFilter("o_orderkey", math.max(hot.count(), 1024L), 0.01)
       val bc = graft.CacheRegistry.broadcastTracked(s.sparkContext.broadcast(bf))
+      // A ScalaUDF compiles into the WholeStageCodegen span (boxed
+      // call), so the probe filter does not split the stage; the
+      // native BloomFilterMightContain expression would avoid the
+      // boxing but is not in Spark 4.1's public function registry
+      // (UNRESOLVED_ROUTINE — verified), and it hashes through
+      // xxhash64, which would also require building the filter over
+      // hashed keys. The boxed call is the honest public-API path.
       val mightContain = udf((k: Long) => bc.value.mightContainLong(k))
       Tables.lineitem(s, d)
         .where(mightContain(col("l_orderkey")))      // bloom cut at the scan
