@@ -1,0 +1,125 @@
+package graft.multimodal
+
+import java.nio.charset.StandardCharsets.US_ASCII
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** REAL audio kernels over REAL WAV bytes — the canonical 44-byte
+  * RIFF/WAVE PCM16 container, written and parsed by hand (pure JDK, no
+  * codec libraries needed: PCM16 IS the raw sample encoding).
+  *
+  * Same gradability design as [[PixelImage]]: the synthetic corpus
+  * clips are generated from a closed-form sample formula
+  * (`(((id·31 + 7i) mod 256) − 128) · 64`, int16 range), so the SQL
+  * oracle replays the VALUES in pure integer arithmetic while the
+  * Spark side runs the honest chain — write actual WAV containers,
+  * parse them back (loud failure on any malformed chunk), compute
+  * windowed features on the decoded samples. PCM is lossless: one
+  * wrong byte in the header layout or sample byte order flips the
+  * hash. Swap `audioFromDocuments` for a blob-store scan and the
+  * kernels run unchanged on real recordings.
+  *
+  * Features are the two classic integer-exact audio descriptors:
+  * per-window energy (sum of squared samples — the RMS numerator) and
+  * zero-crossing count (the cheap voiced/unvoiced discriminator).
+  * Both leave the kernel as a few scalars per window, never sample
+  * rows; kernels are typed `mapPartitions` (batch-at-a-time, the
+  * mapInPandas shape).
+  */
+object WavAudio {
+
+  case class Audio(media_id: Long, payload: Array[Byte])
+  case class AudioWindowStats(media_id: Long, win: Long, sum_sq: Long, n_crossings: Long)
+
+  val SampleRate = 8000
+  val WindowSize = 200
+  val NumWindows = 4
+  def numSamples: Int = WindowSize * NumWindows
+
+  /** The corpus generator formula — shared verbatim with the SQL
+    * oracle. Int16 range by construction. */
+  def synthSample(id: Long, i: Int): Short =
+    (((id * 31 + i.toLong * 7) % 256 - 128) * 64).toShort
+
+  def synthClip(id: Long): Array[Short] =
+    Array.tabulate(numSamples)(i => synthSample(id, i))
+
+  /** Canonical RIFF/WAVE PCM16 mono container: 44-byte header +
+    * little-endian samples. */
+  def encodeWav(samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes(US_ASCII)).putInt(36 + dataLen)
+    bb.put("WAVE".getBytes(US_ASCII))
+    bb.put("fmt ".getBytes(US_ASCII)).putInt(16)
+    bb.putShort(1) // PCM
+    bb.putShort(1) // mono
+    bb.putInt(SampleRate)
+    bb.putInt(SampleRate * 2) // byte rate
+    bb.putShort(2)            // block align
+    bb.putShort(16)           // bits per sample
+    bb.put("data".getBytes(US_ASCII)).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  /** Real container parse. Malformed bytes fail loudly — a silent
+    * fallback would hide corrupt blobs until they poisoned a training
+    * run. */
+  def decodeWav(mediaId: Long, bytes: Array[Byte]): Array[Short] = {
+    require(bytes.length >= 44, s"media $mediaId: truncated WAV (${bytes.length} bytes)")
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    def chunk(): String = { val a = new Array[Byte](4); bb.get(a); new String(a, US_ASCII) }
+    require(chunk() == "RIFF", s"media $mediaId: missing RIFF magic")
+    bb.getInt // riff size
+    require(chunk() == "WAVE", s"media $mediaId: not a WAVE container")
+    require(chunk() == "fmt ", s"media $mediaId: missing fmt chunk")
+    require(bb.getInt == 16, s"media $mediaId: non-PCM fmt chunk size")
+    require(bb.getShort == 1, s"media $mediaId: only PCM supported")
+    require(bb.getShort == 1, s"media $mediaId: only mono supported")
+    bb.getInt; bb.getInt; bb.getShort // rate, byte rate, block align
+    require(bb.getShort == 16, s"media $mediaId: only 16-bit supported")
+    require(chunk() == "data", s"media $mediaId: missing data chunk")
+    val dataLen = bb.getInt
+    require(dataLen >= 0 && dataLen % 2 == 0 && bb.remaining() >= dataLen,
+      s"media $mediaId: bad data length $dataLen")
+    Array.fill(dataLen / 2)(bb.getShort)
+  }
+
+  /** Windowed integer features on decoded samples: energy (Σ s²) and
+    * zero-crossing count (strict sign change between consecutive
+    * samples INSIDE the window). */
+  def windowFeatures(mediaId: Long, samples: Array[Short]): Seq[AudioWindowStats] = {
+    (0 until samples.length / WindowSize).map { w =>
+      val start = w * WindowSize
+      var sq = 0L
+      var zc = 0L
+      var i = start
+      while (i < start + WindowSize) {
+        val v = samples(i).toLong
+        sq += v * v
+        if (i > start && samples(i - 1).toLong * v < 0) zc += 1
+        i += 1
+      }
+      AudioWindowStats(mediaId, w.toLong, sq, zc)
+    }
+  }
+
+  /** Synthetic-clip media table keyed by the documents table (stands in
+    * for a blob-store scan): one real WAV payload per doc. */
+  def audioFromDocuments(docs: DataFrame): Dataset[Audio] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").as("media_id")).as[Long]
+      .mapPartitions(_.map(id => Audio(id, encodeWav(synthClip(id)))))
+  }
+
+  /** Decode → feature chain over real WAV payloads. */
+  def features(audio: Dataset[Audio]): Dataset[AudioWindowStats] = {
+    val spark = audio.sparkSession
+    import spark.implicits._
+    audio.mapPartitions(_.flatMap(a => windowFeatures(a.media_id, decodeWav(a.media_id, a.payload))))
+  }
+}

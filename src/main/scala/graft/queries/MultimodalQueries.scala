@@ -31,6 +31,19 @@ object MultimodalQueries extends QueryPack {
         .select(col("media_id"), col("n_frames"), col("n_sampled"))
     }),
 
+    // REAL audio tier: write each doc's deterministic synthetic clip as
+    // an actual RIFF/WAVE PCM16 container, parse it back by hand (loud
+    // failure on any malformed chunk), and emit per-window energy +
+    // zero-crossing counts on the decoded samples — the two classic
+    // integer-exact audio descriptors. The oracle replays only the
+    // sample formula in integer SQL; a wrong byte in the header layout
+    // or sample byte order flips the hash (PCM is lossless).
+    "mm_audio_stats" -> ((s, d) => {
+      val audio = graft.multimodal.WavAudio.audioFromDocuments(Tables.documents(s, d))
+      graft.multimodal.WavAudio.features(audio).toDF()
+        .select(col("media_id"), col("win"), col("sum_sq"), col("n_crossings"))
+    }),
+
     // REAL 2-D resize over REAL pixels: encode each doc's deterministic
     // synthetic image as an actual PNG, ImageIO-decode it, true 2-D NN
     // resample to 16x12, re-encode, decode AGAIN, and emit per-channel
@@ -65,6 +78,23 @@ object MultimodalQueries extends QueryPack {
     }))
 
   override def oracles: Map[String, String] = Map(
+    // Integer replay of the clip formula: s(i) = (((id·31+7i) mod 256)
+    // − 128)·64 over 800 samples, 4 windows of 200; energy is Σ s² and
+    // crossings count strict sign changes between consecutive samples
+    // inside a window (i mod 200 ≠ 0 keeps the pair in-window).
+    "mm_audio_stats" ->
+      """WITH i AS (SELECT unnest(range(800)) AS i),
+        |s AS (
+        |  SELECT doc_id, i, ((doc_id * 31 + i * 7) % 256 - 128) * 64 AS v
+        |  FROM documents CROSS JOIN i),
+        |p AS (
+        |  SELECT doc_id, i, v, i // 200 AS win,
+        |    lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+        |  FROM s)
+        |SELECT doc_id AS media_id, CAST(win AS BIGINT) AS win,
+        |  CAST(sum(v * v) AS BIGINT) AS sum_sq,
+        |  CAST(sum(CASE WHEN i % 200 <> 0 AND pv * v < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_crossings
+        |FROM p GROUP BY 1, 2""".stripMargin,
     // UTF-8 length == char length here (ascii word-salad corpus).
     "mm_decode_stats" ->
       """WITH m AS (

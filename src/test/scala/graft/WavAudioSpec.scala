@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.multimodal.WavAudio
+
+/** Pins the WAV tier the way MultimodalSpec pins the PNG tier: container
+  * round-trip against the generator formula, loud failure on corrupt
+  * bytes, and a by-hand replay of the windowed features. */
+class WavAudioSpec extends AnyFunSuite {
+
+  test("encode→decode round-trips the generator formula bit-for-bit") {
+    val id = 42L
+    val decoded = WavAudio.decodeWav(id, WavAudio.encodeWav(WavAudio.synthClip(id)))
+    assert(decoded.length == WavAudio.numSamples)
+    decoded.zipWithIndex.foreach { case (s, i) =>
+      assert(s == WavAudio.synthSample(id, i), s"sample $i")
+    }
+  }
+
+  test("header fields are the canonical 44-byte PCM16 mono layout") {
+    val bytes = WavAudio.encodeWav(WavAudio.synthClip(7L))
+    assert(bytes.length == 44 + WavAudio.numSamples * 2)
+    assert(new String(bytes.slice(0, 4), "US-ASCII") == "RIFF")
+    assert(new String(bytes.slice(8, 12), "US-ASCII") == "WAVE")
+    assert(new String(bytes.slice(36, 40), "US-ASCII") == "data")
+  }
+
+  test("corrupt containers fail loudly, never silently") {
+    val good = WavAudio.encodeWav(WavAudio.synthClip(3L))
+    val badMagic = good.clone(); badMagic(0) = 'X'.toByte
+    assertThrows[IllegalArgumentException](WavAudio.decodeWav(3L, badMagic))
+    assertThrows[IllegalArgumentException](WavAudio.decodeWav(3L, good.take(20)))
+    val badBits = good.clone(); badBits(34) = 8 // bits-per-sample 16 -> 8
+    assertThrows[IllegalArgumentException](WavAudio.decodeWav(3L, badBits))
+  }
+
+  test("windowed features match a by-hand replay") {
+    val id = 11L
+    val samples = WavAudio.synthClip(id)
+    val got = WavAudio.windowFeatures(id, samples)
+    assert(got.size == WavAudio.NumWindows)
+    got.foreach { ws =>
+      val start = ws.win.toInt * WavAudio.WindowSize
+      val window = samples.slice(start, start + WavAudio.WindowSize).map(_.toLong)
+      assert(ws.sum_sq == window.map(v => v * v).sum, s"energy window ${ws.win}")
+      val zc = window.sliding(2).count(p => p(0) * p(1) < 0)
+      assert(ws.n_crossings == zc, s"crossings window ${ws.win}")
+    }
+  }
+}
