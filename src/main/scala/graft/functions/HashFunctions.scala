@@ -103,7 +103,10 @@ object HashFunctions {
     f(shingleHashes)
   }
 
-  private def splitmix64(seed: Long): Long = {
+  /** Public: also seeds the classifier weight harness
+    * (TextQueries.text_classifier_score), which replays it in DuckDB
+    * HUGEINT — keep in sync with the simhash oracle's staged chain. */
+  def splitmix64(seed: Long): Long = {
     var z = seed + 0x9e3779b97f4a7c15L
     z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
     z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL

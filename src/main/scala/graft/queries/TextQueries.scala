@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFunctions._
+import graft.functions.{HashFunctions, PolyHash64Expr}
 
 /** Text-analysis query surface over the `documents` table.
   *
@@ -109,6 +110,115 @@ object TextQueries extends QueryPack {
           sum(when(col("df") >= col("k"), 1L).otherwise(0L)).as("n_common"))
         .select(col("doc_id"), col("n_bigrams"), col("n_common"),
           (col("n_common").cast("double") / col("n_bigrams")).as("coverage"))
+    }),
+
+    // Corpus-level duplicated-segment removal WITH document
+    // reconstruction — the C4/RefinedWeb "line dedup" pass (their unit
+    // is the newline-delimited line; this corpus is single-line, so the
+    // unit is a fixed 10-token segment — same operator, same shape).
+    // Every occurrence of a segment text except the first (smallest
+    // (doc_id, pos)) is removed; each document is then reassembled
+    // from its kept segments in position order and fingerprinted. This
+    // is the one dedup tier that REWRITES documents rather than just
+    // identifying duplicate pairs/survivors.
+    //
+    // Scale shape: segments carry an 8-byte PolyHash64 key, so the
+    // keep-first decision is ONE window (min(struct(doc_id,pos)) over
+    // the hash partitioning) — no self-join, no string shuffle beyond
+    // the segment rows themselves — and reassembly is the one doc_id
+    // aggregation. Two shuffles total at any corpus size; a hot
+    // boilerplate segment lands in one hash partition where AQE skew
+    // split applies. (The oracle groups by the segment STRING; with
+    // ~2·10^5 distinct segments per sf0.1-sized corpus the 64-bit
+    // collision odds are ~10^-9, and any collision would be
+    // deterministic, not flaky.)
+    "text_line_dedup" -> ((s, d) => {
+      val segLen = 10
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+        .where(size(col("t")) >= 1)
+      val segs = toks.select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, (size(t)+${segLen - 1}) div $segLen - 1), " +
+          s"i -> array_join(slice(t, i*$segLen+1, $segLen), ' '))")))
+        .withColumnRenamed("col", "seg")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("h"))
+      val marked = segs
+        .withColumn("h", PolyHash64Expr(col("seg")))
+        .withColumn("keeper", min(struct(col("doc_id"), col("pos"))).over(w))
+        .withColumn("kept",
+          col("keeper.doc_id") === col("doc_id") && col("keeper.pos") === col("pos"))
+      marked.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_segs"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          collect_list(when(col("kept"), struct(col("pos"), col("seg")))).as("ks"))
+        .select(col("doc_id"), col("n_segs"), col("n_kept"),
+          PolyHash64Expr(array_join(expr("transform(array_sort(ks), x -> x.seg)"), " "))
+            .as("cleaned_fp"))
+    }),
+
+    // Model-scoring harness: a fasttext-style linear text classifier
+    // run the way a trained quality model runs at corpus scale — the
+    // (small) vocabulary→weight table broadcasts, tokens map-side
+    // join against it, and the per-document margin is one aggregation.
+    // The weight VALUES here are a deterministic stand-in
+    // (splitmix64∘PolyHash64 of the token, low 20 bits recentred);
+    // swap the vocab DataFrame for real trained weights and the
+    // pipeline is production model inference. Vocabulary = top-32
+    // tokens by (count desc, token asc) — capped like any real vocab,
+    // so the OOV path (unscored tokens) is genuinely exercised.
+    // All-integer output; the oracle replays the hash chain in HUGEINT.
+    // (The vocab build re-scans the pruned text column rather than
+    // caching the exploded corpus-sized token table — in production the
+    // vocabulary arrives with the model and the build branch vanishes.)
+    "text_classifier_score" -> ((s, d) => {
+      import s.implicits._
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      val vocab = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token").asc).limit(32)
+        .select(col("token")).as[String]
+        .map(t => (t,
+          (HashFunctions.splitmix64(PolyHash64Expr.compute(t)) & 0xFFFFFL) - 524288L))
+        .toDF("token", "w")
+      tok.join(broadcast(vocab), Seq("token"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          count(col("w")).as("n_scored"),
+          coalesce(sum(col("w")), lit(0L)).as("score"))
+        .select(col("doc_id"), col("n_tokens"), col("n_scored"), col("score"),
+          signum(col("score")).cast("long").as("pred"))
+    }),
+
+    // Distribution-drift monitor between the train/test halves of the
+    // standard split (same doc_id%10<2 assignment as
+    // q_train_test_split): per-token instance counts on each side,
+    // ranked by the cross-multiplied integer imbalance
+    // |train·N_test − test·N_train| — rate comparison with ZERO
+    // divisions, so it replays exactly. Top-20 by (drift desc, token)
+    // is a deterministic TakeOrdered; the totals are a 1-row broadcast.
+    // (Products stay < 2^63 up to ~10^9-token corpora per side; at
+    // 100 TB promote the multiply to DECIMAL(38,0) internally.)
+    "text_split_drift" -> ((s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(when(pmod(col("doc_id"), lit(10)) < 2, lit("test"))
+          .otherwise(lit("train")).as("split"),
+          explode(tokens(col("text"))).as("token"))
+      // Persisted: both the ranked output and the 1-row totals read it,
+      // and it is vocabulary-sized — without the pin the totals branch
+      // re-scans and re-shuffles the whole corpus a second time.
+      val cnts = graft.CacheRegistry.persistTracked(
+        tok.groupBy("token").agg(
+          sum(when(col("split") === "train", 1L).otherwise(0L)).as("train_cnt"),
+          sum(when(col("split") === "test", 1L).otherwise(0L)).as("test_cnt")))
+      val totals = broadcast(cnts.agg(
+        sum("train_cnt").as("n_train"), sum("test_cnt").as("n_test")))
+      cnts.crossJoin(totals)
+        .select(col("token"), col("train_cnt"), col("test_cnt"),
+          abs(col("train_cnt") * col("n_test") - col("test_cnt") * col("n_train"))
+            .as("drift"))
+        .orderBy(col("drift").desc, col("token").asc)
+        .limit(20)
     }))
 
   private val bigramCoverageOracle =
@@ -229,8 +339,102 @@ object TextQueries extends QueryPack {
       |SELECT fp, count(*) AS n_docs, min(doc_id) AS min_doc
       |FROM signed GROUP BY fp""".stripMargin
 
+  /** Segment dedup + reconstruction: row_number-keeps-first mirrors
+    * Spark's min(struct(doc_id,pos)); the cleaned text's PolyHash64 is
+    * the same HUGEINT fold as the fingerprint oracle (empty cleaned
+    * text folds to the bare seed on both engines). */
+  private val lineDedupOracle =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0) AS t
+      |  FROM documents),
+      |segs AS (
+      |  SELECT doc_id,
+      |    unnest(range((len(t)+9)//10)) AS pos,
+      |    unnest(list_transform(range((len(t)+9)//10),
+      |      i -> array_to_string(t[(i*10+1):(i*10+10)], ' '))) AS seg
+      |  FROM toks WHERE len(t) >= 1),
+      |k AS (
+      |  SELECT doc_id, pos, seg,
+      |    CASE WHEN row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) = 1
+      |      THEN 1 ELSE 0 END AS kept
+      |  FROM segs),
+      |agg AS (
+      |  SELECT doc_id, count(*) AS n_segs, CAST(sum(kept) AS BIGINT) AS n_kept,
+      |    coalesce(string_agg(CASE WHEN kept = 1 THEN seg END, ' ' ORDER BY pos), '') AS cleaned
+      |  FROM k GROUP BY 1),
+      |hashed AS (
+      |  SELECT doc_id, n_segs, n_kept,
+      |    list_reduce(
+      |      list_prepend(CAST(1125899906842597 AS HUGEINT),
+      |        list_transform(range(1, length(cleaned) + 1), i -> CAST(ord(substr(cleaned, i, 1)) AS HUGEINT))),
+      |      (acc, b) -> (acc * 31 + b) % CAST('18446744073709551616' AS HUGEINT)) AS h
+      |  FROM agg)
+      |SELECT doc_id, n_segs, n_kept,
+      |  CAST(CASE WHEN h >= CAST('9223372036854775808' AS HUGEINT)
+      |    THEN h - CAST('18446744073709551616' AS HUGEINT) ELSE h END AS BIGINT) AS cleaned_fp
+      |FROM hashed""".stripMargin
+
+  /** The classifier's weight chain (PolyHash64 → splitmix64 → low 20
+    * bits recentred) replayed scalar-wise in HUGEINT over the ≤32
+    * vocabulary tokens — same staged chain as the simhash oracle. */
+  private val classifierOracle: String = {
+    val two64 = "CAST('18446744073709551616' AS HUGEINT)"
+    val K0 = java.lang.Long.toUnsignedString(0x9e3779b97f4a7c15L)
+    val K1 = java.lang.Long.toUnsignedString(0xbf58476d1ce4e5b9L)
+    val K2 = java.lang.Long.toUnsignedString(0x94d049bb133111ebL)
+    def mul64(a: String, k: String) =
+      s"((($a // 4294967296) * $k % 4294967296) * 4294967296 + ($a % 4294967296) * $k) % $two64"
+    s"""WITH tok AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> length(x) > 0)) AS token
+  FROM documents),
+vc AS (
+  SELECT token FROM (
+    SELECT token, count(*) AS cnt FROM tok GROUP BY 1
+    ORDER BY cnt DESC, token LIMIT 32)),
+p0 AS (
+  SELECT token,
+    (list_reduce(
+      list_prepend(CAST(1125899906842597 AS HUGEINT),
+        list_transform(range(1, length(token) + 1), i -> CAST(ord(substr(token, i, 1)) AS HUGEINT))),
+      (acc, b) -> (acc * 31 + b) % $two64) + $K0) % $two64 AS z
+  FROM vc),
+p1 AS (SELECT token, xor(z, z // 1073741824) AS z FROM p0),
+p2 AS (SELECT token, ${mul64("z", K1)} AS z FROM p1),
+p3 AS (SELECT token, xor(z, z // 134217728) AS z FROM p2),
+p4 AS (SELECT token, ${mul64("z", K2)} AS z FROM p3),
+vocab AS (
+  SELECT token, CAST(xor(z, z // 2147483648) % 1048576 AS BIGINT) - 524288 AS w FROM p4),
+j AS (SELECT t.doc_id, v.w FROM tok t LEFT JOIN vocab v USING (token))
+SELECT doc_id, count(*) AS n_tokens, CAST(count(w) AS BIGINT) AS n_scored,
+  CAST(coalesce(sum(w), 0) AS BIGINT) AS score,
+  CAST(CASE WHEN coalesce(sum(w), 0) > 0 THEN 1
+            WHEN coalesce(sum(w), 0) < 0 THEN -1 ELSE 0 END AS BIGINT) AS pred
+FROM j GROUP BY 1"""
+  }
+
+  private val splitDriftOracle =
+    """WITH tok AS (
+      |  SELECT CASE WHEN doc_id % 10 < 2 THEN 'test' ELSE 'train' END AS split,
+      |    unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0)) AS token
+      |  FROM documents),
+      |c AS (
+      |  SELECT token,
+      |    CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS train_cnt,
+      |    CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS test_cnt
+      |  FROM tok GROUP BY 1),
+      |t AS (
+      |  SELECT CAST(sum(train_cnt) AS BIGINT) AS n_train,
+      |         CAST(sum(test_cnt) AS BIGINT) AS n_test FROM c)
+      |SELECT token, train_cnt, test_cnt,
+      |  CAST(abs(train_cnt * n_test - test_cnt * n_train) AS BIGINT) AS drift
+      |FROM c, t
+      |ORDER BY drift DESC, token LIMIT 20""".stripMargin
+
   override def oracles: Map[String, String] =
     oraclesBase + ("text_repetition" -> repetitionOracle) +
       ("text_langid" -> langidOracle) +
-      ("text_fingerprint" -> fingerprintOracle)
+      ("text_fingerprint" -> fingerprintOracle) +
+      ("text_line_dedup" -> lineDedupOracle) +
+      ("text_classifier_score" -> classifierOracle) +
+      ("text_split_drift" -> splitDriftOracle)
 }

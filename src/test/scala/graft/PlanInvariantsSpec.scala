@@ -361,4 +361,38 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert("\\(\\d+\\) (SortMergeJoin|ShuffledHashJoin)".r.findFirstIn(p).isEmpty,
       s"part and supplier joins must broadcast:\n$p")
   }
+
+  test("text_line_dedup: keep-first via one hash window + one doc aggregation — two exchanges, no join") {
+    val p = planOf("text_line_dedup")
+    val exchanges = "\\(\\d+\\) Exchange\\b".r.findAllIn(p).size
+    assert(exchanges == 2, s"segment dedup must be exactly two exchanges, got $exchanges:\n$p")
+    assert("\\(\\d+\\) \\w*Join".r.findFirstIn(p).isEmpty &&
+      !p.contains("CartesianProduct"),
+      s"segment dedup must not join — the keep-first decision rides the window:\n$p")
+  }
+
+  test("text_classifier_score: vocabulary lookup is a broadcast join, tokens never shuffle for it") {
+    val p = planOf("text_classifier_score")
+    assert(p.contains("BroadcastHashJoin LeftOuter"),
+      s"vocab lookup must be a broadcast left-outer join:\n$p")
+    assert("\\(\\d+\\) (SortMergeJoin|ShuffledHashJoin)".r.findFirstIn(p).isEmpty,
+      s"the corpus-sized token side must never shuffle for the vocab join:\n$p")
+  }
+
+  test("text_split_drift: top-20 is TakeOrdered; totals cross in as a 1-row broadcast") {
+    val p = planOf("text_split_drift")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"drift top-k must be TakeOrdered, not a global sort:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin Cross BuildRight"),
+      s"the 1-row totals must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in plan:\n$p")
+    // the persisted counts table feeds BOTH branches — the corpus must
+    // be scanned and token-shuffled once, not once per branch. The
+    // cached subtree renders under each InMemoryTableScan with the SAME
+    // node id, so count distinct scan ids, not textual occurrences.
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
+      s"both branches must read the persisted counts:\n$p")
+    val scanIds = "\\((\\d+)\\) Scan parquet".r.findAllMatchIn(p).map(_.group(1)).toSet
+    assert(scanIds.size == 1, s"drift must scan the corpus once (persisted counts), got $scanIds:\n$p")
+  }
 }
