@@ -57,6 +57,27 @@ object AlgebraQueries extends QueryPack {
           col("event_type").as("last_type"))
     }),
 
+    // SCD-2 companion to the SCD-1 snapshot above: the full state
+    // HISTORY as validity intervals. A row opens whenever the user's
+    // event_type changes (or at the first event); valid_to is the next
+    // change's valid_from, −1 while still open (integer sentinel, not
+    // NULL, per the output-type policy). Change detection and the
+    // closing lead() ride the SAME user_id hash partitioning — Filter
+    // preserves distribution, so the whole history is one exchange,
+    // plan-asserted.
+    "pipe_scd2_history" -> ((s, d) => {
+      val byUser = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("prev", lag("event_type", 1).over(byUser))
+        .where(col("prev").isNull || col("prev") =!= col("event_type"))
+        .withColumn("valid_to", coalesce(lead("us", 1).over(byUser), lit(-1L)))
+        .select(col("user_id"), col("event_type").as("state"),
+          col("us").as("valid_from"), col("valid_to"))
+    }),
+
     // EXCEPT: customers active in 1995 but not in 1996.
     "q_except_customers" -> ((s, d) => {
       val o = Tables.orders(s, d)
@@ -188,6 +209,16 @@ object AlgebraQueries extends QueryPack {
         |SELECT y.o_year, status, CAST(coalesce(c, 0) AS BIGINT) AS cnt
         |FROM y CROSS JOIN s
         |LEFT JOIN w ON w.o_year IS NOT DISTINCT FROM y.o_year AND w.st = s.status""".stripMargin,
+
+    "pipe_scd2_history" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |c AS (SELECT * FROM e WHERE prev IS NULL OR prev <> event_type)
+        |SELECT user_id, event_type AS state, us AS valid_from,
+        |  coalesce(lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id), -1) AS valid_to
+        |FROM c""".stripMargin,
 
     "pipe_latest_snapshot" ->
       """SELECT user_id, event_id AS last_event, event_type AS last_type

@@ -47,6 +47,25 @@ object PipelineQueries extends QueryPack {
     // sort (a single global ordering would serialize 100 TB through one
     // partition — the shard count is the knob real pipelines use).
     // Output: where each doc lands (start offset + first/last window).
+    // RAG-prep chunking: fixed 50-token windows at stride 25 (50%
+    // overlap) — the retrieval-corpus shape. Pure map-side: ZERO
+    // exchanges (plan-asserted); each chunk leaves the kernel as
+    // (doc_id, chunk_id, token count, PolyHash64 fingerprint), never
+    // the chunk text — the embedding stage downstream reads chunks
+    // by (doc_id, chunk_id), so only ids and stats ever move.
+    "pipe_chunk_overlap" -> ((s, d) => {
+      val w = 50; val stride = 25
+      Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+        .where(size(col("t")) >= 1)
+        .select(col("doc_id"), posexplode(expr(
+          s"transform(sequence(0, (size(t)+${stride - 1}) div $stride - 1), " +
+            s"i -> slice(t, i*$stride+1, $w))")))
+        .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
+          size(col("col")).cast("long").as("n_chunk_tokens"),
+          graft.functions.PolyHash64Expr(array_join(col("col"), " ")).as("chunk_fp"))
+    }),
+
     "pipe_seq_packing" -> ((s, d) => {
       val w = Window.partitionBy("shard").orderBy("doc_id")
       Tables.documents(s, d)
@@ -142,8 +161,32 @@ object PipelineQueries extends QueryPack {
          |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS pos
          |FROM s""".stripMargin,
 
+    "pipe_chunk_overlap" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0) AS t
+        |  FROM documents),
+        |ch AS (
+        |  SELECT doc_id,
+        |    unnest(range((len(t)+24)//25)) AS chunk_id,
+        |    unnest(list_transform(range((len(t)+24)//25),
+        |      i -> CAST(len(t[(i*25+1):(i*25+50)]) AS BIGINT))) AS n_chunk_tokens,
+        |    unnest(list_transform(range((len(t)+24)//25),
+        |      i -> array_to_string(t[(i*25+1):(i*25+50)], ' '))) AS chunk
+        |  FROM toks WHERE len(t) >= 1),
+        |hashed AS (
+        |  SELECT doc_id, chunk_id, n_chunk_tokens,
+        |    list_reduce(
+        |      list_prepend(CAST(1125899906842597 AS HUGEINT),
+        |        list_transform(range(1, length(chunk) + 1), i -> CAST(ord(substr(chunk, i, 1)) AS HUGEINT))),
+        |      (acc, b) -> (acc * 31 + b) % CAST('18446744073709551616' AS HUGEINT)) AS h
+        |  FROM ch)
+        |SELECT doc_id, chunk_id, n_chunk_tokens,
+        |  CAST(CASE WHEN h >= CAST('9223372036854775808' AS HUGEINT)
+        |    THEN h - CAST('18446744073709551616' AS HUGEINT) ELSE h END AS BIGINT) AS chunk_fp
+        |FROM hashed""".stripMargin,
+
     "pipe_seq_packing" ->
-      s"""WITH t AS (
+s"""WITH t AS (
          |  SELECT doc_id, doc_id % $PackShards AS shard,
          |    len(list_filter(string_split_regex(lower(text), '\\s+'), x -> length(x) > 0)) AS n_tok
          |  FROM documents),

@@ -19,6 +19,7 @@ import graft.Tables
 object WindowQueries extends QueryPack {
 
   private val GapUs = 6L * 3600 * 1000000 // 6h session gap, microseconds
+  private val DebounceUs = 24L * 3600 * 1000000 // 24h min-gap, microseconds
 
   override def queries: Map[String, Q] = Map(
     // Gap-based sessionization: lag -> new-session flag -> running sum
@@ -76,6 +77,28 @@ object WindowQueries extends QueryPack {
     // change — the dashboard-analytics window shape. Partitioned by
     // type, so the window never funnels to one task; first day of each
     // type keeps a NULL growth on both engines.
+    // Telemetry debounce / min-gap thinning: an event that fires within
+    // the threshold of its predecessor in the same (user, event_type)
+    // stream is dropped — the standard vectorized repeat-event filter
+    // (the stateful variant relative to the previously KEPT event is
+    // the streaming form; batch pipelines use the lag form because it
+    // is one window pass). Threshold sized to this corpus's per-stream
+    // arrival rate (~3.5-day mean gap) so the filter discriminates.
+    // Shape: ONE user/type exchange — the window and the aggregate ride
+    // the same hash partitioning (subset rule), plan-asserted.
+    "q_events_debounce" -> ((s, d) => {
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("us"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("gap", col("us") - lag("us", 1).over(w))
+        .withColumn("kept",
+          when(col("gap").isNull || col("gap") >= DebounceUs, 1L).otherwise(0L))
+        .groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n_events"), sum("kept").as("n_kept"))
+    }),
+
     "q_events_growth" -> ((s, d) => {
       val w = Window.partitionBy("event_type").orderBy("day")
       Tables.events(s, d)
@@ -232,6 +255,15 @@ object WindowQueries extends QueryPack {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q_events_debounce" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_type, event_id, epoch_us(ts) AS us,
+         |    us - lag(us) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS gap
+         |  FROM events)
+         |SELECT user_id, event_type, count(*) AS n_events,
+         |  CAST(sum(CASE WHEN gap IS NULL OR gap >= $DebounceUs THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         |FROM e GROUP BY 1, 2""".stripMargin,
 
     "q_events_growth" ->
       """WITH c AS (

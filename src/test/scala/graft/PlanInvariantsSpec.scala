@@ -395,4 +395,26 @@ class PlanInvariantsSpec extends AnyFunSuite {
     val scanIds = "\\((\\d+)\\) Scan parquet".r.findAllMatchIn(p).map(_.group(1)).toSet
     assert(scanIds.size == 1, s"drift must scan the corpus once (persisted counts), got $scanIds:\n$p")
   }
+
+  test("q_events_debounce: window and aggregate share ONE user/type exchange") {
+    val p = planOf("q_events_debounce")
+    val exchanges = "\\(\\d+\\) Exchange\\b".r.findAllIn(p).size
+    assert(exchanges == 1, s"debounce must be a single exchange, got $exchanges:\n$p")
+  }
+
+  test("pipe_scd2_history: both windows and the change filter ride ONE user exchange") {
+    val p = planOf("pipe_scd2_history")
+    val exchanges = "\\(\\d+\\) Exchange\\b".r.findAllIn(p).size
+    assert(exchanges == 1, s"SCD-2 history must be a single exchange, got $exchanges:\n$p")
+    // the closing lead() must not re-sort: Filter preserves the first
+    // window's ordering, so exactly one Sort in the plan
+    val sorts = "\\(\\d+\\) Sort\\b".r.findAllIn(p).size
+    assert(sorts == 1, s"the second window must reuse the first's sort, got $sorts:\n$p")
+  }
+
+  test("pipe_chunk_overlap: pure map-side — zero exchanges") {
+    val p = planOf("pipe_chunk_overlap")
+    assert("\\(\\d+\\) Exchange\\b".r.findFirstIn(p).isEmpty,
+      s"chunking must not shuffle:\n$p")
+  }
 }
