@@ -120,6 +120,56 @@ object EventStreams {
       }
   }
 
+  case class DebounceState(lastKeptUs: Long)
+
+  /** Streaming debounce — the TRUE stateful form the batch
+    * `q_events_debounce` lag-filter approximates: an event is kept iff
+    * it is the first for its (user, event_type) stream or at least
+    * `minGapUs` after the last KEPT event (the lag form measures
+    * against the immediate predecessor, kept or not, because that is
+    * the one-window-pass vectorization; EventStreamsSpec pins the
+    * fixture where the two disagree). State per key is ONE long — the
+    * last kept event time — regardless of traffic, carried across
+    * micro-batches so output never depends on batch boundaries; users
+    * idle longer than `idleTimeout` are evicted (None disables, for
+    * `processAllAvailable` test drivers). Out-of-order stragglers
+    * BEHIND the last kept event are dropped (they arrived inside a
+    * window that already suppressed them); within a micro-batch events
+    * sort by event time. */
+  def streamingDebounce(
+      events: Dataset[TypedEvent],
+      minGapUs: Long,
+      idleTimeout: Option[String] = Some("30 days")): Dataset[TypedEvent] = {
+    import events.sparkSession.implicits._
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState[DebounceState, TypedEvent](
+        OutputMode.Append, timeoutConf) {
+        (_: (Long, String), rows: Iterator[TypedEvent], state: GroupState[DebounceState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = rows.toSeq.sortBy(e => e.ts.getTime)
+            var last = state.getOption.map(_.lastKeptUs).getOrElse(Long.MinValue)
+            val out = Seq.newBuilder[TypedEvent]
+            sorted.foreach { e =>
+              val us = e.ts.getTime * 1000L
+              if (last == Long.MinValue || us - last >= minGapUs) {
+                last = us
+                out += e
+              }
+            }
+            if (last != Long.MinValue) {
+              state.update(DebounceState(last))
+              idleTimeout.foreach(state.setTimeoutDuration)
+            }
+            out.result().iterator
+          }
+      }
+  }
+
   /** Stream-stream interval join — the attribution join: every click
     * paired with the view(s) it follows within `horizon` for the same
     * user. In streaming BOTH sides must carry watermarks and the join

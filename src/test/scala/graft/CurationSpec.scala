@@ -123,4 +123,28 @@ class CurationSpec extends AnyFunSuite {
     assert(expected.size < brutePairs.map(_._2).toSet.size,
       "the recall trade is real: some brute pairs straddle clusters")
   }
+
+  test("line dedup: keep-first by (doc_id, pos), reconstruction fingerprints the kept text") {
+    import graft.functions.PolyHash64Expr
+    val dir = fixtureDir()
+    // 10-word segments so the fixture aligns with the segment unit
+    val A = (1 to 10).map(i => s"aa$i").mkString(" ")
+    val B = (1 to 10).map(i => s"bb$i").mkString(" ")
+    val C = (1 to 10).map(i => s"cc$i").mkString(" ")
+    val D = (1 to 10).map(i => s"dd$i").mkString(" ")
+    val E = (1 to 10).map(i => s"ee$i").mkString(" ")
+    writeDocs(dir, Seq(
+      1L -> s"$A $B",            // both first occurrences → all kept
+      2L -> s"$A $C",            // A already kept at doc 1 → only C survives
+      3L -> B,                   // whole doc is a dup → reconstructs to ""
+      4L -> s"$D $D",            // within-doc repeat → keep first copy only
+      5L -> s"$E tail1 tail2"))  // trailing partial segment is its own line
+    val got = SparkEntry.queries("text_line_dedup")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == ((2L, 2L, PolyHash64Expr.compute(s"$A $B"))))
+    assert(got(2L) == ((2L, 1L, PolyHash64Expr.compute(C))))
+    assert(got(3L) == ((1L, 0L, PolyHash64Expr.compute(""))))
+    assert(got(4L) == ((2L, 1L, PolyHash64Expr.compute(D))))
+    assert(got(5L) == ((2L, 2L, PolyHash64Expr.compute(s"$E tail1 tail2"))))
+  }
 }

@@ -211,4 +211,44 @@ class EventStreamsSpec extends AnyFunSuite {
       .as[(Timestamp, String, Long, Double)].collect()
     assert(out.length == 1 && out.head._3 == 2L)
   }
+
+  test("streaming debounce measures against the last KEPT event, across micro-batches") {
+    import spark.implicits._
+    import graft.streaming.EventStreams.TypedEvent
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[TypedEvent]
+    // 6-minute gap; events at minutes 0, 5, 10, 13, then a straggler at 9
+    val q = EventStreams.streamingDebounce(mem.toDS(),
+        minGapUs = 6L * 60 * 1000000, idleTimeout = None)
+      .writeStream.format("memory").queryName("debounced")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(TypedEvent(1, ts(0), "click"), TypedEvent(1, ts(5), "click"))
+      q.processAllAvailable()
+      // state (last kept = minute 0) must carry into this batch:
+      // minute 10 is ≥6 past minute 0 → kept; 13 is <6 past 10 → dropped
+      mem.addData(TypedEvent(1, ts(10), "click"), TypedEvent(1, ts(13), "click"))
+      q.processAllAvailable()
+      // out-of-order straggler BEHIND the last kept event → dropped
+      mem.addData(TypedEvent(1, ts(9), "click"))
+      q.processAllAvailable()
+      val kept = spark.table("debounced").as[TypedEvent].collect()
+        .map(e => (e.ts.getTime - ts(0).getTime) / 60000L).toSet
+      assert(kept == Set(0L, 10L), s"stateful debounce kept $kept")
+
+      // the batch lag form disagrees HERE by design: minute 10 is <6
+      // from its immediate predecessor (minute 5), so the vectorized
+      // min-gap filter keeps only minute 0 on the same fixture
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id", "event_type").orderBy("us")
+      import org.apache.spark.sql.functions._
+      val lagKept = Seq(0, 5, 10, 13).map(m => TypedEvent(1, ts(m), "click")).toDS()
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+        .withColumn("gap", col("us") - lag("us", 1).over(w))
+        .where(col("gap").isNull || col("gap") >= 6L * 60 * 1000000)
+        .select("us").as[Long].collect()
+        .map(us => (us / 1000000L - ts(0).getTime / 1000L) / 60L).toSet
+      assert(lagKept == Set(0L), s"lag form kept $lagKept")
+    } finally q.stop()
+  }
 }
