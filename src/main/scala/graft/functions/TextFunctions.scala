@@ -35,6 +35,18 @@ object TextFunctions {
   def tokens(text: Column): Column =
     filter(split(lower(text), "\\s+"), t => length(t) > 0)
 
+  /** Strided fixed-width windows over a token-array column (by NAME, so
+    * the generated SQL stays one codegen'd expression): windows start
+    * at multiples of `stride` and take `width` tokens, the trailing
+    * ones running short. stride == width gives disjoint segments
+    * (text_line_dedup's line unit); stride < width gives overlapping
+    * chunks (pipe_chunk_overlap). One shared generator so the
+    * ceil-division and 1-based-slice conventions cannot drift between
+    * the two call sites. Requires size(col) ≥ 1. */
+  def stridedWindows(tokenCol: String, stride: Int, width: Int): Column =
+    expr(s"transform(sequence(0, (size($tokenCol)+${stride - 1}) div $stride - 1), " +
+      s"i -> slice($tokenCol, i*$stride+1, $width))")
+
   /** Token count (whitespace). */
   def tokenCount(text: Column): Column = size(tokens(text))
 

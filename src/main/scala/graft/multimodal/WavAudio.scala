@@ -38,10 +38,19 @@ object WavAudio {
   val NumWindows = 4
   def numSamples: Int = WindowSize * NumWindows
 
-  /** The corpus generator formula — shared verbatim with the SQL
-    * oracle. Int16 range by construction. */
+  /** Generator-formula constants — the SQL oracle interpolates THESE
+    * (MultimodalQueries), so a coefficient change cannot silently
+    * desynchronize the two sides. */
+  val MulId = 31L
+  val MulIdx = 7L
+  val Levels = 256L
+  val Gain = 64L
+
+  /** The corpus generator formula — shared with the SQL oracle via the
+    * named constants above. Int16 range by construction
+    * (|sample| ≤ (Levels/2)·Gain = 8192). */
   def synthSample(id: Long, i: Int): Short =
-    (((id * 31 + i.toLong * 7) % 256 - 128) * 64).toShort
+    (((id * MulId + i.toLong * MulIdx) % Levels - Levels / 2) * Gain).toShort
 
   def synthClip(id: Long): Array[Short] =
     Array.tabulate(numSamples)(i => synthSample(id, i))
@@ -65,9 +74,13 @@ object WavAudio {
     bb.array()
   }
 
-  /** Real container parse. Malformed bytes fail loudly — a silent
-    * fallback would hide corrupt blobs until they poisoned a training
-    * run. */
+  /** Real container parse — a proper RIFF chunk walk, not a fixed
+    * 44-byte layout: real exporters put LIST-INFO/fact/cue chunks
+    * between fmt and data, and WAVE_FORMAT_EXTENSIBLE fmt chunks run
+    * longer than 16 bytes (cbSize + extension). Unknown chunks are
+    * skipped (word-aligned, per RIFF); anything MALFORMED still fails
+    * loudly — a silent fallback would hide corrupt blobs until they
+    * poisoned a training run. */
   def decodeWav(mediaId: Long, bytes: Array[Byte]): Array[Short] = {
     require(bytes.length >= 44, s"media $mediaId: truncated WAV (${bytes.length} bytes)")
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
@@ -75,29 +88,49 @@ object WavAudio {
     require(chunk() == "RIFF", s"media $mediaId: missing RIFF magic")
     bb.getInt // riff size
     require(chunk() == "WAVE", s"media $mediaId: not a WAVE container")
-    require(chunk() == "fmt ", s"media $mediaId: missing fmt chunk")
-    require(bb.getInt == 16, s"media $mediaId: non-PCM fmt chunk size")
-    require(bb.getShort == 1, s"media $mediaId: only PCM supported")
-    require(bb.getShort == 1, s"media $mediaId: only mono supported")
-    bb.getInt; bb.getInt; bb.getShort // rate, byte rate, block align
-    require(bb.getShort == 16, s"media $mediaId: only 16-bit supported")
-    require(chunk() == "data", s"media $mediaId: missing data chunk")
-    val dataLen = bb.getInt
-    require(dataLen >= 0 && dataLen % 2 == 0 && bb.remaining() >= dataLen,
-      s"media $mediaId: bad data length $dataLen")
-    Array.fill(dataLen / 2)(bb.getShort)
+    var sawFmt = false
+    while (bb.remaining() >= 8) {
+      val id = chunk()
+      val len = bb.getInt
+      require(len >= 0 && bb.remaining() >= len,
+        s"media $mediaId: truncated '$id' chunk (declared $len, ${bb.remaining()} left)")
+      id match {
+        case "fmt " =>
+          require(len >= 16, s"media $mediaId: fmt chunk too short ($len)")
+          val start = bb.position()
+          require(bb.getShort == 1, s"media $mediaId: only PCM supported")
+          require(bb.getShort == 1, s"media $mediaId: only mono supported")
+          bb.getInt; bb.getInt; bb.getShort // rate, byte rate, block align
+          require(bb.getShort == 16, s"media $mediaId: only 16-bit supported")
+          bb.position(start + len + (len & 1)) // skip cbSize/extension + pad
+          sawFmt = true
+        case "data" =>
+          require(sawFmt, s"media $mediaId: data chunk before fmt")
+          require(len % 2 == 0, s"media $mediaId: odd PCM16 data length $len")
+          return Array.fill(len / 2)(bb.getShort)
+        case _ =>
+          bb.position(bb.position() + len + (len & 1)) // skip + word-align pad
+      }
+    }
+    throw new IllegalArgumentException(s"media $mediaId: missing data chunk")
   }
 
   /** Windowed integer features on decoded samples: energy (Σ s²) and
     * zero-crossing count (strict sign change between consecutive
-    * samples INSIDE the window). */
+    * samples INSIDE the window). A clip that is not a whole number of
+    * windows emits its trailing samples as a final SHORT window —
+    * dropping them silently would contradict the loud-failure design
+    * (the synthetic corpus is exact-multiple, so this only matters for
+    * real recordings). */
   def windowFeatures(mediaId: Long, samples: Array[Short]): Seq[AudioWindowStats] = {
-    (0 until samples.length / WindowSize).map { w =>
+    val nWin = (samples.length + WindowSize - 1) / WindowSize
+    (0 until nWin).map { w =>
       val start = w * WindowSize
+      val end = math.min(start + WindowSize, samples.length)
       var sq = 0L
       var zc = 0L
       var i = start
-      while (i < start + WindowSize) {
+      while (i < end) {
         val v = samples(i).toLong
         sq += v * v
         if (i > start && samples(i - 1).toLong * v < 0) zc += 1

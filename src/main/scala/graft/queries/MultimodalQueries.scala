@@ -78,23 +78,27 @@ object MultimodalQueries extends QueryPack {
     }))
 
   override def oracles: Map[String, String] = Map(
-    // Integer replay of the clip formula: s(i) = (((id·31+7i) mod 256)
-    // − 128)·64 over 800 samples, 4 windows of 200; energy is Σ s² and
-    // crossings count strict sign changes between consecutive samples
-    // inside a window (i mod 200 ≠ 0 keeps the pair in-window).
-    "mm_audio_stats" ->
-      """WITH i AS (SELECT unnest(range(800)) AS i),
-        |s AS (
-        |  SELECT doc_id, i, ((doc_id * 31 + i * 7) % 256 - 128) * 64 AS v
-        |  FROM documents CROSS JOIN i),
-        |p AS (
-        |  SELECT doc_id, i, v, i // 200 AS win,
-        |    lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
-        |  FROM s)
-        |SELECT doc_id AS media_id, CAST(win AS BIGINT) AS win,
-        |  CAST(sum(v * v) AS BIGINT) AS sum_sq,
-        |  CAST(sum(CASE WHEN i % 200 <> 0 AND pv * v < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_crossings
-        |FROM p GROUP BY 1, 2""".stripMargin,
+    // Integer replay of the clip formula — every constant interpolated
+    // from WavAudio so a coefficient change recompiles INTO the oracle
+    // instead of silently desynchronizing it. Energy is Σ s²; crossings
+    // count strict sign changes between consecutive samples inside a
+    // window (i mod WindowSize ≠ 0 keeps the pair in-window).
+    "mm_audio_stats" -> {
+      import graft.multimodal.WavAudio._
+      s"""WITH i AS (SELECT unnest(range($numSamples)) AS i),
+         |s AS (
+         |  SELECT doc_id, i,
+         |    ((doc_id * $MulId + i * $MulIdx) % $Levels - ${Levels / 2}) * $Gain AS v
+         |  FROM documents CROSS JOIN i),
+         |p AS (
+         |  SELECT doc_id, i, v, i // $WindowSize AS win,
+         |    lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+         |  FROM s)
+         |SELECT doc_id AS media_id, CAST(win AS BIGINT) AS win,
+         |  CAST(sum(v * v) AS BIGINT) AS sum_sq,
+         |  CAST(sum(CASE WHEN i % $WindowSize <> 0 AND pv * v < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_crossings
+         |FROM p GROUP BY 1, 2""".stripMargin
+    },
     // UTF-8 length == char length here (ascii word-salad corpus).
     "mm_decode_stats" ->
       """WITH m AS (

@@ -58,9 +58,7 @@ object PipelineQueries extends QueryPack {
       Tables.documents(s, d)
         .select(col("doc_id"), tokens(col("text")).as("t"))
         .where(size(col("t")) >= 1)
-        .select(col("doc_id"), posexplode(expr(
-          s"transform(sequence(0, (size(t)+${stride - 1}) div $stride - 1), " +
-            s"i -> slice(t, i*$stride+1, $w))")))
+        .select(col("doc_id"), posexplode(stridedWindows("t", stride, w)))
         .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
           size(col("col")).cast("long").as("n_chunk_tokens"),
           graft.functions.PolyHash64Expr(array_join(col("col"), " ")).as("chunk_fp"))

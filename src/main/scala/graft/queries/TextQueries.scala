@@ -137,10 +137,9 @@ object TextQueries extends QueryPack {
       val toks = Tables.documents(s, d)
         .select(col("doc_id"), tokens(col("text")).as("t"))
         .where(size(col("t")) >= 1)
-      val segs = toks.select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(0, (size(t)+${segLen - 1}) div $segLen - 1), " +
-          s"i -> array_join(slice(t, i*$segLen+1, $segLen), ' '))")))
-        .withColumnRenamed("col", "seg")
+      val segs = toks
+        .select(col("doc_id"), posexplode(stridedWindows("t", segLen, segLen)))
+        .select(col("doc_id"), col("pos"), array_join(col("col"), " ").as("seg"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("h"))
       val marked = segs

@@ -122,6 +122,12 @@ object EventStreams {
 
   case class DebounceState(lastKeptUs: Long)
 
+  /** Event time at full microsecond resolution — `getTime` truncates
+    * to ms; `getNanos` carries the sub-second part. The batch twin
+    * measures gaps in `unix_micros`, so the streaming form must too. */
+  private def micros(t: Timestamp): Long =
+    math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
   /** Streaming debounce — the TRUE stateful form the batch
     * `q_events_debounce` lag-filter approximates: an event is kept iff
     * it is the first for its (user, event_type) stream or at least
@@ -151,11 +157,11 @@ object EventStreams {
         (_: (Long, String), rows: Iterator[TypedEvent], state: GroupState[DebounceState]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            val sorted = rows.toSeq.sortBy(e => e.ts.getTime)
+            val sorted = rows.toSeq.sortBy(e => micros(e.ts))
             var last = state.getOption.map(_.lastKeptUs).getOrElse(Long.MinValue)
             val out = Seq.newBuilder[TypedEvent]
             sorted.foreach { e =>
-              val us = e.ts.getTime * 1000L
+              val us = micros(e.ts)
               if (last == Long.MinValue || us - last >= minGapUs) {
                 last = us
                 out += e

@@ -34,6 +34,38 @@ class WavAudioSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](WavAudio.decodeWav(3L, badBits))
   }
 
+  test("real-exporter containers decode: LIST chunk between fmt and data, 18-byte fmt") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val id = 9L
+    val samples = WavAudio.synthClip(id)
+    val dataLen = samples.length * 2
+    // ffmpeg/Audacity-style layout: RIFF + WAVE + fmt(18, cbSize=0)
+    // + LIST-INFO + data
+    val bb = ByteBuffer.allocate(12 + 26 + 12 + 8 + dataLen)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(bb.capacity() - 8)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(18)
+    bb.putShort(1).putShort(1).putInt(WavAudio.SampleRate)
+      .putInt(WavAudio.SampleRate * 2).putShort(2).putShort(16)
+    bb.putShort(0) // cbSize
+    bb.put("LIST".getBytes("US-ASCII")).putInt(4).put("INFO".getBytes("US-ASCII"))
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    val decoded = WavAudio.decodeWav(id, bb.array())
+    assert(decoded.sameElements(samples))
+  }
+
+  test("trailing partial window is emitted, never silently dropped") {
+    val samples = Array.tabulate(WavAudio.WindowSize * 2 + 50)(i =>
+      WavAudio.synthSample(21L, i))
+    val got = WavAudio.windowFeatures(21L, samples)
+    assert(got.size == 3, s"850-sample clip must yield 3 windows, got ${got.size}")
+    val tail = samples.drop(WavAudio.WindowSize * 2).map(_.toLong)
+    assert(got(2).sum_sq == tail.map(v => v * v).sum)
+    assert(got(2).n_crossings == tail.sliding(2).count(p => p(0) * p(1) < 0))
+  }
+
   test("windowed features match a by-hand replay") {
     val id = 11L
     val samples = WavAudio.synthClip(id)
