@@ -85,6 +85,26 @@ object AlgebraQueries extends QueryPack {
         .except(o.where(year(col("o_orderdate")) === 1996).select("o_custkey"))
     }),
 
+    // FULL OUTER join — the one join flavor the family was missing
+    // (inner/left/semi/anti/cross/interval/as-of are all graded
+    // elsewhere): per-customer 1995 vs 1996 order counts, keeping
+    // customers active in EITHER year; absent sides surface as 0 via
+    // coalesce (integer, never NULL, per the output-type policy).
+    // Both sides pre-aggregate to one row per customer BEFORE the
+    // join — the join moves customer-cardinality rows, not orders —
+    // and the two aggregates and the join all hash on o_custkey, so
+    // AQE coalesces into one logical partitioning.
+    "q_full_outer_years" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      def side(y: Int, as: String) =
+        o.where(year(col("o_orderdate")) === y)
+          .groupBy(col("o_custkey")).agg(count(lit(1)).as(as))
+      side(1995, "n_1995").join(side(1996, "n_1996"), Seq("o_custkey"), "full_outer")
+        .select(col("o_custkey"),
+          coalesce(col("n_1995"), lit(0L)).as("n_1995"),
+          coalesce(col("n_1996"), lit(0L)).as("n_1996"))
+    }),
+
     // INTERSECT: customers active in BOTH 1995 and 1996 (set semantics —
     // dedup rides the same hash exchange as the intersection itself).
     "q_intersect_customers" -> ((s, d) => {
@@ -179,6 +199,18 @@ object AlgebraQueries extends QueryPack {
         |  count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS "O",
         |  count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS "P"
         |FROM orders GROUP BY 1""".stripMargin,
+
+    "q_full_outer_years" ->
+      """WITH a AS (
+        |  SELECT o_custkey, count(*) AS n_1995 FROM orders
+        |  WHERE year(o_orderdate) = 1995 GROUP BY 1),
+        |b AS (
+        |  SELECT o_custkey, count(*) AS n_1996 FROM orders
+        |  WHERE year(o_orderdate) = 1996 GROUP BY 1)
+        |SELECT coalesce(a.o_custkey, b.o_custkey) AS o_custkey,
+        |  CAST(coalesce(n_1995, 0) AS BIGINT) AS n_1995,
+        |  CAST(coalesce(n_1996, 0) AS BIGINT) AS n_1996
+        |FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey""".stripMargin,
 
     "q_except_customers" ->
       """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995

@@ -99,6 +99,25 @@ object WindowQueries extends QueryPack {
         .agg(count(lit(1)).as("n_events"), sum("kept").as("n_kept"))
     }),
 
+    // ntile bucketing — the remaining ranking window function (rank /
+    // row_number / percentile are graded elsewhere). Deliberately the
+    // PARTITIONED form (quartiles of each user's event values): a
+    // global ntile funnels every row through one partition, which is
+    // exactly the shape the 100 TB bar forbids — per-entity ntile
+    // rides the usual one-exchange window + same-keyed aggregate
+    // (ClusteredDistribution on (user, quartile) is satisfied by the
+    // user_id hash partitioning). Ties broken by event_id so bucket
+    // assignment is deterministic on both engines.
+    "q_events_value_ntile" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("value"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("value"))
+        .withColumn("quartile", ntile(4).over(w))
+        .groupBy("user_id", "quartile")
+        .agg(count(lit(1)).as("n_events"),
+          min("value").as("min_value"), max("value").as("max_value"))
+    }),
+
     "q_events_growth" -> ((s, d) => {
       val w = Window.partitionBy("event_type").orderBy("day")
       Tables.events(s, d)
@@ -264,6 +283,15 @@ object WindowQueries extends QueryPack {
          |SELECT user_id, event_type, count(*) AS n_events,
          |  CAST(sum(CASE WHEN gap IS NULL OR gap >= $DebounceUs THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
          |FROM e GROUP BY 1, 2""".stripMargin,
+
+    "q_events_value_ntile" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id, value,
+        |    ntile(4) OVER (PARTITION BY user_id ORDER BY value, event_id) AS quartile
+        |  FROM events)
+        |SELECT user_id, CAST(quartile AS INTEGER) AS quartile, count(*) AS n_events,
+        |  min(value) AS min_value, max(value) AS max_value
+        |FROM t GROUP BY 1, 2""".stripMargin,
 
     "q_events_growth" ->
       """WITH c AS (

@@ -412,6 +412,21 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert(sorts == 1, s"the second window must reuse the first's sort, got $sorts:\n$p")
   }
 
+  test("q_full_outer_years: both sides pre-aggregate; the join reuses their partitioning") {
+    val p = planOf("q_full_outer_years")
+    assert(p.contains("SortMergeJoin FullOuter"), s"full outer join expected:\n$p")
+    // exactly the two aggregation exchanges — the join must NOT add a
+    // third (it rides the aggregates' o_custkey hash partitioning)
+    val exchanges = "\\(\\d+\\) Exchange\\b".r.findAllIn(p).size
+    assert(exchanges == 2, s"join must reuse the aggregate partitioning, got $exchanges exchanges:\n$p")
+  }
+
+  test("q_events_value_ntile: partitioned ntile — one exchange, aggregate rides the window partitioning") {
+    val p = planOf("q_events_value_ntile")
+    val exchanges = "\\(\\d+\\) Exchange\\b".r.findAllIn(p).size
+    assert(exchanges == 1, s"partitioned ntile must be a single exchange, got $exchanges:\n$p")
+  }
+
   test("pipe_chunk_overlap: pure map-side — zero exchanges") {
     val p = planOf("pipe_chunk_overlap")
     assert("\\(\\d+\\) Exchange\\b".r.findFirstIn(p).isEmpty,
