@@ -218,6 +218,60 @@ object TextQueries extends QueryPack {
             .as("drift"))
         .orderBy(col("drift").desc, col("token").asc)
         .limit(20)
+    }),
+
+    // BM25 retrieval — search over the corpus: score every document
+    // against a fixed keyword query, return the top 20. Cross-engine
+    // determinism: the idf is BM25's RATIONAL idf (N − df + ½)/(df + ½)
+    // without the ln() — libm last-ulp behavior differs across engines
+    // while +,×,÷ are IEEE-correctly-rounded; tf saturation and length
+    // normalization are the standard k1=1.2, b=0.75 forms, every double
+    // born from the same op sequence on both sides (constants written
+    // as the same source expressions, e.g. (1.2+1), never pre-folded).
+    // Per-doc summation is an ORDER-FIXED chain of per-term conditional
+    // sums (≤1 non-null each), never sum() over doubles — float
+    // addition does not reassociate. Shape: tf is (doc,term)-level with
+    // the term filter applied at the explode; df (≤|query| rows)
+    // broadcasts back; corpus totals are a 1-row broadcast; top-20 is
+    // TakeOrdered.
+    "text_bm25_topk" -> ((s, d) => {
+      val terms = Seq("spark", "query", "fast")
+      val k1 = 1.2
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+      val totals = broadcast(docs.agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(col("t")).cast("long")).as("total_len")))
+      // persisted: both the df aggregate and the scoring join read the
+      // postings, which are (matching doc × term)-sized — without the
+      // pin the df branch re-scans and re-explodes the whole corpus
+      val tf = graft.CacheRegistry.persistTracked(docs
+        .select(col("doc_id"), size(col("t")).cast("long").as("len"),
+          explode(col("t")).as("term"))
+        .where(col("term").isin(terms: _*))
+        .groupBy("doc_id", "len", "term").agg(count(lit(1)).as("tf")))
+      val df = broadcast(tf.groupBy("term").agg(count(lit(1)).as("df")))
+      val scored = tf.join(df, "term")
+        .crossJoin(totals)
+        .withColumn("idf",
+          (col("n_docs").cast("double") - col("df") + lit(0.5)) /
+            (col("df") + lit(0.5)))
+        .withColumn("norm",
+          lit(1 - 0.75) + lit(0.75) *
+            (col("len").cast("double") * col("n_docs") / col("total_len")))
+        .withColumn("contrib",
+          col("idf") * (col("tf").cast("double") * lit(1.2 + 1)) /
+            (col("tf").cast("double") + lit(k1) * col("norm")))
+      val perTerm = terms.zipWithIndex.map { case (t, i) =>
+        sum(when(col("term") === t, col("contrib"))).as(s"c_$i")
+      }
+      scored.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_terms"), perTerm: _*)
+        .select(col("doc_id"), col("n_terms"),
+          round(terms.indices.map(i => coalesce(col(s"c_$i"), lit(0.0)))
+            .reduceLeft(_ + _), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(20)
     }))
 
   private val bigramCoverageOracle =
@@ -429,11 +483,40 @@ FROM j GROUP BY 1"""
       |FROM c, t
       |ORDER BY drift DESC, token LIMIT 20""".stripMargin
 
+  /** Every arithmetic step parenthesized to the exact association the
+    * Spark expressions produce; constants appear as the same source
+    * expressions ((1.2 + 1), (1 - 0.75)) so both engines fold them from
+    * identical doubles. */
+  private val bm25Oracle =
+    """WITH docs AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0) AS t
+      |  FROM documents),
+      |tot AS (
+      |  SELECT count(*) AS n_docs, CAST(sum(len(t)) AS BIGINT) AS total_len FROM docs),
+      |tf AS (
+      |  SELECT doc_id, len, term, count(*) AS tf FROM (
+      |    SELECT doc_id, CAST(len(t) AS BIGINT) AS len, unnest(t) AS term FROM docs)
+      |  WHERE term IN ('spark', 'query', 'fast') GROUP BY 1, 2, 3),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |sc AS (
+      |  SELECT doc_id, tf.term,
+      |    (((n_docs * 1.0 - df) + 0.5) / (df + 0.5)) *
+      |      ((tf * 1.0) * (1.2 + 1)) /
+      |      ((tf * 1.0) + 1.2 * ((1 - 0.75) + 0.75 * (((len * 1.0) * n_docs) / total_len))) AS contrib
+      |  FROM tf JOIN df ON tf.term = df.term, tot)
+      |SELECT doc_id, count(*) AS n_terms,
+      |  round(((coalesce(sum(CASE WHEN term = 'spark' THEN contrib END), 0)
+      |    + coalesce(sum(CASE WHEN term = 'query' THEN contrib END), 0))
+      |    + coalesce(sum(CASE WHEN term = 'fast' THEN contrib END), 0)), 6) AS score
+      |FROM sc GROUP BY 1
+      |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+
   override def oracles: Map[String, String] =
     oraclesBase + ("text_repetition" -> repetitionOracle) +
       ("text_langid" -> langidOracle) +
       ("text_fingerprint" -> fingerprintOracle) +
       ("text_line_dedup" -> lineDedupOracle) +
       ("text_classifier_score" -> classifierOracle) +
-      ("text_split_drift" -> splitDriftOracle)
+      ("text_split_drift" -> splitDriftOracle) +
+      ("text_bm25_topk" -> bm25Oracle)
 }

@@ -427,6 +427,20 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert(exchanges == 1, s"partitioned ntile must be a single exchange, got $exchanges:\n$p")
   }
 
+  test("text_bm25_topk: df broadcasts onto persisted postings; top-20 is TakeOrdered; two corpus scans") {
+    val p = planOf("text_bm25_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must be TakeOrdered:\n$p")
+    assert(p.contains("BroadcastHashJoin Inner"), s"df must broadcast onto the postings:\n$p")
+    assert("\\(\\d+\\) (SortMergeJoin|ShuffledHashJoin)".r.findFirstIn(p).isEmpty,
+      s"no shuffle join anywhere:\n$p")
+    // postings persist, so exactly two DISTINCT corpus scans remain:
+    // the tf build and the unfiltered totals pass (cached subtrees
+    // render per consumer with the same node id — count distinct ids)
+    assert(p.contains("InMemoryTableScan"), s"postings must persist:\n$p")
+    val scanIds = "\\((\\d+)\\) Scan parquet".r.findAllMatchIn(p).map(_.group(1)).toSet
+    assert(scanIds.size == 2, s"expected tf + totals scans only, got $scanIds:\n$p")
+  }
+
   test("pipe_chunk_overlap: pure map-side — zero exchanges") {
     val p = planOf("pipe_chunk_overlap")
     assert("\\(\\d+\\) Exchange\\b".r.findFirstIn(p).isEmpty,
