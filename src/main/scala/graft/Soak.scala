@@ -196,9 +196,12 @@ object Soak {
         if (onlyQueries.exists(q => !q.matches("^q\\d.*")))
           scaleCopies(Tables.documents(spark, sfDir), k, sharedDen, historyOnly)
             .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-        // TPC-H family (q<digit>…): scale the two fact-keyed tables
-        // consistently and copy the fixed dimensions through
-        val tpch = onlyQueries.exists(_.matches("^q\\d.*"))
+        // TPC-H family (q<digit>…) plus any orders-reading probe
+        // (q_full_outer_years, q_order_size_pattern, q_profile_orders):
+        // scale the two fact-keyed tables consistently and copy the
+        // fixed dimensions through
+        val tpch = onlyQueries.exists(q =>
+          q.matches("^q\\d.*") || q.contains("order") || q.contains("outer"))
         if (tpch || onlyQueries.exists(q => q.contains("part") || q.contains("graph")))
           scaleLineitem(Tables.lineitem(spark, sfDir), k)
             .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
