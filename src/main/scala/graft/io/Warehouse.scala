@@ -90,6 +90,18 @@ object Warehouse {
     swapIn(spark, tmp, targetPath)
   }
 
+  /** Schema-evolution read: union the schemas of EVERY parquet footer
+    * under `path`, so columns added by later writers surface (as NULL
+    * on files written before them). Spark's default read takes one
+    * arbitrary footer — on an evolved table that silently drops
+    * late-added columns, which is exactly the failure mode a
+    * long-lived 100 TB table hits first. mergeSchema costs a footer
+    * read per file at planning time, not a data pass; pushdown and
+    * pruning are unaffected (WarehouseSpec pins both the surfaced
+    * column and the old-file NULLs). */
+  def readEvolved(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   /** Small-file compaction: rewrite a parquet dir into files of
     * ~`targetMB` (small-file listing + open overhead is a top cluster
     * tax at 100 TB; compaction after high-parallelism writes is

@@ -101,6 +101,20 @@ class WarehouseSpec extends AnyFunSuite {
     assert(salted == Map("hot" -> 500L, "a" -> 1L, "b" -> 1L, "c" -> 1L))
   }
 
+  test("schema evolution: a later writer's column surfaces, old files read as NULL") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_evolve_").toString + "/t"
+    (1L to 100L).map(i => (i, s"v$i")).toDF("k", "a")
+      .write.mode("overwrite").parquet(dir)
+    (101L to 150L).map(i => (i, s"v$i", i * 10)).toDF("k", "a", "c")
+      .write.mode("append").parquet(dir)
+    val evolved = Warehouse.readEvolved(spark, dir)
+    assert(evolved.columns.toSet == Set("k", "a", "c"))
+    assert(evolved.count() == 150)
+    // old files surface the new column as NULL; new files carry it
+    assert(evolved.where(col("c").isNull).count() == 100)
+    assert(evolved.where(col("c") === 1010L).select("k").as[Long].collect().toSeq == Seq(101L))
+  }
+
   test("salted join equals plain join") {
     val big = (Seq.fill(200)(("hot", 1)) ++ Seq(("cold", 2))).toDF("k", "v")
     val small = Seq(("hot", "H"), ("cold", "C")).toDF("k", "name")
