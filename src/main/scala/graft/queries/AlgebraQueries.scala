@@ -78,6 +78,61 @@ object AlgebraQueries extends QueryPack {
           col("us").as("valid_from"), col("valid_to"))
     }),
 
+    // Incremental aggregate maintenance — the materialized-view merge
+    // pattern: per-user stats are computed on two disjoint event
+    // slices (the "history state" and the "new delta"), then MERGED
+    // (counts add, exact-decimal sums add, min/least and max/greatest
+    // combine) instead of recomputing history. The oracle is the
+    // ONE-PASS aggregate over everything — grading the merge operation
+    // itself. At 100 TB this is the only affordable shape for a
+    // standing aggregate: cost ∝ delta + state cardinality, and every
+    // aggregate here is decomposable (count/sum/min/max; the HLL and
+    // CMS tiers elsewhere merge the same way).
+    "pipe_incremental_agg" -> ((s, d) => {
+      def half(pred: org.apache.spark.sql.Column) =
+        Tables.events(s, d).where(pred)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("value").cast("decimal(18,6)")).as("sumv"),
+            min(unix_micros(col("ts"))).as("mn"),
+            max(unix_micros(col("ts"))).as("mx"))
+      val cut = lit("2024-03-01").cast("timestamp")
+      val a = half(col("ts") < cut)
+      val b = half(col("ts") >= cut)
+      a.as("a").join(b.as("b"), col("a.user_id") === col("b.user_id"), "full_outer")
+        .select(
+          coalesce(col("a.user_id"), col("b.user_id")).as("user_id"),
+          (coalesce(col("a.cnt"), lit(0L)) + coalesce(col("b.cnt"), lit(0L))).as("n_events"),
+          (coalesce(col("a.sumv"), lit(0).cast("decimal(18,6)")) +
+            coalesce(col("b.sumv"), lit(0).cast("decimal(18,6)")))
+            .cast("double").as("sum_value"),
+          least(coalesce(col("a.mn"), col("b.mn")), coalesce(col("b.mn"), col("a.mn"))).as("first_us"),
+          greatest(coalesce(col("a.mx"), col("b.mx")), coalesce(col("b.mx"), col("a.mx"))).as("last_us"))
+    }),
+
+    // Snapshot diff — deriving a change feed from two table versions
+    // (the CDC bootstrap when the source can't emit one): full-outer
+    // on the key, classify insert/delete/update/unchanged, report the
+    // histogram. The two "versions" are deterministic slices of orders
+    // (drop %7 keys from old, drop %5 from new, bump every %3 price)
+    // so the oracle replays them exactly. Keys-plus-compared-columns
+    // is all that moves — at scale you diff column hashes, not rows.
+    "q_snapshot_diff" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val old = o.where(pmod(col("o_orderkey"), lit(7)) =!= 0)
+        .select(col("o_orderkey"), col("o_totalprice").as("p_old"))
+      val neu = o.where(pmod(col("o_orderkey"), lit(5)) =!= 0)
+        .select(col("o_orderkey"),
+          when(pmod(col("o_orderkey"), lit(3)) === 0, col("o_totalprice") + lit(1.0))
+            .otherwise(col("o_totalprice")).as("p_new"))
+      old.join(neu, Seq("o_orderkey"), "full_outer")
+        .select(when(col("p_old").isNull, "insert")
+          .when(col("p_new").isNull, "delete")
+          .when(col("p_old") =!= col("p_new"), "update")
+          .otherwise("unchanged").as("change_type"))
+        .groupBy("change_type").agg(count(lit(1)).as("cnt"))
+    }),
+
     // EXCEPT: customers active in 1995 but not in 1996.
     "q_except_customers" -> ((s, d) => {
       val o = Tables.orders(s, d)
@@ -241,6 +296,28 @@ object AlgebraQueries extends QueryPack {
         |SELECT y.o_year, status, CAST(coalesce(c, 0) AS BIGINT) AS cnt
         |FROM y CROSS JOIN s
         |LEFT JOIN w ON w.o_year IS NOT DISTINCT FROM y.o_year AND w.st = s.status""".stripMargin,
+
+    // One-pass recompute: the merge above must equal this exactly.
+    "pipe_incremental_agg" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+        |  min(epoch_us(ts)) AS first_us, max(epoch_us(ts)) AS last_us
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q_snapshot_diff" ->
+      """WITH old AS (
+        |  SELECT o_orderkey, o_totalprice AS p_old FROM orders WHERE o_orderkey % 7 <> 0),
+        |neu AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS p_new
+        |  FROM orders WHERE o_orderkey % 5 <> 0)
+        |SELECT CASE WHEN p_old IS NULL THEN 'insert'
+        |            WHEN p_new IS NULL THEN 'delete'
+        |            WHEN p_old <> p_new THEN 'update'
+        |            ELSE 'unchanged' END AS change_type,
+        |  count(*) AS cnt
+        |FROM old FULL OUTER JOIN neu USING (o_orderkey)
+        |GROUP BY 1""".stripMargin,
 
     "pipe_scd2_history" ->
       """WITH e AS (
