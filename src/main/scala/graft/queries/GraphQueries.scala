@@ -152,7 +152,39 @@ object GraphQueries extends QueryPack {
           .collect().sortBy(_._1)
         cc.unpersist(blocking = false)
         hist.map { case (size, n) => Row(size, n) }.toSeq
-      }))
+      }),
+
+    // BFS / unweighted single-source shortest paths — hop distance
+    // from the smallest part id, capped at 4 hops (−1 = unreached).
+    // Integer hops are partition-order-independent, so unlike the
+    // community/PageRank float tiers this graph traversal takes a HARD
+    // value oracle (the same BFS as a DuckDB recursive CTE). Pure
+    // DataFrame loop: the undirected edge list is repartitioned by src
+    // and persisted ONCE, so each hop pays one small frontier-side
+    // exchange against a stationary edge table (the ExactPageRank
+    // discipline); K is a constant, so lineage stays shallow.
+    "graph_part_bfs" -> ((s, d) => {
+      val maxHop = 4
+      val e = cooccurEdges(s, d).select("src", "dst")
+      val und = graft.CacheRegistry.persistTracked(
+        e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+          .repartition(col("src")))
+      val nodes = und.select(col("src").as("v")).distinct()
+      var dist = nodes.agg(min("v").as("v")).select(col("v"), lit(0L).as("hop"))
+      var frontier = dist
+      for (h <- 1 to maxHop) {
+        // frontier and nodes share the persisted edges' lineage —
+        // qualify both sides or the self-join is ambiguous
+        val nxt = frontier.as("f").join(und.as("e"), col("f.v") === col("e.src"))
+          .select(col("e.dst").as("v")).distinct()
+          .join(dist, Seq("v"), "left_anti")
+          .select(col("v"), lit(h.toLong).as("hop"))
+        dist = dist.union(nxt)
+        frontier = nxt
+      }
+      nodes.join(dist, Seq("v"), "left")
+        .select(col("v").as("part"), coalesce(col("hop"), lit(-1L)).as("hop"))
+    }))
 
   /** The co-occurrence edge set (w >= 2), as SQL — shared by the oracle
     * queries below. */
@@ -167,6 +199,22 @@ object GraphQueries extends QueryPack {
   // float summation order → rows-only. Components and triangle counts
   // are deterministic graph facts and get exact SQL oracles.
   override def oracles: Map[String, String] = Map(
+    // BFS hop distances are integer graph facts — the recursive CTE
+    // runs the same frontier expansion with the same 4-hop cap; UNION
+    // dedups (v, hop) pairs and min(hop) recovers the BFS distance.
+    "graph_part_bfs" ->
+      s"""WITH RECURSIVE $edgesCte,
+         |dedges AS (SELECT src AS a, dst AS b FROM edges UNION ALL SELECT dst, src FROM edges),
+         |dnodes AS (SELECT DISTINCT a AS v FROM dedges),
+         |s AS (SELECT min(v) AS sv FROM dnodes),
+         |bfs(v, hop) AS (
+         |  SELECT sv, 0 FROM s
+         |  UNION
+         |  SELECT e.b, bfs.hop + 1 FROM bfs JOIN dedges e ON bfs.v = e.a WHERE bfs.hop < 4),
+         |d AS (SELECT v, min(hop) AS hop FROM bfs GROUP BY 1)
+         |SELECT n.v AS part, CAST(coalesce(d.hop, -1) AS BIGINT) AS hop
+         |FROM dnodes n LEFT JOIN d ON n.v = d.v""".stripMargin,
+
     // The scaled-integer PageRank is exactly reproducible, so the oracle
     // replays the identical ten iterations (unrolled CTEs) in DuckDB.
     "graph_part_pagerank_exact" ->
