@@ -196,27 +196,44 @@ object Soak {
         if (onlyQueries.exists(q => !q.matches("^q\\d.*")))
           scaleCopies(Tables.documents(spark, sfDir), k, sharedDen, historyOnly)
             .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-        // TPC-H family (q<digit>…) plus any orders-reading probe
-        // (q_full_outer_years, q_order_size_pattern, q_profile_orders):
-        // scale the two fact-keyed tables consistently and copy the
-        // fixed dimensions through
+        // TPC-H family (q<digit>…) plus any orders-reading probe:
+        // scale the two fact-keyed tables consistently. Every OTHER
+        // table is copied through unscaled — a probe outside the
+        // scaled families then still RUNS (on ×1 data; its wall simply
+        // doesn't scale) instead of crashing on a missing path, which
+        // is what the old name-substring allowlist did for any
+        // orders/events reader it didn't anticipate (q_snapshot_diff,
+        // q_except_customers, the events family).
         val tpch = onlyQueries.exists(q =>
           q.matches("^q\\d.*") || q.contains("order") || q.contains("outer"))
         if (tpch || onlyQueries.exists(q => q.contains("part") || q.contains("graph")))
           scaleLineitem(Tables.lineitem(spark, sfDir), k)
+            .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+        else
+          Tables.lineitem(spark, sfDir)
             .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
         if (tpch) {
           scaleOrders(Tables.orders(spark, sfDir), k)
             .write.mode("overwrite").parquet(s"$dir/orders.parquet")
           scalePart(Tables.part(spark, sfDir), k)
             .write.mode("overwrite").parquet(s"$dir/part.parquet")
-          Seq("supplier", "nation", "region", "customer").foreach { n =>
-            Tables.table(spark, sfDir, n)
-              .write.mode("overwrite").parquet(s"$dir/$n.parquet")
-          }
+        } else {
+          Tables.orders(spark, sfDir)
+            .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+          Tables.part(spark, sfDir)
+            .write.mode("overwrite").parquet(s"$dir/part.parquet")
         }
+        Seq("supplier", "nation", "region", "customer").foreach { n =>
+          Tables.table(spark, sfDir, n)
+            .write.mode("overwrite").parquet(s"$dir/$n.parquet")
+        }
+        Tables.events(spark, sfDir)
+          .write.mode("overwrite").parquet(s"$dir/events.parquet")
         if (onlyQueries.exists(q => q.contains("semantic") || q.contains("sim_")))
           scaleEmbeddings(Tables.embeddings(spark, sfDir), k)
+            .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+        else
+          Tables.embeddings(spark, sfDir)
             .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
         val results = onlyQueries.map { name =>
           spark.catalog.clearCache()

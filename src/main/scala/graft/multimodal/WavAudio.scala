@@ -94,6 +94,11 @@ object WavAudio {
       val len = bb.getInt
       require(len >= 0 && bb.remaining() >= len,
         s"media $mediaId: truncated '$id' chunk (declared $len, ${bb.remaining()} left)")
+      // skip a chunk body + RIFF word-align pad byte; files in the wild
+      // legally omit the pad on their final chunk, so clamp to the
+      // buffer instead of letting ByteBuffer throw a context-free error
+      def skip(from: Int): Unit =
+        bb.position(math.min(from + len + (len & 1), bb.limit()))
       id match {
         case "fmt " =>
           require(len >= 16, s"media $mediaId: fmt chunk too short ($len)")
@@ -102,14 +107,14 @@ object WavAudio {
           require(bb.getShort == 1, s"media $mediaId: only mono supported")
           bb.getInt; bb.getInt; bb.getShort // rate, byte rate, block align
           require(bb.getShort == 16, s"media $mediaId: only 16-bit supported")
-          bb.position(start + len + (len & 1)) // skip cbSize/extension + pad
+          skip(start) // cbSize/extension + pad
           sawFmt = true
         case "data" =>
           require(sawFmt, s"media $mediaId: data chunk before fmt")
           require(len % 2 == 0, s"media $mediaId: odd PCM16 data length $len")
           return Array.fill(len / 2)(bb.getShort)
         case _ =>
-          bb.position(bb.position() + len + (len & 1)) // skip + word-align pad
+          skip(bb.position())
       }
     }
     throw new IllegalArgumentException(s"media $mediaId: missing data chunk")

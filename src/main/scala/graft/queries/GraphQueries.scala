@@ -174,11 +174,16 @@ object GraphQueries extends QueryPack {
       var frontier = dist
       for (h <- 1 to maxHop) {
         // frontier and nodes share the persisted edges' lineage —
-        // qualify both sides or the self-join is ambiguous
-        val nxt = frontier.as("f").join(und.as("e"), col("f.v") === col("e.src"))
-          .select(col("e.dst").as("v")).distinct()
-          .join(dist, Seq("v"), "left_anti")
-          .select(col("v"), lit(h.toLong).as("hop"))
+        // qualify both sides or the self-join is ambiguous. Each hop's
+        // frontier is persisted: nxt_h references dist_{h-1} AND
+        // frontier_{h-1}, so an unpinned loop re-derives every earlier
+        // expansion ~2^K times (ExactPageRank's lineage is linear and
+        // doesn't need this; a frontier recurrence does)
+        val nxt = graft.CacheRegistry.persistTracked(
+          frontier.as("f").join(und.as("e"), col("f.v") === col("e.src"))
+            .select(col("e.dst").as("v")).distinct()
+            .join(dist, Seq("v"), "left_anti")
+            .select(col("v"), lit(h.toLong).as("hop")))
         dist = dist.union(nxt)
         frontier = nxt
       }

@@ -235,8 +235,7 @@ object TextQueries extends QueryPack {
     // broadcasts back; corpus totals are a 1-row broadcast; top-20 is
     // TakeOrdered.
     "text_bm25_topk" -> ((s, d) => {
-      val terms = Seq("spark", "query", "fast")
-      val k1 = 1.2
+      val terms = Bm25Terms
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), tokens(col("text")).as("t"))
       val totals = broadcast(docs.agg(
@@ -257,11 +256,11 @@ object TextQueries extends QueryPack {
           (col("n_docs").cast("double") - col("df") + lit(0.5)) /
             (col("df") + lit(0.5)))
         .withColumn("norm",
-          lit(1 - 0.75) + lit(0.75) *
+          lit(1 - Bm25B) + lit(Bm25B) *
             (col("len").cast("double") * col("n_docs") / col("total_len")))
         .withColumn("contrib",
-          col("idf") * (col("tf").cast("double") * lit(1.2 + 1)) /
-            (col("tf").cast("double") + lit(k1) * col("norm")))
+          col("idf") * (col("tf").cast("double") * lit(Bm25K1 + 1)) /
+            (col("tf").cast("double") + lit(Bm25K1) * col("norm")))
       val perTerm = terms.zipWithIndex.map { case (t, i) =>
         sum(when(col("term") === t, col("contrib"))).as(s"c_$i")
       }
@@ -483,33 +482,44 @@ FROM j GROUP BY 1"""
       |FROM c, t
       |ORDER BY drift DESC, token LIMIT 20""".stripMargin
 
+  /** Single source of truth for the BM25 parameters and query terms —
+    * the Spark expressions AND the oracle string below interpolate
+    * these (the WavAudio-constants discipline), so an edit recompiles
+    * into BOTH sides instead of silently desynchronizing them. */
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+  private val Bm25Terms = Seq("spark", "query", "fast")
+
   /** Every arithmetic step parenthesized to the exact association the
     * Spark expressions produce; constants appear as the same source
-    * expressions ((1.2 + 1), (1 - 0.75)) so both engines fold them from
-    * identical doubles. */
-  private val bm25Oracle =
-    """WITH docs AS (
-      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0) AS t
-      |  FROM documents),
-      |tot AS (
-      |  SELECT count(*) AS n_docs, CAST(sum(len(t)) AS BIGINT) AS total_len FROM docs),
-      |tf AS (
-      |  SELECT doc_id, len, term, count(*) AS tf FROM (
-      |    SELECT doc_id, CAST(len(t) AS BIGINT) AS len, unnest(t) AS term FROM docs)
-      |  WHERE term IN ('spark', 'query', 'fast') GROUP BY 1, 2, 3),
-      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-      |sc AS (
-      |  SELECT doc_id, tf.term,
-      |    (((n_docs * 1.0 - df) + 0.5) / (df + 0.5)) *
-      |      ((tf * 1.0) * (1.2 + 1)) /
-      |      ((tf * 1.0) + 1.2 * ((1 - 0.75) + 0.75 * (((len * 1.0) * n_docs) / total_len))) AS contrib
-      |  FROM tf JOIN df ON tf.term = df.term, tot)
-      |SELECT doc_id, count(*) AS n_terms,
-      |  round(((coalesce(sum(CASE WHEN term = 'spark' THEN contrib END), 0)
-      |    + coalesce(sum(CASE WHEN term = 'query' THEN contrib END), 0))
-      |    + coalesce(sum(CASE WHEN term = 'fast' THEN contrib END), 0)), 6) AS score
-      |FROM sc GROUP BY 1
-      |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+    * expressions (($Bm25K1 + 1), (1 - $Bm25B)) so both engines fold
+    * them from identical doubles. */
+  private val bm25Oracle = {
+    val inList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    val scoreSum = Bm25Terms
+      .map(t => s"coalesce(sum(CASE WHEN term = '$t' THEN contrib END), 0)")
+      .reduceLeft((a, b) => s"($a\n      + $b)")
+    s"""WITH docs AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> length(x) > 0) AS t
+  FROM documents),
+tot AS (
+  SELECT count(*) AS n_docs, CAST(sum(len(t)) AS BIGINT) AS total_len FROM docs),
+tf AS (
+  SELECT doc_id, len, term, count(*) AS tf FROM (
+    SELECT doc_id, CAST(len(t) AS BIGINT) AS len, unnest(t) AS term FROM docs)
+  WHERE term IN ($inList) GROUP BY 1, 2, 3),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+sc AS (
+  SELECT doc_id, tf.term,
+    (((n_docs * 1.0 - df) + 0.5) / (df + 0.5)) *
+      ((tf * 1.0) * ($Bm25K1 + 1)) /
+      ((tf * 1.0) + $Bm25K1 * ((1 - $Bm25B) + $Bm25B * (((len * 1.0) * n_docs) / total_len))) AS contrib
+  FROM tf JOIN df ON tf.term = df.term, tot)
+SELECT doc_id, count(*) AS n_terms,
+  round($scoreSum, 6) AS score
+FROM sc GROUP BY 1
+ORDER BY score DESC, doc_id LIMIT 20"""
+  }
 
   override def oracles: Map[String, String] =
     oraclesBase + ("text_repetition" -> repetitionOracle) +

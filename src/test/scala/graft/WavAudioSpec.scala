@@ -60,7 +60,7 @@ class WavAudioSpec extends AnyFunSuite {
     val samples = Array.tabulate(WavAudio.WindowSize * 2 + 50)(i =>
       WavAudio.synthSample(21L, i))
     val got = WavAudio.windowFeatures(21L, samples)
-    assert(got.size == 3, s"850-sample clip must yield 3 windows, got ${got.size}")
+    assert(got.size == 3, s"450-sample clip must yield 3 windows, got ${got.size}")
     val tail = samples.drop(WavAudio.WindowSize * 2).map(_.toLong)
     assert(got(2).sum_sq == tail.map(v => v * v).sum)
     assert(got(2).n_crossings == tail.sliding(2).count(p => p(0) * p(1) < 0))
