@@ -25,7 +25,8 @@ object SparkEntry {
     PipelineQueries,
     CurationQueries,
     TpchQueries,
-    TpchDeepQueries)
+    TpchDeepQueries,
+    StatsQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -28,6 +28,16 @@ object Tables {
     * here, which buckets to >= 1 hour). */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The driver has regenerated events.parquet across rounds with ts as
+    // TIMESTAMP(NANOS) and as TIMESTAMP(MICROS, isAdjustedToUTC=false);
+    // the latter would read as TIMESTAMP_NTZ, which unix_micros() rejects
+    // — in round 6 that silently dropped the five unix_micros queries
+    // from the driver's grading (Verify swallowed the analysis error).
+    // Forcing NTZ inference off makes either encoding read as a plain
+    // UTC instant: stored micros == micros-since-epoch, the same reading
+    // the nanos path produces and the DuckDB oracle's naive timestamps
+    // imply (sessions run with spark.sql.session.timeZone=UTC).
+    s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val df = table(s, d, "events")
     if (df.schema("ts").dataType == LongType)
       // integer `div`, not `/`: epoch nanos exceed 2^53, so double

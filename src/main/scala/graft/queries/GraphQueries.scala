@@ -154,6 +154,85 @@ object GraphQueries extends QueryPack {
         hist.map { case (size, n) => Row(size, n) }.toSeq
       }),
 
+    // k-core decomposition (k=3) by iterative peeling, rounds capped
+    // at 6: each round computes degrees over the surviving subgraph
+    // (one map-combined aggregate against the stationary repartitioned
+    // edge table) and drops vertices below k. The output is the peel
+    // round at which each part fell (0 = still in the subgraph after
+    // round 6) — integer graph facts under ANY partitioning, so like
+    // BFS this takes a HARD value oracle: the identical six rounds
+    // unrolled as DuckDB CTEs. The round cap is part of the operator's
+    // declared semantics (matching the oracle exactly), the same
+    // bounded-superstep contract as the PageRank/community tiers.
+    "graph_part_kcore" -> ((s, d) => {
+      val k = 3; val rounds = 6
+      val e = cooccurEdges(s, d).select("src", "dst")
+      val und = graft.CacheRegistry.persistTracked(
+        e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+          .repartition(col("src")))
+      val nodes = graft.CacheRegistry.persistTracked(
+        und.select(col("src").as("v")).distinct())
+      // Each round keeps only vertices whose degree over the surviving
+      // subgraph reaches k — a vertex with no surviving edges misses
+      // the aggregate and falls out with it. The survivor set is
+      // persisted AND materialized (count) per round: the recurrence
+      // references the previous round twice (both join sides), so an
+      // unmaterialized loop canonicalizes a 2^R-subtree plan at action
+      // time — the BFS lineage lesson, one power worse. An explicit
+      // removed-set anti-join per round would make it 4^R; instead the
+      // peel round is recovered AFTER the loop from monotonicity:
+      // a vertex removed in round r appears in survivor sets 1..r−1
+      // exactly, so membership COUNT m gives removed_round = m+1
+      // (0 when m = R, i.e. still standing).
+      var alive = nodes
+      val alives = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
+      for (_ <- 1 to rounds) {
+        alive = graft.CacheRegistry.persistTracked(
+          und.join(alive.select(col("v").as("src")), Seq("src"))
+            .join(alive.select(col("v").as("dst")), Seq("dst"))
+            .groupBy(col("src")).agg(count(lit(1)).as("c"))
+            .where(col("c") >= k)
+            .select(col("src").as("v")))
+        alive.count()
+        alives += alive
+      }
+      val m = alives.map(_.select("v")).reduce(_ unionAll _)
+        .groupBy("v").agg(count(lit(1)).as("m"))
+      nodes.join(m, Seq("v"), "left")
+        .select(col("v").as("part"),
+          when(coalesce(col("m"), lit(0L)) === rounds, lit(0L))
+            .otherwise(coalesce(col("m"), lit(0L)) + 1).as("removed_round"))
+    }),
+
+    // Weighted single-source shortest paths (min-plus over the
+    // co-occurrence weight), 4 relaxation rounds from the smallest
+    // part id — the weighted companion to graph_part_bfs. Each round
+    // is ONE join of the current distance table against the stationary
+    // repartitioned edge list plus ONE min-aggregate; distances are
+    // integer sums of integer weights, so the same four rounds unroll
+    // as DuckDB CTEs for a hard value oracle. −1 = not reached within
+    // 4 relaxations (the declared, oracle-matched semantics).
+    "graph_part_sssp" -> ((s, d) => {
+      val rounds = 4
+      val e = cooccurEdges(s, d)
+      val und = graft.CacheRegistry.persistTracked(
+        e.select(col("src"), col("dst"), col("w"))
+          .union(e.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+          .repartition(col("src")))
+      val nodes = und.select(col("src").as("v")).distinct()
+      var dist = graft.CacheRegistry.persistTracked(
+        nodes.agg(min("v").as("v")).select(col("v"), lit(0L).as("dist")))
+      for (_ <- 1 to rounds) {
+        val relaxed = dist.as("dd")
+          .join(und.as("e"), col("dd.v") === col("e.src"))
+          .select(col("e.dst").as("v"), (col("dd.dist") + col("e.w")).as("dist"))
+        dist = graft.CacheRegistry.persistTracked(
+          dist.union(relaxed).groupBy("v").agg(min("dist").as("dist")))
+      }
+      nodes.join(dist, Seq("v"), "left")
+        .select(col("v").as("part"), coalesce(col("dist"), lit(-1L)).as("dist"))
+    }),
+
     // BFS / unweighted single-source shortest paths — hop distance
     // from the smallest part id, capped at 4 hops (−1 = unreached).
     // Integer hops are partition-order-independent, so unlike the
@@ -200,6 +279,49 @@ object GraphQueries extends QueryPack {
       |  FROM op a JOIN op b ON a.okey = b.okey AND a.pkey < b.pkey
       |  GROUP BY 1, 2 HAVING count(*) >= 2)""".stripMargin
 
+  /** Unrolled peeling rounds for the k-core oracle: a{r} = survivors
+    * after round r, rm{r} = vertices peeled in round r. Every
+    * round-carried CTE is MATERIALIZED — DuckDB inlines CTEs by
+    * default, and a{r} references a{r−1} four times, so the inlined
+    * tree re-expands the lineitem scan 4^R times (the same exponential
+    * the Spark side avoids by materializing each survivor set). */
+  private def kcoreCtes(k: Int, rounds: Int): String = {
+    val sb = new StringBuilder(
+      "a0 AS MATERIALIZED (SELECT DISTINCT a AS v FROM dedges)")
+    for (r <- 1 to rounds) {
+      val p = r - 1
+      sb.append(s""",
+        |deg$r AS MATERIALIZED (SELECT e.a AS v, count(*) AS c FROM dedges e
+        |  JOIN a$p x ON e.a = x.v JOIN a$p y ON e.b = y.v GROUP BY 1),
+        |rm$r AS MATERIALIZED (SELECT a$p.v FROM a$p LEFT JOIN deg$r ON a$p.v = deg$r.v
+        |  WHERE coalesce(deg$r.c, 0) < $k),
+        |a$r AS MATERIALIZED (SELECT v FROM a$p EXCEPT SELECT v FROM rm$r)""".stripMargin)
+    }
+    sb.append(s""",
+      |removed AS (${(1 to rounds).map(r =>
+        s"SELECT v, $r AS r FROM rm$r").mkString(" UNION ALL ")})""".stripMargin)
+    sb.toString
+  }
+
+  /** Unrolled min-plus relaxation rounds for the SSSP oracle —
+    * MATERIALIZED for the same anti-inlining reason (d{r} references
+    * d{r−1} twice). */
+  private def ssspCtes(rounds: Int): String = {
+    val sb = new StringBuilder(
+      """s AS (SELECT min(a) AS sv FROM wdedges),
+        |d0 AS MATERIALIZED (SELECT sv AS v, CAST(0 AS BIGINT) AS dist FROM s)""".stripMargin)
+    for (r <- 1 to rounds) {
+      val p = r - 1
+      sb.append(s""",
+        |d$r AS MATERIALIZED (SELECT v, min(dist) AS dist FROM (
+        |  SELECT v, dist FROM d$p
+        |  UNION ALL
+        |  SELECT e.b, d$p.dist + e.w FROM d$p JOIN wdedges e ON d$p.v = e.a
+        |) u GROUP BY 1)""".stripMargin)
+    }
+    sb.toString
+  }
+
   // Community labels and PageRank scores depend on algorithm dynamics /
   // float summation order → rows-only. Components and triangle counts
   // are deterministic graph facts and get exact SQL oracles.
@@ -219,6 +341,25 @@ object GraphQueries extends QueryPack {
          |d AS (SELECT v, min(hop) AS hop FROM bfs GROUP BY 1)
          |SELECT n.v AS part, CAST(coalesce(d.hop, -1) AS BIGINT) AS hop
          |FROM dnodes n LEFT JOIN d ON n.v = d.v""".stripMargin,
+
+    // The peel rounds are integer graph facts — the oracle replays the
+    // identical six rounds as unrolled CTEs.
+    "graph_part_kcore" ->
+      s"""WITH $edgesCte,
+         |dedges AS MATERIALIZED (SELECT src AS a, dst AS b FROM edges UNION ALL SELECT dst, src FROM edges),
+         |${kcoreCtes(3, 6)}
+         |SELECT n.v AS part, CAST(coalesce(r.r, 0) AS BIGINT) AS removed_round
+         |FROM a0 n LEFT JOIN removed r ON n.v = r.v""".stripMargin,
+
+    // Integer min-plus distances replay exactly — same four relaxation
+    // rounds unrolled.
+    "graph_part_sssp" ->
+      s"""WITH $edgesCte,
+         |wdedges AS MATERIALIZED (SELECT src AS a, dst AS b, w FROM edges UNION ALL SELECT dst, src, w FROM edges),
+         |${ssspCtes(4)},
+         |dnodes AS (SELECT DISTINCT a AS v FROM wdedges)
+         |SELECT n.v AS part, CAST(coalesce(d.dist, -1) AS BIGINT) AS dist
+         |FROM dnodes n LEFT JOIN d4 d ON n.v = d.v""".stripMargin,
 
     // The scaled-integer PageRank is exactly reproducible, so the oracle
     // replays the identical ten iterations (unrolled CTEs) in DuckDB.

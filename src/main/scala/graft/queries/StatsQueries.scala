@@ -1,0 +1,234 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import graft.Tables
+
+/** Statistical / data-quality breadth beyond the reference surface:
+  * top-N per group, exact bounded-domain medians, deterministic mode,
+  * an all-integer regression slope, and a referential-integrity audit.
+  *
+  * Every query here follows the repo's cross-engine determinism rules:
+  * counts and sums stay in integers/exact decimals until at most ONE
+  * final correctly-rounded cast/division, ties are broken by a total
+  * order on real key columns, and outputs are scalar BIGINT / DOUBLE /
+  * STRING only (driver output-type policy).
+  */
+object StatsQueries extends QueryPack {
+
+  override def queries: Map[String, Q] = Map(
+    // Top-N per group — the per-key leaderboard shape (top parts per
+    // brand by exact-decimal revenue). Aggregate FIRST to part
+    // cardinality (one map-combined shuffle over the fact table), then
+    // decorate with the broadcast part dim, then rank within brand.
+    // The rank filter compiles to WindowGroupLimit in Spark 4: each
+    // shuffle partition keeps only its per-brand top rows BEFORE the
+    // final window sort, so no brand's full part list ever
+    // materializes — the property that keeps a hot brand bounded at
+    // 100×. Ties on revenue break by p_partkey: deterministic under
+    // any partitioning.
+    "q_topn_per_group" -> ((s, d) => {
+      val rev = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey"))
+        .agg(sum(TpchMoney.discPrice).as("revd"))
+      val w = Window.partitionBy("p_brand")
+        .orderBy(col("revd").desc, col("p_partkey").asc)
+      rev.join(
+          broadcast(Tables.part(s, d).select("p_partkey", "p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select(col("p_brand"), col("p_partkey"),
+          TpchMoney.ship(col("revd")).as("revenue"),
+          col("rn").cast("long").as("rn"))
+    }),
+
+    // Exact per-group median over a BOUNDED value domain (l_quantity:
+    // integers 1..50) via the histogram route: one map-combined
+    // shuffle to (flag, qty) counts, then the cumulative walk runs on
+    // ≤50 rows per flag. This is the scale-honest exact median — a
+    // row-level window over each group would serialize a third of the
+    // fact table through one partition, while percentile_approx (the
+    // q_approx_percentiles tier) is the answer for unbounded domains.
+    // Lower median: the smallest value whose cumulative count reaches
+    // ceil(n/2) = (n+1) div 2 — integer arithmetic end to end.
+    "q_median_qty" -> ((s, d) => {
+      val hist = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_quantity").cast("long").as("qty"))
+        .agg(count(lit(1)).as("c"))
+      val cum = Window.partitionBy("l_returnflag").orderBy("qty")
+      val tot = Window.partitionBy("l_returnflag")
+      hist
+        .withColumn("cum", sum("c").over(cum))
+        .withColumn("n", sum("c").over(tot))
+        .withColumn("t", expr("(n + 1) div 2"))
+        .where(col("cum") >= col("t") && col("cum") - col("c") < col("t"))
+        .select(col("l_returnflag"), col("qty").as("median_qty"), col("n"))
+    }),
+
+    // Deterministic mode — each user's most frequent event type, ties
+    // broken toward the lexicographically smallest type. The argmax is
+    // ONE fully-combinable aggregate (min of a (−count, type) struct),
+    // not a second window pass: partial aggregation happens map-side
+    // and the struct comparison commutes, so the shape holds on an
+    // arbitrarily hot user. The struct never leaves the plan (scalar
+    // projection at the end) per the no-nested-outputs policy.
+    "q_mode_event" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("user_id"))
+        .agg(min(struct((-col("c")).as("negc"), col("event_type").as("t"))).as("m"))
+        .select(col("user_id"), col("m.t").as("mode_type"),
+          (-col("m.negc")).as("cnt"))),
+
+    // Least-squares regression slope of extended price on quantity per
+    // return flag — computed ENTIRELY in integers so the driver can
+    // hash it: x = quantity (integer-valued), y = price in cents
+    // (double → DECIMAL(18,2) is the same correctly-rounded cast on
+    // both engines, then exact ×100). The five sufficient statistics
+    // (n, Σx, Σy, Σxy, Σx²) are int64 sums from ONE map-combined
+    // aggregate; slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) is formed in
+    // DECIMAL(38,0) (n·Σxy ≈ 1e20 overflows int64 at sf0.1 and grows
+    // with SF) and shipped as an integer in millionths via truncating
+    // division on sign-split absolutes — `div` truncates toward zero
+    // in Spark while DuckDB's `//` floors, so the sign split is what
+    // makes the two agree on a negative numerator.
+    "q_regr_slope" -> ((s, d) => {
+      val stats = Tables.lineitem(s, d)
+        .select(col("l_returnflag"),
+          col("l_quantity").cast("long").as("x"),
+          (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long").as("y"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      def d38(c: Column): Column = c.cast("decimal(38,0)")
+      stats
+        .withColumn("numer", d38(col("n")) * d38(col("sxy")) - d38(col("sx")) * d38(col("sy")))
+        .withColumn("denom", d38(col("n")) * d38(col("sxx")) - d38(col("sx")) * d38(col("sx")))
+        .select(col("l_returnflag"), col("n"),
+          (signum(col("numer")).cast("long") *
+            expr("abs(numer) * 1000000 div denom").cast("long")).as("slope_micro"),
+          expr("sy * 10000 div n").as("meany_cents_e4"),
+          expr("sx * 1000000 div n").as("meanx_e6"))
+    }),
+
+    // Referential-integrity audit — orphan counts across every FK edge
+    // of the schema in one result. Each edge is a LEFT join from the
+    // child's key projection to the parent's DISTINCT key set, reduced
+    // to two counters; the child table never carries payload columns
+    // into the join and the small parents broadcast. The orders and
+    // part/supplier parents stay shuffle joins on the key alone —
+    // at 100 TB the parent of a fact-to-fact edge is itself fact-sized
+    // and a broadcast would OOM the build side.
+    "q_fk_integrity" -> ((s, d) => {
+      def edge(name: String, child: DataFrame, ckey: String,
+               parent: DataFrame, pkey: String, small: Boolean): DataFrame = {
+        val p0 = parent.select(col(pkey).as("k")).distinct()
+          .withColumn("hit", lit(1))
+        val p = if (small) broadcast(p0) else p0
+        child.select(col(ckey).as("k"))
+          .join(p, Seq("k"), "left")
+          .agg(count(lit(1)).as("child_rows"),
+            sum(when(col("hit").isNull, 1L).otherwise(0L)).as("orphans"))
+          .select(lit(name).as("fk"), col("child_rows"), col("orphans"))
+      }
+      val li = Tables.lineitem(s, d); val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d); val n = Tables.nation(s, d)
+      edge("lineitem.orderkey->orders", li, "l_orderkey", o, "o_orderkey", small = false)
+        .unionAll(edge("lineitem.partkey->part", li, "l_partkey", Tables.part(s, d), "p_partkey", small = false))
+        .unionAll(edge("lineitem.suppkey->supplier", li, "l_suppkey", Tables.supplier(s, d), "s_suppkey", small = true))
+        .unionAll(edge("orders.custkey->customer", o, "o_custkey", c, "c_custkey", small = true))
+        .unionAll(edge("customer.nationkey->nation", c, "c_nationkey", n, "n_nationkey", small = true))
+        .unionAll(edge("supplier.nationkey->nation", Tables.supplier(s, d), "s_nationkey", n, "n_nationkey", small = true))
+    }))
+
+  override def oracles: Map[String, String] = Map(
+    "q_topn_per_group" ->
+      s"""WITH rev AS (
+         |  SELECT l_partkey, SUM(${TpchMoney.discPriceSql}) AS revd
+         |  FROM lineitem GROUP BY 1),
+         |j AS (
+         |  SELECT p_brand, p_partkey, revd,
+         |         row_number() OVER (PARTITION BY p_brand
+         |                            ORDER BY revd DESC, p_partkey) AS rn
+         |  FROM rev JOIN part ON l_partkey = p_partkey)
+         |SELECT p_brand, p_partkey, ${TpchMoney.shipSql("revd")} AS revenue,
+         |       CAST(rn AS BIGINT) AS rn
+         |FROM j WHERE rn <= 3""".stripMargin,
+
+    "q_median_qty" ->
+      """WITH h AS (
+        |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+        |         count(*) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |w AS (
+        |  SELECT l_returnflag, qty, c,
+        |         sum(c) OVER (PARTITION BY l_returnflag ORDER BY qty) AS cum,
+        |         sum(c) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM h)
+        |SELECT l_returnflag, qty AS median_qty, CAST(n AS BIGINT) AS n
+        |FROM w
+        |WHERE cum >= (n + 1) // 2 AND cum - c < (n + 1) // 2""".stripMargin,
+
+    "q_mode_event" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT user_id, event_type, c,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY c DESC, event_type) AS rn
+        |  FROM c)
+        |SELECT user_id, event_type AS mode_type, CAST(c AS BIGINT) AS cnt
+        |FROM r WHERE rn = 1""".stripMargin,
+
+    "q_regr_slope" ->
+      """WITH st AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |         sum(x) AS sx, sum(y) AS sy,
+        |         sum(x * y) AS sxy, sum(x * x) AS sxx
+        |  FROM (SELECT l_returnflag,
+        |               CAST(l_quantity AS BIGINT) AS x,
+        |               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+        |        FROM lineitem)
+        |  GROUP BY 1),
+        |f AS (
+        |  SELECT l_returnflag, n,
+        |         CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS numer,
+        |         CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS denom,
+        |         sx, sy
+        |  FROM st)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+        |       CAST(CASE WHEN numer < 0 THEN -1 ELSE 1 END *
+        |            ((abs(numer) * 1000000) // denom) AS BIGINT) AS slope_micro,
+        |       CAST((CAST(sy AS HUGEINT) * 10000) // n AS BIGINT) AS meany_cents_e4,
+        |       CAST((CAST(sx AS HUGEINT) * 1000000) // n AS BIGINT) AS meanx_e6
+        |FROM f""".stripMargin,
+
+    "q_fk_integrity" ->
+      """SELECT 'lineitem.orderkey->orders' AS fk,
+        |       (SELECT count(*) FROM lineitem) AS child_rows,
+        |       (SELECT count(*) FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL) AS orphans
+        |UNION ALL
+        |SELECT 'lineitem.partkey->part',
+        |       (SELECT count(*) FROM lineitem),
+        |       (SELECT count(*) FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey WHERE p.p_partkey IS NULL)
+        |UNION ALL
+        |SELECT 'lineitem.suppkey->supplier',
+        |       (SELECT count(*) FROM lineitem),
+        |       (SELECT count(*) FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey WHERE s.s_suppkey IS NULL)
+        |UNION ALL
+        |SELECT 'orders.custkey->customer',
+        |       (SELECT count(*) FROM orders),
+        |       (SELECT count(*) FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL)
+        |UNION ALL
+        |SELECT 'customer.nationkey->nation',
+        |       (SELECT count(*) FROM customer),
+        |       (SELECT count(*) FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey WHERE n.n_nationkey IS NULL)
+        |UNION ALL
+        |SELECT 'supplier.nationkey->nation',
+        |       (SELECT count(*) FROM supplier),
+        |       (SELECT count(*) FROM supplier s LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey WHERE n.n_nationkey IS NULL)""".stripMargin)
+}

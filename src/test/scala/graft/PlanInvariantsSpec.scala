@@ -446,4 +446,62 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert("\\(\\d+\\) Exchange\\b".r.findFirstIn(p).isEmpty,
       s"chunking must not shuffle:\n$p")
   }
+
+  test("q_topn_per_group: rank filter compiles to WindowGroupLimit; part dim broadcasts") {
+    val p = planOf("q_topn_per_group")
+    assert(p.contains("WindowGroupLimit"),
+      s"rank<=N must push into WindowGroupLimit (bounded hot groups):\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"part dim must broadcast:\n$p")
+    // fact aggregates to part cardinality BEFORE the join/window
+    assert("(?s)HashAggregate.*Exchange.*HashAggregate".r.findFirstIn(p).isDefined,
+      s"no map-side combine on the revenue aggregate:\n$p")
+  }
+
+  test("q_median_qty: histogram route — 2-column scan, map-side combine, no row-level window") {
+    val p = planOf("q_median_qty")
+    val readSchema = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    val cols = readSchema.split(",").map(_.split(":")(0).trim).toSet
+    assert(cols == Set("l_returnflag", "l_quantity"),
+      s"median should scan exactly (flag, quantity), got $cols:\n$p")
+    assert("(?s)HashAggregate.*Exchange.*HashAggregate".r.findFirstIn(p).isDefined,
+      s"histogram aggregate must combine map-side:\n$p")
+    // the windows run over the ≤50-row-per-flag histogram, so the
+    // window sort input must be the aggregate, not the scan: the plan
+    // has exactly two exchanges (histogram keys, then flag)
+    val exchanges = "\\(\\d+\\) Exchange\\b".r.findAllIn(p).size
+    assert(exchanges == 2, s"expected histogram + flag exchanges only, got $exchanges:\n$p")
+  }
+
+  test("q_mode_event: argmax is a pure two-level aggregate — no Window operator") {
+    val p = planOf("q_mode_event")
+    assert(!p.contains(") Window"),
+      s"mode must be the combinable min-struct aggregate, not a window pass:\n$p")
+    assert("(?s)HashAggregate.*Exchange.*HashAggregate".r.findFirstIn(p).isDefined,
+      s"count aggregate must combine map-side:\n$p")
+  }
+
+  test("q_regr_slope: one exchange; scan reads exactly (flag, quantity, price)") {
+    val p = planOf("q_regr_slope")
+    val exchanges = "\\(\\d+\\) Exchange\\b".r.findAllIn(p).size
+    assert(exchanges == 1, s"sufficient statistics are ONE aggregate, got $exchanges exchanges:\n$p")
+    val readSchema = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    val cols = readSchema.split(",").map(_.split(":")(0).trim).toSet
+    assert(cols == Set("l_returnflag", "l_quantity", "l_extendedprice"),
+      s"regression should scan 3 columns, got $cols:\n$p")
+  }
+
+  test("q_fk_integrity: small parents broadcast; no nested-loop/cartesian anywhere") {
+    val p = planOf("q_fk_integrity")
+    assert(p.contains("BroadcastHashJoin"), s"small parents must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"FK audit must stay equi-join only:\n$p")
+  }
+
+  test("graph_part_kcore / graph_part_sssp: no pair blowup in the iterative plans") {
+    for (q <- Seq("graph_part_kcore", "graph_part_sssp")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q must stay equi-join only:\n$p")
+    }
+  }
 }
