@@ -177,6 +177,27 @@ object DedupQueries extends QueryPack {
           concat_ws("|", sort_array(collect_list(col("doc_id")))).as("members"))
     }),
 
+    // Survivor selection — the step that actually rewrites a corpus:
+    // per near-dup cluster keep ONE canonical document (the longest;
+    // ties to the smallest doc_id) and flag the rest for dropping.
+    // The argmax is a single fully-combinable min-of-(−n_chars, id)
+    // struct aggregate riding the cluster root — no window pass, so a
+    // pathological mega-cluster costs one combinable reduction, not a
+    // per-cluster sort. The keep/drop flag joins back on root, reusing
+    // the aggregate's hash partitioning.
+    "dedup_survivors" -> ((s, d) => {
+      val roots = pairsToClusters(s, jaccardPairs(s, d))
+      val joined = roots.join(
+        Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+        Seq("doc_id"))
+      val best = joined.groupBy("root")
+        .agg(min(struct((-col("n_chars")).as("negn"), col("doc_id").as("bd"))).as("m"))
+        .select(col("root"), col("m.bd").as("best"))
+      joined.join(best, Seq("root"))
+        .select(col("root"), col("doc_id"), col("n_chars"),
+          when(col("doc_id") === col("best"), 1L).otherwise(0L).as("kept"))
+    }),
+
     // Containment (asymmetric Jaccard): |A∩B| / min(|A|,|B|) — catches
     // a short doc embedded in a longer one, which symmetric Jaccard
     // dilutes below threshold. Same shared inverted-index core as the
@@ -471,6 +492,26 @@ FROM sh LEFT JOIN cnt ON sh.doc_id = cnt.doc_id"""
 
     "dedup_ngram_jaccard" -> jaccardOracle,
     "dedup_clusters" -> clustersOracle,
+
+    // Same transitive closure as the clusters oracle, then the same
+    // longest-wins pick replayed as a window rank.
+    "dedup_survivors" ->
+      s"""WITH RECURSIVE $jaccardCtes,
+         |dedges AS (SELECT i AS a, j AS b FROM jpairs UNION ALL SELECT j, i FROM jpairs),
+         |dnodes AS (SELECT DISTINCT a AS doc FROM dedges),
+         |cc(doc, lbl) AS (
+         |  SELECT doc, doc FROM dnodes
+         |  UNION
+         |  SELECT e.b, cc.lbl FROM cc JOIN dedges e ON cc.doc = e.a),
+         |roots AS (SELECT doc, min(lbl) AS root FROM cc GROUP BY doc),
+         |pick AS (
+         |  SELECT r.root, d.doc_id, d.n_chars,
+         |         row_number() OVER (PARTITION BY r.root
+         |                            ORDER BY d.n_chars DESC, d.doc_id) AS rn
+         |  FROM roots r JOIN documents d ON r.doc = d.doc_id)
+         |SELECT root, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+         |       CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS BIGINT) AS kept
+         |FROM pick""".stripMargin,
     "dedup_containment" ->
       s"""WITH $jaccardCtes
          |SELECT i, j, round(c * 1.0 / least(sa.n, sb.n), 6) AS containment
