@@ -114,6 +114,56 @@ object StatsQueries extends QueryPack {
           expr("sx * 1000000 div n").as("meanx_e6"))
     }),
 
+    // Statistical outlier detection (3-sigma rule) with NO floats in
+    // the decision: z² = (x−μ)²/σ² with μ = Σx/n and
+    // σ² = (n·Σx² − (Σx)²)/n², so z² > 9 reduces to the integer
+    // comparison (n·x − Σx)² > 9·(n·Σx² − (Σx)²), with x = event value
+    // in cents (double → DECIMAL(18,2) is the same correctly-rounded
+    // cast on both engines). Per-type sufficient statistics are ONE
+    // map-combined aggregate; the handful of type rows broadcast back
+    // onto the stream for the per-row test, so the fact table is
+    // scanned twice but never shuffled. Output is the per-type outlier
+    // census — the data-quality monitor shape.
+    "q_events_outliers" -> ((s, d) => {
+      def d38(c: Column): Column = c.cast("decimal(38,0)")
+      val ev = Tables.events(s, d)
+        .select(col("event_type"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long").as("x"))
+      val stats = ev.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"),
+          sum(col("x") * col("x")).as("sxx"))
+      ev.join(broadcast(stats), Seq("event_type"))
+        .withColumn("dev", d38(col("n")) * d38(col("x")) - d38(col("sx")))
+        .withColumn("varn",
+          d38(col("n")) * d38(col("sxx")) - d38(col("sx")) * d38(col("sx")))
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).as("n"),
+          sum(when(col("dev") * col("dev") > lit(9) * col("varn"), 1L)
+            .otherwise(0L)).as("outliers"))
+    }),
+
+    // Primary-key uniqueness audit — the companion to the FK audit
+    // below: per table, total rows vs distinct declared-key count, in
+    // one map-combined two-phase aggregate each (countDistinct dedups
+    // inside the aggregate — no pre-distinct shuffle of the full
+    // table). lineitem's composite (orderkey, linenumber) is NOT
+    // unique in the driver testdata — the audit reporting that
+    // violation (600k rows, ~457k distinct keys at sf0.1) is the
+    // operator doing its job, exactly what it would surface on a
+    // malformed production table.
+    "q_pk_integrity" -> ((s, d) => {
+      def audit(name: String, df: DataFrame, keys: Seq[String]): DataFrame =
+        df.agg(count(lit(1)).as("rows"),
+            count_distinct(struct(keys.map(col): _*)).as("distinct_keys"))
+          .select(lit(name).as("tbl"), col("rows"), col("distinct_keys"))
+      audit("lineitem", Tables.lineitem(s, d), Seq("l_orderkey", "l_linenumber"))
+        .unionAll(audit("orders", Tables.orders(s, d), Seq("o_orderkey")))
+        .unionAll(audit("customer", Tables.customer(s, d), Seq("c_custkey")))
+        .unionAll(audit("part", Tables.part(s, d), Seq("p_partkey")))
+        .unionAll(audit("supplier", Tables.supplier(s, d), Seq("s_suppkey")))
+        .unionAll(audit("documents", Tables.documents(s, d), Seq("doc_id")))
+    }),
+
     // Referential-integrity audit — orphan counts across every FK edge
     // of the schema in one result. Each edge is a LEFT join from the
     // child's key projection to the parent's DISTINCT key set, reduced
@@ -206,6 +256,38 @@ object StatsQueries extends QueryPack {
         |       CAST((CAST(sy AS HUGEINT) * 10000) // n AS BIGINT) AS meany_cents_e4,
         |       CAST((CAST(sx AS HUGEINT) * 1000000) // n AS BIGINT) AS meanx_e6
         |FROM f""".stripMargin,
+
+    "q_events_outliers" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+        |  FROM events),
+        |st AS (
+        |  SELECT event_type, count(*) AS n, sum(x) AS sx, sum(x * x) AS sxx
+        |  FROM ev GROUP BY 1)
+        |SELECT e.event_type, CAST(max(s.n) AS BIGINT) AS n,
+        |       CAST(sum(CASE WHEN
+        |                (CAST(s.n AS HUGEINT) * e.x - s.sx) *
+        |                (CAST(s.n AS HUGEINT) * e.x - s.sx) >
+        |                9 * (CAST(s.n AS HUGEINT) * s.sxx -
+        |                     CAST(s.sx AS HUGEINT) * s.sx)
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS outliers
+        |FROM ev e JOIN st s ON e.event_type = s.event_type
+        |GROUP BY 1""".stripMargin,
+
+    "q_pk_integrity" ->
+      """SELECT 'lineitem' AS tbl, count(*) AS rows,
+        |       count(DISTINCT (l_orderkey, l_linenumber)) AS distinct_keys FROM lineitem
+        |UNION ALL
+        |SELECT 'orders', count(*), count(DISTINCT o_orderkey) FROM orders
+        |UNION ALL
+        |SELECT 'customer', count(*), count(DISTINCT c_custkey) FROM customer
+        |UNION ALL
+        |SELECT 'part', count(*), count(DISTINCT p_partkey) FROM part
+        |UNION ALL
+        |SELECT 'supplier', count(*), count(DISTINCT s_suppkey) FROM supplier
+        |UNION ALL
+        |SELECT 'documents', count(*), count(DISTINCT doc_id) FROM documents""".stripMargin,
 
     "q_fk_integrity" ->
       """SELECT 'lineitem.orderkey->orders' AS fk,

@@ -497,6 +497,23 @@ class PlanInvariantsSpec extends AnyFunSuite {
       s"FK audit must stay equi-join only:\n$p")
   }
 
+  test("q_events_outliers: per-type stats broadcast back — the fact table never shuffle-joins") {
+    val p = planOf("q_events_outliers")
+    assert(p.contains("BroadcastHashJoin"), s"stats must broadcast onto the stream:\n$p")
+    assert("\\(\\d+\\) (SortMergeJoin|ShuffledHashJoin)".r.findFirstIn(p).isEmpty,
+      s"no shuffle join anywhere:\n$p")
+  }
+
+  test("q_pk_integrity: countDistinct dedups in-aggregate — no per-table pre-distinct shuffle") {
+    val p = planOf("q_pk_integrity")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"audit must stay join-free:\n$p")
+    // two-phase distinct aggregate: partial and final HashAggregate
+    // around each exchange
+    assert("(?s)HashAggregate.*Exchange.*HashAggregate".r.findFirstIn(p).isDefined,
+      s"distinct aggregate must combine map-side:\n$p")
+  }
+
   test("graph_part_kcore / graph_part_sssp: no pair blowup in the iterative plans") {
     for (q <- Seq("graph_part_kcore", "graph_part_sssp")) {
       val p = planOf(q)
