@@ -110,6 +110,43 @@ object AlgebraQueries extends QueryPack {
           greatest(coalesce(col("a.mx"), col("b.mx")), coalesce(col("b.mx"), col("a.mx"))).as("last_us"))
     }),
 
+    // MERGE / CDC apply — the missing third of the warehouse-change
+    // family (snapshot-diff DERIVES a feed, incremental-agg maintains
+    // an aggregate; this APPLIES a feed to a table): the pre-cut
+    // keep-latest state per user is the target, the post-cut slice is
+    // the source, and the merge semantics are the standard three-arm
+    // MERGE — WHEN MATCHED AND tombstone THEN DELETE (an 'error' as
+    // the user's latest source event), WHEN MATCHED THEN UPDATE,
+    // WHEN NOT MATCHED THEN INSERT. Both sides reduce to one row per
+    // user with the same keep-latest window before the FULL OUTER
+    // join, so the whole merge is windows + one user-keyed join —
+    // never a row-level diff of the full fact table.
+    "pipe_merge_upsert" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id")
+        .orderBy(col("us").desc, col("event_id").desc)
+      def latest(pred: org.apache.spark.sql.Column) =
+        Tables.events(s, d).where(pred)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .select(col("user_id"), col("event_type"), col("us"))
+      val cut = lit("2024-03-01").cast("timestamp")
+      val target = latest(col("ts") < cut)
+      val source = latest(col("ts") >= cut)
+      target.as("t")
+        .join(source.as("s"), col("t.user_id") === col("s.user_id"), "full_outer")
+        .where(col("s.event_type").isNull || col("s.event_type") =!= "error")
+        .select(
+          coalesce(col("t.user_id"), col("s.user_id")).as("user_id"),
+          coalesce(col("s.event_type"), col("t.event_type")).as("state_type"),
+          coalesce(col("s.us"), col("t.us")).as("state_us"),
+          when(col("t.user_id").isNull, lit("insert"))
+            .when(col("s.user_id").isNull, lit("carry"))
+            .otherwise(lit("update")).as("action"))
+    }),
+
     // Snapshot diff — deriving a change feed from two table versions
     // (the CDC bootstrap when the source can't emit one): full-outer
     // on the key, classify insert/delete/update/unchanged, report the
@@ -328,6 +365,26 @@ object AlgebraQueries extends QueryPack {
         |SELECT user_id, event_type AS state, us AS valid_from,
         |  coalesce(lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id), -1) AS valid_to
         |FROM c""".stripMargin,
+
+    "pipe_merge_upsert" ->
+      """WITH latest_t AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us
+        |  FROM (SELECT user_id, event_id, event_type, ts,
+        |          row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |        FROM events WHERE ts < TIMESTAMP '2024-03-01') x WHERE rn = 1),
+        |latest_s AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us
+        |  FROM (SELECT user_id, event_id, event_type, ts,
+        |          row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |        FROM events WHERE ts >= TIMESTAMP '2024-03-01') x WHERE rn = 1)
+        |SELECT coalesce(t.user_id, s.user_id) AS user_id,
+        |  coalesce(s.event_type, t.event_type) AS state_type,
+        |  coalesce(s.us, t.us) AS state_us,
+        |  CASE WHEN t.user_id IS NULL THEN 'insert'
+        |       WHEN s.user_id IS NULL THEN 'carry'
+        |       ELSE 'update' END AS action
+        |FROM latest_t t FULL OUTER JOIN latest_s s ON t.user_id = s.user_id
+        |WHERE s.event_type IS NULL OR s.event_type <> 'error'""".stripMargin,
 
     "pipe_latest_snapshot" ->
       """SELECT user_id, event_id AS last_event, event_type AS last_type
