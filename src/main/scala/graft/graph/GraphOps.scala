@@ -1,0 +1,84 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Round-capped iterative graph operators as plain DataFrame
+  * transformations — the library surface behind the graph_part_kcore
+  * and graph_part_sssp driver queries, factored out so (a) an embedding
+  * application can run them on any edge list, and (b) the suite can pin
+  * their semantics on hand-checkable fixtures.
+  *
+  * Both operators follow the ExactPageRank loop discipline: the
+  * undirected edge table is repartitioned by src and persisted ONCE,
+  * each round pays one join against that stationary table, and every
+  * round-carried relation is persisted (and, for k-core, materialized —
+  * its recurrence references the previous round twice, so an
+  * unmaterialized loop canonicalizes a 2^R-subtree plan at action
+  * time). All arithmetic is integer, so results are bit-identical under
+  * any partitioning — the property that lets the driver queries take
+  * hard DuckDB value oracles (the same rounds unrolled as CTEs).
+  */
+object GraphOps {
+
+  /** Undirect + repartition + persist an edge list (weighted when
+    * `cols` includes w). */
+  private def stationaryUndirected(e: DataFrame, cols: Seq[String]): DataFrame = {
+    val rev = e.select((col("dst").as("src") +: col("src").as("dst") +:
+      cols.drop(2).map(col)): _*)
+    graft.CacheRegistry.persistTracked(
+      e.select(cols.map(col): _*).union(rev).repartition(col("src")))
+  }
+
+  /** k-core decomposition by iterative peeling, capped at `rounds`:
+    * returns (v, removed_round) where removed_round is the 1-based peel
+    * round that dropped the vertex, 0 if it still stands after the last
+    * round (for a graph whose peeling converges within the cap, the
+    * 0 rows are exactly the k-core). The peel round is recovered from
+    * monotonicity — a vertex removed in round r appears in survivor
+    * sets 1..r−1 exactly, so its membership count m over all rounds
+    * gives removed_round = m+1 (0 when m = rounds). */
+  def kcoreRounds(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val und = stationaryUndirected(edges, Seq("src", "dst"))
+    val nodes = graft.CacheRegistry.persistTracked(
+      und.select(col("src").as("v")).distinct())
+    var alive = nodes
+    val alives = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (_ <- 1 to rounds) {
+      alive = graft.CacheRegistry.persistTracked(
+        und.join(alive.select(col("v").as("src")), Seq("src"))
+          .join(alive.select(col("v").as("dst")), Seq("dst"))
+          .groupBy(col("src")).agg(count(lit(1)).as("c"))
+          .where(col("c") >= k)
+          .select(col("src").as("v")))
+      alive.count()
+      alives += alive
+    }
+    val m = alives.map(_.select("v")).reduce(_ unionAll _)
+      .groupBy("v").agg(count(lit(1)).as("m"))
+    nodes.join(m, Seq("v"), "left")
+      .select(col("v"),
+        when(coalesce(col("m"), lit(0L)) === rounds, lit(0L))
+          .otherwise(coalesce(col("m"), lit(0L)) + 1).as("removed_round"))
+  }
+
+  /** Weighted single-source shortest paths (min-plus relaxation) from
+    * the smallest vertex id, capped at `rounds` relaxations: returns
+    * (v, dist) with −1 for vertices not reached within the cap.
+    * `edges` must carry (src, dst, w) with integer weights. */
+  def ssspRounds(edges: DataFrame, rounds: Int): DataFrame = {
+    val und = stationaryUndirected(edges, Seq("src", "dst", "w"))
+    val nodes = und.select(col("src").as("v")).distinct()
+    var dist = graft.CacheRegistry.persistTracked(
+      nodes.agg(min("v").as("v")).select(col("v"), lit(0L).as("dist")))
+    for (_ <- 1 to rounds) {
+      val relaxed = dist.as("dd")
+        .join(und.as("e"), col("dd.v") === col("e.src"))
+        .select(col("e.dst").as("v"), (col("dd.dist") + col("e.w")).as("dist"))
+      dist = graft.CacheRegistry.persistTracked(
+        dist.union(relaxed).groupBy("v").agg(min("dist").as("dist")))
+    }
+    nodes.join(dist, Seq("v"), "left")
+      .select(col("v"), coalesce(col("dist"), lit(-1L)).as("dist"))
+  }
+}

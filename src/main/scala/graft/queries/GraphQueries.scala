@@ -164,45 +164,11 @@ object GraphQueries extends QueryPack {
     // unrolled as DuckDB CTEs. The round cap is part of the operator's
     // declared semantics (matching the oracle exactly), the same
     // bounded-superstep contract as the PageRank/community tiers.
-    "graph_part_kcore" -> ((s, d) => {
-      val k = 3; val rounds = 6
-      val e = cooccurEdges(s, d).select("src", "dst")
-      val und = graft.CacheRegistry.persistTracked(
-        e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-          .repartition(col("src")))
-      val nodes = graft.CacheRegistry.persistTracked(
-        und.select(col("src").as("v")).distinct())
-      // Each round keeps only vertices whose degree over the surviving
-      // subgraph reaches k — a vertex with no surviving edges misses
-      // the aggregate and falls out with it. The survivor set is
-      // persisted AND materialized (count) per round: the recurrence
-      // references the previous round twice (both join sides), so an
-      // unmaterialized loop canonicalizes a 2^R-subtree plan at action
-      // time — the BFS lineage lesson, one power worse. An explicit
-      // removed-set anti-join per round would make it 4^R; instead the
-      // peel round is recovered AFTER the loop from monotonicity:
-      // a vertex removed in round r appears in survivor sets 1..r−1
-      // exactly, so membership COUNT m gives removed_round = m+1
-      // (0 when m = R, i.e. still standing).
-      var alive = nodes
-      val alives = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
-      for (_ <- 1 to rounds) {
-        alive = graft.CacheRegistry.persistTracked(
-          und.join(alive.select(col("v").as("src")), Seq("src"))
-            .join(alive.select(col("v").as("dst")), Seq("dst"))
-            .groupBy(col("src")).agg(count(lit(1)).as("c"))
-            .where(col("c") >= k)
-            .select(col("src").as("v")))
-        alive.count()
-        alives += alive
-      }
-      val m = alives.map(_.select("v")).reduce(_ unionAll _)
-        .groupBy("v").agg(count(lit(1)).as("m"))
-      nodes.join(m, Seq("v"), "left")
-        .select(col("v").as("part"),
-          when(coalesce(col("m"), lit(0L)) === rounds, lit(0L))
-            .otherwise(coalesce(col("m"), lit(0L)) + 1).as("removed_round"))
-    }),
+    // Semantics (fixtures incl. the pendant-chain peel cascade) are
+    // pinned in GraphSpec on the library operator itself.
+    "graph_part_kcore" -> ((s, d) =>
+      graft.graph.GraphOps.kcoreRounds(cooccurEdges(s, d), k = 3, rounds = 6)
+        .select(col("v").as("part"), col("removed_round"))),
 
     // Weighted single-source shortest paths (min-plus over the
     // co-occurrence weight), 4 relaxation rounds from the smallest
@@ -212,26 +178,9 @@ object GraphQueries extends QueryPack {
     // integer sums of integer weights, so the same four rounds unroll
     // as DuckDB CTEs for a hard value oracle. −1 = not reached within
     // 4 relaxations (the declared, oracle-matched semantics).
-    "graph_part_sssp" -> ((s, d) => {
-      val rounds = 4
-      val e = cooccurEdges(s, d)
-      val und = graft.CacheRegistry.persistTracked(
-        e.select(col("src"), col("dst"), col("w"))
-          .union(e.select(col("dst").as("src"), col("src").as("dst"), col("w")))
-          .repartition(col("src")))
-      val nodes = und.select(col("src").as("v")).distinct()
-      var dist = graft.CacheRegistry.persistTracked(
-        nodes.agg(min("v").as("v")).select(col("v"), lit(0L).as("dist")))
-      for (_ <- 1 to rounds) {
-        val relaxed = dist.as("dd")
-          .join(und.as("e"), col("dd.v") === col("e.src"))
-          .select(col("e.dst").as("v"), (col("dd.dist") + col("e.w")).as("dist"))
-        dist = graft.CacheRegistry.persistTracked(
-          dist.union(relaxed).groupBy("v").agg(min("dist").as("dist")))
-      }
-      nodes.join(dist, Seq("v"), "left")
-        .select(col("v").as("part"), coalesce(col("dist"), lit(-1L)).as("dist"))
-    }),
+    "graph_part_sssp" -> ((s, d) =>
+      graft.graph.GraphOps.ssspRounds(cooccurEdges(s, d), rounds = 4)
+        .select(col("v").as("part"), col("dist"))),
 
     // BFS / unweighted single-source shortest paths — hop distance
     // from the smallest part id, capped at 4 hops (−1 = unreached).

@@ -157,4 +157,37 @@ class GraphSpec extends AnyFunSuite {
       .vertices.collect().toMap
     assert(float == a, "integer and float tiers must agree under the cap")
   }
+
+  test("GraphOps.kcoreRounds: K4 survives k=3, support collapse peels in cascade") {
+    // K4 on {1,2,3,4} (the 3-core) plus vertex 5 tied to 4, 6, 7 and
+    // leaves 6, 7 tied only to 5. Round 1 peels the degree-1 leaves
+    // 6 and 7 SIMULTANEOUSLY; that collapses 5 (initial degree 3,
+    // survives round 1) to degree 1, so it peels in round 2 — the
+    // cascade that distinguishes round-by-round peeling from a simple
+    // degree filter.
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val support = Seq((4L, 5L), (5L, 6L), (5L, 7L))
+    val edges = (k4 ++ support).toDF("src", "dst")
+    val got = graft.graph.GraphOps.kcoreRounds(edges, k = 3, rounds = 6)
+      .as[(Long, Long)].collect().toMap
+    SparkEntry.releaseCaches()
+    assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L,
+      5L -> 2L, 6L -> 1L, 7L -> 1L))
+  }
+
+  test("GraphOps.ssspRounds: later rounds refine shortcut distances; disconnected is -1") {
+    // Path 1 -2- 2 -3- 3 -4- 4 -5- 5 plus heavy shortcut 1 -10- 4 and a
+    // disconnected pair {6,7}. The shortcut reaches 4 at cost 10 in
+    // round 1; the path refines it to 2+3+4 = 9 in round 3 and pulls 5
+    // down to 14 in round 4 — the refinement that distinguishes
+    // min-plus relaxation from BFS. 6 and 7 are never reached.
+    val edges = Seq(
+      (1L, 2L, 2L), (2L, 3L, 3L), (3L, 4L, 4L), (4L, 5L, 5L),
+      (1L, 4L, 10L), (6L, 7L, 1L)).toDF("src", "dst", "w")
+    val got = graft.graph.GraphOps.ssspRounds(edges, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    SparkEntry.releaseCaches()
+    assert(got == Map(1L -> 0L, 2L -> 2L, 3L -> 5L, 4L -> 9L, 5L -> 14L,
+      6L -> -1L, 7L -> -1L))
+  }
 }
