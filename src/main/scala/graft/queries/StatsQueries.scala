@@ -114,6 +114,32 @@ object StatsQueries extends QueryPack {
           expr("sx * 1000000 div n").as("meanx_e6"))
     }),
 
+    // Ranking-function family (rank / dense_rank / peer-inclusive
+    // cumulative count) in the PARTITIONED form — each customer's
+    // orders ranked by price within that customer, never a global
+    // rank (which would serialize the table through one partition,
+    // the shape the 100 TB bar forbids; the deterministic global
+    // order lives in pipe_global_shuffle). All four windows share ONE
+    // o_custkey exchange; rank ties are value-ties (same price), so
+    // every emitted column is deterministic under any partitioning
+    // without a synthetic tie-break. cnt_ge is the cume_dist
+    // numerator kept as an integer (the ratio itself would be a
+    // division best done by the consumer).
+    "q_rank_functions" -> ((s, d) => {
+      val byCust = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc)
+      val byCustRange = byCust.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      val all = Window.partitionBy("o_custkey")
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .withColumn("rnk", rank().over(byCust).cast("long"))
+        .withColumn("drnk", dense_rank().over(byCust).cast("long"))
+        .withColumn("cnt_ge", count(lit(1)).over(byCustRange))
+        .withColumn("n", count(lit(1)).over(all))
+        .where(col("rnk") <= 2)
+        .select(col("o_custkey"), col("o_orderkey"), col("rnk"),
+          col("drnk"), col("cnt_ge"), col("n"))
+    }),
+
     // Statistical outlier detection (3-sigma rule) with NO floats in
     // the decision: z² = (x−μ)²/σ² with μ = Σx/n and
     // σ² = (n·Σx² − (Σx)²)/n², so z² > 9 reduces to the integer
@@ -256,6 +282,21 @@ object StatsQueries extends QueryPack {
         |       CAST((CAST(sy AS HUGEINT) * 10000) // n AS BIGINT) AS meany_cents_e4,
         |       CAST((CAST(sx AS HUGEINT) * 1000000) // n AS BIGINT) AS meanx_e6
         |FROM f""".stripMargin,
+
+    "q_rank_functions" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(rnk AS BIGINT) AS rnk, CAST(drnk AS BIGINT) AS drnk,
+        |  CAST(cnt_ge AS BIGINT) AS cnt_ge, CAST(n AS BIGINT) AS n
+        |FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    rank() OVER w AS rnk,
+        |    dense_rank() OVER w AS drnk,
+        |    count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC
+        |                   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cnt_ge,
+        |    count(*) OVER (PARTITION BY o_custkey) AS n
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC)) t
+        |WHERE rnk <= 2""".stripMargin,
 
     "q_events_outliers" ->
       """WITH ev AS (

@@ -497,6 +497,12 @@ class PlanInvariantsSpec extends AnyFunSuite {
       s"FK audit must stay equi-join only:\n$p")
   }
 
+  test("q_rank_functions: all four ranking windows share ONE o_custkey exchange") {
+    val p = planOf("q_rank_functions")
+    val exchanges = "\\(\\d+\\) Exchange\\b".r.findAllIn(p).size
+    assert(exchanges == 1, s"ranking family must ride a single exchange, got $exchanges:\n$p")
+  }
+
   test("q_events_outliers: per-type stats broadcast back — the fact table never shuffle-joins") {
     val p = planOf("q_events_outliers")
     assert(p.contains("BroadcastHashJoin"), s"stats must broadcast onto the stream:\n$p")
