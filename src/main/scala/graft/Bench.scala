@@ -59,7 +59,12 @@ object Bench {
     val budget = 1600
     val slowFirst = results.sortBy(-_._2)
     val picked = scala.collection.mutable.ArrayBuffer.empty[String]
-    var used = 200 // preamble + suffix allowance
+    // measure the real preamble/suffix — benchOut and sfDir are
+    // env-controlled paths, so a fixed allowance could blow the budget
+    // right back past the capture window
+    val skeleton =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"omitted":9999,"queries_full":"$benchOut","queries":{},"sf":"$sfDir"}"""
+    var used = skeleton.length
     var omitted = 0
     slowFirst.foreach { case (k, v) =>
       val entry = "\"" + k + "\":" + fmt(v)

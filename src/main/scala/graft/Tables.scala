@@ -37,6 +37,11 @@ object Tables {
     // UTC instant: stored micros == micros-since-epoch, the same reading
     // the nanos path produces and the DuckDB oracle's naive timestamps
     // imply (sessions run with spark.sql.session.timeZone=UTC).
+    // NOTE both confs here are SESSION-LEVEL invariants of this engine
+    // (like timeZone=UTC), not per-read scoping: after the first
+    // events() call every parquet read in the session interprets
+    // NTZ-annotated timestamps as UTC instants. That is the intended
+    // engine-wide semantic — timestamps are instants everywhere.
     s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val df = table(s, d, "events")
     if (df.schema("ts").dataType == LongType)

@@ -74,7 +74,10 @@ object GraphOps {
     * `edges` must carry (src, dst, w) with integer weights. */
   def ssspRounds(edges: DataFrame, rounds: Int): DataFrame = {
     val und = stationaryUndirected(edges, Seq("src", "dst", "w"))
-    val nodes = und.select(col("src").as("v")).distinct()
+    // two consumers (source seed + final −1 backfill join) — persist,
+    // or the distinct-vertex aggregation runs twice
+    val nodes = graft.CacheRegistry.persistTracked(
+      und.select(col("src").as("v")).distinct())
     var dist = graft.CacheRegistry.persistTracked(
       nodes.agg(min("v").as("v")).select(col("v"), lit(0L).as("dist")))
     for (_ <- 1 to rounds) {

@@ -187,9 +187,13 @@ object DedupQueries extends QueryPack {
     // the aggregate's hash partitioning.
     "dedup_survivors" -> ((s, d) => {
       val roots = pairsToClusters(s, jaccardPairs(s, d))
-      val joined = roots.join(
-        Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
-        Seq("doc_id"))
+      // two consumers (argmax + final join) — persist, or the whole
+      // cluster derivation (above the driver gate: a GraphX CC job)
+      // executes twice
+      val joined = graft.CacheRegistry.persistTracked(
+        roots.join(
+          Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+          Seq("doc_id")))
       val best = joined.groupBy("root")
         .agg(min(struct((-col("n_chars")).as("negn"), col("doc_id").as("bd"))).as("m"))
         .select(col("root"), col("m.bd").as("best"))

@@ -17,6 +17,13 @@ import graft.Tables
   */
 object StatsQueries extends QueryPack {
 
+  /** Widen to the exact-decimal working type for cross terms whose
+    * int64 form overflows as the corpus grows (n·Σxy ≈ 1e20 already at
+    * sf0.1; sums-times-scale-factors follow at larger SFs). One shared
+    * definition so a precision adjustment cannot drift between
+    * queries. */
+  private def d38(c: Column): Column = c.cast("decimal(38,0)")
+
   override def queries: Map[String, Q] = Map(
     // Top-N per group — the per-key leaderboard shape (top parts per
     // brand by exact-decimal revenue). Aggregate FIRST to part
@@ -103,15 +110,19 @@ object StatsQueries extends QueryPack {
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
           sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
-      def d38(c: Column): Column = c.cast("decimal(38,0)")
       stats
         .withColumn("numer", d38(col("n")) * d38(col("sxy")) - d38(col("sx")) * d38(col("sy")))
         .withColumn("denom", d38(col("n")) * d38(col("sxx")) - d38(col("sx")) * d38(col("sx")))
         .select(col("l_returnflag"), col("n"),
           (signum(col("numer")).cast("long") *
             expr("abs(numer) * 1000000 div denom").cast("long")).as("slope_micro"),
-          expr("sy * 10000 div n").as("meany_cents_e4"),
-          expr("sx * 1000000 div n").as("meanx_e6"))
+          // means widened like the cross terms: sy·1e4 wraps int64 at
+          // sf ≈ 40 while the oracle's HUGEINT stays exact. Integral
+          // `div` (not `.divide`, whose decimal result rounds at a
+          // fixed scale before any cast and can round up across an
+          // integer boundary where `//` floors).
+          expr("CAST(sy AS DECIMAL(38,0)) * 10000 div n").as("meany_cents_e4"),
+          expr("CAST(sx AS DECIMAL(38,0)) * 1000000 div n").as("meanx_e6"))
     }),
 
     // Ranking-function family (rank / dense_rank / peer-inclusive
@@ -178,10 +189,20 @@ object StatsQueries extends QueryPack {
     // operator doing its job, exactly what it would surface on a
     // malformed production table.
     "q_pk_integrity" -> ((s, d) => {
-      def audit(name: String, df: DataFrame, keys: Seq[String]): DataFrame =
+      // NULL handling is explicit on BOTH engines (a key is null when
+      // ANY component is): engines disagree on whether a bare
+      // count(DISTINCT ...) sees null/partially-null keys, and a NULL
+      // key is itself a PK violation worth its own column — so
+      // distinct_keys counts fully-non-null keys only and null_keys
+      // reports the rest.
+      def audit(name: String, df: DataFrame, keys: Seq[String]): DataFrame = {
+        val anyNull = keys.map(col(_).isNull).reduce(_ || _)
         df.agg(count(lit(1)).as("rows"),
-            count_distinct(struct(keys.map(col): _*)).as("distinct_keys"))
-          .select(lit(name).as("tbl"), col("rows"), col("distinct_keys"))
+            count_distinct(when(!anyNull, struct(keys.map(col): _*))).as("distinct_keys"),
+            sum(when(anyNull, 1L).otherwise(0L)).as("null_keys"))
+          .select(lit(name).as("tbl"), col("rows"), col("distinct_keys"),
+            col("null_keys"))
+      }
       audit("lineitem", Tables.lineitem(s, d), Seq("l_orderkey", "l_linenumber"))
         .unionAll(audit("orders", Tables.orders(s, d), Seq("o_orderkey")))
         .unionAll(audit("customer", Tables.customer(s, d), Seq("c_custkey")))
@@ -318,17 +339,25 @@ object StatsQueries extends QueryPack {
 
     "q_pk_integrity" ->
       """SELECT 'lineitem' AS tbl, count(*) AS rows,
-        |       count(DISTINCT (l_orderkey, l_linenumber)) AS distinct_keys FROM lineitem
+        |  count(DISTINCT CASE WHEN l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
+        |                      THEN (l_orderkey, l_linenumber) END) AS distinct_keys,
+        |  CAST(sum(CASE WHEN l_orderkey IS NULL OR l_linenumber IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_keys
+        |FROM lineitem
         |UNION ALL
-        |SELECT 'orders', count(*), count(DISTINCT o_orderkey) FROM orders
+        |SELECT 'orders', count(*), count(DISTINCT o_orderkey),
+        |  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM orders
         |UNION ALL
-        |SELECT 'customer', count(*), count(DISTINCT c_custkey) FROM customer
+        |SELECT 'customer', count(*), count(DISTINCT c_custkey),
+        |  CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM customer
         |UNION ALL
-        |SELECT 'part', count(*), count(DISTINCT p_partkey) FROM part
+        |SELECT 'part', count(*), count(DISTINCT p_partkey),
+        |  CAST(sum(CASE WHEN p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM part
         |UNION ALL
-        |SELECT 'supplier', count(*), count(DISTINCT s_suppkey) FROM supplier
+        |SELECT 'supplier', count(*), count(DISTINCT s_suppkey),
+        |  CAST(sum(CASE WHEN s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM supplier
         |UNION ALL
-        |SELECT 'documents', count(*), count(DISTINCT doc_id) FROM documents""".stripMargin,
+        |SELECT 'documents', count(*), count(DISTINCT doc_id),
+        |  CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM documents""".stripMargin,
 
     "q_fk_integrity" ->
       """SELECT 'lineitem.orderkey->orders' AS fk,
