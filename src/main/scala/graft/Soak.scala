@@ -35,7 +35,9 @@ object Soak {
     "graph_part_communities", "graph_part_components",
     "graph_part_communities_exact", "graph_part_pagerank_exact",
     "q_part_cooccur", "text_fingerprint", "text_quality",
-    "pipe_decontaminate", "text_tfidf_terms", "dedup_semantic")
+    "pipe_decontaminate", "text_tfidf_terms", "dedup_semantic",
+    "graph_part_kcore", "graph_part_sssp", "dedup_survivors",
+    "q_topn_per_group")
 
   /** documents scaled k×: copy c shifts doc_id by c·10^9 and suffixes
     * tokens with `_c` (copy 0 keeps the original text so factor 1 == the
