@@ -125,6 +125,24 @@ object StatsQueries extends QueryPack {
           expr("CAST(sx AS DECIMAL(38,0)) * 1000000 div n").as("meanx_e6"))
     }),
 
+    // Event-transition matrix (user-journey / Sankey shape): counts of
+    // consecutive (from_type → to_type) pairs within each user's
+    // event-time-ordered stream. The lag window and nothing else
+    // touches the fact table — one user_id exchange for the window,
+    // one map-combined aggregate on the (from, to) pairs; determinism
+    // from the (us, event_id) total order per user.
+    "q_events_transitions" -> ((s, d) => {
+      val byUser = Window.partitionBy("user_id")
+        .orderBy(col("us"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("from_type", lag("event_type", 1).over(byUser))
+        .where(col("from_type").isNotNull)
+        .groupBy(col("from_type"), col("event_type").as("to_type"))
+        .agg(count(lit(1)).as("cnt"))
+    }),
+
     // Ranking-function family (rank / dense_rank / peer-inclusive
     // cumulative count) in the PARTITIONED form — each customer's
     // orders ranked by price within that customer, never a global
@@ -303,6 +321,16 @@ object StatsQueries extends QueryPack {
         |       CAST((CAST(sy AS HUGEINT) * 10000) // n AS BIGINT) AS meany_cents_e4,
         |       CAST((CAST(sx AS HUGEINT) * 1000000) // n AS BIGINT) AS meanx_e6
         |FROM f""".stripMargin,
+
+    "q_events_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |         lag(event_type) OVER (PARTITION BY user_id
+        |                               ORDER BY ts, event_id) AS from_type
+        |  FROM events)
+        |SELECT from_type, event_type AS to_type, count(*) AS cnt
+        |FROM e WHERE from_type IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin,
 
     "q_rank_functions" ->
       """SELECT o_custkey, o_orderkey,
