@@ -122,6 +122,52 @@ object EventStreams {
 
   case class DebounceState(lastKeptUs: Long)
 
+  case class TransState(lastType: String, lastUs: Long)
+  case class Transition(user_id: Long, from_type: String, to_type: String)
+
+  /** Streaming twin of the batch `q_events_transitions` lag window:
+    * per-user state is the LAST event's type (plus its time for
+    * in-batch ordering), so each arriving event emits exactly one
+    * (from → to) pair against its predecessor. State carries across
+    * micro-batches — the pair at a batch boundary chains against the
+    * carried type, so output never depends on where batches split
+    * (EventStreamsSpec pins the boundary case). Within a micro-batch
+    * events sort by event time; a cross-batch straggler arriving
+    * BEHIND the carried state chains after it rather than rewriting
+    * history (the batch window form is the exact-order record — the
+    * same kept-vs-predecessor asymmetry the debounce twins document). */
+  def streamingTransitions(
+      events: Dataset[TypedEvent],
+      idleTimeout: Option[String] = Some("30 days")): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TransState, Transition](
+        OutputMode.Append, timeoutConf) {
+        (uid: Long, rows: Iterator[TypedEvent], state: GroupState[TransState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = rows.toSeq.sortBy(e => micros(e.ts))
+            var lastType = state.getOption.map(_.lastType).orNull
+            var lastUs = state.getOption.map(_.lastUs).getOrElse(Long.MinValue)
+            val out = Seq.newBuilder[Transition]
+            sorted.foreach { e =>
+              if (lastType != null) out += Transition(uid, lastType, e.event_type)
+              lastType = e.event_type
+              lastUs = micros(e.ts)
+            }
+            if (lastType != null) {
+              state.update(TransState(lastType, lastUs))
+              idleTimeout.foreach(state.setTimeoutDuration)
+            }
+            out.result().iterator
+          }
+      }
+  }
+
   /** Event time at full microsecond resolution — `getTime` truncates
     * to ms; `getNanos` carries the sub-second part. The batch twin
     * measures gaps in `unix_micros`, so the streaming form must too. */

@@ -251,4 +251,45 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(lagKept == Set(0L), s"lag form kept $lagKept")
     } finally q.stop()
   }
+
+  test("streaming transitions chain across micro-batch boundaries and match the batch lag form") {
+    import spark.implicits._
+    import graft.streaming.EventStreams.{Transition, TypedEvent}
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[TypedEvent]
+    val q = EventStreams.streamingTransitions(mem.toDS(), idleTimeout = None)
+      .writeStream.format("memory").queryName("transitions")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: u1 view->click; u2 lone view (no pair yet)
+      mem.addData(TypedEvent(1, ts(0), "view"), TypedEvent(1, ts(1), "click"),
+        TypedEvent(2, ts(2), "view"))
+      q.processAllAvailable()
+      // batch 2: the boundary pairs chain against CARRIED state —
+      // u1 click->purchase, u2 view->click
+      mem.addData(TypedEvent(1, ts(3), "purchase"), TypedEvent(2, ts(4), "click"))
+      q.processAllAvailable()
+      val got = spark.table("transitions").as[Transition].collect()
+        .map(t => (t.user_id, t.from_type, t.to_type)).toSet
+      assert(got == Set(
+        (1L, "view", "click"), (1L, "click", "purchase"), (2L, "view", "click")),
+        s"streaming transitions: $got")
+
+      // the batch lag form over the union of both batches agrees —
+      // batch boundaries are invisible in the output
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("us")
+      import org.apache.spark.sql.functions._
+      val batchPairs = Seq(
+        TypedEvent(1, ts(0), "view"), TypedEvent(1, ts(1), "click"),
+        TypedEvent(2, ts(2), "view"), TypedEvent(1, ts(3), "purchase"),
+        TypedEvent(2, ts(4), "click")).toDS()
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+        .withColumn("from_type", lag("event_type", 1).over(w))
+        .where(col("from_type").isNotNull)
+        .select(col("user_id"), col("from_type"), col("event_type"))
+        .as[(Long, String, String)].collect().toSet
+      assert(batchPairs == got, s"batch form disagrees: $batchPairs")
+    } finally q.stop()
+  }
 }
