@@ -125,6 +125,24 @@ object StatsQueries extends QueryPack {
           expr("CAST(sx AS DECIMAL(38,0)) * 1000000 div n").as("meanx_e6"))
     }),
 
+    // Fixed-width value histogram (the observability / drift-monitor
+    // shape): event values bucketed into 20-dollar bins per type, in
+    // cents with integer floor division — no width_bucket float edge
+    // cases, bit-identical cross-engine. ONE map-combined aggregate on
+    // (type, bucket); the bucket count is bounded by the value domain,
+    // not the row count, so the result stays dashboard-sized at any SF.
+    "q_events_histogram" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+        .groupBy(col("event_type"),
+          // negatives collapse to a −1 underflow bucket EXPLICITLY:
+          // Spark's `div` truncates while DuckDB's `//` floors, so
+          // letting negative cents reach the division would diverge
+          // if a future testdata seed produces them
+          expr("CASE WHEN cents < 0 THEN -1 ELSE cents div 2000 END").as("bucket"))
+        .agg(count(lit(1)).as("cnt"))),
+
     // Event-transition matrix (user-journey / Sankey shape): counts of
     // consecutive (from_type → to_type) pairs within each user's
     // event-time-ordered stream. The lag window and nothing else
@@ -321,6 +339,17 @@ object StatsQueries extends QueryPack {
         |       CAST((CAST(sy AS HUGEINT) * 10000) // n AS BIGINT) AS meany_cents_e4,
         |       CAST((CAST(sx AS HUGEINT) * 1000000) // n AS BIGINT) AS meanx_e6
         |FROM f""".stripMargin,
+
+    "q_events_histogram" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events)
+        |SELECT event_type,
+        |  CAST(CASE WHEN cents < 0 THEN -1 ELSE cents // 2000 END AS BIGINT) AS bucket,
+        |  count(*) AS cnt
+        |FROM ev
+        |GROUP BY 1, 2""".stripMargin,
 
     "q_events_transitions" ->
       """WITH e AS (
