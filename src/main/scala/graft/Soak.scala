@@ -206,24 +206,28 @@ object Soak {
         // is what the old name-substring allowlist did for any
         // orders/events reader it didn't anticipate (q_snapshot_diff,
         // q_except_customers, the events family).
-        val tpch = onlyQueries.exists(q =>
-          q.matches("^q\\d.*") || q.contains("order") || q.contains("outer"))
-        if (tpch || onlyQueries.exists(q => q.contains("part") || q.contains("graph")))
+        // the three fact-keyed tables scale TOGETHER or not at all:
+        // scaling lineitem alone leaves its shifted order/part keys
+        // dangling, so any probe that joins a dimension (q_topn's
+        // part join, q_fk_integrity's parents) would silently process
+        // factor-1 data past the join and the soak curve would read
+        // flat regardless of the operator's real scaling behavior
+        val scaleFacts = onlyQueries.exists(q =>
+          q.matches("^q\\d.*") || q.contains("order") || q.contains("outer") ||
+            q.contains("part") || q.contains("graph") || q.contains("topn") ||
+            q.contains("integrity") || q.contains("median") || q.contains("regr"))
+        if (scaleFacts) {
           scaleLineitem(Tables.lineitem(spark, sfDir), k)
             .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
-        else
-          Tables.lineitem(spark, sfDir)
-            .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
-        if (tpch) {
           scaleOrders(Tables.orders(spark, sfDir), k)
             .write.mode("overwrite").parquet(s"$dir/orders.parquet")
           scalePart(Tables.part(spark, sfDir), k)
             .write.mode("overwrite").parquet(s"$dir/part.parquet")
         } else {
-          Tables.orders(spark, sfDir)
-            .write.mode("overwrite").parquet(s"$dir/orders.parquet")
-          Tables.part(spark, sfDir)
-            .write.mode("overwrite").parquet(s"$dir/part.parquet")
+          Seq("lineitem", "orders", "part").foreach { n =>
+            Tables.table(spark, sfDir, n)
+              .write.mode("overwrite").parquet(s"$dir/$n.parquet")
+          }
         }
         Seq("supplier", "nation", "region", "customer").foreach { n =>
           Tables.table(spark, sfDir, n)

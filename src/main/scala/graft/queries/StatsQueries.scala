@@ -111,18 +111,21 @@ object StatsQueries extends QueryPack {
         .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
           sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
       stats
-        .withColumn("numer", d38(col("n")) * d38(col("sxy")) - d38(col("sx")) * d38(col("sy")))
-        .withColumn("denom", d38(col("n")) * d38(col("sxx")) - d38(col("sx")) * d38(col("sx")))
+        .withColumn("sy38", d38(col("sy")))
+        .withColumn("sx38", d38(col("sx")))
+        .withColumn("numer", d38(col("n")) * d38(col("sxy")) - col("sx38") * col("sy38"))
+        .withColumn("denom", d38(col("n")) * d38(col("sxx")) - col("sx38") * col("sx38"))
         .select(col("l_returnflag"), col("n"),
           (signum(col("numer")).cast("long") *
             expr("abs(numer) * 1000000 div denom").cast("long")).as("slope_micro"),
-          // means widened like the cross terms: sy·1e4 wraps int64 at
+          // means widened like the cross terms (via the same d38, so a
+          // precision adjustment cannot drift): sy·1e4 wraps int64 at
           // sf ≈ 40 while the oracle's HUGEINT stays exact. Integral
           // `div` (not `.divide`, whose decimal result rounds at a
           // fixed scale before any cast and can round up across an
           // integer boundary where `//` floors).
-          expr("CAST(sy AS DECIMAL(38,0)) * 10000 div n").as("meany_cents_e4"),
-          expr("CAST(sx AS DECIMAL(38,0)) * 1000000 div n").as("meanx_e6"))
+          expr("sy38 * 10000 div n").as("meany_cents_e4"),
+          expr("sx38 * 1000000 div n").as("meanx_e6"))
     }),
 
     // Fixed-width value histogram (the observability / drift-monitor

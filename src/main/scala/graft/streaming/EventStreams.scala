@@ -122,20 +122,28 @@ object EventStreams {
 
   case class DebounceState(lastKeptUs: Long)
 
-  case class TransState(lastType: String, lastUs: Long)
+  case class TransState(lastType: String)
   case class Transition(user_id: Long, from_type: String, to_type: String)
 
   /** Streaming twin of the batch `q_events_transitions` lag window:
-    * per-user state is the LAST event's type (plus its time for
-    * in-batch ordering), so each arriving event emits exactly one
-    * (from → to) pair against its predecessor. State carries across
-    * micro-batches — the pair at a batch boundary chains against the
-    * carried type, so output never depends on where batches split
-    * (EventStreamsSpec pins the boundary case). Within a micro-batch
-    * events sort by event time; a cross-batch straggler arriving
-    * BEHIND the carried state chains after it rather than rewriting
-    * history (the batch window form is the exact-order record — the
-    * same kept-vs-predecessor asymmetry the debounce twins document). */
+    * per-user state is the LAST event's type — one string per key — so
+    * each arriving event emits exactly one (from → to) pair against
+    * its predecessor (none when the predecessor's type is null and a
+    * null to_type emitted as-is, mirroring the batch form's
+    * `from_type IS NOT NULL`-only filter). State
+    * carries across micro-batches and is updated on EVERY non-empty
+    * batch, including when the last event's type is null — skipping
+    * the update there would resurrect the stale pre-batch type and
+    * emit a pair the batch form never produces — so output never
+    * depends on where batches split (EventStreamsSpec pins the
+    * boundary case). Within a micro-batch events sort by
+    * (event time, type) — TypedEvent carries no event_id, so
+    * same-instant ties break on the type rather than the batch form's
+    * event_id (a documented divergence only visible on same-timestamp
+    * pairs). A cross-batch straggler arriving BEHIND the carried state
+    * chains after it rather than rewriting history (the batch window
+    * form is the exact-order record — the same kept-vs-predecessor
+    * asymmetry the debounce twins document). */
   def streamingTransitions(
       events: Dataset[TypedEvent],
       idleTimeout: Option[String] = Some("30 days")): Dataset[Transition] = {
@@ -150,17 +158,17 @@ object EventStreams {
         (uid: Long, rows: Iterator[TypedEvent], state: GroupState[TransState]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            val sorted = rows.toSeq.sortBy(e => micros(e.ts))
+            val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_type))
             var lastType = state.getOption.map(_.lastType).orNull
-            var lastUs = state.getOption.map(_.lastUs).getOrElse(Long.MinValue)
             val out = Seq.newBuilder[Transition]
             sorted.foreach { e =>
+              // null to_type pairs ARE emitted — the batch form only
+              // filters null from_type
               if (lastType != null) out += Transition(uid, lastType, e.event_type)
               lastType = e.event_type
-              lastUs = micros(e.ts)
             }
-            if (lastType != null) {
-              state.update(TransState(lastType, lastUs))
+            if (sorted.nonEmpty) {
+              state.update(TransState(lastType))
               idleTimeout.foreach(state.setTimeoutDuration)
             }
             out.result().iterator

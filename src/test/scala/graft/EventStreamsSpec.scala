@@ -292,4 +292,27 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(batchPairs == got, s"batch form disagrees: $batchPairs")
     } finally q.stop()
   }
+
+  test("streaming transitions: a null-type event updates state — no stale-type resurrection") {
+    import spark.implicits._
+    import graft.streaming.EventStreams.{Transition, TypedEvent}
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[TypedEvent]
+    val q = EventStreams.streamingTransitions(mem.toDS(), idleTimeout = None)
+      .writeStream.format("memory").queryName("transitions_null")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // view | null | click across THREE batches: the null event must
+      // overwrite the carried 'view', so the later click chains against
+      // null (no pair) — exactly what the batch lag form produces on
+      // [view, null, click]. Skipping the state update on a null-ending
+      // batch would emit a phantom (view -> click).
+      mem.addData(TypedEvent(9, ts(0), "view")); q.processAllAvailable()
+      mem.addData(TypedEvent(9, ts(1), null)); q.processAllAvailable()
+      mem.addData(TypedEvent(9, ts(2), "click")); q.processAllAvailable()
+      val got = spark.table("transitions_null").as[Transition].collect()
+        .map(t => (t.from_type, t.to_type)).toSet
+      assert(got == Set(("view", null)), s"null-boundary transitions: $got")
+    } finally q.stop()
+  }
 }

@@ -499,8 +499,8 @@ class PlanInvariantsSpec extends AnyFunSuite {
 
   test("q_rank_functions: all four ranking windows share ONE o_custkey exchange") {
     val p = planOf("q_rank_functions")
-    val exchanges = "\\(\\d+\\) Exchange\\b".r.findAllIn(p).size
-    assert(exchanges == 1, s"ranking family must ride a single exchange, got $exchanges:\n$p")
+    assert(exchangeCount(p) == 1,
+      s"ranking family must ride a single exchange, got ${exchangeCount(p)}:\n$p")
   }
 
   test("q_events_outliers: per-type stats broadcast back — the fact table never shuffle-joins") {
