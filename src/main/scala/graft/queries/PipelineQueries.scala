@@ -88,6 +88,32 @@ object PipelineQueries extends QueryPack {
     // one partition; the shard count is the knob, 64 here, ~100k at
     // corpus scale). Pure int64 arithmetic (doc_id < P keeps the
     // product under 2^62) replays exactly in DuckDB.
+    // Deterministic weighted sampling — the mixing primitive that
+    // downsamples a corpus with inclusion probability ∝ a per-doc
+    // weight (n_chars as the quality-proxy weight, expected size
+    // TargetK): keep iff lcg(doc_id)·ΣW < M·K·w, with the same
+    // reproducible LCG priority as pipe_global_shuffle standing in for
+    // uniform randomness (no rand() — identical sample across runs,
+    // engines, partitionings). ONE aggregate for ΣW crosses in as a
+    // 1-row broadcast; the filter is map-side, so the corpus never
+    // shuffles. Cross terms widen to DECIMAL(38)/HUGEINT (priority·ΣW
+    // wraps int64 on a large corpus). Docs whose weight alone exceeds
+    // the quota threshold have inclusion probability ≥ 1 and are
+    // always kept — the standard weighted-sampling saturation.
+    "pipe_weighted_sample" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+      val tot = docs.agg(sum("n_chars").as("tw"))
+      docs.crossJoin(broadcast(tot))
+        // multiplier ≈ P/2 (not a small constant like 48271): for
+        // small consecutive doc_ids, x·A/P must already wrap the
+        // modulus so priorities equidistribute — with a small A every
+        // priority in a small-id corpus is near zero and the quota
+        // filter degenerates to keep-everything
+        .withColumn("pri", expr("((doc_id % 2147483647) * 1103515245 + 12345) % 2147483647"))
+        .where(expr("CAST(pri AS DECIMAL(38,0)) * tw < CAST(2147483647 AS DECIMAL(38,0)) * 100 * n_chars"))
+        .select(col("doc_id"), col("n_chars"))
+    }),
+
     "pipe_global_shuffle" -> ((s, d) => {
       val w = Window.partitionBy("shard").orderBy("h", "doc_id")
       Tables.documents(s, d)
@@ -148,6 +174,13 @@ object PipelineQueries extends QueryPack {
         |SELECT split, CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
         |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS total_tokens
         |FROM sp GROUP BY 1""".stripMargin,
+
+    "pipe_weighted_sample" ->
+      """WITH tot AS (SELECT sum(n_chars) AS tw FROM documents)
+        |SELECT doc_id, n_chars
+        |FROM documents, tot
+        |WHERE CAST(((doc_id % 2147483647) * 1103515245 + 12345) % 2147483647 AS HUGEINT) * tw
+        |    < CAST(2147483647 AS HUGEINT) * 100 * n_chars""".stripMargin,
 
     "pipe_global_shuffle" ->
       s"""WITH h AS (
