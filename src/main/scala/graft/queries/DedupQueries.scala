@@ -17,8 +17,10 @@ import graft.functions.VectorFunctions._
   *    shuffle carries 8-byte keys + doc_ids, never documents.
   *  - The exact-Jaccard path joins on shingle *hashes* (8 bytes) and
   *    computes |A∩B| by counting shared shingles — O(Σ per-shingle
-  *    bucket²) like any inverted-index join; AQE skew-split covers hot
-  *    shingles.
+  *    bucket²) like any inverted-index join; the df cap bounds the
+  *    worst bucket and AQE skew-split covers the rest. Full shingle
+  *    arrays never shuffle: the hot remainder completes via tiny
+  *    per-doc hot arrays.
   *  - MinHash+LSH is the scale path: candidates come from 16-band
   *    signature buckets (detect prob 1-(1-j⁴)¹⁶ ≈ 0.9998 at j=0.8), and
   *    only candidates pay the exact-verify cost. The verify keeps output
@@ -49,9 +51,10 @@ object DedupQueries extends QueryPack {
     * stopword phrase — "the the the") contributes O(df²) candidate
     * pairs but never *decides* Jaccard at 0.8, because near-dup pairs
     * share many discriminative shingles too. Capped shingles are
-    * dropped from the CANDIDATE index only; the verify step scores
-    * every candidate on the FULL shingle sets, so any pair that shares
-    * at least one sub-cap shingle gets its exact Jaccard — on this
+    * dropped from the CANDIDATE index only; `c` still counts the FULL
+    * intersection (cold aggregate + hot completion join), so any pair
+    * that shares at least one sub-cap shingle gets its exact Jaccard
+    * — on this
     * corpus that is every near-dup pair (the DuckDB brute-force oracle
     * stays hash-green), and at 100 TB it is the knob that turns the
     * worst bucket from quadratic to bounded. AQE skew-split remains the
@@ -63,45 +66,90 @@ object DedupQueries extends QueryPack {
 
   /** Shared pair-derivation core for the exact Jaccard / containment /
     * clustering family: candidate pairs (i < j) with shared-shingle
-    * count `c` and the two set sizes `na`/`nb`. Candidates come from
-    * the df-capped inverted shingle-hash index; `c` comes from an exact
-    * array_intersect on the full sets (same candidates-then-verify
-    * shape as the MinHash tier). `sh` feeds the index, the verify, and
-    * the size columns; persisted (tracked — released by
+    * count `c` and the two set sizes `na`/`nb`.
+    *
+    * Shape (r8 rework — the r7 verify joined the FULL shingle arrays of
+    * every candidate twice, the battery's slowest row):
+    *  1. The inverted index rows carry the doc's set size, so sizes are
+    *     known AT candidate generation — `sizeRatio` (the Jaccard tier)
+    *     prunes size-incompatible pairs before any aggregation: J ≤
+    *     min/max, so J ≥ 0.8 needs min ≥ 0.8·max. Containment takes no
+    *     prune (a short doc inside a long one is exactly its match).
+    *  2. The self-join output aggregates to an exact per-pair count of
+    *     shared COLD shingles (the sets are distinct-element, so count
+    *     == |A∩B| restricted to sub-cap shingles) — replacing the old
+    *     `.distinct()` with the same single shuffle but a result that
+    *     already IS the cold intersection.
+    *  3. `c` completes to the full intersection by adding the HOT-side
+    *     overlap: hot shingles (df > cap) are few by construction
+    *     (≤ corpus-instances/cap), so each doc's hot shingles form a
+    *     tiny array and the completion join ships only those — the full
+    *     shingle arrays never shuffle at all. Uncapped (cap ≤ 0) there
+    *     is no hot side and the aggregate alone is exact.
+    * `sh` is persisted (tracked — released by
     * [[graft.SparkEntry.releaseCaches]]) so the shingle UDF runs once
-    * per doc. */
-  private def commonWithSizes(s: SparkSession, d: String): DataFrame =
-    commonWithSizesCap(s, d, shingleDfCap)
+    * per doc across the index/hot/size branches. */
+  private def commonWithSizes(s: SparkSession, d: String,
+      sizeRatio: Option[Double] = None): DataFrame =
+    commonWithSizesCap(s, d, shingleDfCap, sizeRatio)
 
   /** Cap-injectable variant — spec'd directly (env is immutable in a
     * test JVM, so DedupQualitySpec passes the cap explicitly). */
-  private[graft] def commonWithSizesCap(s: SparkSession, d: String, cap: Long): DataFrame = {
+  private[graft] def commonWithSizesCap(s: SparkSession, d: String, cap: Long,
+      sizeRatio: Option[Double] = None): DataFrame = {
     val sh = graft.CacheRegistry.persistTracked(docShingleHashes(s, d))
-    val ex = sh.select(col("doc_id"), explode(col("hs")).as("h"))
-    // df attaches via an h-keyed join; the a/b self-join below reuses
-    // the same hashpartitioning(h), so the cap costs one aggregation,
-    // not an extra exchange on the big exploded relation
-    val cold =
-      if (cap <= 0) ex
-      else ex.join(
-        ex.groupBy("h").agg(count(lit(1)).as("df")).where(col("df") <= cap)
-          .select("h"),
-        Seq("h"), "left_semi")
-    val cand = cold.as("a").join(cold.as("b"),
+    val ex = sh.select(col("doc_id"), size(col("hs")).as("n"), explode(col("hs")).as("h"))
+    val (cold, hotPerDoc) =
+      if (cap <= 0) (ex, None)
+      else {
+        // the hot set is tiny (df > cap bounds its cardinality by
+        // corpus-instances/cap) — broadcast it both ways instead of
+        // shuffling the exploded index through a keyed semi-join
+        val hot = ex.groupBy("h").agg(count(lit(1)).as("df"))
+          .where(col("df") > cap).select("h")
+        val hpd = ex.join(broadcast(hot), Seq("h"), "left_semi")
+          .groupBy("doc_id").agg(collect_list(col("h")).as("hot_hs"))
+        (ex.join(broadcast(hot), Seq("h"), "left_anti"), Some(hpd))
+      }
+    val candRaw = cold.as("a").join(cold.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
-      .distinct()
-    cand
-      .join(sh.as("da"), col("i") === col("da.doc_id"))
-      .join(sh.as("db"), col("j") === col("db.doc_id"))
-      .select(col("i"), col("j"),
-        size(array_intersect(col("da.hs"), col("db.hs"))).cast("long").as("c"),
-        size(col("da.hs")).as("na"), size(col("db.hs")).as("nb"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+    // prune BEFORE the pair aggregate — a row filter on the self-join
+    // output, so incompatible pairs never reach the shuffle. The 1e-6
+    // slack keeps exact-boundary ratios (ints under 1e6 shingles) on
+    // the kept side of double rounding; keeping a borderline pair is
+    // harmless (the count below is exact), pruning one would be a miss.
+    val cand = sizeRatio match {
+      case Some(r) => candRaw.where(
+        least(col("na"), col("nb")).cast("double") >=
+          greatest(col("na"), col("nb")) * r - 1e-6)
+      case None => candRaw
+    }
+    val coldCounts = cand.groupBy("i", "j", "na", "nb")
+      .agg(count(lit(1)).as("c_cold"))
+    hotPerDoc match {
+      case None =>
+        coldCounts.select(col("i"), col("j"), col("c_cold").as("c"),
+          col("na"), col("nb"))
+      case Some(hpd) =>
+        val empty = array().cast("array<bigint>")
+        coldCounts
+          .join(hpd.as("ha"), col("i") === col("ha.doc_id"), "left")
+          .join(hpd.as("hb"), col("j") === col("hb.doc_id"), "left")
+          .select(col("i"), col("j"),
+            (col("c_cold") + size(array_intersect(
+              coalesce(col("ha.hot_hs"), empty),
+              coalesce(col("hb.hot_hs"), empty)))).cast("long").as("c"),
+            col("na"), col("nb"))
+    }
   }
 
-  /** Exact near-dup pairs (i < j, jaccard >= threshold). */
+  /** Exact near-dup pairs (i < j, jaccard >= threshold). The size
+    * prune pushed into the core is semantics-free here: J ≤ min/max,
+    * so a pruned pair could never clear the threshold. */
   private def jaccardPairs(s: SparkSession, d: String): DataFrame =
-    commonWithSizes(s, d)
+    commonWithSizes(s, d, sizeRatio = Some(JaccardThreshold))
       .select(col("i"), col("j"), jaccard(col("c"), col("na"), col("nb")).as("jac"))
       .where(col("jac") >= JaccardThreshold)
 
@@ -179,7 +227,9 @@ object DedupQueries extends QueryPack {
 
     // Survivor selection — the step that actually rewrites a corpus:
     // per near-dup cluster keep ONE canonical document (the longest;
-    // ties to the smallest doc_id) and flag the rest for dropping.
+    // ties to the smallest doc_id; a null n_chars orders FIRST in the
+    // struct min, so the oracle's rank says DESC NULLS FIRST to match)
+    // and flag the rest for dropping.
     // The argmax is a single fully-combinable min-of-(−n_chars, id)
     // struct aggregate riding the cluster root — no window pass, so a
     // pathological mega-cluster costs one combinable reduction, not a
@@ -511,7 +561,7 @@ FROM sh LEFT JOIN cnt ON sh.doc_id = cnt.doc_id"""
          |pick AS (
          |  SELECT r.root, d.doc_id, d.n_chars,
          |         row_number() OVER (PARTITION BY r.root
-         |                            ORDER BY d.n_chars DESC, d.doc_id) AS rn
+         |                            ORDER BY d.n_chars DESC NULLS FIRST, d.doc_id) AS rn
          |  FROM roots r JOIN documents d ON r.doc = d.doc_id)
          |SELECT root, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
          |       CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS BIGINT) AS kept

@@ -75,7 +75,11 @@ object StatsQueries extends QueryPack {
     }),
 
     // Deterministic mode — each user's most frequent event type, ties
-    // broken toward the lexicographically smallest type. The argmax is
+    // broken toward the lexicographically smallest type with null
+    // ordered FIRST (Spark struct comparison puts a null field before
+    // any value; the oracle says NULLS FIRST explicitly so a
+    // null-vs-value tie picks the same mode on both engines). The
+    // argmax is
     // ONE fully-combinable aggregate (min of a (−count, type) struct),
     // not a second window pass: partial aggregation happens map-side
     // and the struct comparison commutes, so the shape holds on an
@@ -315,7 +319,7 @@ object StatsQueries extends QueryPack {
         |r AS (
         |  SELECT user_id, event_type, c,
         |         row_number() OVER (PARTITION BY user_id
-        |                            ORDER BY c DESC, event_type) AS rn
+        |                            ORDER BY c DESC, event_type NULLS FIRST) AS rn
         |  FROM c)
         |SELECT user_id, event_type AS mode_type, CAST(c AS BIGINT) AS cnt
         |FROM r WHERE rn = 1""".stripMargin,

@@ -137,10 +137,12 @@ object EventStreams {
     * emit a pair the batch form never produces — so output never
     * depends on where batches split (EventStreamsSpec pins the
     * boundary case). Within a micro-batch events sort by
-    * (event time, type) — TypedEvent carries no event_id, so
-    * same-instant ties break on the type rather than the batch form's
-    * event_id (a documented divergence only visible on same-timestamp
-    * pairs). A cross-batch straggler arriving BEHIND the carried state
+    * (event time, type nulls-first) — TypedEvent carries no event_id,
+    * so same-instant ties break on the type rather than the batch
+    * form's event_id (a documented divergence only visible on
+    * same-timestamp pairs); the tie-break must not dereference the
+    * type, since null event_type is declared-supported data and a
+    * String.compareTo on it would kill the streaming query. A cross-batch straggler arriving BEHIND the carried state
     * chains after it rather than rewriting history (the batch window
     * form is the exact-order record — the same kept-vs-predecessor
     * asymmetry the debounce twins document). */
@@ -158,7 +160,8 @@ object EventStreams {
         (uid: Long, rows: Iterator[TypedEvent], state: GroupState[TransState]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_type))
+            val sorted = rows.toSeq.sortBy(e =>
+              (micros(e.ts), if (e.event_type == null) 0 else 1, Option(e.event_type).getOrElse("")))
             var lastType = state.getOption.map(_.lastType).orNull
             val out = Seq.newBuilder[Transition]
             sorted.foreach { e =>

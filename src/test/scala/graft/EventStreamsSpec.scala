@@ -315,4 +315,29 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(got == Set(("view", null)), s"null-boundary transitions: $got")
     } finally q.stop()
   }
+
+  test("streaming transitions: same-microsecond tie with a null type sorts nulls-first, no NPE") {
+    import spark.implicits._
+    import graft.streaming.EventStreams.{Transition, TypedEvent}
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[TypedEvent]
+    val q = EventStreams.streamingTransitions(mem.toDS(), idleTimeout = None)
+      .writeStream.format("memory").queryName("transitions_tie")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // carried state 'view', then a SAME-instant (null, "click") pair in
+      // one batch: the tuple ordering used to call String.compareTo on the
+      // null side of the tie and kill the query. Nulls-first means the
+      // sequence is view | null | click -> (view -> null) emitted, the
+      // null->click pair filtered, state ends at 'click'.
+      mem.addData(TypedEvent(7, ts(0), "view")); q.processAllAvailable()
+      mem.addData(TypedEvent(7, ts(1), null), TypedEvent(7, ts(1), "click"))
+      q.processAllAvailable()
+      mem.addData(TypedEvent(7, ts(2), "buy")); q.processAllAvailable()
+      val got = spark.table("transitions_tie").as[Transition].collect()
+        .map(t => (t.from_type, t.to_type)).toSet
+      assert(got == Set(("view", null), ("click", "buy")),
+        s"same-instant null tie transitions: $got")
+    } finally q.stop()
+  }
 }
