@@ -8,7 +8,8 @@ import org.apache.spark.sql.functions._
   *
   * Float PageRank (GraphX `staticPageRank`, reference
   * ScipiBatchCommunity-style jobs) is only reproducible up to summation
-  * order, which is why `graph_part_pagerank` is rows-only-checked. This
+  * order, which is why `graph_part_pagerank` grades an agreement@k
+  * certificate against this twin instead of its raw ranks. This
   * variant makes the *whole* iteration integer arithmetic:
   *
   *   - ranks are scaled by 1e9 (`Scale`), initialised to `Scale`

@@ -69,9 +69,15 @@ object GraphQueries extends QueryPack {
   import org.apache.spark.sql.Row
 
   override def queries: Map[String, Q] = Map(
-    // G3 + A7: score-attenuated label propagation, label histogram.
-    "graph_part_communities" -> ((s, d) =>
-      graphHistogram(s, d, Seq("community_size", "n_communities")) { g =>
+    // G3 + A7: score-attenuated label propagation, label histogram —
+    // CERTIFICATE-graded (r8): the float tier's histogram rides next to
+    // the exact-integer twin's with a per-size agreement flag, so the
+    // row is hash-gradable (the oracle replays the exact CTEs and
+    // claims full agreement — any float divergence surfaces as a red
+    // row, which is precisely what the certificate asserts). Same
+    // pattern that upgraded the SRP recall tier from rows-only.
+    "graph_part_communities" -> ((s, d) => {
+      val floatHist = graphHistogram(s, d, Seq("community_size", "n_float")) { g =>
         val labeled = CommunityDetection.run(g, iterations = 10, delta = 0.5)
         val hist = labeled.vertices
           .map { case (_, label) => (label, 1L) }.reduceByKey(_ + _)
@@ -79,7 +85,19 @@ object GraphQueries extends QueryPack {
           .collect().sortBy(_._1)
         labeled.unpersist(blocking = false)
         hist.map { case (size, n) => Row(size, n) }.toSeq
-      }),
+      }
+      val exactHist = graft.graph.ExactCommunities.run(cooccurEdges(s, d), iters = 10)
+        .groupBy(col("label")).agg(count(lit(1)).as("community_size"))
+        .groupBy(col("community_size"))
+        .agg(count(lit(1)).as("n_exact"))
+      floatHist.join(exactHist, Seq("community_size"), "full_outer")
+        .select(col("community_size"),
+          coalesce(col("n_float"), lit(0L)).as("n_float"),
+          coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+          (coalesce(col("n_float"), lit(0L)) === coalesce(col("n_exact"), lit(0L)))
+            .cast("long").as("agrees"))
+        .orderBy("community_size")
+    }),
 
     // Community detection again, but in scaled-integer arithmetic
     // (ExactCommunities): Leung's update has no division, so fixed-point
@@ -95,22 +113,44 @@ object GraphQueries extends QueryPack {
         .agg(count(lit(1)).as("n_communities"))
         .orderBy(col("community_size"))),
 
-    // PageRank over the co-occurrence graph: top-20 "hub" parts.
-    // Float summation order varies per run -> rounded, rows-only check.
+    // PageRank over the co-occurrence graph — CERTIFICATE-graded (r8):
+    // float summation order makes the raw ranks unhashable, so the
+    // query emits rank-order agreement@k between the float tier's
+    // top-k hub set and the exact-integer twin's (k = 5/10/20, floor
+    // 0.8k — thresholded like the SRP recall certificate, so benign
+    // last-place jitter between two near-tied hubs can't flip the
+    // grade while real divergence does). The full hub ranking ships
+    // hash-graded from graph_part_pagerank_exact.
     "graph_part_pagerank" -> ((s, d) => {
       val edf = cooccurEdges(s, d).persist()
-      val erdd = edf.rdd.map(r => Edge(r.getLong(0), r.getLong(1), r.getLong(2).toDouble))
+      // symmetrize: co-occurrence is an undirected relation, and the
+      // exact twin (the hash-graded record) walks it undirected — the
+      // r7 float tier ran DIRECTED src<dst edges, a different chain
+      // whose hubs the certificate immediately flagged (overlap@20 = 0)
+      val erdd = edf.rdd.flatMap(r => Seq(
+          Edge(r.getLong(0), r.getLong(1), r.getLong(2).toDouble),
+          Edge(r.getLong(1), r.getLong(0), r.getLong(2).toDouble)))
         .coalesce(sizedPartitions(s, edf.count()))
       val pr = Graph.fromEdges(erdd, 0L).staticPageRank(10)
       try {
-        val top = pr.vertices
+        val floatTop = pr.vertices
           .map { case (id, rank) => (id, math.rint(rank * 1e4) / 1e4) }
           .top(20)(Ordering.by { case (id, rank) => (rank, -id) })
+          .map(_._1)
+        // 20-row bounded action — the exact twin is deterministic
+        val exactTop = graft.graph.ExactPageRank
+          .run(edf.select("src", "dst"), iters = 10)
+          .orderBy(col("rank_scaled").desc, col("v").asc).limit(20)
+          .select("v").collect().map(_.getLong(0))
+        val rows = Seq(5, 10, 20).map { k =>
+          val floor = math.ceil(0.8 * k).toLong
+          val overlap = floatTop.take(k).toSet.intersect(exactTop.take(k).toSet).size
+          Row(k.toLong, floor, if (overlap >= floor) 1L else 0L)
+        }
         s.createDataFrame(
-          s.sparkContext.parallelize(top.toSeq.map { case (id, r) => Row(id, r) }, 1),
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("pkey", org.apache.spark.sql.types.LongType, nullable = false),
-            org.apache.spark.sql.types.StructField("rank", org.apache.spark.sql.types.DoubleType, nullable = false))))
+          s.sparkContext.parallelize(rows, 1),
+          org.apache.spark.sql.types.StructType(Seq("k", "overlap_floor", "floor_met").map(n =>
+            org.apache.spark.sql.types.StructField(n, org.apache.spark.sql.types.LongType, nullable = false))))
       } finally {
         pr.unpersist(blocking = false)
         edf.unpersist(blocking = false)
@@ -271,10 +311,30 @@ object GraphQueries extends QueryPack {
     sb.toString
   }
 
-  // Community labels and PageRank scores depend on algorithm dynamics /
-  // float summation order → rows-only. Components and triangle counts
-  // are deterministic graph facts and get exact SQL oracles.
+  // Every graph row is hash-graded (r8): deterministic graph facts get
+  // exact SQL oracles; the two float tiers emit certificates against
+  // their exact-integer twins, whose claims the oracles pin.
   override def oracles: Map[String, String] = Map(
+    // The certificate claims per-size agreement with the exact twin's
+    // histogram — the oracle replays the exact supersteps and asserts
+    // the claim (n_float == n_exact, agrees = 1 on every row).
+    "graph_part_communities" ->
+      s"""WITH $edgesCte,
+         |${graft.graph.ExactCommunities.oracleCtes(10)},
+         |sizes AS (SELECT label, count(*) AS cnt FROM s10 GROUP BY 1),
+         |h AS (SELECT cnt AS community_size, count(*) AS n FROM sizes GROUP BY 1)
+         |SELECT community_size, CAST(n AS BIGINT) AS n_float,
+         |       CAST(n AS BIGINT) AS n_exact, CAST(1 AS BIGINT) AS agrees
+         |FROM h ORDER BY 1""".stripMargin,
+
+    // Rank-order agreement@k certificate: the claim is that every
+    // agreement floor is met (floor_met = 1 for k = 5/10/20).
+    "graph_part_pagerank" ->
+      """SELECT CAST(k AS BIGINT) AS k,
+        |       CAST(CEIL(0.8 * k) AS BIGINT) AS overlap_floor,
+        |       CAST(1 AS BIGINT) AS floor_met
+        |FROM (VALUES (5), (10), (20)) AS t(k)""".stripMargin,
+
     // BFS hop distances are integer graph facts — the recursive CTE
     // runs the same frontier expansion with the same 4-hop cap; UNION
     // dedups (v, hop) pairs and min(hop) recovers the BFS distance.

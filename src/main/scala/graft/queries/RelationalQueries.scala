@@ -33,6 +33,54 @@ object RelationalQueries extends QueryPack {
     * bounds a hot part's output row at 100× (degree stays exact). */
   private[queries] val NeighborCap = 64
 
+  /** Hot-order clique guard for the group-then-expand family: an order
+    * with more than `cap` distinct parts contributes k² in-partition
+    * pairs — one degenerate key (a misloaded mega-order) turns the
+    * bounded expansion quadratic. Orders above the cap are EXCLUDED
+    * from pair expansion, the same declared semantics as
+    * PubGraph.edges(maxCliqueAuthors) (graph/PubGraph.scala:49): a
+    * degenerate group is noise, not co-occurrence signal. TPC-H orders
+    * carry ≤ 7 parts, so the default preserves driver-SF output
+    * exactly (the uncapped DuckDB oracles stay green); the cap behavior
+    * itself is spec-pinned on a planted mega-order.
+    * `SPARK_GRAFT_CLIQUE_CAP` overrides (0 disables — Soak A/B). */
+  private def cliqueCap: Int =
+    sys.env.get("SPARK_GRAFT_CLIQUE_CAP").map(_.toInt).getOrElse(1000)
+
+  /** Per-order distinct part sets, clique-capped. Cap-injectable for
+    * specs (env is immutable in a test JVM). */
+  private[graft] def orderPartSets(s: org.apache.spark.sql.SparkSession, d: String,
+      cap: Int): DataFrame = {
+    val sets = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_partkey")).as("ps"))
+    if (cap <= 0) sets else sets.where(size(col("ps")) <= cap)
+  }
+
+  /** Co-occurrence pair counts from capped part sets — the shared
+    * group-then-expand kernel, exposed for the cap spec. */
+  private[graft] def cooccurPairs(s: org.apache.spark.sql.SparkSession, d: String,
+      cap: Int): DataFrame =
+    orderPartSets(s, d, cap)
+      .select(explode(col("ps")).as("p1"), col("ps"))
+      .select(col("p1"), explode(col("ps")).as("p2"))
+      .where(col("p1") < col("p2"))
+      .groupBy("p1", "p2")
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Adjacency rows from capped part sets — exposed for the cap spec. */
+  private[graft] def adjacencyRows(s: org.apache.spark.sql.SparkSession, d: String,
+      cap: Int): DataFrame =
+    orderPartSets(s, d, cap)
+      .select(explode(col("ps")).as("pkey"), col("ps"))
+      .select(col("pkey"), explode(col("ps")).as("other"))
+      .where(col("pkey") =!= col("other"))
+      .groupBy("pkey")
+      .agg(sort_array(collect_set(col("other"))).as("nb"))
+      .select(col("pkey"),
+        concat_ws("|", slice(col("nb"), 1, NeighborCap)).as("neighbors"),
+        size(col("nb")).cast("long").as("degree"))
+
   /** (order_year, n_items) per order — the publication(year, #authors)
     * analogue; several queries below reuse this shape (A3-A6). */
   private def orderSizes(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
@@ -166,24 +214,15 @@ object RelationalQueries extends QueryPack {
 
     // J5: bipartite top-projection analogue — parts co-occurring in the
     // same order (order↔part is the author↔keyword bipartite graph).
-    "q_part_cooccur" -> ((s, d) => {
+    "q_part_cooccur" -> ((s, d) =>
       // Group-then-expand instead of distinct + self-join: ONE shuffle
       // on okey (collect_set dedups parts per order as a map-side
       // partial), pairs generated by two in-partition generators, then
       // the unavoidable pair-count shuffle. The join formulation pays
-      // three shuffles for the same output. Per-order part counts are
-      // small (TPC-H ≤ 7), so the k² in-partition expansion is bounded;
-      // a degenerate "order" with millions of items would need the same
-      // clique cap PubGraph applies (graph/PubGraph.scala).
-      Tables.lineitem(s, d)
-        .groupBy(col("l_orderkey"))
-        .agg(collect_set(col("l_partkey")).as("ps"))
-        .select(explode(col("ps")).as("p1"), col("ps"))
-        .select(col("p1"), explode(col("ps")).as("p2"))
-        .where(col("p1") < col("p2"))
-        .groupBy("p1", "p2")
-        .agg(count(lit(1)).as("cnt"))
-    }),
+      // three shuffles for the same output. The clique cap (see
+      // orderPartSets) bounds the k² expansion against a degenerate
+      // mega-order.
+      cooccurPairs(s, d, cliqueCap)),
 
     // A15: adjacency table — per part, sorted pipe-joined co-part list +
     // degree (the collaborator table shape). Same group-then-expand
@@ -196,18 +235,7 @@ object RelationalQueries extends QueryPack {
     // deterministic) while `degree` stays the true distinct-neighbor
     // count; at sf0.1 every degree < the cap so the oracle sees
     // identical output, and the cap behavior itself is spec-pinned.
-    "q_part_adjacency" -> ((s, d) =>
-      Tables.lineitem(s, d)
-        .groupBy(col("l_orderkey"))
-        .agg(collect_set(col("l_partkey")).as("ps"))
-        .select(explode(col("ps")).as("pkey"), col("ps"))
-        .select(col("pkey"), explode(col("ps")).as("other"))
-        .where(col("pkey") =!= col("other"))
-        .groupBy("pkey")
-        .agg(sort_array(collect_set(col("other"))).as("nb"))
-        .select(col("pkey"),
-          concat_ws("|", slice(col("nb"), 1, NeighborCap)).as("neighbors"),
-          size(col("nb")).cast("long").as("degree"))),
+    "q_part_adjacency" -> ((s, d) => adjacencyRows(s, d, cliqueCap)),
 
     // A14: community-strength analogue over the brand histogram.
     "q_brand_strength" -> ((s, d) =>

@@ -67,4 +67,38 @@ class ScalePatternsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("clique cap: a planted mega-order is excluded from pair expansion; real data unchanged") {
+    import spark.implicits._
+    import graft.queries.RelationalQueries
+    // mega-order 999 carries 200 DISJOINT parts (ids 1000+) so its k²
+    // contribution is separable from the three normal-order pairs
+    val mega = (1 to 200).map(p => (999L, 1000L + p))
+    val normal = Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 2L), (2L, 3L))
+    val dir = s"/tmp/graft_cliquecap_${suiteName.hashCode}"
+    (mega ++ normal).toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    def pairs(cap: Int) = RelationalQueries.cooccurPairs(spark, dir, cap)
+      .as[(Long, Long, Long)].collect().toSet
+    val uncapped = pairs(0)
+    val capped = pairs(100)
+    assert(uncapped.size == 200 * 199 / 2 + 3, s"uncapped k² expansion: ${uncapped.size}")
+    assert(capped == Set((1L, 2L, 1L), (1L, 3L, 1L), (2L, 3L, 2L)),
+      s"capped must be exactly the normal-order pairs: $capped")
+    // adjacency shares the kernel: the mega parts vanish, degrees exact
+    val adj = RelationalQueries.adjacencyRows(spark, dir, 100)
+      .select("pkey", "neighbors", "degree")
+      .as[(Long, String, Long)].collect().toSet
+    assert(adj == Set((1L, "2|3", 2L), (2L, "1|3", 2L), (3L, "1|2", 2L)),
+      s"capped adjacency: $adj")
+    assert(RelationalQueries.adjacencyRows(spark, dir, 0).count() == 203)
+
+    // the default cap (1000) is invisible on real testdata — TPC-H
+    // orders carry ≤ 7 parts, so capped output == uncapped output
+    val real0 = RelationalQueries.cooccurPairs(spark, sf, 0)
+      .as[(Long, Long, Long)].collect().toSet
+    val real1000 = RelationalQueries.cooccurPairs(spark, sf, 1000)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(real0 == real1000, "default cap must preserve driver-SF output")
+  }
 }
