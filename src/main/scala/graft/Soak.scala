@@ -39,6 +39,41 @@ object Soak {
     "graph_part_kcore", "graph_part_sssp", "dedup_survivors",
     "q_topn_per_group")
 
+  /** Scaled-table families each KNOWN soak query reads: 'd' =
+    * documents, 'f' = the fact triple (lineitem/orders/part), 'e' =
+    * embeddings. Scaling decisions route through this map — a query
+    * NOT listed here (and not TPC-H-shaped `q<digit>…`, which is
+    * always fact-only) scales EVERY family: the conservative default
+    * costs only scaling time, where the old name-substring allowlist
+    * silently produced flat curves for any fact-joining query whose
+    * name missed every pattern (the r7 §8 failure, twice re-patched).
+    * A WRONG entry here fails loudly (missing parquet path), never
+    * silently. */
+  private[graft] val AllFams = Set('d', 'f', 'e')
+  private[graft] val SoakReads: Map[String, Set[Char]] = Map(
+    "dedup_exact" -> Set('d'), "dedup_ngram_jaccard" -> Set('d'),
+    "dedup_containment" -> Set('d'), "dedup_minhash_lsh" -> Set('d'),
+    "dedup_simhash" -> Set('d'), "dedup_clusters" -> Set('d'),
+    "dedup_survivors" -> Set('d'), "dedup_incremental" -> Set('d'),
+    "dedup_semantic" -> Set('d', 'e'), "dedup_embedding_cosine" -> Set('e'),
+    "text_fingerprint" -> Set('d'), "text_quality" -> Set('d'),
+    "text_tfidf_terms" -> Set('d'), "pipe_decontaminate" -> Set('d'),
+    "graph_part_communities" -> Set('f'), "graph_part_components" -> Set('f'),
+    "graph_part_communities_exact" -> Set('f'),
+    "graph_part_pagerank" -> Set('f'), "graph_part_pagerank_exact" -> Set('f'),
+    "graph_part_kcore" -> Set('f'), "graph_part_sssp" -> Set('f'),
+    "graph_part_triangles" -> Set('f'), "graph_part_bfs" -> Set('f'),
+    "q_part_cooccur" -> Set('f'), "q_part_adjacency" -> Set('f'),
+    "q_topn_per_group" -> Set('f'), "q_pk_integrity" -> Set('f'),
+    "q_fk_integrity" -> Set('f'), "q_median_qty" -> Set('f'),
+    "q_regr_slope" -> Set('f'),
+    "sim_topk_bruteforce" -> Set('e'), "sim_topk_ivf" -> Set('e'),
+    "sim_topk_srp" -> Set('e'), "sim_topk_int8" -> Set('e'))
+
+  private[graft] def famsFor(queries: Seq[String]): Set[Char] =
+    queries.map(q => SoakReads.getOrElse(q,
+      if (q.matches("^q\\d.*")) Set('f') else AllFams)).reduce(_ ++ _)
+
   /** documents scaled k×: copy c shifts doc_id by c·10^9 and suffixes
     * tokens with `_c` (copy 0 keeps the original text so factor 1 == the
     * input).
@@ -106,6 +141,26 @@ object Soak {
     if (hotPhraseTokens <= 0) docs
     else docs.withColumn("text",
       concat_ws(" ", col("text") +: Seq.fill(hotPhraseTokens)(lit("the")): _*))
+
+  /** SPARK_GRAFT_SOAK_HOT_ORDER=n appends ONE synthetic order carrying
+    * n distinct parts (disjoint id range) to the scaled lineitem: the
+    * degenerate hot group for the group-then-expand family, paying
+    * n²/2 in-partition pairs if expanded. This is the adversarial A/B
+    * for the clique cap (RelationalQueries.orderPartSets): with the
+    * default cap the planted order is excluded and the probe's cost is
+    * flat; with SPARK_GRAFT_CLIQUE_CAP=0 it pays the quadratic tail.
+    * The synthetic rows carry only the two join keys (other lineitem
+    * columns null) — meant for cooccur/adjacency probes only. */
+  private def hotOrderParts: Int =
+    sys.env.getOrElse("SPARK_GRAFT_SOAK_HOT_ORDER", "0").toInt
+
+  private def appendHotOrder(li: DataFrame): DataFrame =
+    if (hotOrderParts <= 0) li
+    else li.unionByName(
+      li.sparkSession.range(hotOrderParts).select(
+        lit(999999999L).as("l_orderkey"),
+        (col("id") + 900000000L).as("l_partkey")),
+      allowMissingColumns = true)
 
   private def scaleCopies(docs: DataFrame, k: Int, sharedDen: Int, historyOnly: Boolean): DataFrame = {
     if (k > 1) requireKeysBelowShift(docs, "doc_id")
@@ -193,37 +248,30 @@ object Soak {
     try {
       factors.foreach { k =>
         val dir = s"$workRoot/x$k"
+        // which families to scale comes from the explicit per-query map
+        // (unknown query -> scale everything); the three fact-keyed
+        // tables scale TOGETHER or not at all — scaling lineitem alone
+        // leaves its shifted order/part keys dangling, so any probe
+        // that joins a dimension would silently process factor-1 data
+        // past the join and the soak curve would read flat regardless
+        // of the operator's real scaling behavior (the r7 §8 failure)
+        val fams = famsFor(onlyQueries)
         // the per-token suffix rewrite is the most expensive transform —
-        // skip it when every probed query is TPC-H (reads no documents)
-        if (onlyQueries.exists(q => !q.matches("^q\\d.*")))
+        // written only when some probed query reads documents
+        if (fams('d'))
           scaleCopies(Tables.documents(spark, sfDir), k, sharedDen, historyOnly)
             .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-        // TPC-H family (q<digit>…) plus any orders-reading probe:
-        // scale the two fact-keyed tables consistently. Every OTHER
-        // table is copied through unscaled — a probe outside the
-        // scaled families then still RUNS (on ×1 data; its wall simply
-        // doesn't scale) instead of crashing on a missing path, which
-        // is what the old name-substring allowlist did for any
-        // orders/events reader it didn't anticipate (q_snapshot_diff,
-        // q_except_customers, the events family).
-        // the three fact-keyed tables scale TOGETHER or not at all:
-        // scaling lineitem alone leaves its shifted order/part keys
-        // dangling, so any probe that joins a dimension (q_topn's
-        // part join, q_fk_integrity's parents) would silently process
-        // factor-1 data past the join and the soak curve would read
-        // flat regardless of the operator's real scaling behavior
-        val scaleFacts = onlyQueries.exists(q =>
-          q.matches("^q\\d.*") || q.contains("order") || q.contains("outer") ||
-            q.contains("part") || q.contains("graph") || q.contains("topn") ||
-            q.contains("integrity") || q.contains("median") || q.contains("regr"))
-        if (scaleFacts) {
-          scaleLineitem(Tables.lineitem(spark, sfDir), k)
+        if (fams('f')) {
+          appendHotOrder(scaleLineitem(Tables.lineitem(spark, sfDir), k))
             .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
           scaleOrders(Tables.orders(spark, sfDir), k)
             .write.mode("overwrite").parquet(s"$dir/orders.parquet")
           scalePart(Tables.part(spark, sfDir), k)
             .write.mode("overwrite").parquet(s"$dir/part.parquet")
         } else {
+          // copied through unscaled — a probe outside the scaled
+          // families still RUNS (its wall simply doesn't scale)
+          // instead of crashing on a missing path
           Seq("lineitem", "orders", "part").foreach { n =>
             Tables.table(spark, sfDir, n)
               .write.mode("overwrite").parquet(s"$dir/$n.parquet")
@@ -235,7 +283,7 @@ object Soak {
         }
         Tables.events(spark, sfDir)
           .write.mode("overwrite").parquet(s"$dir/events.parquet")
-        if (onlyQueries.exists(q => q.contains("semantic") || q.contains("sim_")))
+        if (fams('e'))
           scaleEmbeddings(Tables.embeddings(spark, sfDir), k)
             .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
         else

@@ -50,13 +50,35 @@ object TextFunctions {
   /** Token count (whitespace). */
   def tokenCount(text: Column): Column = size(tokens(text))
 
-  /** BPE-ish sub-word count, lookaround-free (portable to RE2 engines):
-    * letter runs + digit runs + individual punctuation marks, the way a
-    * byte-pair pre-tokenizer splits before merging. */
+  /** Sub-word count under the REAL committed BPE merge table
+    * ([[BpeMerges.Rules]], 200 trained rules): letter runs lowercase
+    * and merge rule-by-rule; digit runs and individual punctuation
+    * marks count one unit each (the byte-pair pre-tokenizer split,
+    * unchanged — those two terms stay pure-column so the \s semantics
+    * match the oracle exactly as before). The DuckDB oracle replays
+    * the identical merge chain via [[BpeMerges.oracleChain]]. */
   def subwordCount(text: Column): Column =
-    size(regexp_extract_all(text, lit("[a-zA-Z]+"), lit(0))) +
+    bpeLetterUnits(text) +
       size(regexp_extract_all(text, lit("[0-9]+"), lit(0))) +
       length(regexp_replace(text, "[a-zA-Z0-9\\s]", ""))
+
+  /** Σ over letter runs of their BPE unit count. A UDF: the 200-rule
+    * merge loop has no Catalyst-expression form (a 200-deep replace
+    * chain falls out of codegen); the kernel is a tight per-run array
+    * pass, the same justified-kernel tier as the shingle hasher. */
+  private val bpeLetterUnits = {
+    val runPattern = java.util.regex.Pattern.compile("[a-zA-Z]+")
+    udf { (t: String) =>
+      if (t == null) null.asInstanceOf[java.lang.Integer]
+      else {
+        var n = 0
+        val m = runPattern.matcher(t)
+        while (m.find())
+          n += BpeMerges.countSubwords(m.group.toLowerCase(java.util.Locale.ROOT))
+        Integer.valueOf(n)
+      }
+    }
+  }
 
   /** Character n-grams of a string as an array column (used by the
     * shingle/fingerprint family). */

@@ -308,14 +308,19 @@ object TextQueries extends QueryPack {
         |WHERE lang IN ('en','de') AND norm IS NOT NULL AND length(norm) >= 50
         |GROUP BY lang, source""".stripMargin,
 
+    // n_subwords replays the committed 200-rule BPE merge chain: every
+    // letter wrapped `(c)`, one replace per rule in training order
+    // (staged CTEs — DuckDB's binder caps nesting), surviving `(`
+    // groups are the units (see BpeMerges.oracleCtes).
     "text_token_stats" ->
-      """SELECT doc_id,
-        |  len(list_filter(string_split_regex(lower(text), '\s+'), t -> length(t) > 0)) AS n_tokens,
-        |  len(regexp_extract_all(text, '[a-zA-Z]+'))
-        |    + len(regexp_extract_all(text, '[0-9]+'))
-        |    + length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS n_subwords,
-        |  length(text) AS n_chars_computed
-        |FROM documents""".stripMargin,
+      s"""WITH ${graft.functions.BpeMerges.oracleCtes("documents", "text")}
+         |SELECT doc_id,
+         |  len(list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0)) AS n_tokens,
+         |  CAST(length(bpe) - length(replace(bpe, '(', ''))
+         |    + len(regexp_extract_all(text, '[0-9]+'))
+         |    + length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS INTEGER) AS n_subwords,
+         |  length(text) AS n_chars_computed
+         |FROM ${graft.functions.BpeMerges.oracleFinalRelation()}""".stripMargin,
 
     "text_quality" ->
       """WITH t AS (

@@ -76,4 +76,22 @@ class SoakSpec extends AnyFunSuite {
     val bigLi = Seq((5L, 1000000001L)).toDF("l_orderkey", "l_partkey")
     intercept[IllegalArgumentException] { Soak.scaleLineitem(bigLi, 2).count() }
   }
+
+  test("fact-scaling routes through the explicit table map; unknowns scale everything") {
+    assert(Soak.famsFor(Seq("dedup_ngram_jaccard")) == Set('d'))
+    assert(Soak.famsFor(Seq("q1_pricing_summary")) == Set('f'))
+    assert(Soak.famsFor(Seq("dedup_semantic")) == Set('d', 'e'))
+    // the r7 failure shape: a fact-joining query whose name matches no
+    // substring pattern — the map default now scales every family
+    // rather than silently reproducing a flat curve
+    assert(Soak.famsFor(Seq("some_future_probe")) == Soak.AllFams)
+    assert(Soak.famsFor(Seq("dedup_exact", "q_topn_per_group")) == Set('d', 'f'))
+    // map hygiene: the standing soak list never falls to the expensive
+    // default, and every mapped name is a real battery query (a typo'd
+    // key would silently shadow the real query's entry)
+    Soak.SoakQueries.foreach(q =>
+      assert(Soak.SoakReads.contains(q), s"$q missing from SoakReads"))
+    Soak.SoakReads.keys.foreach(q =>
+      assert(SparkEntry.queries.contains(q), s"SoakReads key $q is not a battery query"))
+  }
 }

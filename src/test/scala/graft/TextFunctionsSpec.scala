@@ -30,8 +30,32 @@ class TextFunctionsSpec extends AnyFunSuite {
     val df = Seq("The quick  brown fox-jumps! 42 times").toDF("s")
     val (n, sw) = df.select(tokenCount($"s"), subwordCount($"s")).as[(Int, Int)].collect().head
     assert(n == 6)
-    // letters runs: the quick brown fox jumps times = 6; digits: 42 = 1; punct: - ! = 2
-    assert(sw == 9)
+    // BPE units per letter run (real merge table): the=1 qu/ic/k=3
+    // b/ro/w/n=4 f/o/x=3 j/u/m/p/s=5 t/i/m/es=4 → 20; digits: 42 = 1;
+    // punct: - ! = 2
+    assert(sw == 23)
+  }
+
+  test("BPE merges: table-trained words collapse, unseen words split toward chars") {
+    import graft.functions.BpeMerges
+    // corpus words reproduce their training segmentation
+    assert(BpeMerges.countSubwords("the") == 1)
+    assert(BpeMerges.countSubwords("counting") == 1)
+    assert(BpeMerges.countSubwords("deterministic") == 1)
+    // unseen word: merges only via generic pairs (x/y/l/o/p/h/on/e)
+    assert(BpeMerges.countSubwords("xylophone") == 8)
+    // the merge table is well-formed: every rule's symbols are
+    // producible (single chars or the output of an EARLIER rule), so
+    // no rule is dead by construction
+    val producible = collection.mutable.Set[String]()
+    ('a' to 'z').foreach(c => producible += c.toString)
+    BpeMerges.Rules.foreach { case (a, b) =>
+      assert(producible(a) && producible(b), s"rule ($a,$b) uses unproducible symbol")
+      producible += (a + b)
+    }
+    // applyRule is left-to-right non-overlapping (the SQL replace scan)
+    assert(BpeMerges.applyRule(Array("l", "l", "l"), "l", "l").toSeq == Seq("ll", "l"))
+    assert(BpeMerges.applyRule(Array("a", "b", "a", "b"), "a", "b").toSeq == Seq("ab", "ab"))
   }
 
   test("charNgrams and wordNgrams handle short inputs") {
