@@ -29,6 +29,13 @@ object CurationQueries extends QueryPack {
     * plumbing. */
   private val N = 5
 
+  /** PII patterns, engine-portable by construction (character classes
+    * + bounded/simple quantifiers only — no lookaround, no \b). */
+  private[graft] val PiiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val PiiPhone = "[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}"
+  private[graft] val PiiIp = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+  private[graft] val PiiLongNum = "[0-9]{6,}"
+
   /** Every doc's distinct word-5-grams as STRINGS (the shared
     * [[graft.functions.TextFunctions.wordNgrams]] kernel — the streaming
     * ingest guard uses the same one, so batch and stream agree on what
@@ -80,6 +87,27 @@ object CurationQueries extends QueryPack {
     // stage, cumulatively. ONE pass of conditional sums — the funnel is
     // a single row of counters however large the corpus — then a tiny
     // unpivot for presentation.
+    // PII scan + redaction — the privacy pass a corpus runs before
+    // release: count email / phone / IPv4 / long-digit-run matches per
+    // document and measure the redacted length after masking. The
+    // patterns use only character classes and bounded-or-simple
+    // quantifiers, so Java (Spark) and RE2-ish (DuckDB) engines match
+    // identically; counts come off the ORIGINAL text, and the mask
+    // chain applies email → phone → IP in a fixed order so overlaps
+    // resolve identically on both engines. At 100 TB this is one
+    // map-side codegen'd pass — the scan never shuffles; PIISpec pins
+    // the match/redaction behavior on a planted-PII fixture.
+    "text_pii_scan" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(PiiEmail), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(PiiPhone), lit(0))).as("n_phones"),
+        size(regexp_extract_all(col("text"), lit(PiiIp), lit(0))).as("n_ips"),
+        size(regexp_extract_all(col("text"), lit(PiiLongNum), lit(0))).as("n_longnums"),
+        length(regexp_replace(regexp_replace(regexp_replace(col("text"),
+          PiiEmail, "<EMAIL>"), PiiPhone, "<PHONE>"), PiiIp, "<IP>"))
+          .as("redacted_len"))),
+
     "pipe_quality_funnel" -> ((s, d) => {
       val q = Tables.documents(s, d)
         .select(col("lang"), col("n_chars"), qualityCounters(col("text")).as("q"))
@@ -259,6 +287,17 @@ object CurationQueries extends QueryPack {
        |  FROM toks WHERE len(ts) >= $N)""".stripMargin
 
   override def oracles: Map[String, String] = Map(
+    "text_pii_scan" ->
+      s"""SELECT doc_id,
+         |  len(regexp_extract_all(text, '$PiiEmail')) AS n_emails,
+         |  len(regexp_extract_all(text, '$PiiPhone')) AS n_phones,
+         |  len(regexp_extract_all(text, '$PiiIp')) AS n_ips,
+         |  len(regexp_extract_all(text, '$PiiLongNum')) AS n_longnums,
+         |  length(regexp_replace(regexp_replace(regexp_replace(text,
+         |    '$PiiEmail', '<EMAIL>', 'g'), '$PiiPhone', '<PHONE>', 'g'),
+         |    '$PiiIp', '<IP>', 'g')) AS redacted_len
+         |FROM documents""".stripMargin,
+
     "pipe_decontaminate" ->
       s"""WITH $gramCtes,
          |ev AS (SELECT doc_id, unnest(gs) AS s FROM g WHERE doc_id % 50 = 0),

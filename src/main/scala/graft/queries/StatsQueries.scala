@@ -94,6 +94,36 @@ object StatsQueries extends QueryPack {
         .select(col("user_id"), col("m.t").as("mode_type"),
           (-col("m.negc")).as("cnt"))),
 
+    // Approximate-quantile CERTIFICATE — percentile_approx (a mergeable
+    // fixed-size sketch, one pass) is THE quantile path at 100 TB, but
+    // its output can wobble with partition merge order, so the raw
+    // sketch values are unhashable. The query instead grades the
+    // sketch against exact per-flag quantiles and emits tolerance
+    // flags: |approx − exact| ≤ 1%·exact for p50/p90 of price (sketch
+    // rank error at accuracy 10⁴ is ~100× tighter, so the certificate
+    // is stable while real sketch corruption would trip it). The exact
+    // side (a per-flag sort window) exists only to grade — production
+    // at scale ships the sketch alone. Same thresholded-certificate
+    // pattern as the SRP recall and PageRank agreement tiers.
+    "q_quantiles_cert" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_returnflag").as("flag"),
+        col("l_extendedprice").cast("double").as("v"))
+      val approx = li.groupBy("flag")
+        .agg(percentile_approx(col("v"), array(lit(0.5), lit(0.9)), lit(10000)).as("ap"))
+        .select(col("flag"), col("ap")(0).as("a50"), col("ap")(1).as("a90"))
+      val n = li.groupBy("flag").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("flag").orderBy("v")
+      val exact = li.withColumn("rn", row_number().over(w))
+        .join(broadcast(n), Seq("flag"))
+        .withColumn("e50", when(col("rn") === ceil(col("n") * 0.5), col("v")))
+        .withColumn("e90", when(col("rn") === ceil(col("n") * 0.9), col("v")))
+        .groupBy("flag").agg(max("e50").as("e50"), max("e90").as("e90"))
+      approx.join(exact, Seq("flag"))
+        .select(col("flag"),
+          (abs(col("a50") - col("e50")) <= col("e50") * 0.01).cast("long").as("p50_ok"),
+          (abs(col("a90") - col("e90")) <= col("e90") * 0.01).cast("long").as("p90_ok"))
+    }),
+
     // Least-squares regression slope of extended price on quantity per
     // return flag — computed ENTIRELY in integers so the driver can
     // hash it: x = quantity (integer-valued), y = price in cents
@@ -323,6 +353,14 @@ object StatsQueries extends QueryPack {
         |  FROM c)
         |SELECT user_id, event_type AS mode_type, CAST(c AS BIGINT) AS cnt
         |FROM r WHERE rn = 1""".stripMargin,
+
+    // Certificate claims: every tolerance flag met, one row per flag
+    // present in the data (structural part from the table, claims
+    // literal — the SRP-certificate grading pattern).
+    "q_quantiles_cert" ->
+      """SELECT l_returnflag AS flag, CAST(1 AS BIGINT) AS p50_ok,
+        |       CAST(1 AS BIGINT) AS p90_ok
+        |FROM lineitem GROUP BY 1""".stripMargin,
 
     "q_regr_slope" ->
       """WITH st AS (

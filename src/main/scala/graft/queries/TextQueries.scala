@@ -160,27 +160,20 @@ object TextQueries extends QueryPack {
     // run the way a trained quality model runs at corpus scale — the
     // (small) vocabulary→weight table broadcasts, tokens map-side
     // join against it, and the per-document margin is one aggregation.
-    // The weight VALUES here are a deterministic stand-in
-    // (splitmix64∘PolyHash64 of the token, low 20 bits recentred);
-    // swap the vocab DataFrame for real trained weights and the
-    // pipeline is production model inference. Vocabulary = top-32
-    // tokens by (count desc, token asc) — capped like any real vocab,
-    // so the OOV path (unscored tokens) is genuinely exercised.
-    // All-integer output; the oracle replays the hash chain in HUGEINT.
-    // (The vocab build re-scans the pruned text column rather than
-    // caching the exploded corpus-sized token table — in production the
-    // vocabulary arrives with the model and the build branch vanishes.)
+    // The weights are REAL learned parameters (r8): an all-integer
+    // perceptron trained over the committed labeled corpus, with
+    // ClassifierSpec re-running the trainer to reproduce the table
+    // exactly (see functions/ClassifierWeights.scala). Corpus tokens
+    // outside the 103-token model vocabulary exercise the OOV path
+    // (unscored, counted in n_tokens only). All-integer output; the
+    // oracle replays the identical scoring join against the same
+    // weights as a literal VALUES table.
     "text_classifier_score" -> ((s, d) => {
       import s.implicits._
-      val tok = Tables.documents(s, d)
+      val vocab = graft.functions.ClassifierWeights.Weights.toDF("token", "w")
+      Tables.documents(s, d)
         .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
-      val vocab = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
-        .orderBy(col("cnt").desc, col("token").asc).limit(32)
-        .select(col("token")).as[String]
-        .map(t => (t,
-          (HashFunctions.splitmix64(PolyHash64Expr.compute(t)) & 0xFFFFFL) - 524288L))
-        .toDF("token", "w")
-      tok.join(broadcast(vocab), Seq("token"), "left")
+        .join(broadcast(vocab), Seq("token"), "left")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_tokens"),
           count(col("w")).as("n_scored"),
@@ -431,36 +424,16 @@ object TextQueries extends QueryPack {
       |    THEN h - CAST('18446744073709551616' AS HUGEINT) ELSE h END AS BIGINT) AS cleaned_fp
       |FROM hashed""".stripMargin
 
-  /** The classifier's weight chain (PolyHash64 → splitmix64 → low 20
-    * bits recentred) replayed scalar-wise in HUGEINT over the ≤32
-    * vocabulary tokens — same staged chain as the simhash oracle. */
+  /** The committed perceptron weights replayed as a literal VALUES
+    * table — the oracle scores with the SAME learned parameters the
+    * engine ships (functions/ClassifierWeights.scala). */
   private val classifierOracle: String = {
-    val two64 = "CAST('18446744073709551616' AS HUGEINT)"
-    val K0 = java.lang.Long.toUnsignedString(0x9e3779b97f4a7c15L)
-    val K1 = java.lang.Long.toUnsignedString(0xbf58476d1ce4e5b9L)
-    val K2 = java.lang.Long.toUnsignedString(0x94d049bb133111ebL)
-    def mul64(a: String, k: String) =
-      s"((($a // 4294967296) * $k % 4294967296) * 4294967296 + ($a % 4294967296) * $k) % $two64"
+    val values = graft.functions.ClassifierWeights.Weights
+      .map { case (t, w) => s"('$t', $w)" }.mkString(", ")
     s"""WITH tok AS (
   SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> length(x) > 0)) AS token
   FROM documents),
-vc AS (
-  SELECT token FROM (
-    SELECT token, count(*) AS cnt FROM tok GROUP BY 1
-    ORDER BY cnt DESC, token LIMIT 32)),
-p0 AS (
-  SELECT token,
-    (list_reduce(
-      list_prepend(CAST(1125899906842597 AS HUGEINT),
-        list_transform(range(1, length(token) + 1), i -> CAST(ord(substr(token, i, 1)) AS HUGEINT))),
-      (acc, b) -> (acc * 31 + b) % $two64) + $K0) % $two64 AS z
-  FROM vc),
-p1 AS (SELECT token, xor(z, z // 1073741824) AS z FROM p0),
-p2 AS (SELECT token, ${mul64("z", K1)} AS z FROM p1),
-p3 AS (SELECT token, xor(z, z // 134217728) AS z FROM p2),
-p4 AS (SELECT token, ${mul64("z", K2)} AS z FROM p3),
-vocab AS (
-  SELECT token, CAST(xor(z, z // 2147483648) % 1048576 AS BIGINT) - 524288 AS w FROM p4),
+vocab(token, w) AS (VALUES $values),
 j AS (SELECT t.doc_id, v.w FROM tok t LEFT JOIN vocab v USING (token))
 SELECT doc_id, count(*) AS n_tokens, CAST(count(w) AS BIGINT) AS n_scored,
   CAST(coalesce(sum(w), 0) AS BIGINT) AS score,
