@@ -68,6 +68,36 @@ object GraphOps {
           .otherwise(coalesce(col("m"), lit(0L)) + 1).as("removed_round"))
   }
 
+  /** Local clustering coefficient per vertex from a canonical
+    * (src < dst, distinct) edge list: (v, deg, tri, coeff) with
+    * coeff = 2·tri / (deg·(deg−1)), 0.0 below degree 2. Declarative
+    * 3-way self-join triangle enumeration — each join shuffles on an
+    * edge endpoint, no per-vertex adjacency arrays, so a hot vertex
+    * costs its edge count, not neighborhood². tri/deg are integers and
+    * coeff is one double division of integer operands, so results are
+    * bit-identical under any partitioning. */
+  def clusteringCoeff(edges: DataFrame): DataFrame = {
+    val e = graft.CacheRegistry.persistTracked(
+      edges.select(col("src").as("a"), col("dst").as("b")))
+    val tris = e.as("e1")
+      .join(e.as("e2"), col("e1.a") === col("e2.a") && col("e1.b") < col("e2.b"))
+      .select(col("e1.b").as("y"), col("e2.b").as("z"), col("e1.a").as("x"))
+      .join(e.as("e3"), col("y") === col("e3.a") && col("z") === col("e3.b"))
+      .select("x", "y", "z")
+    val pv = tris.select(col("x").as("v"))
+      .unionAll(tris.select(col("y").as("v")))
+      .unionAll(tris.select(col("z").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("tri"))
+    val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    deg.join(pv, Seq("v"), "left")
+      .select(col("v"), col("deg"),
+        coalesce(col("tri"), lit(0L)).as("tri"),
+        when(col("deg") < 2, lit(0.0))
+          .otherwise((coalesce(col("tri"), lit(0L)) * 2).cast("double") /
+            (col("deg") * (col("deg") - 1))).as("coeff"))
+  }
+
   /** Weighted single-source shortest paths (min-plus relaxation) from
     * the smallest vertex id, capped at `rounds` relaxations: returns
     * (v, dist) with −1 for vertices not reached within the cap.

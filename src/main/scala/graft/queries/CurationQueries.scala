@@ -108,6 +108,26 @@ object CurationQueries extends QueryPack {
           PiiEmail, "<EMAIL>"), PiiPhone, "<PHONE>"), PiiIp, "<IP>"))
           .as("redacted_len"))),
 
+    // k-anonymity audit — PII's structured-data companion: bucket every
+    // customer by quasi-identifier tuple (nation, segment, $1000
+    // account-balance band) and report the equivalence-class size
+    // census with an at-risk flag for classes below k=5 (those rows
+    // are re-identifiable and a release pipeline must suppress or
+    // generalize them). Two cascaded aggregations, both map-combining;
+    // output is bounded by the distinct class-size count — at 100 TB
+    // this is a scan plus two tiny shuffles. The band uses floor() of
+    // a double division, identical IEEE semantics on both engines.
+    "q_k_anonymity" -> ((s, d) =>
+      Tables.customer(s, d)
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / lit(1000.0)).as("band"))
+        .groupBy("c_nationkey", "c_mktsegment", "band")
+        .agg(count(lit(1)).as("gsz"))
+        .groupBy("gsz")
+        .agg(count(lit(1)).as("n_groups"), sum(col("gsz")).as("n_customers"))
+        .select(col("gsz").as("group_size"), col("n_groups"), col("n_customers"),
+          when(col("gsz") < 5, lit(1L)).otherwise(lit(0L)).as("at_risk"))),
+
     "pipe_quality_funnel" -> ((s, d) => {
       val q = Tables.documents(s, d)
         .select(col("lang"), col("n_chars"), qualityCounters(col("text")).as("q"))
@@ -297,6 +317,17 @@ object CurationQueries extends QueryPack {
          |    '$PiiEmail', '<EMAIL>', 'g'), '$PiiPhone', '<PHONE>', 'g'),
          |    '$PiiIp', '<IP>', 'g')) AS redacted_len
          |FROM documents""".stripMargin,
+
+    "q_k_anonymity" ->
+      """WITH cls AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |         CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS band,
+        |         count(*) AS gsz
+        |  FROM customer GROUP BY 1, 2, 3)
+        |SELECT gsz AS group_size, count(*) AS n_groups,
+        |  CAST(sum(gsz) AS BIGINT) AS n_customers,
+        |  CASE WHEN gsz < 5 THEN 1 ELSE 0 END AS at_risk
+        |FROM cls GROUP BY gsz""".stripMargin,
 
     "pipe_decontaminate" ->
       s"""WITH $gramCtes,

@@ -222,6 +222,21 @@ object GraphQueries extends QueryPack {
       graft.graph.GraphOps.ssspRounds(cooccurEdges(s, d), rounds = 4)
         .select(col("v").as("part"), col("dist"))),
 
+    // Local clustering coefficient per part — how clique-ish each
+    // part's own neighborhood is: tri(v) closed triangles against
+    // deg(v)·(deg(v)−1)/2 possible ones. Declarative 3-way self-join
+    // on the canonical (src<dst) edge list — the join-based triangle
+    // enumeration that scales on a cluster (each join shuffles on an
+    // edge endpoint; no adjacency lists are materialized per vertex,
+    // so a hot vertex costs its edge count, not its neighborhood²
+    // array). tri and deg are integers, coeff is ONE double division
+    // of integer operands — bit-exact vs the same SQL. Complements
+    // graph_part_triangles (global histogram) with the per-vertex
+    // table a feature pipeline would join back onto parts.
+    "graph_part_clustering" -> ((s, d) =>
+      graft.graph.GraphOps.clusteringCoeff(cooccurEdges(s, d))
+        .select(col("v").as("part"), col("deg"), col("tri"), col("coeff"))),
+
     // BFS / unweighted single-source shortest paths — hop distance
     // from the smallest part id, capped at 4 hops (−1 = unreached).
     // Integer hops are partition-order-independent, so unlike the
@@ -414,5 +429,26 @@ object GraphQueries extends QueryPack {
          |pv AS (SELECT v, count(*) AS triangles FROM (
          |  SELECT x AS v FROM tris UNION ALL SELECT y FROM tris
          |  UNION ALL SELECT z FROM tris) GROUP BY v)
-         |SELECT triangles, count(*) AS n_parts FROM pv GROUP BY 1""".stripMargin)
+         |SELECT triangles, count(*) AS n_parts FROM pv GROUP BY 1""".stripMargin,
+
+    // Same triangle enumeration + degree, per vertex; coeff is one
+    // double division of integer operands (exact on both engines).
+    "graph_part_clustering" ->
+      s"""WITH $edgesCte,
+         |e AS (SELECT DISTINCT src AS a, dst AS b FROM edges),
+         |tris AS (
+         |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |  FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+         |  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+         |pv AS (SELECT v, count(*) AS tri FROM (
+         |  SELECT x AS v FROM tris UNION ALL SELECT y FROM tris
+         |  UNION ALL SELECT z FROM tris) GROUP BY v),
+         |deg AS (SELECT v, count(*) AS deg FROM (
+         |  SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY v)
+         |SELECT deg.v AS part, deg.deg AS deg,
+         |  CAST(coalesce(pv.tri, 0) AS BIGINT) AS tri,
+         |  CASE WHEN deg.deg < 2 THEN 0.0
+         |    ELSE CAST(coalesce(pv.tri, 0) * 2 AS DOUBLE) / (deg.deg * (deg.deg - 1))
+         |  END AS coeff
+         |FROM deg LEFT JOIN pv ON deg.v = pv.v""".stripMargin)
 }

@@ -59,6 +59,22 @@ object MultimodalQueries extends QueryPack {
           col("r_sum"), col("g_sum"), col("b_sum"))
     }),
 
+    // Perceptual-hash image dedup over REAL decoded pixels: decode each
+    // PNG, 8×8 NN-resample, average-hash (bit = cell gray strictly
+    // above image mean, integer compare), bucket the corpus by the
+    // 64-bit signature (two positive 32-bit halves — see
+    // PixelImage.aHash). The image analogue of SimHash bucketing:
+    // kernels run per-row and shrink each image to 16 bytes BEFORE the
+    // shuffle, so the one aggregation moves signatures, not pixels —
+    // linear at 100 TB. The oracle replays generator + NN map + hash
+    // packing in integer SQL; any wrong bit anywhere flips the hash.
+    "mm_image_phash" -> ((s, d) => {
+      val media = graft.multimodal.PixelImage.mediaFromDocuments(Tables.documents(s, d))
+      graft.multimodal.PixelImage.aHash(media).toDF()
+        .groupBy("phash_hi", "phash_lo")
+        .agg(count(lit(1)).as("n_images"), min(col("media_id")).as("min_media"))
+    }),
+
     // Per-channel corpus means over REAL ImageIO-decoded pixels: decode
     // every PNG, sum each channel, divide the exact integer totals once
     // on both engines. n_pixels counts every (x, y) position.
@@ -136,6 +152,37 @@ object MultimodalQueries extends QueryPack {
         |  CAST(ceil(length(text) * 1.0 / 256) AS BIGINT) AS n_frames,
         |  CAST(ceil(ceil(length(text) * 1.0 / 256) / 4.0) AS BIGINT) AS n_sampled
         |FROM documents""".stripMargin,
+
+    // the aHash chain in integer SQL: 8×8 NN indices into the generator
+    // formula, gray = Σ channels, bit = 64·gray > Σgray, bits packed
+    // big-endian by p = y·8 + x into two 32-bit halves.
+    "mm_image_phash" ->
+      """WITH c AS (
+        |  SELECT doc_id AS id,
+        |    16 + doc_id % 16 AS w, 12 + (doc_id // 3) % 12 AS h
+        |  FROM documents),
+        |g AS (
+        |  SELECT c.id, pp.p,
+        |    ((c.id * 31 + (((pp.p % 8) * c.w) // 8) * 7
+        |      + (((pp.p // 8) * c.h) // 8) * 13) % 256
+        |   + (c.id * 31 + (((pp.p % 8) * c.w) // 8) * 7
+        |      + (((pp.p // 8) * c.h) // 8) * 13 + 101) % 256
+        |   + (c.id * 31 + (((pp.p % 8) * c.w) // 8) * 7
+        |      + (((pp.p // 8) * c.h) // 8) * 13 + 202) % 256) AS gray
+        |  FROM c, range(0, 64) pp(p)),
+        |t AS (SELECT id, sum(gray) AS total FROM g GROUP BY id),
+        |b AS (
+        |  SELECT g.id, g.p,
+        |    CASE WHEN 64 * g.gray > t.total THEN 1 ELSE 0 END AS bit
+        |  FROM g JOIN t ON g.id = t.id),
+        |hp AS (
+        |  SELECT id,
+        |    CAST(sum(CASE WHEN p < 32 THEN bit * (1::BIGINT << (31 - p)) ELSE 0 END) AS BIGINT) AS phash_hi,
+        |    CAST(sum(CASE WHEN p >= 32 THEN bit * (1::BIGINT << (63 - p)) ELSE 0 END) AS BIGINT) AS phash_lo
+        |  FROM b GROUP BY id)
+        |SELECT phash_hi, phash_lo, count(*) AS n_images,
+        |  min(id) AS min_media
+        |FROM hp GROUP BY 1, 2""".stripMargin,
 
     // per-channel corpus means: the generator formula summed over every
     // (x, y) position of every image, one double division at the end.

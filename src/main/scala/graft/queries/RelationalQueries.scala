@@ -266,7 +266,30 @@ object RelationalQueries extends QueryPack {
           date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"))
         .agg(count(lit(1)).as("cnt"),
           round(sum(col("value").cast("decimal(18,6)")).cast("double") / count(lit(1)), 6)
-            .as("avg_value"))))
+            .as("avg_value"))),
+
+    // Interval-overlap count WITHOUT a range join: how many orders are
+    // "in flight" (between their first and last lineitem ship) in each
+    // month. The naive formulation is months ⋈ orders ON s <= m < e —
+    // a theta join Spark would execute as BNLJ. Instead each interval
+    // EXPLODES into the integer month keys it covers (bounded fan-out:
+    // TPC-H fulfillment windows span ≤ a few months) and one
+    // map-combining aggregate counts per month — linear in input, two
+    // small shuffles, no join at all. The month key is integer
+    // arithmetic (year·12+month), formatted once at the end, so both
+    // engines agree bit-for-bit.
+    "q_interval_overlap" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(min(col("l_shipdate")).as("s"), max(col("l_shipdate")).as("e"))
+        .select(explode(sequence(
+          year(col("s")) * 12 + month(col("s")) - 1,
+          year(col("e")) * 12 + month(col("e")) - 1)).as("mi"))
+        .groupBy("mi")
+        .agg(count(lit(1)).as("n_open"))
+        .select(
+          format_string("%04d-%02d", expr("mi div 12"), col("mi") % 12 + 1).as("month"),
+          col("n_open"))))
 
   override def oracles: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -398,5 +421,16 @@ object RelationalQueries extends QueryPack {
         |  strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
         |  count(*) AS cnt,
         |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_value
-        |FROM events GROUP BY 1, 2""".stripMargin)
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_interval_overlap" ->
+      """WITH iv AS (
+        |  SELECT l_orderkey,
+        |    year(min(l_shipdate)) * 12 + month(min(l_shipdate)) - 1 AS sm,
+        |    year(max(l_shipdate)) * 12 + month(max(l_shipdate)) - 1 AS em
+        |  FROM lineitem GROUP BY 1),
+        |m AS (SELECT unnest(range(sm, em + 1)) AS mi FROM iv)
+        |SELECT printf('%04d-%02d', mi // 12, mi % 12 + 1) AS month,
+        |  count(*) AS n_open
+        |FROM m GROUP BY 1""".stripMargin)
 }

@@ -59,6 +59,37 @@ object WindowQueries extends QueryPack {
             .cast("double").as("sum_1h"))
     }),
 
+    // Exponentially-weighted moving average per user (α = 1/2,
+    // truncated at depth 16, renormalized over the weights actually
+    // present) — the time-series smoother monitoring pipelines run.
+    // Float EWMA recurrences drift across engines; here the numerator
+    // is an EXACT decimal dot product of the last ≤16 values against
+    // power-of-two weights 2^(m−1−j) (m = events so far, capped), the
+    // denominator is the integer weight sum 2^m − 1, and the single
+    // double division at the end is correctly rounded on both engines.
+    // All 16 lag() calls share ONE window spec, so Catalyst schedules
+    // a single sort+Window over the one user_id exchange — the same
+    // one-shuffle shape as sessionization, linear at 100 TB.
+    "q_events_ewma" -> ((s, d) => {
+      val depth = 16
+      val wo = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      var df = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("value"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("rn", row_number().over(wo))
+      for (j <- 0 until depth)
+        df = df.withColumn(s"v$j", lag(col("value"), j).over(wo))
+      val num = (0 until depth).map { j =>
+        when(col("rn") > j,
+          (col(s"v$j").cast("decimal(18,6)") *
+            expr(s"shiftleft(1L, least($depth, rn) - 1 - $j)")).cast("decimal(38,6)"))
+          .otherwise(lit(0).cast("decimal(38,6)"))
+      }.reduce(_ + _)
+      df.select(col("user_id"), col("event_id"), col("us"),
+        (num.cast("decimal(38,6)").cast("double") /
+          (expr(s"shiftleft(1L, least($depth, rn))") - 1)).as("ewma"))
+    }),
+
     // Attribution interval join: every click paired with the view(s) it
     // follows within an hour, same user. The SHARED kernel with the
     // streaming path (EventStreams.clickAttribution — watermarked
@@ -274,6 +305,26 @@ object WindowQueries extends QueryPack {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q_events_ewma" -> {
+      val depth = 16
+      val lags = (0 until depth)
+        .map(j => s"lag(value, $j) OVER w AS v$j").mkString(",\n         |    ")
+      val terms = (0 until depth).map(j =>
+        s"""CASE WHEN rn > $j THEN CAST(CAST(v$j AS DECIMAL(18,6)) *
+           |      ((1::BIGINT << (least($depth, rn) - 1 - $j))) AS DECIMAL(38,6))
+           |    ELSE CAST(0 AS DECIMAL(38,6)) END""".stripMargin).mkString(" +\n  ")
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, epoch_us(ts) AS us, value,
+         |    row_number() OVER w AS rn,
+         |    $lags
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+         |SELECT user_id, event_id, us,
+         |  CAST(($terms) AS DOUBLE)
+         |    / ((1::BIGINT << least($depth, rn)) - 1) AS ewma
+         |FROM e""".stripMargin
+    },
 
     "q_events_debounce" ->
       s"""WITH e AS (

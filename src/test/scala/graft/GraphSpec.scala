@@ -190,4 +190,19 @@ class GraphSpec extends AnyFunSuite {
     assert(got == Map(1L -> 0L, 2L -> 2L, 3L -> 5L, 4L -> 9L, 5L -> 14L,
       6L -> -1L, 7L -> -1L))
   }
+
+  test("GraphOps.clusteringCoeff: triangle + pendant, by hand") {
+    // Triangle {1,2,3} plus pendant 3—4: deg(1)=deg(2)=2, deg(3)=3,
+    // deg(4)=1; each triangle vertex closes 1 triangle, 4 closes none.
+    // coeff(1)=coeff(2)=2·1/(2·1)=1, coeff(3)=2·1/(3·2)=1/3,
+    // coeff(4)=0 (degree below 2 — no pair to close).
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val got = graft.graph.GraphOps.clusteringCoeff(edges)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    SparkEntry.releaseCaches()
+    assert(got == Map(
+      1L -> ((2L, 1L, 1.0)), 2L -> ((2L, 1L, 1.0)),
+      3L -> ((3L, 1L, 1.0 / 3)), 4L -> ((1L, 0L, 0.0))))
+  }
 }

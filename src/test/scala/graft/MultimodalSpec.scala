@@ -139,4 +139,26 @@ class MultimodalSpec extends AnyFunSuite {
     assert(fs(0L) == (0L, 0L), "empty payload must sample zero frames")
     assert(fs(1L) == (0L, 0L))
   }
+
+  test("PixelImage.aHash: uniform image hashes to zero; half-split sets exactly the bright half") {
+    import java.awt.image.BufferedImage
+    import graft.multimodal.PixelImage
+    // uniform gray: no cell is STRICTLY above the mean -> all bits 0
+    val flat = new BufferedImage(16, 16, BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 16; x <- 0 until 16) flat.setRGB(x, y, 0xff808080)
+    // left half black, right half white: exactly the 32 right-column
+    // cells (x >= 4 after 8x8 NN resample) exceed the mean
+    val split = new BufferedImage(16, 16, BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 16; x <- 0 until 16)
+      split.setRGB(x, y, if (x < 8) 0xff000000 else 0xffffffff)
+    val media = Seq(
+      PixelImage.Media(0L, PixelImage.encodePng(flat)),
+      PixelImage.Media(1L, PixelImage.encodePng(split))).toDS()
+    val got = PixelImage.aHash(media).collect().map(h => h.media_id -> h).toMap
+    assert(got(0L).phash_hi == 0L && got(0L).phash_lo == 0L)
+    // per 8-cell row the bright bits are positions 4..7: 0x0f0f0f0f in
+    // each packed 32-bit half (bit 31-p ordering)
+    assert(got(1L).phash_hi == 0x0f0f0f0fL && got(1L).phash_lo == 0x0f0f0f0fL,
+      s"got ${got(1L)}")
+  }
 }
