@@ -98,6 +98,30 @@ object GraphOps {
             (col("deg") * (col("deg") - 1))).as("coeff"))
   }
 
+  /** Common-neighbor link prediction from a canonical (src < dst,
+    * distinct) edge list: the top-K NON-adjacent vertex pairs ranked by
+    * shared-neighbor count (the classic link-prediction baseline; ties
+    * broken on the pair for a deterministic board). Wedges enumerate by
+    * joining the adjacency on its center — the same endpoint-shuffle
+    * shape as the triangle join — and `hubCap` excludes centers above
+    * that degree from wedge service (a mega-hub contributes deg²
+    * candidate pairs and near-zero signal; same guard family as the
+    * clique cap in the group-then-expand queries). */
+  def commonNeighbors(edges: DataFrame, hubCap: Int, topK: Int): DataFrame = {
+    val e = graft.CacheRegistry.persistTracked(edges.select("src", "dst"))
+    val adj = e.select(col("src").as("c"), col("dst").as("v"))
+      .unionAll(e.select(col("dst").as("c"), col("src").as("v")))
+    val deg = adj.groupBy("c").agg(count(lit(1)).as("deg"))
+    val ok = adj.join(deg.where(col("deg") <= hubCap).select("c"), Seq("c"))
+    val pairs = ok.as("x")
+      .join(ok.as("y"), col("x.c") === col("y.c") && col("x.v") < col("y.v"))
+      .select(col("x.v").as("src"), col("y.v").as("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("cn"))
+    pairs.join(e, Seq("src", "dst"), "left_anti")
+      .orderBy(col("cn").desc, col("src"), col("dst"))
+      .limit(topK)
+  }
+
   /** Weighted single-source shortest paths (min-plus relaxation) from
     * the smallest vertex id, capped at `rounds` relaxations: returns
     * (v, dist) with −1 for vertices not reached within the cap.

@@ -166,6 +166,37 @@ object CurationQueries extends QueryPack {
             .as("pct_tokens"))
     }),
 
+    // Token-BUDGET allocation — the planning step upstream of the
+    // mixing weights: split a fixed training-token budget (here half
+    // the corpus) across sources proportionally to their token mass,
+    // by the largest-remainder method — quotas are ⌊B·Tᵢ/T⌋ plus one
+    // extra token for the sources with the largest division remainders
+    // until the budget is exact. Everything is integer (DECIMAL(38)
+    // cross products — B·Tᵢ overflows int64 at real corpus sizes), so
+    // quotas are deterministic across engines AND sum to B exactly —
+    // the property float-share rounding cannot give. The remainder
+    // rank runs on the per-source rows (bounded by source cardinality,
+    // like every mix table here), after one map-combining corpus scan.
+    "pipe_token_budget" -> ((s, d) => {
+      val perSrc = Tables.documents(s, d)
+        .groupBy("source")
+        .agg(sum(tokenCount(col("text")).cast("long")).as("n_tokens"))
+      val tot = perSrc.agg(sum(col("n_tokens")).as("tt"),
+        expr("sum(n_tokens) div 2").as("b"))
+      val wAll = Window.partitionBy()
+      val wRank = Window.orderBy(col("rem").desc, col("source"))
+      perSrc.crossJoin(broadcast(tot))
+        .withColumn("prod",
+          expr("CAST(b AS DECIMAL(38,0)) * CAST(n_tokens AS DECIMAL(38,0))"))
+        .withColumn("quota0", expr("CAST(prod div tt AS BIGINT)"))
+        .withColumn("rem", expr("CAST(prod % tt AS BIGINT)"))
+        .withColumn("leftover", col("b") - sum(col("quota0")).over(wAll))
+        .withColumn("rk", row_number().over(wRank))
+        .select(col("source"), col("n_tokens"),
+          (col("quota0") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+            .as("quota"))
+    }),
+
     // Domain RESAMPLING — the step that turns mixing weights into an
     // actual corpus (Pile/LLaMA-style "source × epochs"): each doc is
     // emitted ⌊w⌋ times plus one more with probability frac(w), so a
@@ -328,6 +359,28 @@ object CurationQueries extends QueryPack {
         |  CAST(sum(gsz) AS BIGINT) AS n_customers,
         |  CASE WHEN gsz < 5 THEN 1 ELSE 0 END AS at_risk
         |FROM cls GROUP BY gsz""".stripMargin,
+
+    "pipe_token_budget" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    CAST(sum(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> length(x) > 0))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |g AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tt,
+        |             CAST(sum(n_tokens) // 2 AS BIGINT) AS b FROM t),
+        |q AS (
+        |  SELECT source, n_tokens, b,
+        |    CAST((CAST(b AS HUGEINT) * n_tokens) // tt AS BIGINT) AS quota0,
+        |    CAST((CAST(b AS HUGEINT) * n_tokens) % tt AS BIGINT) AS rem
+        |  FROM t, g),
+        |r AS (
+        |  SELECT source, n_tokens, quota0,
+        |    b - sum(quota0) OVER () AS leftover,
+        |    row_number() OVER (ORDER BY rem DESC, source) AS rk
+        |  FROM q)
+        |SELECT source, n_tokens,
+        |  CAST(quota0 + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS quota
+        |FROM r""".stripMargin,
 
     "pipe_decontaminate" ->
       s"""WITH $gramCtes,

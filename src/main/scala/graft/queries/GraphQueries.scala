@@ -237,6 +237,16 @@ object GraphQueries extends QueryPack {
       graft.graph.GraphOps.clusteringCoeff(cooccurEdges(s, d))
         .select(col("v").as("part"), col("deg"), col("tri"), col("coeff"))),
 
+    // Link prediction: top-20 non-adjacent part pairs by shared
+    // co-occurrence neighbors (GraphOps.commonNeighbors — wedge join
+    // with the 1000-degree hub guard; max observed degree here is 13,
+    // so the guard is invisible at driver SFs and the oracle replays
+    // the uncapped enumeration; GraphSpec pins the hub exclusion on a
+    // planted star). Integer counts + full-tuple tie-break make the
+    // board deterministic and hash-gradable.
+    "graph_part_common_neighbors" -> ((s, d) =>
+      graft.graph.GraphOps.commonNeighbors(cooccurEdges(s, d), hubCap = 1000, topK = 20)),
+
     // BFS / unweighted single-source shortest paths — hop distance
     // from the smallest part id, capped at 4 hops (−1 = unreached).
     // Integer hops are partition-order-independent, so unlike the
@@ -450,5 +460,25 @@ object GraphQueries extends QueryPack {
          |  CASE WHEN deg.deg < 2 THEN 0.0
          |    ELSE CAST(coalesce(pv.tri, 0) * 2 AS DOUBLE) / (deg.deg * (deg.deg - 1))
          |  END AS coeff
-         |FROM deg LEFT JOIN pv ON deg.v = pv.v""".stripMargin)
+         |FROM deg LEFT JOIN pv ON deg.v = pv.v""".stripMargin,
+
+    // uncapped wedge enumeration (max degree at driver SFs is far
+    // below the Spark side's 1000 hub guard, so the sets coincide);
+    // anti-join drops already-adjacent pairs, full-tuple order fixes
+    // the top-20 board.
+    "graph_part_common_neighbors" ->
+      s"""WITH $edgesCte,
+         |e AS (SELECT DISTINCT src, dst FROM edges),
+         |adj AS (SELECT src AS c, dst AS v FROM e
+         |        UNION ALL SELECT dst AS c, src AS v FROM e),
+         |pairs AS (
+         |  SELECT x.v AS src, y.v AS dst, count(*) AS cn
+         |  FROM adj x JOIN adj y ON x.c = y.c AND x.v < y.v
+         |  GROUP BY 1, 2),
+         |np AS (
+         |  SELECT p.src, p.dst, p.cn FROM pairs p
+         |  LEFT JOIN e ON p.src = e.src AND p.dst = e.dst
+         |  WHERE e.src IS NULL)
+         |SELECT src, dst, cn FROM np
+         |ORDER BY cn DESC, src, dst LIMIT 20""".stripMargin)
 }

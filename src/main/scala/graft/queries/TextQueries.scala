@@ -112,6 +112,39 @@ object TextQueries extends QueryPack {
           (col("n_common").cast("double") / col("n_bigrams")).as("coverage"))
     }),
 
+    // Conditional-bigram surprisal score — the LM-perplexity quality
+    // filter (CCNet shape: a language model trained on the reference
+    // corpus scores each document; high average surprisal = junk),
+    // trained corpus-relative like text_bigram_coverage's df but on the
+    // CONDITIONAL distribution P(b|a): cost(a→b) uses c(ab) against
+    // c(a as bigram head), so a bigram is cheap when it is the usual
+    // continuation of its head, not merely when it is globally common.
+    // log2 arrives as ⌊log2 c⌋ via binary-representation length —
+    // INTEGER on both engines, so unlike a float log-prob sum the score
+    // hash-grades exactly; the ±1-bit granularity (~0.7 nats) is noise
+    // relative to the junk/prose gap this filter acts on. Shape: one
+    // scan, two window counts over the exploded pair rows (no
+    // self-join, no second scan), one doc aggregation — three
+    // map-combining exchanges at any corpus size.
+    "text_lm_surprisal" -> ((s, d) => {
+      val bg = Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+        .where(size(col("t")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(t)-2), i -> struct(t[i] AS a, concat(t[i], ' ', t[i+1]) AS ab))")).as("p"))
+        .select(col("doc_id"), col("p.a").as("a"), col("p.ab").as("ab"))
+      val wab = org.apache.spark.sql.expressions.Window.partitionBy("ab")
+      val wa = org.apache.spark.sql.expressions.Window.partitionBy("a")
+      bg.withColumn("cab", count(lit(1)).over(wab))
+        .withColumn("ca", count(lit(1)).over(wa))
+        .select(col("doc_id"),
+          (lit(100) * (length(bin(col("ca"))) - length(bin(col("cab"))))).as("cost"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(col("cost")).as("total_cost"),
+          (sum(col("cost")).cast("double") / count(lit(1))).as("avg_cost"))
+    }),
+
     // Corpus-level duplicated-segment removal WITH document
     // reconstruction — the C4/RefinedWeb "line dedup" pass (their unit
     // is the newline-delimited line; this corpus is single-line, so the
@@ -284,6 +317,26 @@ object TextQueries extends QueryPack {
 
   private val oraclesBase: Map[String, String] = Map(
     "text_bigram_coverage" -> bigramCoverageOracle,
+    // parallel unnests zip in DuckDB, so head and bigram stay aligned;
+    // bin() length is the same ⌊log2⌋+1 the Spark side computes.
+    "text_lm_surprisal" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0) AS t
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(t)), i -> t[i])) AS a,
+        |    unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS ab
+        |  FROM toks WHERE len(t) >= 2),
+        |w AS (
+        |  SELECT doc_id,
+        |    100 * (length(bin(count(*) OVER (PARTITION BY a)))
+        |         - length(bin(count(*) OVER (PARTITION BY ab)))) AS cost
+        |  FROM bg)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  CAST(sum(cost) AS BIGINT) AS total_cost,
+        |  CAST(sum(cost) AS DOUBLE) / count(*) AS avg_cost
+        |FROM w GROUP BY 1""".stripMargin,
     "text_token_count" ->
       """SELECT token, count(*) AS cnt
         |FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS token

@@ -205,4 +205,21 @@ class GraphSpec extends AnyFunSuite {
       1L -> ((2L, 1L, 1.0)), 2L -> ((2L, 1L, 1.0)),
       3L -> ((3L, 1L, 1.0 / 3)), 4L -> ((1L, 0L, 0.0))))
   }
+
+  test("GraphOps.commonNeighbors: path pair surfaces; hub cap amputates the star's wedges") {
+    // Path 1—2—3 (so the non-edge (1,3) shares neighbor 2) plus a
+    // degree-4 hub 10 serving leaves 4..7. Uncapped, the hub alone
+    // contributes C(4,2)=6 candidate pairs; with hubCap=3 it is
+    // excluded from wedge service and only (1,3) remains.
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 10L), (5L, 10L), (6L, 10L), (7L, 10L))
+      .toDF("src", "dst")
+    val capped = graft.graph.GraphOps.commonNeighbors(edges, hubCap = 3, topK = 20)
+      .as[(Long, Long, Long)].collect().toSeq
+    val open = graft.graph.GraphOps.commonNeighbors(edges, hubCap = 1000, topK = 20)
+      .as[(Long, Long, Long)].collect().toSeq
+    SparkEntry.releaseCaches()
+    assert(capped == Seq((1L, 3L, 1L)))
+    assert(open == Seq((1L, 3L, 1L), (4L, 5L, 1L), (4L, 6L, 1L), (4L, 7L, 1L),
+      (5L, 6L, 1L), (5L, 7L, 1L), (6L, 7L, 1L)))
+  }
 }
