@@ -160,4 +160,38 @@ object WavAudio {
     import spark.implicits._
     audio.mapPartitions(_.flatMap(a => windowFeatures(a.media_id, decodeWav(a.media_id, a.payload))))
   }
+
+  case class AudioFingerprint(media_id: Long, fp: Long)
+
+  /** Energy-delta fingerprint over REAL decoded samples — the
+    * simplified Shazam/chromaprint shape: slice the clip into `win`-
+    * sample frames, bit w = 1 iff frame w+1 carries STRICTLY more
+    * energy than frame w (integer Σs² compare — robust to uniform gain
+    * and exactly replayable), bits packed big-endian. 800-sample clips
+    * at win=50 give a 15-bit signature; clips with the same loudness
+    * contour collide, which is the bucketing an audio-dedup pass keys
+    * on. Like the image aHash, each clip shrinks to 8 bytes BEFORE any
+    * shuffle. */
+  def fingerprints(audio: Dataset[Audio], win: Int = 50): Dataset[AudioFingerprint] = {
+    val spark = audio.sparkSession
+    import spark.implicits._
+    audio.mapPartitions(_.map { a =>
+      val samples = decodeWav(a.media_id, a.payload)
+      val nWin = (samples.length + win - 1) / win
+      val energy = Array.tabulate(nWin) { w =>
+        var sq = 0L
+        var i = w * win
+        val end = math.min(i + win, samples.length)
+        while (i < end) { val v = samples(i).toLong; sq += v * v; i += 1 }
+        sq
+      }
+      var fp = 0L
+      var w = 0
+      while (w < nWin - 1) {
+        if (energy(w + 1) > energy(w)) fp |= 1L << (nWin - 2 - w)
+        w += 1
+      }
+      AudioFingerprint(a.media_id, fp)
+    })
+  }
 }

@@ -75,6 +75,20 @@ object MultimodalQueries extends QueryPack {
         .agg(count(lit(1)).as("n_images"), min(col("media_id")).as("min_media"))
     }),
 
+    // Audio-dedup bucketing by energy-delta fingerprint over REAL
+    // RIFF/PCM16-decoded samples (WavAudio.fingerprints — the
+    // simplified Shazam contour hash: 16 frames of 50 samples, bit =
+    // next frame strictly louder). Clips shrink to 8-byte signatures
+    // in the kernel, so the one aggregation moves fingerprints, not
+    // audio. Oracle replays clip formula + frame energies + packing in
+    // integer SQL.
+    "mm_audio_fingerprint" -> ((s, d) => {
+      val audio = graft.multimodal.WavAudio.audioFromDocuments(Tables.documents(s, d))
+      graft.multimodal.WavAudio.fingerprints(audio).toDF()
+        .groupBy("fp")
+        .agg(count(lit(1)).as("n_clips"), min(col("media_id")).as("min_clip"))
+    }),
+
     // Per-channel corpus means over REAL ImageIO-decoded pixels: decode
     // every PNG, sum each channel, divide the exact integer totals once
     // on both engines. n_pixels counts every (x, y) position.
@@ -152,6 +166,29 @@ object MultimodalQueries extends QueryPack {
         |  CAST(ceil(length(text) * 1.0 / 256) AS BIGINT) AS n_frames,
         |  CAST(ceil(ceil(length(text) * 1.0 / 256) / 4.0) AS BIGINT) AS n_sampled
         |FROM documents""".stripMargin,
+
+    // the fingerprint chain in integer SQL: clip formula → 50-sample
+    // frame energies → strict-increase bits packed big-endian.
+    "mm_audio_fingerprint" -> {
+      import graft.multimodal.WavAudio._
+      s"""WITH i AS (SELECT unnest(range($numSamples)) AS i),
+         |s AS (
+         |  SELECT doc_id, i,
+         |    ((doc_id * $MulId + i * $MulIdx) % $Levels - ${Levels / 2}) * $Gain AS v
+         |  FROM documents CROSS JOIN i),
+         |e AS (SELECT doc_id, i // 50 AS w, sum(v * v) AS e
+         |      FROM s GROUP BY 1, 2),
+         |d AS (
+         |  SELECT a.doc_id, a.w,
+         |    CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
+         |  FROM e a JOIN e b ON a.doc_id = b.doc_id AND b.w = a.w + 1),
+         |fp AS (
+         |  SELECT doc_id,
+         |    CAST(sum(bit * (1::BIGINT << (${numSamples / 50} - 2 - CAST(w AS INT)))) AS BIGINT) AS fp
+         |  FROM d GROUP BY 1)
+         |SELECT fp, count(*) AS n_clips, min(doc_id) AS min_clip
+         |FROM fp GROUP BY 1""".stripMargin
+    },
 
     // the aHash chain in integer SQL: 8×8 NN indices into the generator
     // formula, gray = Σ channels, bit = 64·gray > Σgray, bits packed

@@ -185,6 +185,61 @@ object EventStreams {
   private def micros(t: Timestamp): Long =
     math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
 
+  case class ValueEvent(user_id: Long, ts: Timestamp, event_id: Long, value: Double)
+  case class EwmaState(recent: List[Double])
+  case class EwmaOut(user_id: Long, event_id: Long, ewma: Double)
+
+  /** Streaming EWMA — the stateful twin of batch `q_events_ewma`
+    * (α = 1/2 truncated at `depth`, renormalized): state per user is
+    * the last ≤ `depth` values (oldest first), carried across
+    * micro-batches so the score stream is independent of batch
+    * boundaries. Arithmetic mirrors the batch form exactly — each
+    * value enters as BigDecimal at scale 6 HALF_UP (the decimal(18,6)
+    * cast), the numerator is the exact decimal dot product against
+    * 2^i weights, and ONE double division lands the score — so batch
+    * and stream agree bit-for-bit (EventStreamsSpec pins it). Users
+    * idle past `idleTimeout` are evicted; within a micro-batch events
+    * sort by (event time, event_id) like the batch window. */
+  def streamingEwma(
+      events: Dataset[ValueEvent],
+      depth: Int = 16,
+      idleTimeout: Option[String] = Some("30 days")): Dataset[EwmaOut] = {
+    import events.sparkSession.implicits._
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[EwmaState, EwmaOut](
+        OutputMode.Append, timeoutConf) {
+        (uid: Long, rows: Iterator[ValueEvent], state: GroupState[EwmaState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+            var recent = state.getOption.map(_.recent).getOrElse(Nil)
+            val out = Seq.newBuilder[EwmaOut]
+            sorted.foreach { e =>
+              recent = (recent :+ e.value).takeRight(depth)
+              val m = recent.length
+              // BigDecimal.decimal = valueOf(double) — the same
+              // shortest-representation reading Spark's double →
+              // decimal(18,6) cast applies before HALF_UP rounding
+              val num = recent.zipWithIndex.map { case (v, i) =>
+                BigDecimal.decimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP) *
+                  BigDecimal(BigInt(1) << i)
+              }.sum
+              out += EwmaOut(uid, e.event_id,
+                num.toDouble / ((1L << m) - 1))
+            }
+            if (sorted.nonEmpty) {
+              state.update(EwmaState(recent))
+              idleTimeout.foreach(state.setTimeoutDuration)
+            }
+            out.result().iterator
+          }
+      }
+  }
+
   /** Streaming debounce — the TRUE stateful form the batch
     * `q_events_debounce` lag-filter approximates: an event is kept iff
     * it is the first for its (user, event_type) stream or at least

@@ -340,4 +340,38 @@ class EventStreamsSpec extends AnyFunSuite {
         s"same-instant null tie transitions: $got")
     } finally q.stop()
   }
+
+  test("streaming EWMA agrees with the batch q_events_ewma bit-for-bit across batch splits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.EventStreams.{EwmaOut, ValueEvent}
+    // 20 events for one user (values 1..20, exercising the depth-16
+    // truncation) plus a second user interleaved; split 7 / 9 / 4
+    // across micro-batches so state must carry.
+    val evs = (1 to 20).map(i =>
+      ValueEvent(1L, ts(i), i.toLong, i.toDouble)) ++
+      (1 to 5).map(i => ValueEvent(2L, ts(i), 100L + i, 0.5 * i))
+    val mem = MemoryStream[ValueEvent]
+    val stream = EventStreams.streamingEwma(mem.toDS(), idleTimeout = None)
+      .writeStream.format("memory").queryName("ewma_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(evs.take(7): _*); stream.processAllAvailable()
+      mem.addData(evs.slice(7, 16): _*); stream.processAllAvailable()
+      mem.addData(evs.drop(16): _*); stream.processAllAvailable()
+      val streamed = spark.table("ewma_stream").as[EwmaOut].collect()
+        .map(o => o.event_id -> o.ewma).toMap
+      // batch twin on the same rows written as an events table
+      val dir = java.nio.file.Files.createTempDirectory("ewma_batch").toString
+      evs.map(e => (e.event_id, e.ts, e.user_id, "view", e.value, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val batch = SparkEntry.queries("q_events_ewma")(spark, dir)
+        .select("event_id", "ewma").as[(Long, Double)].collect().toMap
+      assert(streamed.keySet == batch.keySet)
+      streamed.foreach { case (id, v) =>
+        assert(v == batch(id), s"event $id: stream $v vs batch ${batch(id)}")
+      }
+    } finally stream.stop()
+  }
 }

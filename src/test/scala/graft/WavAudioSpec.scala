@@ -79,4 +79,21 @@ class WavAudioSpec extends AnyFunSuite {
       assert(ws.n_crossings == zc, s"crossings window ${ws.win}")
     }
   }
+
+  test("energy-delta fingerprint: strict-increase bits, big-endian packing") {
+    lazy val spark = SparkTestSession.spark
+    import spark.implicits._
+    // 150 samples at win=50 -> 3 frames, 2 bits. Clip A: quiet | loud |
+    // equal-to-loud -> bits (1, 0) -> fp = 0b10 = 2 (strict compare:
+    // the equal third frame does NOT set its bit). Clip B: loud |
+    // quiet | quiet -> fp = 0.
+    def clip(frames: Seq[Short]): Array[Short] =
+      frames.flatMap(v => Array.fill(50)(v)).toArray
+    val a = WavAudio.encodeWav(clip(Seq(1, 100, 100).map(_.toShort)))
+    val b = WavAudio.encodeWav(clip(Seq(100, 1, 1).map(_.toShort)))
+    val got = WavAudio.fingerprints(
+        Seq(WavAudio.Audio(0L, a), WavAudio.Audio(1L, b)).toDS())
+      .collect().map(f => f.media_id -> f.fp).toMap
+    assert(got == Map(0L -> 2L, 1L -> 0L))
+  }
 }
