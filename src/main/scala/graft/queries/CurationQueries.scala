@@ -178,9 +178,13 @@ object CurationQueries extends QueryPack {
     // rank runs on the per-source rows (bounded by source cardinality,
     // like every mix table here), after one map-combining corpus scan.
     "pipe_token_budget" -> ((s, d) => {
-      val perSrc = Tables.documents(s, d)
-        .groupBy("source")
-        .agg(sum(tokenCount(col("text")).cast("long")).as("n_tokens"))
+      // persisted: the totals row AND the quota rows both derive from
+      // this source-cardinality table — without the pin the corpus
+      // scans twice (once under the broadcast totals, once as probe)
+      val perSrc = graft.CacheRegistry.persistTracked(
+        Tables.documents(s, d)
+          .groupBy("source")
+          .agg(sum(tokenCount(col("text")).cast("long")).as("n_tokens")))
       val tot = perSrc.agg(sum(col("n_tokens")).as("tt"),
         expr("sum(n_tokens) div 2").as("b"))
       val wAll = Window.partitionBy()

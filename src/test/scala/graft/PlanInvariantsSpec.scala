@@ -527,4 +527,46 @@ class PlanInvariantsSpec extends AnyFunSuite {
         s"$q must stay equi-join only:\n$p")
     }
   }
+
+  /** Distinct parquet scan NODES (formatted plans repeat a reused node
+    * with the same id, and a persisted relation prints its lineage once
+    * per InMemoryTableScan — ids dedup both). */
+  private def scanIds(p: String): Set[String] =
+    "Scan parquet\\s+\\((\\d+)\\)".r.findAllMatchIn(p).map(_.group(1)).toSet
+
+  test("q_events_ewma: all 16 lags + row_number ride ONE window over ONE exchange") {
+    val p = planOf("q_events_ewma")
+    assert(exchangeCount(p) == 1,
+      s"EWMA must be a single user_id exchange, got ${exchangeCount(p)}:\n$p")
+    assert("\\(\\d+\\) Window\\b".r.findAllIn(p).length == 1,
+      s"all lag frames must collapse into one Window operator:\n$p")
+  }
+
+  test("text_lm_surprisal: one corpus scan, window counts instead of self-joins") {
+    val p = planOf("text_lm_surprisal")
+    assert(scanIds(p).size == 1, s"corpus must scan once:\n$p")
+    assert("\\(\\d+\\) (SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)".r.findFirstIn(p).isEmpty,
+      s"df/head counts must come from windows, not joins:\n$p")
+  }
+
+  test("mm_image_phash / mm_audio_fingerprint: signatures shrink before the one bucket exchange") {
+    for (q <- Seq("mm_image_phash", "mm_audio_fingerprint")) {
+      val p = planOf(q)
+      assert(exchangeCount(p) == 1,
+        s"$q must shuffle only 8-16 byte signatures, got ${exchangeCount(p)} exchanges:\n$p")
+    }
+  }
+
+  test("pipe_token_budget: corpus scans once (persisted per-source table feeds totals AND quotas)") {
+    val p = planOf("pipe_token_budget")
+    assert(scanIds(p).size == 1, s"corpus must scan once:\n$p")
+  }
+
+  test("graph_part_clustering / graph_part_common_neighbors: equi-join wedge enumeration only") {
+    for (q <- Seq("graph_part_clustering", "graph_part_common_neighbors")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q must stay equi-join only:\n$p")
+    }
+  }
 }
