@@ -37,7 +37,10 @@ object Soak {
     "q_part_cooccur", "text_fingerprint", "text_quality",
     "pipe_decontaminate", "text_tfidf_terms", "dedup_semantic",
     "graph_part_kcore", "graph_part_sssp", "dedup_survivors",
-    "q_topn_per_group")
+    "q_topn_per_group",
+    // r8 wave: wedge-join graph family + fingerprint/surprisal kernels
+    "graph_part_clustering", "graph_part_common_neighbors",
+    "text_lm_surprisal", "mm_image_phash")
 
   /** Scaled-table families each KNOWN soak query reads: 'd' =
     * documents, 'f' = the fact triple (lineitem/orders/part), 'e' =
@@ -68,7 +71,12 @@ object Soak {
     "q_fk_integrity" -> Set('f'), "q_median_qty" -> Set('f'),
     "q_regr_slope" -> Set('f'),
     "sim_topk_bruteforce" -> Set('e'), "sim_topk_ivf" -> Set('e'),
-    "sim_topk_srp" -> Set('e'), "sim_topk_int8" -> Set('e'))
+    "sim_topk_srp" -> Set('e'), "sim_topk_int8" -> Set('e'),
+    "graph_part_clustering" -> Set('f'),
+    "graph_part_common_neighbors" -> Set('f'),
+    "q_interval_overlap" -> Set('f'),
+    "text_lm_surprisal" -> Set('d'), "pipe_token_budget" -> Set('d'),
+    "mm_image_phash" -> Set('d'), "mm_audio_fingerprint" -> Set('d'))
 
   private[graft] def famsFor(queries: Seq[String]): Set[Char] =
     queries.map(q => SoakReads.getOrElse(q,

@@ -166,6 +166,29 @@ object CurationQueries extends QueryPack {
             .as("pct_tokens"))
     }),
 
+    // Dataset card / datasheet rollup — the release artifact every
+    // published corpus ships with: one pass computes corpus-level
+    // counts (docs, tokens, chars, language/source cardinalities,
+    // PII-bearing docs), stacked into (metric, value) rows. ONE
+    // aggregate over the scan — countDistinct on the two low-
+    // cardinality label columns dedups in-aggregate; stack() is
+    // map-side over the single result row.
+    "pipe_dataset_card" -> ((s, d) =>
+      Tables.documents(s, d)
+        .agg(
+          count(lit(1)).as("c0"),
+          sum(tokenCount(col("text")).cast("long")).as("c1"),
+          sum(length(col("text")).cast("long")).as("c2"),
+          countDistinct(col("lang")).as("c3"),
+          countDistinct(col("source")).as("c4"),
+          sum((size(regexp_extract_all(col("text"), lit(PiiEmail), lit(0))) > 0)
+            .cast("long")).as("c5"))
+        .select(expr("stack(6, 0, 'n_docs', c0, 1, 'n_tokens', c1, " +
+          "2, 'n_chars', c2, 3, 'n_langs', c3, 4, 'n_sources', c4, " +
+          "5, 'n_docs_with_email', c5) AS (metric_idx, metric, value)"))
+        .select(col("metric_idx").cast("long").as("metric_idx"),
+          col("metric"), col("value"))),
+
     // Token-BUDGET allocation — the planning step upstream of the
     // mixing weights: split a fixed training-token budget (here half
     // the corpus) across sources proportionally to their token mass,
@@ -363,6 +386,24 @@ object CurationQueries extends QueryPack {
         |  CAST(sum(gsz) AS BIGINT) AS n_customers,
         |  CASE WHEN gsz < 5 THEN 1 ELSE 0 END AS at_risk
         |FROM cls GROUP BY gsz""".stripMargin,
+
+    "pipe_dataset_card" ->
+      s"""WITH a AS (
+         |  SELECT count(*) AS c0,
+         |    CAST(sum(len(list_filter(string_split_regex(lower(text), '\\s+'),
+         |      x -> length(x) > 0))) AS BIGINT) AS c1,
+         |    CAST(sum(length(text)) AS BIGINT) AS c2,
+         |    count(DISTINCT lang) AS c3,
+         |    count(DISTINCT source) AS c4,
+         |    CAST(sum(CASE WHEN len(regexp_extract_all(text, '$PiiEmail')) > 0
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS c5
+         |  FROM documents)
+         |SELECT CAST(0 AS BIGINT) AS metric_idx, 'n_docs' AS metric, c0 AS value FROM a
+         |UNION ALL SELECT 1, 'n_tokens', c1 FROM a
+         |UNION ALL SELECT 2, 'n_chars', c2 FROM a
+         |UNION ALL SELECT 3, 'n_langs', c3 FROM a
+         |UNION ALL SELECT 4, 'n_sources', c4 FROM a
+         |UNION ALL SELECT 5, 'n_docs_with_email', c5 FROM a""".stripMargin,
 
     "pipe_token_budget" ->
       """WITH t AS (

@@ -94,6 +94,49 @@ object StatsQueries extends QueryPack {
         .select(col("user_id"), col("m.t").as("mode_type"),
           (-col("m.negc")).as("cnt"))),
 
+    // RFM customer segmentation (recency / frequency / monetary — the
+    // classic CRM cube): per-customer last-order age, order count, and
+    // exact-decimal spend, quartile-bucketed via GLOBAL cutpoints that
+    // cross back in as a 1-row broadcast — the scale-honest form (a
+    // global ntile would serialize every customer through one
+    // partition; threshold-compare bucketing is map-side). The 0.25
+    // quantile grid on integer recency/frequency and exact-double
+    // spend interpolates bit-identically on both engines (the
+    // q_quartiles_by_flag argument). Segment id = r·100 + f·10 + m,
+    // histogram output bounded by 4³ cells.
+    "q_orders_rfm" -> ((s, d) => {
+      val cust = graft.CacheRegistry.persistTracked(
+        Tables.orders(s, d)
+          .groupBy("o_custkey")
+          .agg(max(col("o_orderdate")).as("last_o"),
+            count(lit(1)).as("f"),
+            sum(col("o_totalprice").cast("decimal(18,2)"))
+              .cast("decimal(38,2)").cast("double").as("m")))
+      val mx = broadcast(cust.agg(max(col("last_o")).as("mxd")))
+      val withR = graft.CacheRegistry.persistTracked(
+        cust.crossJoin(mx).select(col("o_custkey"),
+          datediff(col("mxd").cast("date"), col("last_o").cast("date"))
+            .cast("long").as("r"),
+          col("f"), col("m")))
+      val cuts = broadcast(withR.agg(
+        percentile(col("r"), lit(0.25)).as("r1"),
+        percentile(col("r"), lit(0.5)).as("r2"),
+        percentile(col("r"), lit(0.75)).as("r3"),
+        percentile(col("f"), lit(0.25)).as("f1"),
+        percentile(col("f"), lit(0.5)).as("f2"),
+        percentile(col("f"), lit(0.75)).as("f3"),
+        percentile(col("m"), lit(0.25)).as("m1"),
+        percentile(col("m"), lit(0.5)).as("m2"),
+        percentile(col("m"), lit(0.75)).as("m3")))
+      def bucket(v: Column, q1: Column, q2: Column, q3: Column): Column =
+        lit(1L) + (v > q1).cast("long") + (v > q2).cast("long") + (v > q3).cast("long")
+      withR.crossJoin(cuts)
+        .select((bucket(col("r"), col("r1"), col("r2"), col("r3")) * 100 +
+          bucket(col("f"), col("f1"), col("f2"), col("f3")) * 10 +
+          bucket(col("m"), col("m1"), col("m2"), col("m3"))).as("segment"))
+        .groupBy("segment").agg(count(lit(1)).as("n_customers"))
+    }),
+
     // Approximate-quantile CERTIFICATE — percentile_approx (a mergeable
     // fixed-size sketch, one pass) is THE quantile path at 100 TB, but
     // its output can wobble with partition merge order, so the raw
@@ -315,6 +358,31 @@ object StatsQueries extends QueryPack {
     }))
 
   override def oracles: Map[String, String] = Map(
+    "q_orders_rfm" ->
+      """WITH cust AS (
+        |  SELECT o_custkey, max(o_orderdate) AS last_o, count(*) AS f,
+        |    CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS m
+        |  FROM orders GROUP BY 1),
+        |mx AS (SELECT max(last_o) AS mxd FROM cust),
+        |r AS (
+        |  SELECT o_custkey,
+        |    date_diff('day', CAST(last_o AS DATE), CAST(mxd AS DATE)) AS r, f, m
+        |  FROM cust, mx),
+        |cuts AS (
+        |  SELECT quantile_cont(r, 0.25) AS r1, quantile_cont(r, 0.5) AS r2,
+        |    quantile_cont(r, 0.75) AS r3,
+        |    quantile_cont(f, 0.25) AS f1, quantile_cont(f, 0.5) AS f2,
+        |    quantile_cont(f, 0.75) AS f3,
+        |    quantile_cont(m, 0.25) AS m1, quantile_cont(m, 0.5) AS m2,
+        |    quantile_cont(m, 0.75) AS m3
+        |  FROM r),
+        |b AS (
+        |  SELECT (1 + (r > r1)::INT + (r > r2)::INT + (r > r3)::INT) * 100
+        |       + (1 + (f > f1)::INT + (f > f2)::INT + (f > f3)::INT) * 10
+        |       + (1 + (m > m1)::INT + (m > m2)::INT + (m > m3)::INT) AS segment
+        |  FROM r, cuts)
+        |SELECT CAST(segment AS BIGINT) AS segment, count(*) AS n_customers
+        |FROM b GROUP BY 1""".stripMargin,
     "q_topn_per_group" ->
       s"""WITH rev AS (
          |  SELECT l_partkey, SUM(${TpchMoney.discPriceSql}) AS revd

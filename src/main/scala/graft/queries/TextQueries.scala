@@ -112,6 +112,30 @@ object TextQueries extends QueryPack {
           (col("n_common").cast("double") / col("n_bigrams")).as("coverage"))
     }),
 
+    // Readability scoring (Flesch reading-ease shape): sentence count,
+    // word count, and vowel-group syllable approximation are INTEGER
+    // counts from one map-side pass; the score is the classic formula
+    // evaluated in one fixed op sequence (two correctly-rounded
+    // divisions of exact integers, two products, two subtractions —
+    // identical order on both engines, so the doubles match bit-for-
+    // bit). Zero-sentence/word guards via greatest(1, ·). No shuffle
+    // beyond the per-doc projection — linear at any corpus size.
+    "text_readability" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          greatest(lit(1), size(expr(
+            "filter(split(text, '[.!?]+'), x -> length(trim(x)) > 0)"))).as("n_sents"),
+          greatest(lit(1), tokenCount(col("text"))).as("n_words"),
+          size(regexp_extract_all(lower(col("text")), lit("[aeiou]+"), lit(0)))
+            .as("n_syll"))
+        .select(col("doc_id"), col("n_sents").cast("long").as("n_sents"),
+          col("n_words").cast("long").as("n_words"),
+          col("n_syll").cast("long").as("n_syll"),
+          round(lit(206.835)
+            - lit(1.015) * (col("n_words").cast("double") / col("n_sents"))
+            - lit(84.6) * (col("n_syll").cast("double") / col("n_words")), 6)
+            .as("flesch"))),
+
     // Conditional-bigram surprisal score — the LM-perplexity quality
     // filter (CCNet shape: a language model trained on the reference
     // corpus scores each document; high average surprisal = junk),
@@ -317,6 +341,21 @@ object TextQueries extends QueryPack {
 
   private val oraclesBase: Map[String, String] = Map(
     "text_bigram_coverage" -> bigramCoverageOracle,
+    "text_readability" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    greatest(1, len(list_filter(string_split_regex(text, '[.!?]+'),
+        |      x -> length(trim(x)) > 0))) AS n_sents,
+        |    greatest(1, len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> length(x) > 0))) AS n_words,
+        |    len(regexp_extract_all(lower(text), '[aeiou]+')) AS n_syll
+        |  FROM documents)
+        |SELECT doc_id, CAST(n_sents AS BIGINT) AS n_sents,
+        |  CAST(n_words AS BIGINT) AS n_words, CAST(n_syll AS BIGINT) AS n_syll,
+        |  round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sents)
+        |    - 84.6 * (CAST(n_syll AS DOUBLE) / n_words), 6) AS flesch
+        |FROM c""".stripMargin,
+
     // parallel unnests zip in DuckDB, so head and bigram stay aligned;
     // bin() length is the same ⌊log2⌋+1 the Spark side computes.
     "text_lm_surprisal" ->

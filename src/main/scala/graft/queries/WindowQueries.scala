@@ -90,6 +90,32 @@ object WindowQueries extends QueryPack {
           (expr(s"shiftleft(1L, least($depth, rn))") - 1)).as("ewma"))
     }),
 
+    // Hourly active users — tumbling-window DISTINCT (the DAU/HAU
+    // report): countDistinct dedups inside the two-phase aggregate
+    // (partial distinct per partition, merge at the hour key), never a
+    // pre-distinct shuffle. Output is bounded by the hour axis.
+    "q_events_hau" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
+          .as("hour"))
+        .agg(countDistinct(col("user_id")).as("hau"),
+          count(lit(1)).as("n_events"))),
+
+    // New-vs-returning split per day: an event is "new" iff it is its
+    // user's first event ever (row_number 1 over the user's event-time
+    // order). One user_id exchange for the window, then a map-combining
+    // day aggregate — the product-analytics acquisition report.
+    "q_new_vs_returning" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("rn", row_number().over(w))
+        .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+        .agg(sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_new_users"),
+          sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_returning_events"))
+    }),
+
     // Attribution interval join: every click paired with the view(s) it
     // follows within an hour, same user. The SHARED kernel with the
     // streaming path (EventStreams.clickAttribution — watermarked
@@ -305,6 +331,21 @@ object WindowQueries extends QueryPack {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q_events_hau" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |  count(DISTINCT user_id) AS hau, count(*) AS n_events
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q_new_vs_returning" ->
+      """WITH e AS (
+        |  SELECT ts, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events)
+        |SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_new_users,
+        |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_returning_events
+        |FROM e GROUP BY 1""".stripMargin,
 
     "q_events_ewma" -> {
       val depth = 16
