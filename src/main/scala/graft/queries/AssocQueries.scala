@@ -38,6 +38,44 @@ object AssocQueries extends QueryPack {
       Association.collaboratorProjection(usage)
         .withColumnRenamed("a", "brand_a")
         .withColumnRenamed("b", "brand_b")
+    }),
+
+    // Association-rule mining (market-basket): top-20 part pairs by
+    // LIFT = N·c(ab) / (c(a)·c(b)) at min-support c(ab) ≥ 2 — the
+    // frequent-itemset report completing the co-occurrence family
+    // (q_part_cooccur counts pairs; lift normalizes away item
+    // popularity). Pair candidates come from the clique-capped
+    // group-then-expand kernel (orders above 1000 distinct parts are
+    // excluded, PubGraph semantics — invisible at ≤7 parts/order);
+    // support joins are equi-joins on the part key; products N·c(ab)
+    // and c(a)·c(b) stay in int64 (N ≤ 10^10 orders × c(ab) ≤ 10^6
+    // pairs < 2^63) and the ratio is ONE double division of exact
+    // integers. Top-20 via TakeOrdered with full-tuple tie-break.
+    "assoc_basket_lift" -> ((s, d) => {
+      val op = graft.CacheRegistry.persistTracked(
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("okey"), col("l_partkey").as("pkey"))
+          .distinct())
+      val n = broadcast(op.agg(countDistinct(col("okey")).as("n")))
+      val ca = graft.CacheRegistry.persistTracked(
+        op.groupBy("pkey").agg(count(lit(1)).as("c")))
+      val pairs = op
+        .groupBy(col("okey")).agg(collect_set(col("pkey")).as("ps"))
+        .where(size(col("ps")) <= 1000)
+        .select(explode(col("ps")).as("pa"), col("ps"))
+        .select(col("pa"), explode(col("ps")).as("pb"))
+        .where(col("pa") < col("pb"))
+        .groupBy("pa", "pb").agg(count(lit(1)).as("cab"))
+        .where(col("cab") >= 2)
+      pairs
+        .join(ca.select(col("pkey").as("pa"), col("c").as("c_a")), Seq("pa"))
+        .join(ca.select(col("pkey").as("pb"), col("c").as("c_b")), Seq("pb"))
+        .crossJoin(n)
+        .select(col("pa"), col("pb"), col("cab"),
+          ((col("n") * col("cab")).cast("double") / (col("c_a") * col("c_b")))
+            .as("lift"))
+        .orderBy(col("lift").desc, col("pa"), col("pb"))
+        .limit(20)
     }))
 
   /** DuckDB mirror of [[Association.shingleCosine]] (same gram builder,
@@ -69,5 +107,23 @@ object AssocQueries extends QueryPack {
         |  SELECT p_brand AS author, string_split(p_name, ' ')[1] AS keyword, count(*) AS u
         |  FROM part GROUP BY 1, 2 HAVING u > 3)
         |SELECT DISTINCT a.author AS brand_a, b.author AS brand_b
-        |FROM usage a JOIN usage b ON a.keyword = b.keyword AND a.author < b.author""".stripMargin)
+        |FROM usage a JOIN usage b ON a.keyword = b.keyword AND a.author < b.author""".stripMargin,
+
+    "assoc_basket_lift" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey FROM lineitem),
+        |nn AS (SELECT count(DISTINCT okey) AS n FROM op),
+        |ca AS (SELECT pkey, count(*) AS c FROM op GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.pkey AS pa, b.pkey AS pb, count(*) AS cab
+        |  FROM op a JOIN op b ON a.okey = b.okey AND a.pkey < b.pkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |l AS (
+        |  SELECT p.pa, p.pb, p.cab,
+        |    CAST(nn.n * p.cab AS DOUBLE) / (x.c * y.c) AS lift
+        |  FROM pairs p
+        |  JOIN ca x ON p.pa = x.pkey
+        |  JOIN ca y ON p.pb = y.pkey
+        |  CROSS JOIN nn)
+        |SELECT pa, pb, cab, lift FROM l
+        |ORDER BY lift DESC, pa, pb LIMIT 20""".stripMargin)
 }
