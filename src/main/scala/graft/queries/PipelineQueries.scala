@@ -143,7 +143,23 @@ object PipelineQueries extends QueryPack {
         .groupBy(col("split"))
         .agg(countDistinct(col("source")).as("n_sources"),
           count(lit(1)).as("n_docs"),
-          sum(col("n_tok")).as("total_tokens"))))
+          sum(col("n_tok")).as("total_tokens"))),
+
+    // Distributed tokenizer-training step: corpus-wide adjacent
+    // symbol-pair counts over letter runs — the inner loop of BPE
+    // training (functions/BpeMerges ran it single-node over the
+    // committed corpus; THIS is the shape that trains on 100 TB: one
+    // map-side pair explosion, one map-combining aggregate, top-20 via
+    // TakeOrdered with a pair tie-break). Iteration 0 shown; later
+    // iterations re-run the same plan over the merged symbol table.
+    "pipe_bpe_pair_counts" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
+        .where(length(col("w")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, length(w)-1), i -> substring(w, i, 2))")).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair")).limit(20)))
 
   private val SeqLen = 2048
   private val PackShards = 32
@@ -153,6 +169,16 @@ object PipelineQueries extends QueryPack {
   private val ShuffleShards = 64L
 
   override def oracles: Map[String, String] = Map(
+    "pipe_bpe_pair_counts" ->
+      """WITH w AS (
+        |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        |  FROM documents),
+        |p AS (
+        |  SELECT unnest(list_transform(range(1, length(w)), i -> substr(w, i, 2))) AS pair
+        |  FROM w WHERE length(w) >= 2)
+        |SELECT pair, count(*) AS cnt FROM p
+        |GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
+
     "pipe_grouped_split" ->
       """WITH hashed AS (
         |  SELECT doc_id, source,
