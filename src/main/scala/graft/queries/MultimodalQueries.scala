@@ -89,6 +89,40 @@ object MultimodalQueries extends QueryPack {
         .agg(count(lit(1)).as("n_clips"), min(col("media_id")).as("min_clip"))
     }),
 
+    // NEAR-duplicate image pairs by Hamming distance over the aHash
+    // signatures — with an EXACT banding guarantee: the 64 bits split
+    // into four 16-bit bands, and any pair within Hamming ≤ 3 differs
+    // in at most 3 bands, so by pigeonhole it MUST agree on at least
+    // one band — the band equi-join therefore finds every such pair
+    // (SimHash-style banding, but here as a completeness proof, not a
+    // heuristic). Candidates join on (band_idx, band_value) — never
+    // all-pairs — then the exact popcount filter keeps Hamming ≤ 3.
+    // Output is the pair census per distance (bounded, stable).
+    "mm_image_near_dup" -> ((s, d) => {
+      val sigs = graft.CacheRegistry.persistTracked(
+        graft.multimodal.PixelImage.aHash(
+            graft.multimodal.PixelImage.mediaFromDocuments(Tables.documents(s, d)))
+          .toDF().select(col("phash_hi").as("hi"), col("phash_lo").as("lo"))
+          .distinct())
+      val banded = sigs.select(col("hi"), col("lo"), explode(array(
+        struct(lit(0).as("bi"), expr("hi div 65536").as("bv")),
+        struct(lit(1).as("bi"), pmod(col("hi"), lit(65536L)).as("bv")),
+        struct(lit(2).as("bi"), expr("lo div 65536").as("bv")),
+        struct(lit(3).as("bi"), pmod(col("lo"), lit(65536L)).as("bv")))).as("b"))
+        .select(col("hi"), col("lo"), col("b.bi").as("bi"), col("b.bv").as("bv"))
+      banded.as("x").join(banded.as("y"),
+          col("x.bi") === col("y.bi") && col("x.bv") === col("y.bv") &&
+            (col("x.hi") < col("y.hi") ||
+              (col("x.hi") === col("y.hi") && col("x.lo") < col("y.lo"))))
+        .select(col("x.hi").as("ha"), col("x.lo").as("la"),
+          col("y.hi").as("hb"), col("y.lo").as("lb"))
+        .distinct()
+        .select((bit_count(expr("ha ^ hb")) + bit_count(expr("la ^ lb")))
+          .cast("long").as("hamming"))
+        .where(col("hamming") <= 3)
+        .groupBy("hamming").agg(count(lit(1)).as("n_pairs"))
+    }),
+
     // Per-channel corpus means over REAL ImageIO-decoded pixels: decode
     // every PNG, sum each channel, divide the exact integer totals once
     // on both engines. n_pixels counts every (x, y) position.
@@ -106,6 +140,33 @@ object MultimodalQueries extends QueryPack {
           (col("bs").cast("double") / col("n_pixels")).as("b_mean"),
           col("n_pixels"))
     }))
+
+  /** The aHash replay chain (generator pixels → 8×8 NN → gray bits →
+    * packed halves), shared by the phash and near-dup oracles. */
+  private val phashCtes =
+    """c AS (
+      |  SELECT doc_id AS id,
+      |    16 + doc_id % 16 AS w, 12 + (doc_id // 3) % 12 AS h
+      |  FROM documents),
+      |g AS (
+      |  SELECT c.id, pp.p,
+      |    ((c.id * 31 + (((pp.p % 8) * c.w) // 8) * 7
+      |      + (((pp.p // 8) * c.h) // 8) * 13) % 256
+      |   + (c.id * 31 + (((pp.p % 8) * c.w) // 8) * 7
+      |      + (((pp.p // 8) * c.h) // 8) * 13 + 101) % 256
+      |   + (c.id * 31 + (((pp.p % 8) * c.w) // 8) * 7
+      |      + (((pp.p // 8) * c.h) // 8) * 13 + 202) % 256) AS gray
+      |  FROM c, range(0, 64) pp(p)),
+      |t AS (SELECT id, sum(gray) AS total FROM g GROUP BY id),
+      |b AS (
+      |  SELECT g.id, g.p,
+      |    CASE WHEN 64 * g.gray > t.total THEN 1 ELSE 0 END AS bit
+      |  FROM g JOIN t ON g.id = t.id),
+      |hp AS (
+      |  SELECT id,
+      |    CAST(sum(CASE WHEN p < 32 THEN bit * (1::BIGINT << (31 - p)) ELSE 0 END) AS BIGINT) AS phash_hi,
+      |    CAST(sum(CASE WHEN p >= 32 THEN bit * (1::BIGINT << (63 - p)) ELSE 0 END) AS BIGINT) AS phash_lo
+      |  FROM b GROUP BY id)""".stripMargin
 
   override def oracles: Map[String, String] = Map(
     // Integer replay of the clip formula — every constant interpolated
@@ -194,32 +255,31 @@ object MultimodalQueries extends QueryPack {
     // formula, gray = Σ channels, bit = 64·gray > Σgray, bits packed
     // big-endian by p = y·8 + x into two 32-bit halves.
     "mm_image_phash" ->
-      """WITH c AS (
-        |  SELECT doc_id AS id,
-        |    16 + doc_id % 16 AS w, 12 + (doc_id // 3) % 12 AS h
-        |  FROM documents),
-        |g AS (
-        |  SELECT c.id, pp.p,
-        |    ((c.id * 31 + (((pp.p % 8) * c.w) // 8) * 7
-        |      + (((pp.p // 8) * c.h) // 8) * 13) % 256
-        |   + (c.id * 31 + (((pp.p % 8) * c.w) // 8) * 7
-        |      + (((pp.p // 8) * c.h) // 8) * 13 + 101) % 256
-        |   + (c.id * 31 + (((pp.p % 8) * c.w) // 8) * 7
-        |      + (((pp.p // 8) * c.h) // 8) * 13 + 202) % 256) AS gray
-        |  FROM c, range(0, 64) pp(p)),
-        |t AS (SELECT id, sum(gray) AS total FROM g GROUP BY id),
-        |b AS (
-        |  SELECT g.id, g.p,
-        |    CASE WHEN 64 * g.gray > t.total THEN 1 ELSE 0 END AS bit
-        |  FROM g JOIN t ON g.id = t.id),
-        |hp AS (
-        |  SELECT id,
-        |    CAST(sum(CASE WHEN p < 32 THEN bit * (1::BIGINT << (31 - p)) ELSE 0 END) AS BIGINT) AS phash_hi,
-        |    CAST(sum(CASE WHEN p >= 32 THEN bit * (1::BIGINT << (63 - p)) ELSE 0 END) AS BIGINT) AS phash_lo
-        |  FROM b GROUP BY id)
-        |SELECT phash_hi, phash_lo, count(*) AS n_images,
-        |  min(id) AS min_media
-        |FROM hp GROUP BY 1, 2""".stripMargin,
+      s"""WITH $phashCtes
+         |SELECT phash_hi, phash_lo, count(*) AS n_images,
+         |  min(id) AS min_media
+         |FROM hp GROUP BY 1, 2""".stripMargin,
+
+    // same signatures → distinct → 16-bit band self-join (pigeonhole-
+    // complete for Hamming ≤ 3) → exact popcount census.
+    "mm_image_near_dup" ->
+      s"""WITH $phashCtes,
+         |sigs AS (SELECT DISTINCT phash_hi AS hi, phash_lo AS lo FROM hp),
+         |banded AS (
+         |  SELECT hi, lo, bi,
+         |    CASE bi WHEN 0 THEN hi // 65536 WHEN 1 THEN hi % 65536
+         |            WHEN 2 THEN lo // 65536 ELSE lo % 65536 END AS bv
+         |  FROM sigs, range(0, 4) bb(bi)),
+         |cand AS (
+         |  SELECT DISTINCT x.hi AS ha, x.lo AS la, y.hi AS hb, y.lo AS lb
+         |  FROM banded x JOIN banded y
+         |    ON x.bi = y.bi AND x.bv = y.bv
+         |   AND (x.hi < y.hi OR (x.hi = y.hi AND x.lo < y.lo))),
+         |ham AS (
+         |  SELECT CAST(bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) AS BIGINT) AS hamming
+         |  FROM cand)
+         |SELECT hamming, count(*) AS n_pairs FROM ham
+         |WHERE hamming <= 3 GROUP BY 1""".stripMargin,
 
     // per-channel corpus means: the generator formula summed over every
     // (x, y) position of every image, one double division at the end.
