@@ -161,4 +161,26 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(1L).phash_hi == 0x0f0f0f0fL && got(1L).phash_lo == 0x0f0f0f0fL,
       s"got ${got(1L)}")
   }
+
+  test("mm_image_near_dup banding is COMPLETE: census equals the brute-force all-pairs census") {
+    // the pigeonhole claim (Hamming <= 3 pairs always share a 16-bit
+    // band) checked against an exhaustive quadratic scan of the real
+    // sf0.001 signature set — if banding dropped any qualifying pair,
+    // some census row would come up short
+    import graft.multimodal.PixelImage
+    val sigs = PixelImage.aHash(PixelImage.mediaFromDocuments(
+        Tables.documents(spark, "/root/testdata/sf0.001")))
+      .collect().map(h => (h.phash_hi, h.phash_lo)).distinct
+    val brute = (for {
+      i <- sigs.indices.iterator
+      j <- (i + 1) until sigs.length
+      d = java.lang.Long.bitCount(sigs(i)._1 ^ sigs(j)._1) +
+        java.lang.Long.bitCount(sigs(i)._2 ^ sigs(j)._2)
+      if d <= 3
+    } yield d.toLong).toSeq.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val banded = SparkEntry.queries("mm_image_near_dup")(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long)].collect().toMap
+    SparkEntry.releaseCaches()
+    assert(banded == brute, s"banded census $banded vs brute force $brute")
+  }
 }
