@@ -94,6 +94,27 @@ object StatsQueries extends QueryPack {
         .select(col("user_id"), col("m.t").as("mode_type"),
           (-col("m.negc")).as("cnt"))),
 
+    // Shuffle-skew audit — the ops-side report this engine's own
+    // salting/AQE guards feed on: per-key row counts reduced to key
+    // census, hottest key (deterministic min-of-(−count, key) argmax,
+    // the q_mode_event shape), and skew factor max/mean expressed as
+    // ONE double division of the int64 cross product max·n_keys over
+    // n_rows. One map-combining aggregate to key cardinality, then a
+    // single-row reduce — the diagnostic you run BEFORE deciding a
+    // join needs salting.
+    "q_events_skew_audit" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy("user_id").agg(count(lit(1)).as("c"))
+        .agg(
+          count(lit(1)).as("n_keys"),
+          sum(col("c")).as("n_rows"),
+          max(col("c")).as("max_key_rows"),
+          min(struct((-col("c")).as("negc"), col("user_id").as("k"))).as("m"))
+        .select(col("n_keys"), col("n_rows"), col("max_key_rows"),
+          col("m.k").as("hot_key"),
+          ((col("max_key_rows") * col("n_keys")).cast("double") / col("n_rows"))
+            .as("skew_factor"))),
+
     // RFM customer segmentation (recency / frequency / monetary — the
     // classic CRM cube): per-customer last-order age, order count, and
     // exact-decimal spend, quartile-bucketed via GLOBAL cutpoints that
@@ -358,6 +379,14 @@ object StatsQueries extends QueryPack {
     }))
 
   override def oracles: Map[String, String] = Map(
+    "q_events_skew_audit" ->
+      """WITH k AS (SELECT user_id, count(*) AS c FROM events GROUP BY 1)
+        |SELECT count(*) AS n_keys, CAST(sum(c) AS BIGINT) AS n_rows,
+        |  CAST(max(c) AS BIGINT) AS max_key_rows,
+        |  (SELECT user_id FROM k ORDER BY c DESC, user_id LIMIT 1) AS hot_key,
+        |  CAST(max(c) * count(*) AS DOUBLE) / CAST(sum(c) AS BIGINT) AS skew_factor
+        |FROM k""".stripMargin,
+
     "q_orders_rfm" ->
       """WITH cust AS (
         |  SELECT o_custkey, max(o_orderdate) AS last_o, count(*) AS f,

@@ -116,6 +116,28 @@ object WindowQueries extends QueryPack {
           sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_returning_events"))
     }),
 
+    // Conversion latency: per user, first view → first LATER buy; the
+    // funnel-health metric (how long acquisition takes, not just
+    // whether it completes). One map-combining conditional aggregate
+    // to user cardinality, then exact integer-microsecond durations:
+    // count, mean (one double division), and exact median via
+    // percentile over the converted-user rows (entity cardinality —
+    // the same bounded-rows argument as the RFM cutpoints).
+    "q_time_to_convert" -> ((s, d) => {
+      val perUser = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(
+          min(when(col("event_type") === "view", unix_micros(col("ts")))).as("first_view"),
+          min(when(col("event_type") === "buy", unix_micros(col("ts")))).as("first_buy"))
+        .where(col("first_view").isNotNull && col("first_buy").isNotNull &&
+          col("first_buy") > col("first_view"))
+        .select((col("first_buy") - col("first_view")).as("lat_us"))
+      perUser.agg(
+        count(lit(1)).as("n_converted"),
+        (sum(col("lat_us")).cast("double") / count(lit(1))).as("mean_us"),
+        round(percentile(col("lat_us"), lit(0.5)), 6).as("p50_us"))
+    }),
+
     // Attribution interval join: every click paired with the view(s) it
     // follows within an hour, same user. The SHARED kernel with the
     // streaming path (EventStreams.clickAttribution — watermarked
@@ -331,6 +353,20 @@ object WindowQueries extends QueryPack {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q_time_to_convert" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS fv,
+        |    min(CASE WHEN event_type = 'buy' THEN epoch_us(ts) END) AS fb
+        |  FROM events GROUP BY 1),
+        |lat AS (
+        |  SELECT fb - fv AS lat_us FROM u
+        |  WHERE fv IS NOT NULL AND fb IS NOT NULL AND fb > fv)
+        |SELECT count(*) AS n_converted,
+        |  CAST(sum(lat_us) AS DOUBLE) / count(*) AS mean_us,
+        |  round(quantile_cont(lat_us, 0.5), 6) AS p50_us
+        |FROM lat""".stripMargin,
 
     "q_events_hau" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
