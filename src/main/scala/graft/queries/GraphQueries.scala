@@ -237,6 +237,39 @@ object GraphQueries extends QueryPack {
       graft.graph.GraphOps.clusteringCoeff(cooccurEdges(s, d))
         .select(col("v").as("part"), col("deg"), col("tri"), col("coeff"))),
 
+    // Degree assortativity (Newman's r): do high-degree parts co-occur
+    // with high-degree parts? Pearson correlation of endpoint degrees
+    // over both orientations of every edge, computed the q_regr_slope
+    // way — int64/DECIMAL(38) sufficient statistics (N, Σj, Σjk, Σj²;
+    // HUGEINT on the oracle side), cross-multiplied into exact integer
+    // numerator/denominator, then ONE double division (den = 0 on a
+    // regular graph guards to 0.0 — engines disagree on double 0/0).
+    // Two joins against the degree table riding the und partitioning,
+    // one single-row reduce — no materialized adjacency.
+    "graph_part_assortativity" -> ((s, d) => {
+      val e = graft.CacheRegistry.persistTracked(
+        cooccurEdges(s, d).select("src", "dst"))
+      val und = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+      val deg = und.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
+      val dd = und
+        .join(deg.select(col("v").as("src"), col("deg").as("dj")), Seq("src"))
+        .join(deg.select(col("v").as("dst"), col("deg").as("dk")), Seq("dst"))
+      dd.agg(
+          count(lit(1)).as("n"),
+          sum(col("dj")).as("sj"),
+          sum((col("dj") * col("dk")).cast("decimal(38,0)")).as("sjk"),
+          sum((col("dj") * col("dj")).cast("decimal(38,0)")).as("sjj"))
+        .select(col("n"), col("sj"),
+          (col("n").cast("decimal(38,0)") * col("sjk")
+            - col("sj").cast("decimal(38,0)") * col("sj").cast("decimal(38,0)")).as("num"),
+          (col("n").cast("decimal(38,0)") * col("sjj")
+            - col("sj").cast("decimal(38,0)") * col("sj").cast("decimal(38,0)")).as("den"))
+        .select(col("n"), col("sj"),
+          when(col("den") === 0, lit(0.0))
+            .otherwise(col("num").cast("double") / col("den").cast("double"))
+            .as("assortativity"))
+    }),
+
     // Link prediction: top-20 non-adjacent part pairs by shared
     // co-occurrence neighbors (GraphOps.commonNeighbors — wedge join
     // with the 1000-degree hub guard; max observed degree here is 13,
@@ -461,6 +494,28 @@ object GraphQueries extends QueryPack {
          |    ELSE CAST(coalesce(pv.tri, 0) * 2 AS DOUBLE) / (deg.deg * (deg.deg - 1))
          |  END AS coeff
          |FROM deg LEFT JOIN pv ON deg.v = pv.v""".stripMargin,
+
+    // same sufficient statistics in HUGEINT; identical guard + single
+    // double division.
+    "graph_part_assortativity" ->
+      s"""WITH $edgesCte,
+         |e AS (SELECT DISTINCT src, dst FROM edges),
+         |und AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+         |degt AS (SELECT src AS v, count(*) AS deg FROM und GROUP BY 1),
+         |dd AS (
+         |  SELECT a.deg AS dj, b.deg AS dk
+         |  FROM und JOIN degt a ON und.src = a.v JOIN degt b ON und.dst = b.v),
+         |st AS (
+         |  SELECT count(*) AS n, CAST(sum(dj) AS BIGINT) AS sj,
+         |    sum(CAST(dj AS HUGEINT) * dk) AS sjk,
+         |    sum(CAST(dj AS HUGEINT) * dj) AS sjj
+         |  FROM dd)
+         |SELECT n, sj,
+         |  CASE WHEN CAST(n AS HUGEINT) * sjj - CAST(sj AS HUGEINT) * sj = 0 THEN 0.0
+         |    ELSE CAST(CAST(n AS HUGEINT) * sjk - CAST(sj AS HUGEINT) * sj AS DOUBLE)
+         |       / CAST(CAST(n AS HUGEINT) * sjj - CAST(sj AS HUGEINT) * sj AS DOUBLE)
+         |  END AS assortativity
+         |FROM st""".stripMargin,
 
     // uncapped wedge enumeration (max degree at driver SFs is far
     // below the Spark side's 1000 hub guard, so the sets coincide);

@@ -94,6 +94,34 @@ object StatsQueries extends QueryPack {
         .select(col("user_id"), col("m.t").as("mode_type"),
           (-col("m.negc")).as("cnt"))),
 
+    // Pareto / revenue-concentration report: what share of total part
+    // revenue the top quartile of parts carries. The cut is RANK-based
+    // (top ⌈n/4⌉ by exact-decimal revenue, ties to the part key) — no
+    // quantile interpolation anywhere, so every intermediate is an
+    // exact integer or decimal and the single shipped double division
+    // is correctly rounded on both engines. The rank window runs on
+    // part-cardinality rows (the bounded-entity argument shared with
+    // the RFM cutpoints and vocab-coverage cumsum); the fact table
+    // reduces map-side first.
+    "q_pareto_share" -> ((s, d) => {
+      val rev = graft.CacheRegistry.persistTracked(
+        Tables.lineitem(s, d)
+          .groupBy("l_partkey")
+          .agg(sum(TpchMoney.discPrice).cast("decimal(38,4)").as("revd")))
+      val np = broadcast(rev.agg(count(lit(1)).as("np")))
+      val w = Window.orderBy(col("revd").desc, col("l_partkey"))
+      rev.crossJoin(np)
+        .withColumn("rn", row_number().over(w))
+        .agg(
+          max(col("np")).as("n_parts"),
+          sum(when(col("rn") <= expr("(np + 3) div 4"), 1L).otherwise(0L))
+            .as("top_parts"),
+          (sum(when(col("rn") <= expr("(np + 3) div 4"), col("revd")))
+            .cast("decimal(38,4)").cast("double") /
+            sum(col("revd")).cast("decimal(38,4)").cast("double"))
+            .as("top_share"))
+    }),
+
     // Shuffle-skew audit — the ops-side report this engine's own
     // salting/AQE guards feed on: per-key row counts reduced to key
     // census, hottest key (deterministic min-of-(−count, key) argmax,
@@ -379,6 +407,21 @@ object StatsQueries extends QueryPack {
     }))
 
   override def oracles: Map[String, String] = Map(
+    "q_pareto_share" ->
+      s"""WITH rev AS (
+         |  SELECT l_partkey, sum(${TpchMoney.discPriceSql}) AS revd
+         |  FROM lineitem GROUP BY 1),
+         |np AS (SELECT count(*) AS np FROM rev),
+         |rk AS (
+         |  SELECT revd, np,
+         |    row_number() OVER (ORDER BY revd DESC, l_partkey) AS rn
+         |  FROM rev, np)
+         |SELECT CAST(max(np) AS BIGINT) AS n_parts,
+         |  CAST(sum(CASE WHEN rn <= (np + 3) // 4 THEN 1 ELSE 0 END) AS BIGINT) AS top_parts,
+         |  ${TpchMoney.shipSql("sum(CASE WHEN rn <= (np + 3) // 4 THEN revd END)")}
+         |    / ${TpchMoney.shipSql("sum(revd)")} AS top_share
+         |FROM rk""".stripMargin,
+
     "q_events_skew_audit" ->
       """WITH k AS (SELECT user_id, count(*) AS c FROM events GROUP BY 1)
         |SELECT count(*) AS n_keys, CAST(sum(c) AS BIGINT) AS n_rows,
