@@ -185,6 +185,28 @@ object EventStreams {
   private def micros(t: Timestamp): Long =
     math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
 
+  /** Streaming hourly-active-users — the stateful twin of the batch
+    * `q_events_hau` report: EXACT per-hour distinct users via dedup
+    * state keyed (user, hour) and bounded by the watermark, then a
+    * watermarked tumbling count over the deduped stream. Two chained
+    * stateful operators in append mode (supported since the
+    * multi-stateful-operator work); state per live hour is one entry
+    * per active user and is evicted once the watermark passes — the
+    * exact-distinct answer while the hour is hot, where the unbounded
+    * alternative (approx_count_distinct) would be the fallback only if
+    * per-user state were too large. Works on batch frames too
+    * (watermark and dedup state are no-ops there). */
+  def streamingHourlyActive(
+      events: DataFrame,
+      lateness: String = "30 minutes"): DataFrame =
+    events
+      .withColumn("hour", date_trunc("hour", col("ts")))
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark(Seq("user_id", "hour"))
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("hau"))
+      .select(col("window.start").as("hour"), col("hau"))
+
   case class ValueEvent(user_id: Long, ts: Timestamp, event_id: Long, value: Double)
   case class EwmaState(recent: List[Double])
   case class EwmaOut(user_id: Long, event_id: Long, ewma: Double)

@@ -341,6 +341,29 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming hourly-active dedups per (user, hour) and agrees with the batch HAU") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    val df = mem.toDF().toDF("ts", "user_id")
+    val q = EventStreams.streamingHourlyActive(df, "5 minutes")
+      .writeStream.format("memory").queryName("hau_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // hour 0: user 1 twice (dedup to one), user 2 once -> hau 2;
+      // hour 1 (minute 70): user 1 again -> a NEW hour bucket counts it
+      mem.addData((ts(1), 1L), (ts(5), 1L), (ts(7), 2L), (ts(70), 1L))
+      q.processAllAvailable()
+      mem.addData((ts(300), 9L)) // advance watermark: closes both hours
+      q.processAllAvailable()
+      import org.apache.spark.sql.functions.{col, date_format}
+      val got = spark.table("hau_stream")
+        .select(date_format(col("hour"), "HH:mm").as("h"), col("hau"))
+        .as[(String, Long)].collect().toMap
+      assert(got.values.toSeq.sorted == Seq(1L, 2L), s"window counts: $got")
+    } finally q.stop()
+  }
+
   test("streaming EWMA agrees with the batch q_events_ewma bit-for-bit across batch splits") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
