@@ -98,6 +98,35 @@ object GraphOps {
             (col("deg") * (col("deg") - 1))).as("coeff"))
   }
 
+  /** Degree assortativity (Newman's r) from a canonical (src < dst,
+    * distinct) edge list: Pearson correlation of endpoint degrees over
+    * both orientations, via exact integer/decimal sufficient
+    * statistics and ONE double division (0.0 on a regular graph —
+    * engines disagree on double 0/0). Returns one row
+    * (n, sj, assortativity). */
+  def assortativity(edges: DataFrame): DataFrame = {
+    val e = graft.CacheRegistry.persistTracked(edges.select("src", "dst"))
+    val und = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = und.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
+    val dd = und
+      .join(deg.select(col("v").as("src"), col("deg").as("dj")), Seq("src"))
+      .join(deg.select(col("v").as("dst"), col("deg").as("dk")), Seq("dst"))
+    dd.agg(
+        count(lit(1)).as("n"),
+        sum(col("dj")).as("sj"),
+        sum((col("dj") * col("dk")).cast("decimal(38,0)")).as("sjk"),
+        sum((col("dj") * col("dj")).cast("decimal(38,0)")).as("sjj"))
+      .select(col("n"), col("sj"),
+        (col("n").cast("decimal(38,0)") * col("sjk")
+          - col("sj").cast("decimal(38,0)") * col("sj").cast("decimal(38,0)")).as("num"),
+        (col("n").cast("decimal(38,0)") * col("sjj")
+          - col("sj").cast("decimal(38,0)") * col("sj").cast("decimal(38,0)")).as("den"))
+      .select(col("n"), col("sj"),
+        when(col("den") === 0, lit(0.0))
+          .otherwise(col("num").cast("double") / col("den").cast("double"))
+          .as("assortativity"))
+  }
+
   /** Common-neighbor link prediction from a canonical (src < dst,
     * distinct) edge list: the top-K NON-adjacent vertex pairs ranked by
     * shared-neighbor count (the classic link-prediction baseline; ties

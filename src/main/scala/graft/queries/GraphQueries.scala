@@ -246,29 +246,8 @@ object GraphQueries extends QueryPack {
     // regular graph guards to 0.0 — engines disagree on double 0/0).
     // Two joins against the degree table riding the und partitioning,
     // one single-row reduce — no materialized adjacency.
-    "graph_part_assortativity" -> ((s, d) => {
-      val e = graft.CacheRegistry.persistTracked(
-        cooccurEdges(s, d).select("src", "dst"))
-      val und = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
-      val deg = und.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
-      val dd = und
-        .join(deg.select(col("v").as("src"), col("deg").as("dj")), Seq("src"))
-        .join(deg.select(col("v").as("dst"), col("deg").as("dk")), Seq("dst"))
-      dd.agg(
-          count(lit(1)).as("n"),
-          sum(col("dj")).as("sj"),
-          sum((col("dj") * col("dk")).cast("decimal(38,0)")).as("sjk"),
-          sum((col("dj") * col("dj")).cast("decimal(38,0)")).as("sjj"))
-        .select(col("n"), col("sj"),
-          (col("n").cast("decimal(38,0)") * col("sjk")
-            - col("sj").cast("decimal(38,0)") * col("sj").cast("decimal(38,0)")).as("num"),
-          (col("n").cast("decimal(38,0)") * col("sjj")
-            - col("sj").cast("decimal(38,0)") * col("sj").cast("decimal(38,0)")).as("den"))
-        .select(col("n"), col("sj"),
-          when(col("den") === 0, lit(0.0))
-            .otherwise(col("num").cast("double") / col("den").cast("double"))
-            .as("assortativity"))
-    }),
+    "graph_part_assortativity" -> ((s, d) =>
+      graft.graph.GraphOps.assortativity(cooccurEdges(s, d))),
 
     // Link prediction: top-20 non-adjacent part pairs by shared
     // co-occurrence neighbors (GraphOps.commonNeighbors — wedge join

@@ -222,4 +222,21 @@ class GraphSpec extends AnyFunSuite {
     assert(open == Seq((1L, 3L, 1L), (4L, 5L, 1L), (4L, 6L, 1L), (4L, 7L, 1L),
       (5L, 6L, 1L), (5L, 7L, 1L), (6L, 7L, 1L)))
   }
+
+  test("GraphOps.assortativity: triangle + pendant, by hand; regular graph guards to 0") {
+    // Triangle {1,2,3} + pendant 3—4: directed degree pairs over the 8
+    // orientations give n=8, Σj=18, Σjk=38, Σj²=44 → r = (8·38−18²)
+    // / (8·44−18²) = −20/28 (the pendant drags r negative).
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val got = graft.graph.GraphOps.assortativity(edges)
+      .as[(Long, Long, Double)].head()
+    SparkEntry.releaseCaches()
+    assert(got == ((8L, 18L, -20.0 / 28)))
+    // 4-cycle: every degree 2 → zero variance → guarded 0.0, not NaN/null
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("src", "dst")
+    val r = graft.graph.GraphOps.assortativity(cyc)
+      .as[(Long, Long, Double)].head()
+    SparkEntry.releaseCaches()
+    assert(r._3 == 0.0)
+  }
 }
