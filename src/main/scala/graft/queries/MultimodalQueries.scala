@@ -89,6 +89,22 @@ object MultimodalQueries extends QueryPack {
         .agg(count(lit(1)).as("n_clips"), min(col("media_id")).as("min_clip"))
     }),
 
+    // Scene-cut detection over the video tier's REAL containers: the
+    // kernel validates each BMP header, walks the data section in
+    // 256-byte frames, and flags cuts where consecutive frame
+    // intensities (unsigned byte sums) jump by > 15000 — the temporal
+    // video operator (a production build swaps the intensity proxy for
+    // decoded-luma histogram diffs on the same dataflow). Per-row
+    // kernel, integer outputs, one result projection — no shuffle at
+    // all; the oracle replays intensities from the text bytes (ASCII
+    // corpus: byte == code point).
+    "mm_scene_cuts" -> ((s, d) => {
+      val media = Multimodal.mediaFromDocuments(
+        Tables.documents(s, d)).where(col("kind") === "video")
+      Multimodal.sceneCuts(media).toDF()
+        .select(col("media_id"), col("n_frames"), col("n_cuts"))
+    }),
+
     // NEAR-duplicate image pairs by Hamming distance over the aHash
     // signatures — with an EXACT banding guarantee: the 64 bits split
     // into four 16-bit bands, and any pair within Hamming ≤ 3 differs
@@ -259,6 +275,33 @@ object MultimodalQueries extends QueryPack {
          |SELECT phash_hi, phash_lo, count(*) AS n_images,
          |  min(id) AS min_media
          |FROM hp GROUP BY 1, 2""".stripMargin,
+
+    // frame intensities replayed from text bytes; lag() finds the
+    // cuts; zero-frame (null/empty text) media report (0, 0).
+    "mm_scene_cuts" ->
+      """WITH v AS (
+        |  SELECT doc_id AS media_id, text, coalesce(length(text), 0) AS n
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |fr AS (
+        |  SELECT media_id, text, n, unnest(range((n + 255) // 256)) AS f
+        |  FROM v WHERE n > 0),
+        |it AS (
+        |  SELECT media_id, f,
+        |    list_sum(list_transform(range(f * 256 + 1, least((f + 1) * 256, n) + 1),
+        |      i -> ord(substr(text, CAST(i AS INT), 1)))) AS inten
+        |  FROM fr),
+        |d AS (
+        |  SELECT media_id, inten,
+        |    lag(inten) OVER (PARTITION BY media_id ORDER BY f) AS pinten
+        |  FROM it),
+        |c AS (
+        |  SELECT media_id, count(*) AS n_frames,
+        |    CAST(sum(CASE WHEN pinten IS NOT NULL AND abs(inten - pinten) > 15000
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts
+        |  FROM d GROUP BY 1)
+        |SELECT media_id, n_frames, n_cuts FROM c
+        |UNION ALL
+        |SELECT media_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM v WHERE n = 0""".stripMargin,
 
     // same signatures → distinct → 16-bit band self-join (pigeonhole-
     // complete for Hamming ≤ 3) → exact popcount census.
