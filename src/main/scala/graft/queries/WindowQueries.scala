@@ -116,6 +116,29 @@ object WindowQueries extends QueryPack {
           sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_returning_events"))
     }),
 
+    // Path analysis / sequence mining: each user's journey as the
+    // ordered chain of their first 8 event types, then the top-10 most
+    // common journeys — the product-analytics view q_events_transitions
+    // (pairwise) cannot give. The per-user chain is ONE aggregation
+    // (array_sort over (time, id, type) structs — deterministic under
+    // any partitioning thanks to the total ordering), truncated to 8
+    // BEFORE the path string materializes, so per-user state is
+    // bounded no matter how hot a user is; the journey census is a
+    // second map-combining aggregate on bounded-length strings.
+    "q_events_paths" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("user_id"),
+          struct(unix_micros(col("ts")).as("us"), col("event_id").as("eid"),
+            coalesce(col("event_type"), lit("")).as("t")).as("e"))
+        .groupBy("user_id")
+        .agg(array_join(
+          slice(transform(array_sort(collect_list(col("e"))), x => x.getField("t")),
+            1, 8), ">").as("path"))
+        .groupBy("path")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("n_users").desc, col("path"))
+        .limit(10)),
+
     // Conversion latency: per user, first view → first LATER buy; the
     // funnel-health metric (how long acquisition takes, not just
     // whether it completes). One map-combining conditional aggregate
@@ -353,6 +376,16 @@ object WindowQueries extends QueryPack {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q_events_paths" ->
+      """WITH p AS (
+        |  SELECT user_id,
+        |    array_to_string(
+        |      list(coalesce(event_type, '') ORDER BY epoch_us(ts), event_id)[1:8],
+        |      '>') AS path
+        |  FROM events GROUP BY 1)
+        |SELECT path, count(*) AS n_users FROM p
+        |GROUP BY 1 ORDER BY n_users DESC, path LIMIT 10""".stripMargin,
 
     "q_time_to_convert" ->
       """WITH u AS (
