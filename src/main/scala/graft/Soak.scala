@@ -76,7 +76,12 @@ object Soak {
     "graph_part_common_neighbors" -> Set('f'),
     "q_interval_overlap" -> Set('f'),
     "text_lm_surprisal" -> Set('d'), "pipe_token_budget" -> Set('d'),
-    "mm_image_phash" -> Set('d'), "mm_audio_fingerprint" -> Set('d'))
+    "mm_image_phash" -> Set('d'), "mm_audio_fingerprint" -> Set('d'),
+    "graph_part_assortativity" -> Set('f'), "q_pareto_share" -> Set('f'),
+    "assoc_basket_lift" -> Set('f'),
+    "pipe_bpe_pair_counts" -> Set('d'), "text_readability" -> Set('d'),
+    "pipe_dataset_card" -> Set('d'), "mm_scene_cuts" -> Set('d'),
+    "mm_image_near_dup" -> Set('d'))
 
   private[graft] def famsFor(queries: Seq[String]): Set[Char] =
     queries.map(q => SoakReads.getOrElse(q,

@@ -569,4 +569,29 @@ class PlanInvariantsSpec extends AnyFunSuite {
         s"$q must stay equi-join only:\n$p")
     }
   }
+
+  test("mm_scene_cuts: per-row kernel, ZERO shuffles") {
+    val p = planOf("mm_scene_cuts")
+    assert(exchangeCount(p) == 0,
+      s"scene cuts must not shuffle at all, got ${exchangeCount(p)}:\n$p")
+  }
+
+  test("q_events_paths: two aggregation exchanges, TakeOrdered board (no global sort)") {
+    val p = planOf("q_events_paths")
+    assert(exchangeCount(p) == 2,
+      s"paths = user aggregation + path census, got ${exchangeCount(p)}:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-10 must be TakeOrdered:\n$p")
+  }
+
+  test("q_pareto_share: fact scans once (persisted per-part revenue feeds count AND ranks)") {
+    val p = planOf("q_pareto_share")
+    assert(scanIds(p).size == 1, s"lineitem must scan once:\n$p")
+  }
+
+  test("graph_part_assortativity / assoc_basket_lift: no pair blowup") {
+    for (q <- Seq("graph_part_assortativity", "assoc_basket_lift")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian:\n$p")
+    }
+  }
 }
