@@ -81,7 +81,10 @@ object Soak {
     "assoc_basket_lift" -> Set('f'),
     "pipe_bpe_pair_counts" -> Set('d'), "text_readability" -> Set('d'),
     "pipe_dataset_card" -> Set('d'), "mm_scene_cuts" -> Set('d'),
-    "mm_image_near_dup" -> Set('d'))
+    "mm_image_near_dup" -> Set('d'),
+    "text_count_of_counts" -> Set('d'), "pipe_compaction_plan" -> Set('d'),
+    "q_cohort_ltv" -> Set('f'), "q_supplier_peak90" -> Set('f'),
+    "dedup_span_fraction" -> Set('d'))
 
   private[graft] def famsFor(queries: Seq[String]): Set[Char] =
     queries.map(q => SoakReads.getOrElse(q,

@@ -213,6 +213,42 @@ object DedupQueries extends QueryPack {
     // Exact n-gram Jaccard pairs >= 0.8 via inverted shingle-hash index.
     "dedup_ngram_jaccard" -> ((s, d) => jaccardPairs(s, d)),
 
+    // Cross-document duplicated-SPAN fraction — the exact-substring
+    // dedup signal (Lee et al. 2022, "Deduplicating Training Data
+    // Makes Language Models Better") at fixed 8-token granularity:
+    // per document, the share of its distinct 8-token windows that
+    // also appear verbatim in ANOTHER document. Doc-level Jaccard
+    // (the tier above) misses a boilerplate paragraph pasted into
+    // otherwise-unrelated documents; this tier is what catches it.
+    // Within-doc repeats count once — the distinct (doc, span) set
+    // makes the per-span window count exactly "documents containing
+    // this span". Shape: spans hash to 8 bytes map-side (codegen
+    // PolyHash64, replayed in the oracle's HUGEINT arithmetic), so
+    // only (doc_id, hash) pairs ever shuffle — never span text; the
+    // document frequency rides a count window over the hash
+    // partitioning (linear in the hottest span's postings — a
+    // universal boilerplate span costs one long partition scan, not a
+    // pair blowup).
+    "dedup_span_fraction" -> ((s, d) => {
+      val w = 8
+      val byH = org.apache.spark.sql.expressions.Window.partitionBy("h")
+      Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+        .where(size(col("t")) >= w)
+        .select(col("doc_id"), explode(expr(
+          s"transform(sequence(0, size(t)-$w), i -> array_join(slice(t, i+1, $w), chr(1)))"))
+          .as("sp"))
+        .select(col("doc_id"), graft.functions.PolyHash64Expr(col("sp")).as("h"))
+        .distinct()
+        .withColumn("docs_with", count(lit(1)).over(byH))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_spans"),
+          sum(when(col("docs_with") >= 2, 1L).otherwise(0L)).as("n_shared"))
+        .select(col("doc_id"), col("n_spans"), col("n_shared"),
+          round(col("n_shared").cast("double") / col("n_spans"), 6)
+            .as("dup_fraction"))
+    }),
+
     // Pairs -> clusters: connected components over the near-dup pair
     // graph (GraphX), canonical survivor = min doc_id per cluster —
     // the final step a production dedup pipeline actually keys on.
@@ -545,6 +581,30 @@ FROM sh LEFT JOIN cnt ON sh.doc_id = cnt.doc_id"""
         |GROUP BY nullif(lower(regexp_replace(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'), '^\s+|\s+$', '', 'g')), '')""".stripMargin,
 
     "dedup_ngram_jaccard" -> jaccardOracle,
+    // Same poly-31 HUGEINT fold as the fingerprint oracle, per span.
+    "dedup_span_fraction" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |                             t -> length(t) > 0) AS ts
+        |  FROM documents),
+        |sp AS (
+        |  SELECT DISTINCT doc_id,
+        |    list_reduce(
+        |      list_prepend(CAST(1125899906842597 AS HUGEINT),
+        |        list_transform(range(1, length(s) + 1),
+        |          i -> CAST(ord(substr(s, i, 1)) AS HUGEINT))),
+        |      (acc, b) -> (acc * 31 + b) % CAST('18446744073709551616' AS HUGEINT)) AS h
+        |  FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(ts) - 6),
+        |      i -> array_to_string(ts[i:i+7], chr(1)))) AS s
+        |    FROM toks WHERE len(ts) >= 8)),
+        |df AS (SELECT h, count(*) AS docs_with FROM sp GROUP BY h)
+        |SELECT doc_id, count(*) AS n_spans,
+        |  CAST(sum(CASE WHEN docs_with >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+        |  round(sum(CASE WHEN docs_with >= 2 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+        |    AS dup_fraction
+        |FROM sp JOIN df USING (h)
+        |GROUP BY doc_id""".stripMargin,
     "dedup_clusters" -> clustersOracle,
 
     // Same transitive closure as the clusters oracle, then the same

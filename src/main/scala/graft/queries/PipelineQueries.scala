@@ -159,7 +159,35 @@ object PipelineQueries extends QueryPack {
         .select(explode(expr(
           "transform(sequence(1, length(w)-1), i -> substring(w, i, 2))")).as("pair"))
         .groupBy("pair").agg(count(lit(1)).as("cnt"))
-        .orderBy(col("cnt").desc, col("pair")).limit(20)))
+        .orderBy(col("cnt").desc, col("pair")).limit(20)),
+
+    // Compaction planning — the small-file bin packer every lakehouse
+    // maintenance job runs: shard sizes (here per (source, lang), in
+    // production a file-manifest listing) ordered largest-first, packed
+    // sequentially into ceil(total/6)-byte output bins by START offset
+    // (a shard belongs to the bin its cumsum enters). The plan runs on
+    // shard METADATA — cardinality = #files, never data rows — so the
+    // global sort window is the bounded-entity shape (the vocab-
+    // coverage cumsum argument); only the one size aggregate touches
+    // the corpus. Output: per-bin shard count and bytes — the work
+    // order a rewrite job executes.
+    "pipe_compaction_plan" -> ((s, d) => {
+      // persist the shard table: it feeds the total AND the packing
+      // walk — without the pin the corpus size aggregate would scan
+      // the documents table a second time.
+      val shards = graft.CacheRegistry.persistTracked(
+        Tables.documents(s, d)
+          .groupBy("source", "lang")
+          .agg(sum(col("n_chars")).as("bytes")))
+      val tot = broadcast(shards.agg(sum(col("bytes")).as("total")))
+      val w = Window.orderBy(col("bytes").desc, col("source"), col("lang"))
+      shards.crossJoin(tot)
+        .withColumn("target", expr("(total + 5) div 6"))
+        .withColumn("cum", sum(col("bytes")).over(w))
+        .withColumn("bin", expr("(cum - bytes) div target"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_shards"), sum(col("bytes")).as("bin_bytes"))
+    }))
 
   private val SeqLen = 2048
   private val PackShards = 32
@@ -169,6 +197,21 @@ object PipelineQueries extends QueryPack {
   private val ShuffleShards = 64L
 
   override def oracles: Map[String, String] = Map(
+    "pipe_compaction_plan" ->
+      """WITH shards AS (
+        |  SELECT source, lang, CAST(sum(n_chars) AS BIGINT) AS bytes
+        |  FROM documents GROUP BY 1, 2),
+        |tot AS (SELECT CAST(sum(bytes) AS BIGINT) AS total FROM shards),
+        |c AS (
+        |  SELECT bytes,
+        |    CAST(sum(bytes) OVER (ORDER BY bytes DESC, source, lang
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |    (total + 5) // 6 AS target
+        |  FROM shards, tot)
+        |SELECT (cum - bytes) // target AS bin, count(*) AS n_shards,
+        |  CAST(sum(bytes) AS BIGINT) AS bin_bytes
+        |FROM c GROUP BY 1""".stripMargin,
+
     "pipe_bpe_pair_counts" ->
       """WITH w AS (
         |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w

@@ -122,6 +122,60 @@ object StatsQueries extends QueryPack {
             .as("top_share"))
     }),
 
+    // Cohort LTV matrix — customers grouped by first-order year, order
+    // count and exact-decimal revenue accumulated per years-since-first
+    // bucket (the retention-economics twin of q_events_retention, which
+    // is activity-based). Shape: one map-combined aggregate to customer
+    // cardinality for the cohort anchor, then an o_custkey equi-join
+    // back onto orders that REUSES the same hash partitioning (no
+    // broadcast needed, no extra exchange on the anchor side), then a
+    // ≤ cohortyears² cell aggregate. Nothing wider than (custkey,
+    // first_date) shuffles beyond the fact rows themselves.
+    "q_cohort_ltv" -> ((s, d) => {
+      val first = Tables.orders(s, d)
+        .groupBy("o_custkey").agg(min(col("o_orderdate")).as("first_o"))
+      Tables.orders(s, d)
+        .join(first, Seq("o_custkey"))
+        .select(year(col("first_o")).cast("long").as("cohort_year"),
+          (year(col("o_orderdate")) - year(col("first_o"))).cast("long")
+            .as("age_years"),
+          col("o_totalprice"))
+        .groupBy("cohort_year", "age_years")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(38,2)").cast("double").as("revenue"))
+    }),
+
+    // Peak trailing-90-day revenue per supplier — a gap-aware RANGE
+    // frame over PRE-AGGREGATED daily revenue (days with no shipments
+    // still age out of the trailing window, which a ROWS frame gets
+    // wrong; q_events_rolling ranges over raw rows — here the frame
+    // slides over exact-decimal day aggregates instead). Daily
+    // decimal revenue reduces map-side to (supplier × active-day)
+    // cardinality FIRST, so the range window slides over bounded
+    // per-supplier day series, never raw fact rows. Peak selection is
+    // the combinable min-struct argmax (earliest day on an exact-
+    // decimal tie) — no per-supplier sort materializes.
+    "q_supplier_peak90" -> ((s, d) => {
+      val daily = Tables.lineitem(s, d)
+        .select(col("l_suppkey"),
+          datediff(col("l_shipdate").cast("date"),
+            lit("1992-01-01").cast("date")).as("day_i"),
+          TpchMoney.discPrice.as("dp"))
+        .groupBy("l_suppkey", "day_i")
+        .agg(sum(col("dp")).cast("decimal(38,4)").as("revd"))
+      val w = Window.partitionBy("l_suppkey").orderBy(col("day_i"))
+        .rangeBetween(-89, Window.currentRow)
+      daily
+        .withColumn("r90", sum(col("revd")).over(w).cast("decimal(38,4)"))
+        .groupBy("l_suppkey")
+        .agg(count(lit(1)).as("n_active_days"),
+          min(struct((-col("r90")).as("negr"), col("day_i").as("dy"))).as("mx"))
+        .select(col("l_suppkey"), col("n_active_days"),
+          col("mx.dy").cast("long").as("peak_day"),
+          (-col("mx.negr")).cast("decimal(38,4)").cast("double").as("peak_rev90"))
+    }),
+
     // Shuffle-skew audit — the ops-side report this engine's own
     // salting/AQE guards feed on: per-key row counts reduced to key
     // census, hottest key (deterministic min-of-(−count, key) argmax,
@@ -429,6 +483,38 @@ object StatsQueries extends QueryPack {
         |  (SELECT user_id FROM k ORDER BY c DESC, user_id LIMIT 1) AS hot_key,
         |  CAST(max(c) * count(*) AS DOUBLE) / CAST(sum(c) AS BIGINT) AS skew_factor
         |FROM k""".stripMargin,
+
+    "q_cohort_ltv" ->
+      """WITH f AS (
+        |  SELECT o_custkey, min(o_orderdate) AS first_o FROM orders GROUP BY 1)
+        |SELECT CAST(year(first_o) AS BIGINT) AS cohort_year,
+        |  CAST(year(o_orderdate) - year(first_o) AS BIGINT) AS age_years,
+        |  count(*) AS n_orders,
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS revenue
+        |FROM orders JOIN f USING (o_custkey)
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q_supplier_peak90" ->
+      s"""WITH daily AS (
+         |  SELECT l_suppkey,
+         |    date_diff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE)) AS day_i,
+         |    SUM(${TpchMoney.discPriceSql}) AS revd
+         |  FROM lineitem GROUP BY 1, 2),
+         |w AS (
+         |  SELECT l_suppkey, day_i,
+         |    CAST(sum(revd) OVER (PARTITION BY l_suppkey ORDER BY day_i
+         |      RANGE BETWEEN 89 PRECEDING AND CURRENT ROW) AS DECIMAL(38,4)) AS r90
+         |  FROM daily),
+         |r AS (
+         |  SELECT l_suppkey, day_i, r90,
+         |    row_number() OVER (PARTITION BY l_suppkey
+         |                       ORDER BY r90 DESC, day_i) AS rn,
+         |    count(*) OVER (PARTITION BY l_suppkey) AS nd
+         |  FROM w)
+         |SELECT l_suppkey, CAST(nd AS BIGINT) AS n_active_days,
+         |  CAST(day_i AS BIGINT) AS peak_day,
+         |  ${TpchMoney.shipSql("r90")} AS peak_rev90
+         |FROM r WHERE rn = 1""".stripMargin,
 
     "q_orders_rfm" ->
       """WITH cust AS (

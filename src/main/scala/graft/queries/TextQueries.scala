@@ -27,6 +27,29 @@ object TextQueries extends QueryPack {
         .groupBy("token")
         .agg(count(lit(1)).as("cnt"))),
 
+    // Good–Turing frequency-of-frequencies: how many bigram types occur
+    // exactly r times (r capped at 20, 21 = tail bucket) plus the token
+    // mass each bucket holds — the count-of-counts table every smoothed
+    // n-gram LM estimate starts from (and the vocabulary-truncation
+    // planning input for tokenizer training). Bigram types, not
+    // unigrams: the corpus vocabulary is a closed token pool, so the
+    // unigram spectrum collapses into the tail at every SF — the
+    // combinatorial type space is where N_1/N_2 live. Two
+    // map-combinable hash aggregates: bigrams → per-type counts (type
+    // cardinality, crushed map-side), then type counts → ≤21 bucket
+    // rows. Nothing wider than (bigram, count) ever shuffles, so the
+    // shape holds at corpus scale.
+    "text_count_of_counts" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(tokens(col("text")).as("t"))
+        .where(size(col("t")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(t)-2), i -> concat(t[i], ' ', t[i+1]))")).as("b"))
+        .groupBy("b").agg(count(lit(1)).as("c"))
+        .select(least(col("c"), lit(21L)).as("freq_bucket"), col("c"))
+        .groupBy("freq_bucket")
+        .agg(count(lit(1)).as("n_types"), sum(col("c")).as("n_tokens"))),
+
     // P3/P5 analogue: normalize + acceptance filter (lang whitelist,
     // min length), count survivors per (lang, source).
     "text_normalize_filter" -> ((s, d) =>
@@ -382,6 +405,19 @@ object TextQueries extends QueryPack {
         |      FROM documents)
         |WHERE length(token) > 0
         |GROUP BY token""".stripMargin,
+
+    "text_count_of_counts" ->
+      """WITH t AS (
+        |  SELECT list_filter(string_split_regex(lower(text), '\s+'),
+        |                     x -> length(x) > 0) AS t
+        |  FROM documents),
+        |bg AS (
+        |  SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS b
+        |  FROM t WHERE len(t) >= 2),
+        |tc AS (SELECT b, count(*) AS c FROM bg GROUP BY b)
+        |SELECT least(c, 21) AS freq_bucket, count(*) AS n_types,
+        |       CAST(sum(c) AS BIGINT) AS n_tokens
+        |FROM tc GROUP BY 1""".stripMargin,
 
     "text_normalize_filter" ->
       """WITH n AS (

@@ -220,6 +220,32 @@ object WindowQueries extends QueryPack {
           min("value").as("min_value"), max("value").as("max_value"))
     }),
 
+    // Robust daily-volume anomaly flags — median/MAD, the
+    // outlier-resistant complement to q_events_outliers' moment-based
+    // 3-sigma (one broken day inflates a sigma and masks itself; it
+    // cannot move a median). Day counts reduce map-side to
+    // (type × day) cardinality first, so both exact medians
+    // (percentile interpolates integer counts to exact binary halves /
+    // quarters — the RFM-cutpoint argument, so the 3·MAD comparison is
+    // bit-identical cross-engine) run over bounded per-type series,
+    // and the two one-row-per-type tables broadcast back. The fact
+    // table is scanned once; nothing row-level ever shuffles.
+    "q_events_anomaly" -> ((s, d) => {
+      val daily = graft.CacheRegistry.persistTracked(
+        Tables.events(s, d)
+          .select(col("event_type"), date_trunc("day", col("ts")).as("day"))
+          .groupBy("event_type", "day").agg(count(lit(1)).as("cnt")))
+      val med = daily.groupBy("event_type")
+        .agg(percentile(col("cnt"), lit(0.5)).as("med"))
+      val dev = daily.join(broadcast(med), Seq("event_type"))
+        .withColumn("dev", abs(col("cnt") - col("med")))
+      val mad = dev.groupBy("event_type")
+        .agg(percentile(col("dev"), lit(0.5)).as("mad"))
+      dev.join(broadcast(mad), Seq("event_type"))
+        .where(col("dev") > lit(3.0) * col("mad"))
+        .select(col("event_type"), col("day"), col("cnt"), col("med"), col("mad"))
+    }),
+
     "q_events_growth" -> ((s, d) => {
       val w = Window.partitionBy("event_type").orderBy("day")
       Tables.events(s, d)
@@ -453,6 +479,24 @@ object WindowQueries extends QueryPack {
         |SELECT user_id, CAST(quartile AS INTEGER) AS quartile, count(*) AS n_events,
         |  min(value) AS min_value, max(value) AS max_value
         |FROM t GROUP BY 1, 2""".stripMargin,
+
+    "q_events_anomaly" ->
+      """WITH daily AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |med AS (
+        |  SELECT event_type, quantile_cont(cnt, 0.5) AS med
+        |  FROM daily GROUP BY 1),
+        |dev AS (
+        |  SELECT daily.event_type AS event_type, day, cnt, med,
+        |         abs(cnt - med) AS dev
+        |  FROM daily JOIN med USING (event_type)),
+        |mad AS (
+        |  SELECT event_type, quantile_cont(dev, 0.5) AS mad
+        |  FROM dev GROUP BY 1)
+        |SELECT dev.event_type AS event_type, day, cnt, med, mad
+        |FROM dev JOIN mad USING (event_type)
+        |WHERE dev > 3 * mad""".stripMargin,
 
     "q_events_growth" ->
       """WITH c AS (

@@ -594,4 +594,57 @@ class PlanInvariantsSpec extends AnyFunSuite {
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian:\n$p")
     }
   }
+
+  test("text_count_of_counts: two map-combined aggregates, one corpus scan") {
+    val p = planOf("text_count_of_counts")
+    assert(scanIds(p).size == 1, s"corpus must scan once:\n$p")
+    assert(exchangeCount(p) == 2,
+      s"bigram census + bucket fold = 2 exchanges, got ${exchangeCount(p)}:\n$p")
+    assert("(?s)HashAggregate.*Exchange.*HashAggregate".r.findFirstIn(p).isDefined,
+      s"no partial aggregation before the exchange:\n$p")
+  }
+
+  test("q_cohort_ltv: anchor join is equi-join, both scans pruned") {
+    val p = planOf("q_cohort_ltv")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"cohort anchor join must stay an equi-join:\n$p")
+    assert(exchangeCount(p) <= 3,
+      s"anchor agg + probe + cell agg, got ${exchangeCount(p)}:\n$p")
+    // the anchor branch reads only (o_custkey, o_orderdate)
+    assert(p.contains("ReadSchema: struct<o_custkey:bigint,o_orderdate:timestamp>"),
+      s"anchor scan must prune to 2 columns:\n$p")
+  }
+
+  test("q_supplier_peak90: day aggregate feeds the range window, two exchanges") {
+    val p = planOf("q_supplier_peak90")
+    assert(scanIds(p).size == 1, s"lineitem must scan once:\n$p")
+    assert(exchangeCount(p) == 2,
+      s"(suppkey,day) aggregate + suppkey window — the peak argmax rides the window partitioning, got ${exchangeCount(p)}:\n$p")
+    assert("(?s)HashAggregate.*Exchange.*HashAggregate".r.findFirstIn(p).isDefined,
+      s"daily revenue must reduce map-side before shuffling:\n$p")
+  }
+
+  test("pipe_compaction_plan: shard metadata persists, corpus scans once") {
+    val p = planOf("pipe_compaction_plan")
+    assert(scanIds(p).size == 1,
+      s"documents must scan once (shard table feeds total AND packing):\n$p")
+  }
+
+  test("dedup_span_fraction: span text never shuffles — hashes map-side, three keyed exchanges") {
+    val p = planOf("dedup_span_fraction")
+    assert(scanIds(p).size == 1, s"corpus must scan once:\n$p")
+    assert(exchangeCount(p) == 3,
+      s"(doc,h) distinct + h window + doc aggregate, got ${exchangeCount(p)}:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"document frequency must ride the window, not a join:\n$p")
+    assert("(?s)HashAggregate.*Exchange.*HashAggregate".r.findFirstIn(p).isDefined,
+      s"distinct must partial-aggregate map-side before shuffling:\n$p")
+  }
+
+  test("q_events_anomaly: one fact scan, medians broadcast back (no row-level shuffle)") {
+    val p = planOf("q_events_anomaly")
+    assert(scanIds(p).size == 1, s"events must scan once (daily census persisted):\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"median/MAD decorations must broadcast:\n$p")
+  }
 }
