@@ -84,7 +84,9 @@ object Soak {
     "mm_image_near_dup" -> Set('d'),
     "text_count_of_counts" -> Set('d'), "pipe_compaction_plan" -> Set('d'),
     "q_cohort_ltv" -> Set('f'), "q_supplier_peak90" -> Set('f'),
-    "dedup_span_fraction" -> Set('d'))
+    "dedup_span_fraction" -> Set('d'),
+    "graph_part_neighbor_jaccard" -> Set('f'),
+    "text_domain_divergence" -> Set('d'))
 
   private[graft] def famsFor(queries: Seq[String]): Set[Char] =
     queries.map(q => SoakReads.getOrElse(q,

@@ -351,6 +351,35 @@ object CurationQueries extends QueryPack {
           .select(lit(idx.toLong).as("stage_idx"), lit(name).as("stage"), col("n_users"))
       stage(0, "view", v).unionByName(stage(1, "view_click", c))
         .unionByName(stage(2, "view_click_purchase", p))
+    }),
+
+    // Time-bounded conversion funnel — the production form of the
+    // funnel above: each stage must land within 7 days of the previous
+    // stage's first event, because an unbounded funnel credits a
+    // purchase made a year after the view. Identical one-partitioning
+    // join chain; the window constraint is a post-join filter on exact
+    // microsecond timestamps (interval arithmetic is exact integer
+    // micros on both engines). Sized to this corpus's ~3.5-day mean
+    // per-stream gap so the bound genuinely discriminates against the
+    // unbounded tier.
+    "q_events_funnel_windowed" -> ((s, d) => {
+      val ev = Tables.events(s, d).select("user_id", "event_type", "ts")
+      val gap = expr("INTERVAL 7 DAYS")
+      val v = ev.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("v_ts"))
+      val c = ev.where(col("event_type") === "click")
+        .join(v, "user_id")
+        .where(col("ts") > col("v_ts") && col("ts") <= col("v_ts") + gap)
+        .groupBy("user_id").agg(min("ts").as("c_ts"))
+      val p = ev.where(col("event_type") === "purchase")
+        .join(c, "user_id")
+        .where(col("ts") > col("c_ts") && col("ts") <= col("c_ts") + gap)
+        .groupBy("user_id").agg(min("ts").as("p_ts"))
+      val stage = (idx: Int, name: String, df: org.apache.spark.sql.DataFrame) =>
+        df.agg(count(lit(1)).as("n_users"))
+          .select(lit(idx.toLong).as("stage_idx"), lit(name).as("stage"), col("n_users"))
+      stage(0, "view", v).unionByName(stage(1, "view_click_7d", c))
+        .unionByName(stage(2, "view_click_purchase_7d", p))
     }))
 
   private val stopwordsSql = stopwordsSqlList
@@ -549,5 +578,24 @@ object CurationQueries extends QueryPack {
         |SELECT CAST(0 AS BIGINT) AS stage_idx, 'view' AS stage,
         |  CAST((SELECT count(*) FROM v) AS BIGINT) AS n_users
         |UNION ALL SELECT 1, 'view_click', CAST((SELECT count(*) FROM c) AS BIGINT)
-        |UNION ALL SELECT 2, 'view_click_purchase', CAST((SELECT count(*) FROM p) AS BIGINT)""".stripMargin)
+        |UNION ALL SELECT 2, 'view_click_purchase', CAST((SELECT count(*) FROM p) AS BIGINT)""".stripMargin,
+
+    "q_events_funnel_windowed" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS v_ts FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (
+        |  SELECT e.user_id, min(e.ts) AS c_ts FROM events e
+        |  JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > v.v_ts
+        |    AND e.ts <= v.v_ts + INTERVAL 7 DAY GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS p_ts FROM events e
+        |  JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+        |    AND e.ts <= c.c_ts + INTERVAL 7 DAY GROUP BY 1)
+        |SELECT CAST(0 AS BIGINT) AS stage_idx, 'view' AS stage,
+        |  CAST((SELECT count(*) FROM v) AS BIGINT) AS n_users
+        |UNION ALL SELECT 1, 'view_click_7d', CAST((SELECT count(*) FROM c) AS BIGINT)
+        |UNION ALL SELECT 2, 'view_click_purchase_7d', CAST((SELECT count(*) FROM p) AS BIGINT)""".stripMargin)
 }

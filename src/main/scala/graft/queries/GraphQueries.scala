@@ -259,6 +259,17 @@ object GraphQueries extends QueryPack {
     "graph_part_common_neighbors" -> ((s, d) =>
       graft.graph.GraphOps.commonNeighbors(cooccurEdges(s, d), hubCap = 1000, topK = 20)),
 
+    // Normalized link prediction: neighborhood Jaccard over the same
+    // hub-capped wedge join — |N∩| / |N∪| ranks a pair sharing 3 of 4
+    // neighbors above a hub pair sharing 3 of 300, which raw
+    // common-neighbor counts get exactly backwards. Integer counts
+    // decorate with the degree table (vertex-cardinality, co-hashed on
+    // the pair columns); ONE double division is the ranking key —
+    // exact ints in, correctly rounded out, bit-identical on both
+    // engines; full-tuple tie-break fixes the board.
+    "graph_part_neighbor_jaccard" -> ((s, d) =>
+      graft.graph.GraphOps.neighborJaccard(cooccurEdges(s, d), hubCap = 1000, topK = 20)),
+
     // BFS / unweighted single-source shortest paths — hop distance
     // from the smallest part id, capped at 4 hops (−1 = unreached).
     // Integer hops are partition-order-independent, so unlike the
@@ -514,5 +525,29 @@ object GraphQueries extends QueryPack {
          |  LEFT JOIN e ON p.src = e.src AND p.dst = e.dst
          |  WHERE e.src IS NULL)
          |SELECT src, dst, cn FROM np
-         |ORDER BY cn DESC, src, dst LIMIT 20""".stripMargin)
+         |ORDER BY cn DESC, src, dst LIMIT 20""".stripMargin,
+
+    // same wedge census, decorated with degrees; rank on the raw
+    // division (exact either way), ship the rounded value.
+    "graph_part_neighbor_jaccard" ->
+      s"""WITH $edgesCte,
+         |e AS (SELECT DISTINCT src, dst FROM edges),
+         |adj AS (SELECT src AS c, dst AS v FROM e
+         |        UNION ALL SELECT dst AS c, src AS v FROM e),
+         |deg AS (SELECT c, count(*) AS deg FROM adj GROUP BY 1),
+         |pairs AS (
+         |  SELECT x.v AS src, y.v AS dst, count(*) AS cn
+         |  FROM adj x JOIN adj y ON x.c = y.c AND x.v < y.v
+         |  GROUP BY 1, 2),
+         |np AS (
+         |  SELECT p.src, p.dst, p.cn FROM pairs p
+         |  LEFT JOIN e ON p.src = e.src AND p.dst = e.dst
+         |  WHERE e.src IS NULL),
+         |j AS (
+         |  SELECT np.src, np.dst, np.cn,
+         |    ds.deg AS deg_src, dd.deg AS deg_dst,
+         |    np.cn * 1.0 / (ds.deg + dd.deg - np.cn) AS jraw
+         |  FROM np JOIN deg ds ON np.src = ds.c JOIN deg dd ON np.dst = dd.c)
+         |SELECT src, dst, cn, deg_src, deg_dst, round(jraw, 6) AS jaccard
+         |FROM j ORDER BY jraw DESC, src, dst LIMIT 20""".stripMargin)
 }

@@ -50,6 +50,48 @@ object TextQueries extends QueryPack {
         .groupBy("freq_bucket")
         .agg(count(lit(1)).as("n_types"), sum(col("c")).as("n_tokens"))),
 
+    // Corpus drift / domain divergence: the top bigram types whose
+    // document frequency differs most between the reference domain
+    // (deterministically the lexicographically-smallest source) and
+    // the rest of the corpus — the monitor a curation pipeline runs
+    // when a new crawl snapshot lands. The ranking key is the exact
+    // integer cross product |df_a·n_b − df_b·n_a| (the scale-invariant
+    // df_a/n_a − df_b/n_b comparison cleared of divisions — DECIMAL(38)
+    // here, HUGEINT in the oracle, so the board is exact, no float
+    // ranking anywhere); TakeOrdered board, full tie-break. Per-doc
+    // distinct bigrams crush map-side; only (bigram, two counters)
+    // shuffles.
+    "text_domain_divergence" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      // one source-cardinality aggregate supplies the reference-domain
+      // pick AND both corpus totals (persisted: it feeds its own min
+      // and the conditional sums) — the text scan happens exactly once,
+      // in the df pass below.
+      val srcCounts = graft.CacheRegistry.persistTracked(
+        docs.groupBy("source").agg(count(lit(1)).as("n")))
+      val tot = broadcast(srcCounts
+        .crossJoin(broadcast(srcCounts.agg(min(col("source")).as("src_a"))))
+        .agg(max(col("src_a")).as("src_a"),
+          sum(when(col("source") === col("src_a"), col("n")).otherwise(0L)).as("n_a"),
+          sum(when(col("source") =!= col("src_a"), col("n")).otherwise(0L)).as("n_b")))
+      val dfs = docs.crossJoin(tot.select("src_a"))
+        .select((col("source") === col("src_a")).as("in_a"), tokens(col("text")).as("t"))
+        .where(size(col("t")) >= 2)
+        .select(col("in_a"), explode(array_distinct(expr(
+          "transform(sequence(0, size(t)-2), i -> concat(t[i], ' ', t[i+1]))"))).as("b"))
+        .groupBy("b").agg(
+          sum(when(col("in_a"), 1L).otherwise(0L)).as("df_a"),
+          sum(when(!col("in_a"), 1L).otherwise(0L)).as("df_b"))
+      dfs.crossJoin(tot.select("n_a", "n_b"))
+        .withColumn("scored", abs(
+          col("df_a").cast("decimal(38,0)") * col("n_b") -
+            col("df_b").cast("decimal(38,0)") * col("n_a")))
+        .orderBy(col("scored").desc, col("b"))
+        .limit(20)
+        .select(col("b").as("bigram"), col("df_a"), col("df_b"),
+          col("scored").cast("double").as("score"))
+    }),
+
     // P3/P5 analogue: normalize + acceptance filter (lang whitelist,
     // min length), count survivors per (lang, source).
     "text_normalize_filter" -> ((s, d) =>
@@ -418,6 +460,31 @@ object TextQueries extends QueryPack {
         |SELECT least(c, 21) AS freq_bucket, count(*) AS n_types,
         |       CAST(sum(c) AS BIGINT) AS n_tokens
         |FROM tc GROUP BY 1""".stripMargin,
+
+    "text_domain_divergence" ->
+      """WITH a AS (SELECT min(source) AS src_a FROM documents),
+        |dd AS (
+        |  SELECT source = (SELECT src_a FROM a) AS in_a,
+        |    list_distinct(list_transform(range(1, len(ts)),
+        |      i -> ts[i] || ' ' || ts[i+1])) AS bs
+        |  FROM (SELECT source,
+        |          list_filter(string_split_regex(lower(text), '\s+'),
+        |                      x -> length(x) > 0) AS ts
+        |        FROM documents)
+        |  WHERE len(ts) >= 2),
+        |tot AS (
+        |  SELECT CAST(sum(CASE WHEN source = (SELECT src_a FROM a) THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |         CAST(sum(CASE WHEN source <> (SELECT src_a FROM a) THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        |  FROM documents),
+        |tc AS (
+        |  SELECT b, CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS df_a,
+        |         CAST(sum(CASE WHEN NOT in_a THEN 1 ELSE 0 END) AS BIGINT) AS df_b
+        |  FROM (SELECT in_a, unnest(bs) AS b FROM dd) GROUP BY 1)
+        |SELECT b AS bigram, df_a, df_b,
+        |  CAST(abs(CAST(df_a AS HUGEINT) * n_b - CAST(df_b AS HUGEINT) * n_a) AS DOUBLE) AS score
+        |FROM tc, tot
+        |ORDER BY abs(CAST(df_a AS HUGEINT) * n_b - CAST(df_b AS HUGEINT) * n_a) DESC, b
+        |LIMIT 20""".stripMargin,
 
     "text_normalize_filter" ->
       """WITH n AS (

@@ -223,6 +223,33 @@ class GraphSpec extends AnyFunSuite {
       (5L, 6L, 1L), (5L, 7L, 1L), (6L, 7L, 1L)))
   }
 
+  test("GraphOps.neighborJaccard: normalization inverts the raw-count ranking") {
+    // Hub 10 serves leaves 1..4; pair (1,2) also shares private
+    // neighbor 20, so cn(1,2)=2 — but deg(1)=deg(2)=2 gives
+    // J = 2/(2+2-2) = 1.0. Pair (3,4) has cn=1 through the hub with
+    // deg 1 each → J = 1/(1+1-1) = 1.0 too; tiny twin pair (30,31)
+    // through private neighbor 40 → J = 1.0. The discriminating case:
+    // (1,3) shares the hub (cn=1) with degs 2,1 → J = 1/2 — raw
+    // common-neighbor counts rank (1,2) [cn=2] above everything, and
+    // J agrees here, but every J=1.0 pair ties ABOVE J=0.5 regardless
+    // of its raw count, which is the normalization this operator adds.
+    val edges = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 10L),
+      (1L, 20L), (2L, 20L), (30L, 40L), (31L, 40L)).toDF("src", "dst")
+    val got = graft.graph.GraphOps.neighborJaccard(edges, hubCap = 1000, topK = 20)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    SparkEntry.releaseCaches()
+    // J=1.0 tier first (full-tuple tie-break), then the 0.5 tier:
+    // (1,3),(1,4),(2,3),(2,4) through the hub, plus (10,20) — the
+    // centers themselves share leaves 1 and 2.
+    assert(got.takeWhile(_._6 == 1.0).map(g => (g._1, g._2)) ==
+      Seq((1L, 2L), (3L, 4L), (30L, 31L)), s"unit-J tier drifted: $got")
+    assert(got.find(g => (g._1, g._2) == ((1L, 3L))).get._6 == 0.5)
+    assert(got.find(g => (g._1, g._2) == ((1L, 4L))).get._6 == 0.5)
+    // raw-count champion (1,2) does NOT outrank the tiny twins once
+    // normalized: same J, decided by tie-break, not by cn=2
+    assert(got.head._3 == 2L && got(1)._3 == 1L && got(1)._6 == 1.0)
+  }
+
   test("GraphOps.assortativity: triangle + pendant, by hand; regular graph guards to 0") {
     // Triangle {1,2,3} + pendant 3—4: directed degree pairs over the 8
     // orientations give n=8, Σj=18, Σjk=38, Σj²=44 → r = (8·38−18²)

@@ -641,6 +641,20 @@ class PlanInvariantsSpec extends AnyFunSuite {
       s"distinct must partial-aggregate map-side before shuffling:\n$p")
   }
 
+  test("graph_part_neighbor_jaccard: equi-join wedges only, TakeOrdered board") {
+    val p = planOf("graph_part_neighbor_jaccard")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"wedge + degree joins must stay equi-joins:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-20 must be TakeOrdered:\n$p")
+  }
+
+  test("text_domain_divergence: text scanned once, source census reused, TakeOrdered board") {
+    val p = planOf("text_domain_divergence")
+    assert(scanIds(p).size <= 2,
+      s"one text scan + one source-column scan at most:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"board must be TakeOrdered:\n$p")
+  }
+
   test("q_events_anomaly: one fact scan, medians broadcast back (no row-level shuffle)") {
     val p = planOf("q_events_anomaly")
     assert(scanIds(p).size == 1, s"events must scan once (daily census persisted):\n$p")
