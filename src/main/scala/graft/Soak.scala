@@ -86,7 +86,8 @@ object Soak {
     "q_cohort_ltv" -> Set('f'), "q_supplier_peak90" -> Set('f'),
     "dedup_span_fraction" -> Set('d'),
     "graph_part_neighbor_jaccard" -> Set('f'),
-    "text_domain_divergence" -> Set('d'))
+    "text_domain_divergence" -> Set('d'),
+    "mm_audio_silence" -> Set('d'))
 
   private[graft] def famsFor(queries: Seq[String]): Set[Char] =
     queries.map(q => SoakReads.getOrElse(q,

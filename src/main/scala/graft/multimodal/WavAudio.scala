@@ -163,6 +163,49 @@ object WavAudio {
 
   case class AudioFingerprint(media_id: Long, fp: Long)
 
+  case class AudioSegments(media_id: Long, n_frames: Long, n_voiced: Long,
+      n_segments: Long, longest: Long)
+
+  /** Median frame energy of the synthetic corpus (measured over the
+    * generator formula) — a threshold that genuinely splits every clip
+    * into voiced and silent frames, so the segmentation below is
+    * exercised rather than degenerate. */
+  val SilenceThreshold = 1086000000L
+
+  /** Silence-split segmentation over REAL decoded samples — the
+    * VAD/clip-trimming pass an audio curation pipeline runs before
+    * training: `win`-sample frames classify voiced iff integer frame
+    * energy (Σs²) ≥ `threshold`; segments are maximal voiced runs.
+    * Per-clip outputs (frame counts, voiced census, segment count,
+    * longest run) are what the downstream trim/filter stage keys on.
+    * One mapPartitions pass like the other codec kernels (no Catalyst
+    * expression decodes RIFF); clips shrink to 5 longs before any
+    * shuffle. */
+  def silenceSegments(audio: Dataset[Audio], win: Int = 50,
+      threshold: Long = SilenceThreshold): Dataset[AudioSegments] = {
+    val spark = audio.sparkSession
+    import spark.implicits._
+    audio.mapPartitions(_.map { a =>
+      val samples = decodeWav(a.media_id, a.payload)
+      val nWin = (samples.length + win - 1) / win
+      var nv = 0L; var nseg = 0L; var longest = 0L; var run = 0L
+      var w = 0
+      while (w < nWin) {
+        var sq = 0L
+        var i = w * win
+        val end = math.min(i + win, samples.length)
+        while (i < end) { val v = samples(i).toLong; sq += v * v; i += 1 }
+        if (sq >= threshold) {
+          nv += 1; run += 1
+          if (run == 1L) nseg += 1
+          if (run > longest) longest = run
+        } else run = 0L
+        w += 1
+      }
+      AudioSegments(a.media_id, nWin.toLong, nv, nseg, longest)
+    })
+  }
+
   /** Energy-delta fingerprint over REAL decoded samples — the
     * simplified Shazam/chromaprint shape: slice the clip into `win`-
     * sample frames, bit w = 1 iff frame w+1 carries STRICTLY more

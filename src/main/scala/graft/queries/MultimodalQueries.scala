@@ -89,6 +89,19 @@ object MultimodalQueries extends QueryPack {
         .agg(count(lit(1)).as("n_clips"), min(col("media_id")).as("min_clip"))
     }),
 
+    // Silence-split segmentation over the REAL audio tier — the
+    // VAD/clip-trimming pass before training: frames classify voiced
+    // on integer energy vs the corpus-median threshold, segments are
+    // maximal voiced runs. The full RIFF decode chain is under the
+    // hash (a wrong byte flips frame energies); the oracle replays the
+    // generator formula + a gaps-and-islands run-length in SQL.
+    "mm_audio_silence" -> ((s, d) => {
+      val audio = graft.multimodal.WavAudio.audioFromDocuments(Tables.documents(s, d))
+      graft.multimodal.WavAudio.silenceSegments(audio).toDF()
+        .select(col("media_id"), col("n_frames"), col("n_voiced"),
+          col("n_segments"), col("longest"))
+    }),
+
     // Scene-cut detection over the video tier's REAL containers: the
     // kernel validates each BMP header, walks the data section in
     // 256-byte frames, and flags cuts where consecutive frame
@@ -265,6 +278,35 @@ object MultimodalQueries extends QueryPack {
          |  FROM d GROUP BY 1)
          |SELECT fp, count(*) AS n_clips, min(doc_id) AS min_clip
          |FROM fp GROUP BY 1""".stripMargin
+    },
+
+    // generator-formula frame energies + gaps-and-islands run length:
+    // segment id = frame index minus voiced-rank (constant within a
+    // maximal voiced run).
+    "mm_audio_silence" -> {
+      import graft.multimodal.WavAudio._
+      s"""WITH i AS (SELECT unnest(range($numSamples)) AS i),
+         |s AS (
+         |  SELECT doc_id, i,
+         |    ((doc_id * $MulId + i * $MulIdx) % $Levels - ${Levels / 2}) * $Gain AS v
+         |  FROM documents CROSS JOIN i),
+         |e AS (SELECT doc_id, i // 50 AS w, sum(v * v) AS e
+         |      FROM s GROUP BY 1, 2),
+         |v AS (SELECT doc_id, w,
+         |        CASE WHEN e >= $SilenceThreshold THEN 1 ELSE 0 END AS voiced
+         |      FROM e),
+         |r AS (SELECT doc_id, w, voiced,
+         |        w - row_number() OVER (PARTITION BY doc_id, voiced ORDER BY w) AS grp
+         |      FROM v),
+         |seg AS (SELECT doc_id, grp, count(*) AS len
+         |        FROM r WHERE voiced = 1 GROUP BY 1, 2)
+         |SELECT d.doc_id AS media_id,
+         |  CAST(${numSamples / 50} AS BIGINT) AS n_frames,
+         |  CAST(coalesce(sum(seg.len), 0) AS BIGINT) AS n_voiced,
+         |  CAST(coalesce(count(seg.len), 0) AS BIGINT) AS n_segments,
+         |  CAST(coalesce(max(seg.len), 0) AS BIGINT) AS longest
+         |FROM documents d LEFT JOIN seg ON d.doc_id = seg.doc_id
+         |GROUP BY 1""".stripMargin
     },
 
     // the aHash chain in integer SQL: 8×8 NN indices into the generator

@@ -101,6 +101,29 @@ object WindowQueries extends QueryPack {
         .agg(countDistinct(col("user_id")).as("hau"),
           count(lit(1)).as("n_events"))),
 
+    // DAU/MAU stickiness per month — the engagement-ratio KPI (what
+    // share of a month's actives show up on an average day). Both
+    // distinct tiers are two-phase countDistinct aggregates over ONE
+    // persisted (month, day, user) projection; the month join is
+    // month-cardinality. All-integer counts, ONE double division.
+    "q_events_stickiness" -> ((s, d) => {
+      val ev = graft.CacheRegistry.persistTracked(
+        Tables.events(s, d)
+          .select(date_format(date_trunc("month", col("ts")), "yyyy-MM").as("month"),
+            date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+            col("user_id")))
+      val byDay = ev.groupBy("month", "day")
+        .agg(countDistinct(col("user_id")).as("dau"))
+        .groupBy("month")
+        .agg(count(lit(1)).as("n_days"), sum(col("dau")).as("sum_dau"))
+      val byMonth = ev.groupBy("month")
+        .agg(countDistinct(col("user_id")).as("mau"))
+      byDay.join(byMonth, Seq("month"))
+        .select(col("month"), col("n_days"), col("sum_dau"), col("mau"),
+          (col("sum_dau").cast("double") / (col("n_days") * col("mau")))
+            .as("stickiness"))
+    }),
+
     // New-vs-returning split per day: an event is "new" iff it is its
     // user's first event ever (row_number 1 over the user's event-time
     // order). One user_id exchange for the window, then a map-combining
@@ -431,6 +454,22 @@ object WindowQueries extends QueryPack {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
         |  count(DISTINCT user_id) AS hau, count(*) AS n_events
         |FROM events GROUP BY 1""".stripMargin,
+
+    "q_events_stickiness" ->
+      """WITH ev AS (
+        |  SELECT strftime(date_trunc('month', ts), '%Y-%m') AS month,
+        |         strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, user_id
+        |  FROM events),
+        |dau AS (
+        |  SELECT month, day, count(DISTINCT user_id) AS dau
+        |  FROM ev GROUP BY 1, 2),
+        |md AS (
+        |  SELECT month, count(*) AS n_days, CAST(sum(dau) AS BIGINT) AS sum_dau
+        |  FROM dau GROUP BY 1),
+        |mau AS (SELECT month, count(DISTINCT user_id) AS mau FROM ev GROUP BY 1)
+        |SELECT month, n_days, sum_dau, mau,
+        |  CAST(sum_dau AS DOUBLE) / (n_days * mau) AS stickiness
+        |FROM md JOIN mau USING (month)""".stripMargin,
 
     "q_new_vs_returning" ->
       """WITH e AS (

@@ -655,6 +655,18 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), s"board must be TakeOrdered:\n$p")
   }
 
+  test("mm_audio_silence: per-clip codec kernel, ZERO shuffles") {
+    val p = planOf("mm_audio_silence")
+    assert(exchangeCount(p) == 0,
+      s"silence split must not shuffle at all, got ${exchangeCount(p)}:\n$p")
+  }
+
+  test("q_events_stickiness: one fact scan feeds both distinct tiers") {
+    val p = planOf("q_events_stickiness")
+    assert(scanIds(p).size == 1,
+      s"events must scan once (persisted month/day/user projection):\n$p")
+  }
+
   test("q_events_anomaly: one fact scan, medians broadcast back (no row-level shuffle)") {
     val p = planOf("q_events_anomaly")
     assert(scanIds(p).size == 1, s"events must scan once (daily census persisted):\n$p")

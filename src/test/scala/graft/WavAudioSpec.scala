@@ -96,4 +96,27 @@ class WavAudioSpec extends AnyFunSuite {
       .collect().map(f => f.media_id -> f.fp).toMap
     assert(got == Map(0L -> 2L, 1L -> 0L))
   }
+
+  test("silence segmentation: maximal voiced runs by hand; boundary energy counts as voiced") {
+    lazy val spark = SparkTestSession.spark
+    import spark.implicits._
+    // 6 frames at win=50, per-frame constant amplitude v -> energy
+    // 50·v². Threshold 5000 -> voiced iff v² >= 100 (|v| >= 10; v=10
+    // pins the >= boundary). Clip A: V S V V S V -> 4 voiced, 3
+    // segments, longest 2. Clip B: all silent -> zeros. Clip C: all
+    // voiced -> one 6-frame segment.
+    def clip(frames: Seq[Short]): Array[Short] =
+      frames.flatMap(v => Array.fill(50)(v)).toArray
+    val a = WavAudio.encodeWav(clip(Seq(10, 1, 40, 40, 2, 12).map(_.toShort)))
+    val b = WavAudio.encodeWav(clip(Seq(1, 2, 3, 1, 2, 3).map(_.toShort)))
+    val c = WavAudio.encodeWav(clip(Seq(50, 50, 50, 50, 50, 50).map(_.toShort)))
+    val got = WavAudio.silenceSegments(
+        Seq(WavAudio.Audio(0L, a), WavAudio.Audio(1L, b), WavAudio.Audio(2L, c)).toDS(),
+        threshold = 5000L)
+      .collect().map(s => s.media_id -> ((s.n_frames, s.n_voiced, s.n_segments, s.longest)))
+      .toMap
+    assert(got(0L) == ((6L, 4L, 3L, 2L)), s"mixed clip: ${got(0L)}")
+    assert(got(1L) == ((6L, 0L, 0L, 0L)), s"silent clip: ${got(1L)}")
+    assert(got(2L) == ((6L, 6L, 1L, 6L)), s"voiced clip: ${got(2L)}")
+  }
 }
