@@ -182,6 +182,30 @@ object GraphOps {
         round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Two-hop reach per vertex: |{u ≠ v : dist(v,u) ≤ 2}| — the local
+    * influence measure (how much of the graph a node touches through
+    * one intermediary). One-hop pairs union wedge-expanded two-hop
+    * pairs, distinct, count per vertex. The wedge expansion goes
+    * through intermediates with degree ≤ `hubCap` ONLY (a hub would
+    * contribute deg² pairs — the same guard as commonNeighbors);
+    * hub-adjacent direct edges still count at one hop, so the cap
+    * bounds cost without disconnecting anything. Only (vertex, vertex)
+    * id pairs ever shuffle. */
+  def twoHopReach(edges: DataFrame, hubCap: Int): DataFrame = {
+    val e = graft.CacheRegistry.persistTracked(edges.select("src", "dst"))
+    val adj = e.select(col("src").as("c"), col("dst").as("v"))
+      .unionAll(e.select(col("dst").as("c"), col("src").as("v")))
+    val deg = adj.groupBy("c").agg(count(lit(1)).as("deg"))
+    val mid = adj.join(deg.where(col("deg") <= hubCap).select("c"), Seq("c"))
+    val twoHop = mid.select(col("v").as("a"), col("c").as("m"))
+      .join(mid.select(col("c").as("m"), col("v").as("b")), Seq("m"))
+      .where(col("a") =!= col("b"))
+      .select(col("a").as("c"), col("b").as("v"))
+    adj.select("c", "v").unionAll(twoHop).distinct()
+      .groupBy("c").agg(count(lit(1)).as("reach2"))
+      .select(col("c").as("part"), col("reach2"))
+  }
+
   /** Weighted single-source shortest paths (min-plus relaxation) from
     * the smallest vertex id, capped at `rounds` relaxations: returns
     * (v, dist) with −1 for vertices not reached within the cap.

@@ -270,6 +270,13 @@ object GraphQueries extends QueryPack {
     "graph_part_neighbor_jaccard" -> ((s, d) =>
       graft.graph.GraphOps.neighborJaccard(cooccurEdges(s, d), hubCap = 1000, topK = 20)),
 
+    // Per-vertex two-hop reach (local influence census): 1-hop pairs
+    // union hub-capped wedge-expanded 2-hop pairs, distinct, count —
+    // only id pairs shuffle, never neighbor lists. Max driver-SF
+    // degree is 13, so the 1000-cap oracle replays uncapped.
+    "graph_part_twohop_reach" -> ((s, d) =>
+      graft.graph.GraphOps.twoHopReach(cooccurEdges(s, d), hubCap = 1000)),
+
     // BFS / unweighted single-source shortest paths — hop distance
     // from the smallest part id, capped at 4 hops (−1 = unreached).
     // Integer hops are partition-order-independent, so unlike the
@@ -549,5 +556,19 @@ object GraphQueries extends QueryPack {
          |    np.cn * 1.0 / (ds.deg + dd.deg - np.cn) AS jraw
          |  FROM np JOIN deg ds ON np.src = ds.c JOIN deg dd ON np.dst = dd.c)
          |SELECT src, dst, cn, deg_src, deg_dst, round(jraw, 6) AS jaccard
-         |FROM j ORDER BY jraw DESC, src, dst LIMIT 20""".stripMargin)
+         |FROM j ORDER BY jraw DESC, src, dst LIMIT 20""".stripMargin,
+
+    "graph_part_twohop_reach" ->
+      s"""WITH $edgesCte,
+         |e AS (SELECT DISTINCT src, dst FROM edges),
+         |adj AS (SELECT src AS c, dst AS v FROM e
+         |        UNION ALL SELECT dst AS c, src AS v FROM e),
+         |two AS (
+         |  SELECT a.v AS c, b.v AS v
+         |  FROM adj a JOIN adj b ON a.c = b.c AND a.v <> b.v),
+         |reach AS (
+         |  SELECT DISTINCT c, v FROM (
+         |    SELECT c, v FROM adj UNION ALL SELECT c, v FROM two))
+         |SELECT c AS part, count(*) AS reach2
+         |FROM reach GROUP BY 1""".stripMargin)
 }

@@ -176,6 +176,34 @@ object StatsQueries extends QueryPack {
           (-col("mx.negr")).cast("decimal(38,4)").cast("double").as("peak_rev90"))
     }),
 
+    // Open-orders backlog series — the sweep-line interval operator:
+    // an order is "in flight" from its order day through its last
+    // shipment day; +1/−1 deltas aggregate map-side to DAY cardinality
+    // (one exchange), then ONE cumulative window over the bounded day
+    // axis turns deltas into the backlog level at every change point.
+    // This is the pattern that replaces a day×order range join (which
+    // explodes as days·orders) — the fact tables contribute exactly
+    // one delta row pair per order, produced in one Expand pass over
+    // the order/close join (no double execution of the join).
+    "q_orders_backlog" -> ((s, d) => {
+      val close = Tables.lineitem(s, d).groupBy("l_orderkey")
+        .agg(max(date_trunc("day", col("l_shipdate"))).as("close_day"))
+      val iv = Tables.orders(s, d)
+        .select(col("o_orderkey"), date_trunc("day", col("o_orderdate")).as("open_day"))
+        .join(close, col("o_orderkey") === col("l_orderkey"))
+      val deltas = iv.select(explode(array(
+          struct(col("open_day").as("day"), lit(1L).as("o"), lit(0L).as("c")),
+          struct((col("close_day") + expr("INTERVAL 1 DAY")).as("day"),
+            lit(0L).as("o"), lit(1L).as("c")))).as("e"))
+        .select(col("e.day").as("day"), col("e.o").as("o"), col("e.c").as("c"))
+        .groupBy("day")
+        .agg(sum(col("o")).as("n_opened"), sum(col("c")).as("n_closed"))
+      val w = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      deltas.withColumn("backlog",
+        sum(col("n_opened") - col("n_closed")).over(w))
+    }),
+
     // Shuffle-skew audit — the ops-side report this engine's own
     // salting/AQE guards feed on: per-key row counts reduced to key
     // census, hottest key (deterministic min-of-(−count, key) argmax,
@@ -475,6 +503,25 @@ object StatsQueries extends QueryPack {
          |  ${TpchMoney.shipSql("sum(CASE WHEN rn <= (np + 3) // 4 THEN revd END)")}
          |    / ${TpchMoney.shipSql("sum(revd)")} AS top_share
          |FROM rk""".stripMargin,
+
+    "q_orders_backlog" ->
+      """WITH close AS (
+        |  SELECT l_orderkey, max(date_trunc('day', l_shipdate)) AS close_day
+        |  FROM lineitem GROUP BY 1),
+        |iv AS (
+        |  SELECT date_trunc('day', o_orderdate) AS open_day, close_day
+        |  FROM orders JOIN close ON o_orderkey = l_orderkey),
+        |deltas AS (
+        |  SELECT day, CAST(sum(o) AS BIGINT) AS n_opened,
+        |         CAST(sum(c) AS BIGINT) AS n_closed
+        |  FROM (SELECT open_day AS day, 1 AS o, 0 AS c FROM iv
+        |        UNION ALL
+        |        SELECT close_day + INTERVAL 1 DAY, 0, 1 FROM iv)
+        |  GROUP BY 1)
+        |SELECT day, n_opened, n_closed,
+        |  CAST(sum(n_opened - n_closed) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS backlog
+        |FROM deltas""".stripMargin,
 
     "q_events_skew_audit" ->
       """WITH k AS (SELECT user_id, count(*) AS c FROM events GROUP BY 1)

@@ -250,6 +250,26 @@ class GraphSpec extends AnyFunSuite {
     assert(got.head._3 == 2L && got(1)._3 == 1L && got(1)._6 == 1.0)
   }
 
+  test("GraphOps.twoHopReach: path by hand; hub cap suppresses wedge expansion only") {
+    // Path 1—2—3—4: ends reach 2 vertices, middles reach 3.
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val got = graft.graph.GraphOps.twoHopReach(path, hubCap = 1000)
+      .as[(Long, Long)].collect().toMap
+    SparkEntry.releaseCaches()
+    assert(got == Map(1L -> 2L, 2L -> 3L, 3L -> 3L, 4L -> 2L))
+    // Star: hub 10 serves leaves 20..23. Capped at 3, the hub cannot
+    // serve as an intermediate (no leaf-to-leaf 2-hop pairs), but the
+    // direct hub—leaf edges still count — nothing disconnects.
+    val star = Seq((20L, 10L), (21L, 10L), (22L, 10L), (23L, 10L)).toDF("src", "dst")
+    val capped = graft.graph.GraphOps.twoHopReach(star, hubCap = 3)
+      .as[(Long, Long)].collect().toMap
+    val open = graft.graph.GraphOps.twoHopReach(star, hubCap = 1000)
+      .as[(Long, Long)].collect().toMap
+    SparkEntry.releaseCaches()
+    assert(capped == Map(10L -> 4L, 20L -> 1L, 21L -> 1L, 22L -> 1L, 23L -> 1L))
+    assert(open == Map(10L -> 4L, 20L -> 4L, 21L -> 4L, 22L -> 4L, 23L -> 4L))
+  }
+
   test("GraphOps.assortativity: triangle + pendant, by hand; regular graph guards to 0") {
     // Triangle {1,2,3} + pendant 3—4: directed degree pairs over the 8
     // orientations give n=8, Σj=18, Σjk=38, Σj²=44 → r = (8·38−18²)

@@ -655,6 +655,22 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), s"board must be TakeOrdered:\n$p")
   }
 
+  test("q_orders_backlog: deltas crush to day cardinality before the one global window") {
+    val p = planOf("q_orders_backlog")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"sweep-line must never range-join days against orders:\n$p")
+    assert(exchangeCount(p) <= 4,
+      s"close agg + order join + day agg + day window, got ${exchangeCount(p)}:\n$p")
+    assert("(?s)HashAggregate.*Exchange.*HashAggregate".r.findFirstIn(p).isDefined,
+      s"delta aggregation must partial-combine map-side:\n$p")
+  }
+
+  test("graph_part_twohop_reach: equi-join wedge expansion only") {
+    val p = planOf("graph_part_twohop_reach")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"two-hop expansion must stay equi-join:\n$p")
+  }
+
   test("mm_audio_silence: per-clip codec kernel, ZERO shuffles") {
     val p = planOf("mm_audio_silence")
     assert(exchangeCount(p) == 0,
