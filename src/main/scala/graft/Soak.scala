@@ -88,7 +88,8 @@ object Soak {
     "graph_part_neighbor_jaccard" -> Set('f'),
     "text_domain_divergence" -> Set('d'),
     "mm_audio_silence" -> Set('d'),
-    "graph_part_twohop_reach" -> Set('f'))
+    "graph_part_twohop_reach" -> Set('f'),
+    "q_entity_resolution" -> Set('f'))
 
   private[graft] def famsFor(queries: Seq[String]): Set[Char] =
     queries.map(q => SoakReads.getOrElse(q,

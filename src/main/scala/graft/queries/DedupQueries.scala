@@ -164,7 +164,7 @@ object DedupQueries extends QueryPack {
     * the brute-cosine and eval-gram materializations. */
   private val MaxDriverPairs = 2000000L
 
-  private def pairsToClusters(s: SparkSession, pairs: DataFrame): DataFrame = {
+  private[queries] def pairsToClusters(s: SparkSession, pairs: DataFrame): DataFrame = {
     import s.implicits._
     // persist before probing: otherwise the limit+collect gate would run
     // the whole pair pipeline once to count and the fallback would run

@@ -188,6 +188,38 @@ object MiscQueries extends QueryPack {
         .where(col("edit_dist") <= 4)
     }),
 
+    // Entity resolution END-TO-END — blocking → edit-distance match →
+    // connected-component clustering → canonical survivor, composed
+    // from the same kernels the dedup family runs one tier at a time
+    // (q_fuzzy_name_pairs is the match stage alone; this is the whole
+    // master-data pipeline on the part-name entity domain). Names
+    // dedupe to entity cardinality FIRST (64 distinct names carry 2000
+    // rows here; entities repeat massively at 100 TB too) and get a
+    // deterministic integer id (min carrying row key) so the cluster
+    // stage works on 8-byte ids; clustering reuses the size-gated
+    // driver union-find with the GraphX CC fallback (labels identical
+    // either way). Output: one row per resolved entity ≥ 2 variants —
+    // canonical (min) name, variant count, carried row mass.
+    "q_entity_resolution" -> ((s, d) => {
+      val names = graft.CacheRegistry.persistTracked(
+        Tables.part(s, d).groupBy("p_name")
+          .agg(min(col("p_partkey")).as("nid"), count(lit(1)).as("rows_n")))
+      val blocked = names.select(col("p_name"), col("nid"),
+        split(col("p_name"), " ").getItem(0).as("blk"))
+      val pairs = blocked.as("a")
+        .join(blocked.as("b"),
+          col("a.blk") === col("b.blk") && col("a.p_name") < col("b.p_name"))
+        .where(levenshtein(col("a.p_name"), col("b.p_name")) <= 4)
+        .select(least(col("a.nid"), col("b.nid")).as("i"),
+          greatest(col("a.nid"), col("b.nid")).as("j"))
+      DedupQueries.pairsToClusters(s, pairs)
+        .join(names, col("doc_id") === col("nid"))
+        .groupBy("root")
+        .agg(min(col("p_name")).as("canonical"), count(lit(1)).as("n_names"),
+          sum(col("rows_n")).as("n_rows"))
+        .select(col("canonical"), col("n_names"), col("n_rows"))
+    }),
+
     // Salted skew join: the planned fix for a hot probe key — each
     // lineitem row picks a deterministic shard from its own content,
     // orders replicate once per shard, and the join key becomes
@@ -284,6 +316,30 @@ object MiscQueries extends QueryPack {
         |  CAST(levenshtein(a.p_name, c.p_name) AS BIGINT) AS edit_dist
         |FROM b a JOIN b c ON a.blk = c.blk AND a.p_name < c.p_name
         |WHERE levenshtein(a.p_name, c.p_name) <= 4""".stripMargin,
+
+    // min-label transitive closure replayed as a recursive CTE (the
+    // dedup_clusters oracle pattern) over the same blocked
+    // edit-distance pair set.
+    "q_entity_resolution" ->
+      """WITH RECURSIVE n AS (
+        |  SELECT p_name, min(p_partkey) AS nid, count(*) AS rows_n
+        |  FROM part GROUP BY 1),
+        |b AS (SELECT p_name, nid, string_split(p_name, ' ')[1] AS blk FROM n),
+        |p AS (
+        |  SELECT least(a.nid, c.nid) AS i, greatest(a.nid, c.nid) AS j
+        |  FROM b a JOIN b c ON a.blk = c.blk AND a.p_name < c.p_name
+        |  WHERE levenshtein(a.p_name, c.p_name) <= 4),
+        |dedges AS (SELECT i AS a, j AS b FROM p UNION ALL SELECT j, i FROM p),
+        |dnodes AS (SELECT DISTINCT a AS v FROM dedges),
+        |cc(v, lbl) AS (
+        |  SELECT v, v FROM dnodes
+        |  UNION
+        |  SELECT e.b, cc.lbl FROM cc JOIN dedges e ON cc.v = e.a),
+        |roots AS (SELECT v, min(lbl) AS root FROM cc GROUP BY v)
+        |SELECT min(p_name) AS canonical, count(*) AS n_names,
+        |  CAST(sum(rows_n) AS BIGINT) AS n_rows
+        |FROM roots JOIN n ON roots.v = n.nid
+        |GROUP BY root""".stripMargin,
 
     // The salt is internal to the shuffle layout — the result is the
     // plain join's, so the plain join grades it.

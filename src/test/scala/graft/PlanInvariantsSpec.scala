@@ -671,6 +671,12 @@ class PlanInvariantsSpec extends AnyFunSuite {
       s"two-hop expansion must stay equi-join:\n$p")
   }
 
+  test("q_entity_resolution: match stage blocks on an equi-join, never all-pairs") {
+    val p = planOf("q_entity_resolution")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"blocked edit-distance match must stay an equi-join:\n$p")
+  }
+
   test("mm_audio_silence: per-clip codec kernel, ZERO shuffles") {
     val p = planOf("mm_audio_silence")
     assert(exchangeCount(p) == 0,
