@@ -89,7 +89,8 @@ object Soak {
     "text_domain_divergence" -> Set('d'),
     "mm_audio_silence" -> Set('d'),
     "graph_part_twohop_reach" -> Set('f'),
-    "q_entity_resolution" -> Set('f'))
+    "q_entity_resolution" -> Set('f'),
+    "q_correlation" -> Set('f'))
 
   private[graft] def famsFor(queries: Seq[String]): Set[Char] =
     queries.map(q => SoakReads.getOrElse(q,

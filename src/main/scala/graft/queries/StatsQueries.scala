@@ -176,6 +176,37 @@ object StatsQueries extends QueryPack {
           (-col("mx.negr")).cast("decimal(38,4)").cast("double").as("peak_rev90"))
     }),
 
+    // Pearson correlation per group — the `corr()` aggregate rebuilt on
+    // the exact-sufficient-statistics discipline (Spark's builtin corr
+    // accumulates floats whose value depends on partition merge order;
+    // this one cannot): integer/DECIMAL(38) n, Σx, Σy, Σxy, Σx², Σy²
+    // in ONE map-combined pass (y = price cents, so Σy² ≈ 1e19 already
+    // overflows int64 at sf0.1 — the d38 widening is load-bearing),
+    // cross-multiplied exact numerator/denominators, then a FIXED
+    // three-op float tail (two casts, sqrt of the product, one
+    // division — each IEEE-correctly-rounded on both engines).
+    // Zero denominator (a constant column) guards to 0.0 — engines
+    // disagree on 0/0.
+    "q_correlation" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"),
+          col("l_quantity").cast("long").as("x"),
+          (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long").as("y"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(d38(col("x")) * d38(col("y"))).as("sxy"),
+          sum(d38(col("x")) * d38(col("x"))).as("sxx"),
+          sum(d38(col("y")) * d38(col("y"))).as("syy"))
+        .select(col("l_returnflag"), col("n"),
+          round(when(
+            (d38(col("n")) * col("sxx") - d38(col("sx")) * d38(col("sx")) === 0) ||
+              (d38(col("n")) * col("syy") - d38(col("sy")) * d38(col("sy")) === 0), 0.0)
+            .otherwise(
+              (d38(col("n")) * col("sxy") - d38(col("sx")) * d38(col("sy"))).cast("double") /
+                sqrt((d38(col("n")) * col("sxx") - d38(col("sx")) * d38(col("sx"))).cast("double") *
+                  (d38(col("n")) * col("syy") - d38(col("sy")) * d38(col("sy"))).cast("double"))),
+            6).as("pearson_r"))),
+
     // Open-orders backlog series — the sweep-line interval operator:
     // an order is "in flight" from its order day through its last
     // shipment day; +1/−1 deltas aggregate map-side to DAY cardinality
@@ -503,6 +534,29 @@ object StatsQueries extends QueryPack {
          |  ${TpchMoney.shipSql("sum(CASE WHEN rn <= (np + 3) // 4 THEN revd END)")}
          |    / ${TpchMoney.shipSql("sum(revd)")} AS top_share
          |FROM rk""".stripMargin,
+
+    "q_correlation" ->
+      """WITH s AS (
+        |  SELECT l_returnflag,
+        |    CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+        |  FROM lineitem),
+        |st AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |    sum(CAST(y AS HUGEINT) * y) AS syy
+        |  FROM s GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |  round(CASE
+        |    WHEN CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx = 0
+        |      OR CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy = 0 THEN 0.0
+        |    ELSE CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+        |      / sqrt(CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+        |           * CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE))
+        |  END, 6) AS pearson_r
+        |FROM st""".stripMargin,
 
     "q_orders_backlog" ->
       """WITH close AS (
