@@ -46,6 +46,20 @@ object WavAudio {
   val Levels = 256L
   val Gain = 64L
 
+  /** Frame width (samples) of the fingerprint and silence kernels —
+    * hoisted into the same interpolated-constants discipline as
+    * MulId/Gain/SilenceThreshold: the oracles slice frames as
+    * `i // FrameWin`, so a caller-supplied width that differed from
+    * this constant would silently desynchronize grading. */
+  val FrameWin = 50
+
+  /** Frame count of a full synthetic clip — the CEIL the kernels
+    * compute from the DECODED sample count, interpolated into the
+    * oracles so a non-divisible clip length changes both sides
+    * identically (numSamples % FrameWin == 0 today, so ceil == floor,
+    * but the formulas now agree by construction). */
+  def numFrames: Int = (numSamples + FrameWin - 1) / FrameWin
+
   /** The corpus generator formula — shared with the SQL oracle via the
     * named constants above. Int16 range by construction
     * (|sample| ≤ (Levels/2)·Gain = 8192). */
@@ -181,7 +195,7 @@ object WavAudio {
     * One mapPartitions pass like the other codec kernels (no Catalyst
     * expression decodes RIFF); clips shrink to 5 longs before any
     * shuffle. */
-  def silenceSegments(audio: Dataset[Audio], win: Int = 50,
+  def silenceSegments(audio: Dataset[Audio], win: Int = FrameWin,
       threshold: Long = SilenceThreshold): Dataset[AudioSegments] = {
     val spark = audio.sparkSession
     import spark.implicits._
@@ -215,7 +229,7 @@ object WavAudio {
     * contour collide, which is the bucketing an audio-dedup pass keys
     * on. Like the image aHash, each clip shrinks to 8 bytes BEFORE any
     * shuffle. */
-  def fingerprints(audio: Dataset[Audio], win: Int = 50): Dataset[AudioFingerprint] = {
+  def fingerprints(audio: Dataset[Audio], win: Int = FrameWin): Dataset[AudioFingerprint] = {
     val spark = audio.sparkSession
     import spark.implicits._
     audio.mapPartitions(_.map { a =>

@@ -10,6 +10,57 @@ import graft.Tables
   */
 object MiscQueries extends QueryPack {
 
+  /** Hot-block guard for the edit-distance blocking family (r8 verdict
+    * #2): block key = first name token, and TPC-H first tokens come
+    * from a ~92-word pool, so at 100× one block holds ~1% of all
+    * distinct names — O(block²) levenshtein pairs through one
+    * reducer's key. Blocks holding more than `cap` distinct names are
+    * EXCLUDED from pair generation, with the exclusion COUNTED AND
+    * LOGGED (no silent caps): a block that big is a failed blocking
+    * key, not resolvable entity signal — production would re-block it
+    * on a finer key, which is a data-modeling decision, not something
+    * to paper over in the operator. Same guard family as the clique
+    * cap (RelationalQueries.cliqueCap) and the wedge hubCap
+    * (GraphOps.commonNeighbors). Driver-SF blocks are far below the
+    * default, and the ORACLES interpolate the same resolved cap, so
+    * Spark and DuckDB stay in lockstep even under the env override.
+    * `SPARK_GRAFT_BLOCK_CAP` overrides (0 disables — Soak A/B). */
+  private[graft] def blockCap: Int =
+    sys.env.get("SPARK_GRAFT_BLOCK_CAP").map(_.toInt).getOrElse(10000)
+
+  /** SQL fragment applying the same cap to an oracle's block CTE `b0`
+    * (columns ... , blk): selects the surviving rows. */
+  private def cappedBlockSql(cap: Int): String =
+    if (cap <= 0) "SELECT * FROM b0"
+    else s"""SELECT b0.* FROM b0 JOIN (
+            |    SELECT blk FROM b0 GROUP BY blk HAVING count(*) <= $cap) ok
+            |  USING (blk)""".stripMargin
+
+  /** Blocking kernel shared by q_fuzzy_name_pairs and
+    * q_entity_resolution: derive the block key from `p_name`, census
+    * the blocks, drop hot ones (logged), return the surviving rows
+    * with their `blk` column. `names` should be distinct-name
+    * cardinality (the callers aggregate first). */
+  private[graft] def cappedBlocks(names: org.apache.spark.sql.DataFrame,
+      cap: Int): org.apache.spark.sql.DataFrame = {
+    val blocked = names.withColumn("blk", split(col("p_name"), " ").getItem(0))
+    if (cap <= 0) blocked
+    else {
+      val hot = blocked.groupBy("blk").agg(count(lit(1)).as("bn"))
+        .where(col("bn") > cap)
+      // tiny relation (≤ distinct block keys); the count doubles as the
+      // REQUIRED exclusion log — a capped block must never be silent
+      val dropped = hot.agg(
+        coalesce(count(lit(1)), lit(0L)).as("blocks"),
+        coalesce(sum(col("bn")), lit(0L)).as("names")).head
+      if (dropped.getLong(0) > 0)
+        System.err.println(s"[graft] blocking cap $cap excluded " +
+          s"${dropped.getLong(0)} hot block(s) carrying ${dropped.getLong(1)} names " +
+          "from edit-distance pair generation")
+      blocked.join(broadcast(hot.select("blk")), Seq("blk"), "left_anti")
+    }
+  }
+
   override def queries: Map[String, Q] = Map(
     // Data-profiling audit — the corpus-health dashboard query every
     // engine needs before anything else runs: row count, per-column
@@ -178,8 +229,8 @@ object MiscQueries extends QueryPack {
     // at 100 TB where entities repeat massively), so dedupe FIRST, then
     // compare.
     "q_fuzzy_name_pairs" -> ((s, d) => {
-      val names = Tables.part(s, d).select(col("p_name")).distinct()
-        .select(col("p_name"), split(col("p_name"), " ").getItem(0).as("blk"))
+      val names = cappedBlocks(
+        Tables.part(s, d).select(col("p_name")).distinct(), blockCap)
       val a = names.select(col("p_name").as("name_a"), col("blk"))
       val b = names.select(col("p_name").as("name_b"), col("blk").as("blk_b"))
       a.join(b, col("blk") === col("blk_b") && col("name_a") < col("name_b"))
@@ -204,8 +255,7 @@ object MiscQueries extends QueryPack {
       val names = graft.CacheRegistry.persistTracked(
         Tables.part(s, d).groupBy("p_name")
           .agg(min(col("p_partkey")).as("nid"), count(lit(1)).as("rows_n")))
-      val blocked = names.select(col("p_name"), col("nid"),
-        split(col("p_name"), " ").getItem(0).as("blk"))
+      val blocked = cappedBlocks(names.select("p_name", "nid"), blockCap)
       val pairs = blocked.as("a")
         .join(blocked.as("b"),
           col("a.blk") === col("b.blk") && col("a.p_name") < col("b.p_name"))
@@ -310,8 +360,9 @@ object MiscQueries extends QueryPack {
         |GROUP BY 1""".stripMargin,
 
     "q_fuzzy_name_pairs" ->
-      """WITH n AS (SELECT DISTINCT p_name FROM part),
-        |b AS (SELECT p_name, string_split(p_name, ' ')[1] AS blk FROM n)
+      s"""WITH n AS (SELECT DISTINCT p_name FROM part),
+        |b0 AS (SELECT p_name, string_split(p_name, ' ')[1] AS blk FROM n),
+        |b AS (${cappedBlockSql(blockCap)})
         |SELECT a.p_name AS name_a, c.p_name AS name_b,
         |  CAST(levenshtein(a.p_name, c.p_name) AS BIGINT) AS edit_dist
         |FROM b a JOIN b c ON a.blk = c.blk AND a.p_name < c.p_name
@@ -321,10 +372,11 @@ object MiscQueries extends QueryPack {
     // dedup_clusters oracle pattern) over the same blocked
     // edit-distance pair set.
     "q_entity_resolution" ->
-      """WITH RECURSIVE n AS (
+      s"""WITH RECURSIVE n AS (
         |  SELECT p_name, min(p_partkey) AS nid, count(*) AS rows_n
         |  FROM part GROUP BY 1),
-        |b AS (SELECT p_name, nid, string_split(p_name, ' ')[1] AS blk FROM n),
+        |b0 AS (SELECT p_name, nid, string_split(p_name, ' ')[1] AS blk FROM n),
+        |b AS (${cappedBlockSql(blockCap)}),
         |p AS (
         |  SELECT least(a.nid, c.nid) AS i, greatest(a.nid, c.nid) AS j
         |  FROM b a JOIN b c ON a.blk = c.blk AND a.p_name < c.p_name

@@ -266,7 +266,7 @@ object MultimodalQueries extends QueryPack {
          |  SELECT doc_id, i,
          |    ((doc_id * $MulId + i * $MulIdx) % $Levels - ${Levels / 2}) * $Gain AS v
          |  FROM documents CROSS JOIN i),
-         |e AS (SELECT doc_id, i // 50 AS w, sum(v * v) AS e
+         |e AS (SELECT doc_id, i // $FrameWin AS w, sum(v * v) AS e
          |      FROM s GROUP BY 1, 2),
          |d AS (
          |  SELECT a.doc_id, a.w,
@@ -274,7 +274,7 @@ object MultimodalQueries extends QueryPack {
          |  FROM e a JOIN e b ON a.doc_id = b.doc_id AND b.w = a.w + 1),
          |fp AS (
          |  SELECT doc_id,
-         |    CAST(sum(bit * (1::BIGINT << (${numSamples / 50} - 2 - CAST(w AS INT)))) AS BIGINT) AS fp
+         |    CAST(sum(bit * (1::BIGINT << ($numFrames - 2 - CAST(w AS INT)))) AS BIGINT) AS fp
          |  FROM d GROUP BY 1)
          |SELECT fp, count(*) AS n_clips, min(doc_id) AS min_clip
          |FROM fp GROUP BY 1""".stripMargin
@@ -290,7 +290,7 @@ object MultimodalQueries extends QueryPack {
          |  SELECT doc_id, i,
          |    ((doc_id * $MulId + i * $MulIdx) % $Levels - ${Levels / 2}) * $Gain AS v
          |  FROM documents CROSS JOIN i),
-         |e AS (SELECT doc_id, i // 50 AS w, sum(v * v) AS e
+         |e AS (SELECT doc_id, i // $FrameWin AS w, sum(v * v) AS e
          |      FROM s GROUP BY 1, 2),
          |v AS (SELECT doc_id, w,
          |        CASE WHEN e >= $SilenceThreshold THEN 1 ELSE 0 END AS voiced
@@ -301,7 +301,7 @@ object MultimodalQueries extends QueryPack {
          |seg AS (SELECT doc_id, grp, count(*) AS len
          |        FROM r WHERE voiced = 1 GROUP BY 1, 2)
          |SELECT d.doc_id AS media_id,
-         |  CAST(${numSamples / 50} AS BIGINT) AS n_frames,
+         |  CAST($numFrames AS BIGINT) AS n_frames,
          |  CAST(coalesce(sum(seg.len), 0) AS BIGINT) AS n_voiced,
          |  CAST(coalesce(count(seg.len), 0) AS BIGINT) AS n_segments,
          |  CAST(coalesce(max(seg.len), 0) AS BIGINT) AS longest

@@ -181,8 +181,12 @@ object PipelineQueries extends QueryPack {
           .agg(sum(col("n_chars")).as("bytes")))
       val tot = broadcast(shards.agg(sum(col("bytes")).as("total")))
       val w = Window.orderBy(col("bytes").desc, col("source"), col("lang"))
+      // greatest(…, 1): a degenerate zero-byte corpus would otherwise
+      // divide by zero — Spark's non-ANSI div yields NULL bins while
+      // DuckDB raises, so the engines would fail DIFFERENTLY. The
+      // guard (mirrored in the oracle) makes both emit bin 0.
       shards.crossJoin(tot)
-        .withColumn("target", expr("(total + 5) div 6"))
+        .withColumn("target", greatest(expr("(total + 5) div 6"), lit(1L)))
         .withColumn("cum", sum(col("bytes")).over(w))
         .withColumn("bin", expr("(cum - bytes) div target"))
         .groupBy("bin")
@@ -206,7 +210,7 @@ object PipelineQueries extends QueryPack {
         |  SELECT bytes,
         |    CAST(sum(bytes) OVER (ORDER BY bytes DESC, source, lang
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
-        |    (total + 5) // 6 AS target
+        |    greatest((total + 5) // 6, 1) AS target
         |  FROM shards, tot)
         |SELECT (cum - bytes) // target AS bin, count(*) AS n_shards,
         |  CAST(sum(bytes) AS BIGINT) AS bin_bytes

@@ -24,6 +24,74 @@ object StatsQueries extends QueryPack {
     * queries. */
   private def d38(c: Column): Column = c.cast("decimal(38,0)")
 
+  /** Exact k-th LARGEST value of a DECIMAL(38,4) column, found by
+    * iterative bucket narrowing instead of a global sort — the
+    * distributed exact-selection kernel behind q_pareto_share's
+    * cutpoint (r8 verdict #1: the old rank window ranked every part in
+    * ONE partition; this replaces it with ≤ 4 map-combined histogram
+    * passes whose per-pass reduce is ≤ 4096 rows).
+    *
+    * Each round buckets the surviving value range into 4096 slots with
+    * a MONOTONE double routing function (IEEE −,×,/ and floor are all
+    * order-preserving, so equal values share a bucket and bucket order
+    * follows value order — routing precision only affects which round
+    * converges, never which value is selected), collects the ≤ 4096
+    * (count, min, max) rows, and walks them from the top to find the
+    * bucket holding the k-th rank. Exact decimal min/max of that
+    * bucket become the next round's range; massive ties collapse to a
+    * single bucket whose min == max, terminating immediately. The
+    * final per-value histogram is size-gated LOUDLY (no silent cap):
+    * after 4 rounds of 4096-fold narrowing it holds the distinct
+    * values of a ~4096⁻⁴ slice of the range, i.e. a handful.
+    *
+    * `df` should be persisted by the caller (one scan per round). */
+  private[graft] def kthLargestDecimal(df: DataFrame, vcol: String, k: Long): java.math.BigDecimal = {
+    require(k >= 1, s"selection rank must be >= 1, got $k")
+    val B = 4096
+    val slice0 = df.select(col(vcol).as("v"))
+    val st = slice0.agg(min("v").as("lo"), max("v").as("hi")).head
+    require(!st.isNullAt(0), "kthLargestDecimal on an empty relation")
+    var lo = st.getDecimal(0)
+    var hi = st.getDecimal(1)
+    var kk = k
+    var rounds = 0
+    while (lo.compareTo(hi) != 0 && rounds < 4) {
+      rounds += 1
+      val loD = lo.doubleValue
+      val widthD = math.max(hi.doubleValue - loD, java.lang.Double.MIN_NORMAL)
+      val bcol = least(greatest(
+          floor((col("v").cast("double") - lit(loD)) / lit(widthD) * B), lit(0.0)),
+          lit((B - 1).toDouble)).cast("int")
+      val hist = slice0.where(col("v") >= lit(lo) && col("v") <= lit(hi))
+        .groupBy(bcol.as("b"))
+        .agg(count(lit(1)).as("c"), min("v").as("mn"), max("v").as("mx"))
+        .collect().sortBy(r => -r.getInt(0))
+      var i = 0
+      var found = false
+      while (!found && i < hist.length) {
+        val c = hist(i).getLong(1)
+        if (kk <= c) {
+          found = true
+          lo = hist(i).getDecimal(2)
+          hi = hist(i).getDecimal(3)
+        } else { kk -= c; i += 1 }
+      }
+      require(found, s"selection invariant broken: rank $kk exceeds slice mass")
+    }
+    if (lo.compareTo(hi) == 0) lo
+    else {
+      val vals = slice0.where(col("v") >= lit(lo) && col("v") <= lit(hi))
+        .groupBy("v").agg(count(lit(1)).as("c"))
+        .collect().sortBy(_.getDecimal(0)).reverse
+      require(vals.length <= 2000000,
+        s"selection residue still holds ${vals.length} distinct values after " +
+          s"$rounds narrowing rounds — pathological value clustering; raise rounds")
+      var i = 0
+      while (kk > vals(i).getLong(1)) { kk -= vals(i).getLong(1); i += 1 }
+      vals(i).getDecimal(0)
+    }
+  }
+
   override def queries: Map[String, Q] = Map(
     // Top-N per group — the per-key leaderboard shape (top parts per
     // brand by exact-decimal revenue). Aggregate FIRST to part
@@ -99,27 +167,41 @@ object StatsQueries extends QueryPack {
     // (top ⌈n/4⌉ by exact-decimal revenue, ties to the part key) — no
     // quantile interpolation anywhere, so every intermediate is an
     // exact integer or decimal and the single shipped double division
-    // is correctly rounded on both engines. The rank window runs on
-    // part-cardinality rows (the bounded-entity argument shared with
-    // the RFM cutpoints and vocab-coverage cumsum); the fact table
-    // reduces map-side first.
+    // is correctly rounded on both engines.
+    //
+    // r9 REWRITE (r8 verdict #1): parts scale WITH the fact data
+    // (tens of millions at 100 TB), so the old global rank window —
+    // every part through one partition — was the battery's last
+    // fact-derived single-task sort. Now the exact ⌈n/4⌉-th revenue
+    // cutpoint comes from kthLargestDecimal (≤ 4 bounded histogram
+    // passes) and crosses back as a LITERAL for one map-side threshold
+    // aggregate — the q_orders_rfm broadcast-cutpoint pattern, made
+    // exact. Ties at the cut need no per-part attribution: every tied
+    // part contributes the same `cut` revenue, so the top-quartile sum
+    // is sum(revd > cut) + (k − |{revd > cut}|)·cut — identical to the
+    // rank formulation row for row, which keeps the unchanged oracle's
+    // rank-window SQL green. NO WindowExec anywhere in this plan
+    // (PlanInvariantsSpec pins that).
     "q_pareto_share" -> ((s, d) => {
       val rev = graft.CacheRegistry.persistTracked(
         Tables.lineitem(s, d)
           .groupBy("l_partkey")
           .agg(sum(TpchMoney.discPrice).cast("decimal(38,4)").as("revd")))
-      val np = broadcast(rev.agg(count(lit(1)).as("np")))
-      val w = Window.orderBy(col("revd").desc, col("l_partkey"))
-      rev.crossJoin(np)
-        .withColumn("rn", row_number().over(w))
-        .agg(
-          max(col("np")).as("n_parts"),
-          sum(when(col("rn") <= expr("(np + 3) div 4"), 1L).otherwise(0L))
-            .as("top_parts"),
-          (sum(when(col("rn") <= expr("(np + 3) div 4"), col("revd")))
+      val np = rev.count()
+      val k = (np + 3) / 4
+      val cut = kthLargestDecimal(rev, "revd", k)
+      rev.agg(
+          count(lit(1)).as("n_parts"),
+          sum(when(col("revd") > lit(cut), col("revd")))
+            .cast("decimal(38,4)").as("s_gt"),
+          sum(when(col("revd") > lit(cut), 1L).otherwise(0L)).as("c_gt"),
+          sum(col("revd")).cast("decimal(38,4)").as("s_tot"))
+        .select(col("n_parts"),
+          lit(k).as("top_parts"),
+          ((coalesce(col("s_gt"), lit(java.math.BigDecimal.ZERO)) +
+            (lit(k) - col("c_gt")) * lit(cut))
             .cast("decimal(38,4)").cast("double") /
-            sum(col("revd")).cast("decimal(38,4)").cast("double"))
-            .as("top_share"))
+            col("s_tot").cast("double")).as("top_share"))
     }),
 
     // Cohort LTV matrix — customers grouped by first-order year, order

@@ -695,4 +695,16 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
       s"median/MAD decorations must broadcast:\n$p")
   }
+
+  test("q_pareto_share: NO window anywhere — cutpoint selection replaced the global rank sort") {
+    // r8 verdict #1: the old plan ranked every part in one partition
+    // (the `WindowExec: No Partition Defined` warning). The returned
+    // plan is now one threshold aggregate against a literal cutpoint;
+    // the selection itself ran as bounded histogram passes before this
+    // plan was built, so ANY Window/Sort here is a regression.
+    val p = planOf("q_pareto_share")
+    assert(!p.contains("Window"), s"pareto must not window:\n$p")
+    assert(!"\\(\\d+\\) Sort\\b".r.findFirstIn(p).isDefined,
+      s"pareto must not globally sort:\n$p")
+  }
 }

@@ -101,4 +101,43 @@ class ScalePatternsSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().toSet
     assert(real0 == real1000, "default cap must preserve driver-SF output")
   }
+
+  test("blocking cap: a planted hot block is excluded from ER pair generation; cold blocks survive") {
+    import spark.implicits._
+    import graft.queries.MiscQueries
+    // hot block: 50 names sharing first token "hot"; cold block: 3
+    val hot = (1 to 50).map(i => s"hot name$i")
+    val cold = Seq("cold alpha", "cold alphb", "cold zeta")
+    val names = (hot ++ cold).toDF("p_name")
+    val capped = MiscQueries.cappedBlocks(names, cap = 10)
+      .select("p_name").as[String].collect().toSet
+    assert(capped == cold.toSet, s"hot block must vanish, cold survive: $capped")
+    // cap 0 disables: everything survives with its block key
+    assert(MiscQueries.cappedBlocks(names, cap = 0).count() == 53)
+    // default cap is invisible on real testdata: same survivor set
+    val real = Tables.part(spark, sf).select(col("p_name")).distinct()
+    assert(MiscQueries.cappedBlocks(real, MiscQueries.blockCap).count() ==
+      MiscQueries.cappedBlocks(real, 0).count(),
+      "default block cap must preserve driver-SF blocking")
+  }
+
+  test("kthLargestDecimal: exact selection equals the sorted reference, ties and all") {
+    import spark.implicits._
+    import graft.queries.StatsQueries
+    // values with heavy ties and a wide range, shuffled
+    val vals: Seq[BigDecimal] = (Seq.fill(40)(BigDecimal("7.5000")) ++
+      (1 to 200).map(i => BigDecimal(i * 13 % 97) + BigDecimal("0.1230")) ++
+      Seq(BigDecimal("1000000.0001"), BigDecimal("-5.2500")))
+      .map(_.setScale(4))
+    val df = vals.map(v => Tuple1(v)).toDF("v")
+      .select(col("v").cast("decimal(38,4)").as("v"))
+      .repartition(7).persist()
+    val sorted = vals.sorted.reverse
+    for (k <- Seq(1, 2, 40, 41, 100, vals.size / 4, vals.size)) {
+      val got = StatsQueries.kthLargestDecimal(df, "v", k.toLong)
+      assert(BigDecimal(got) == sorted(k - 1),
+        s"k=$k: got $got, want ${sorted(k - 1)}")
+    }
+    df.unpersist()
+  }
 }
