@@ -40,7 +40,10 @@ object Soak {
     "q_topn_per_group",
     // r8 wave: wedge-join graph family + fingerprint/surprisal kernels
     "graph_part_clustering", "graph_part_common_neighbors",
-    "text_lm_surprisal", "mm_image_phash")
+    "text_lm_surprisal", "mm_image_phash",
+    // r9 wave: the two rewritten scale fixes + the learned-vector tier
+    "q_pareto_share", "q_entity_resolution",
+    "sim_topk_learned", "dedup_learned_semantic")
 
   /** Scaled-table families each KNOWN soak query reads: 'd' =
     * documents, 'f' = the fact triple (lineitem/orders/part), 'e' =
@@ -90,7 +93,8 @@ object Soak {
     "mm_audio_silence" -> Set('d'),
     "graph_part_twohop_reach" -> Set('f'),
     "q_entity_resolution" -> Set('f'),
-    "q_correlation" -> Set('f'))
+    "q_correlation" -> Set('f'),
+    "sim_topk_learned" -> Set('d'), "dedup_learned_semantic" -> Set('d'))
 
   private[graft] def famsFor(queries: Seq[String]): Set[Char] =
     queries.map(q => SoakReads.getOrElse(q,
@@ -175,6 +179,26 @@ object Soak {
     * columns null) — meant for cooccur/adjacency probes only. */
   private def hotOrderParts: Int =
     sys.env.getOrElse("SPARK_GRAFT_SOAK_HOT_ORDER", "0").toInt
+
+  /** SPARK_GRAFT_SOAK_HOT_BLOCK=n appends n synthetic part rows whose
+    * names share ONE first token ("hotblk <10-hex-digest>"): the
+    * degenerate blocking key for the edit-distance ER family, paying
+    * n²/2 levenshtein evaluations if the block expands. Digest
+    * suffixes keep pairwise edit distance far above the match
+    * threshold, so the planted block changes NO output rows — only
+    * cost. A/B: default SPARK_GRAFT_BLOCK_CAP excludes the block
+    * (flat); SPARK_GRAFT_BLOCK_CAP=0 pays the quadratic tail. */
+  private def hotBlockNames: Int =
+    sys.env.getOrElse("SPARK_GRAFT_SOAK_HOT_BLOCK", "0").toInt
+
+  private def appendHotBlock(p: DataFrame): DataFrame =
+    if (hotBlockNames <= 0) p
+    else p.unionByName(
+      p.sparkSession.range(hotBlockNames).select(
+        (col("id") + 950000000L).as("p_partkey"),
+        concat(lit("hotblk "),
+          substring(md5(col("id").cast("string")), 1, 10)).as("p_name")),
+      allowMissingColumns = true)
 
   private def appendHotOrder(li: DataFrame): DataFrame =
     if (hotOrderParts <= 0) li
@@ -288,7 +312,7 @@ object Soak {
             .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
           scaleOrders(Tables.orders(spark, sfDir), k)
             .write.mode("overwrite").parquet(s"$dir/orders.parquet")
-          scalePart(Tables.part(spark, sfDir), k)
+          appendHotBlock(scalePart(Tables.part(spark, sfDir), k))
             .write.mode("overwrite").parquet(s"$dir/part.parquet")
         } else {
           // copied through unscaled — a probe outside the scaled

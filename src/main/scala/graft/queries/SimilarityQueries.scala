@@ -85,9 +85,125 @@ object SimilarityQueries extends QueryPack {
       .where(col("rank") <= K)
   }
 
+  /** Per-document integer embeddings over the LEARNED committed word
+    * vectors (functions/EmbeddingVectors.scala — real count-based
+    * distributional vectors, r8 verdict #4): long-format (doc_id, dim,
+    * s) where s = Σ count(token)·w[token][dim] over the doc's
+    * in-vocabulary tokens. Shape at 100 TB: tokens reduce map-side to
+    * (doc × matched-vocab) cardinality FIRST, the 45×8-row vector
+    * table broadcasts, and the per-(doc, dim) sums are one map-combined
+    * aggregate — all integer, so every downstream cosine is exact
+    * until its single double division. */
+  private def learnedDocVectors(s: org.apache.spark.sql.SparkSession, d: String) = {
+    import s.implicits._
+    val vocab = graft.functions.EmbeddingVectors.Vectors.toDF("token", "vs")
+      .select(col("token"), posexplode(col("vs")).as(Seq("dim", "w")))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
+      .join(broadcast(vocab), Seq("token"))
+      .groupBy("doc_id", "dim")
+      .agg(sum(col("c") * col("w")).as("s"))
+  }
+
+  private def ld(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+
+  /** Cosine threshold of the learned-embedding SemDeDup tier (measured
+    * on the corpus: median within-bucket cosine 0.94, 99.9th pct
+    * ~0.996 — the threshold sits in the near-dup tail). Interpolated
+    * into the oracle, so both engines compare the SAME double. */
+  private val SemDupT = 0.995
+
   override def queries: Map[String, Q] = Map(
     // Exact brute-force top-k per query vector.
     "sim_topk_bruteforce" -> ((s, d) => bruteTopK(s, d)),
+
+    // Brute-force top-K over LEARNED document embeddings — the same
+    // broadcast-Q × N shape as sim_topk_bruteforce, but the vectors
+    // are the committed trained word embeddings summed per document
+    // instead of the driver's synthetic table: the full
+    // text → learned-vector → ANN chain a curation pipeline actually
+    // runs. Integer dots/norms in DECIMAL(38), ONE double division,
+    // round 6 — hash-graded against the identical chain replayed in
+    // SQL with the committed vectors as a VALUES table (the
+    // classifier-weights oracle pattern).
+    "sim_topk_learned" -> ((s, d) => {
+      val dv = graft.CacheRegistry.persistTracked(learnedDocVectors(s, d))
+      // norms are doc-cardinality; nsq > 0 guards the 0/0 cosine (a doc
+      // whose matched tokens sum to the zero vector — impossible today,
+      // cheap forever), mirrored as HAVING in the oracle
+      val nsq = graft.CacheRegistry.persistTracked(
+        dv.groupBy("doc_id").agg(sum(ld(col("s")) * ld(col("s"))).as("nsq"))
+          .where(col("nsq") > 0))
+      val q = dv.where(col("doc_id") < NQueries)
+        .select(col("doc_id").as("qid"), col("dim"), col("s").as("qs"))
+      val dots = broadcast(q).join(dv, Seq("dim"))
+        .where(col("qid") =!= col("doc_id"))
+        .groupBy("qid", "doc_id")
+        .agg(sum(ld(col("qs")) * ld(col("s"))).as("dot"))
+      val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id").asc)
+      dots
+        .join(nsq, Seq("doc_id"))
+        .join(broadcast(nsq.select(col("doc_id").as("qid"), col("nsq").as("qnsq"))),
+          Seq("qid"))
+        .select(col("qid"), col("doc_id").as("vec_id"),
+          round(col("dot").cast("double") /
+            sqrt(col("nsq").cast("double") * col("qnsq").cast("double")), 6).as("sim"))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= K)
+    }),
+
+    // SemDeDup over LEARNED document embeddings: coarse-cluster by the
+    // SIGN PATTERN of embedding dims 1-3 (dim 0 is the all-positive
+    // dominant eigenvector — every doc agrees there, so the sign bits
+    // start at dim 1; 3 bits → 8 buckets, an SRP-style partition in
+    // the LEARNED basis), then exact integer cosine WITHIN buckets
+    // only — the O(Σ cluster²) SemDeDup envelope shared with
+    // dedup_semantic (at 100 TB the bucket count grows with more sign
+    // dims or a real k-means the way Planes scales the SRP tier; the
+    // shape is unchanged). Near-dups whose borderline components
+    // straddle a sign flip can land in different buckets — the
+    // standard LSH recall trade, same as any banding scheme. Output:
+    // per-bucket doc census and pairs at cosine ≥ SemDupT; every
+    // arithmetic step exact until the one double division, hash-graded
+    // against the identical SQL replay.
+    "dedup_learned_semantic" -> ((s, d) => {
+      val dv = graft.CacheRegistry.persistTracked(learnedDocVectors(s, d))
+      val nsq = graft.CacheRegistry.persistTracked(
+        dv.groupBy("doc_id").agg(sum(ld(col("s")) * ld(col("s"))).as("nsq"))
+          .where(col("nsq") > 0))
+      val b = graft.CacheRegistry.persistTracked(
+        dv.join(nsq.select("doc_id"), Seq("doc_id"))
+          .groupBy("doc_id")
+          .agg(sum(
+            when(col("dim") === 1 && col("s") > 0, 4L)
+              .when(col("dim") === 2 && col("s") > 0, 2L)
+              .when(col("dim") === 3 && col("s") > 0, 1L)
+              .otherwise(0L)).as("bucket")))
+      val pairs = b.as("x")
+        .join(b.as("y"),
+          col("x.bucket") === col("y.bucket") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.bucket").as("bucket"),
+          col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      val dots = pairs
+        .join(dv.select(col("doc_id").as("a"), col("dim"), col("s").as("sa")), Seq("a"))
+        .join(dv.select(col("doc_id").as("b"), col("dim"), col("s").as("sb")),
+          Seq("b", "dim"))
+        .groupBy("bucket", "a", "b")
+        .agg(sum(ld(col("sa")) * ld(col("sb"))).as("dot"))
+      val sims = dots
+        .join(nsq.select(col("doc_id").as("a"), col("nsq").as("na")), Seq("a"))
+        .join(nsq.select(col("doc_id").as("b"), col("nsq").as("nb")), Seq("b"))
+        .select(col("bucket"),
+          (col("dot").cast("double") /
+            sqrt(col("na").cast("double") * col("nb").cast("double"))).as("sim"))
+      b.groupBy("bucket").agg(count(lit(1)).as("n_docs"))
+        .join(sims.where(col("sim") >= SemDupT)
+          .groupBy("bucket").agg(count(lit(1)).as("nd")), Seq("bucket"), "left")
+        .select(col("bucket"), col("n_docs"),
+          coalesce(col("nd"), lit(0L)).as("n_dup_pairs"))
+    }),
 
     // IVF-style: probe only the query's cluster (label equi-join).
     "sim_topk_ivf" -> ((s, d) => {
@@ -188,8 +304,77 @@ object SimilarityQueries extends QueryPack {
        |  WHERE a.vec_id < $NQueries)
        |WHERE rank <= $K""".stripMargin
 
+  /** The committed learned vectors as a SQL VALUES table (token, dim,
+    * w) — 360 rows; auto-synced with the asset the Spark side joins. */
+  private val learnedVocabValues: String =
+    graft.functions.EmbeddingVectors.Vectors.flatMap { case (t, vs) =>
+      vs.zipWithIndex.map { case (w, i) => s"('$t', $i, $w)" }
+    }.mkString(", ")
+
+  /** Shared learned-doc-vector CTE chain: vocab, tokens, counts, the
+    * integer (doc_id, dim, s) vectors, and the positive norms. */
+  private val learnedDocVecSql: String =
+    s"""vocab(token, dim, w) AS (VALUES $learnedVocabValues),
+       |tok AS (
+       |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+       |    x -> length(x) > 0)) AS token
+       |  FROM documents),
+       |tc AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY 1, 2),
+       |dv AS (
+       |  SELECT doc_id, dim, CAST(sum(c * w) AS BIGINT) AS s
+       |  FROM tc JOIN vocab USING (token) GROUP BY 1, 2),
+       |n AS (
+       |  SELECT doc_id, sum(CAST(s AS HUGEINT) * s) AS nsq
+       |  FROM dv GROUP BY 1 HAVING sum(CAST(s AS HUGEINT) * s) > 0)""".stripMargin
+
   override def oracles: Map[String, String] = Map(
     "sim_topk_bruteforce" -> bruteForceSql,
+
+    "sim_topk_learned" ->
+      s"""WITH $learnedDocVecSql,
+         |d AS (
+         |  SELECT q.doc_id AS qid, e.doc_id AS vec_id,
+         |    sum(CAST(q.s AS HUGEINT) * e.s) AS dot
+         |  FROM dv q JOIN dv e USING (dim)
+         |  WHERE q.doc_id < $NQueries AND q.doc_id <> e.doc_id
+         |  GROUP BY 1, 2),
+         |r AS (
+         |  SELECT qid, vec_id,
+         |    round(CAST(dot AS DOUBLE) /
+         |      sqrt(CAST(nq.nsq AS DOUBLE) * CAST(ne.nsq AS DOUBLE)), 6) AS sim
+         |  FROM d JOIN n nq ON d.qid = nq.doc_id JOIN n ne ON d.vec_id = ne.doc_id)
+         |SELECT qid, vec_id, sim, rank FROM (
+         |  SELECT qid, vec_id, sim,
+         |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+         |  FROM r)
+         |WHERE rank <= $K""".stripMargin,
+
+    "dedup_learned_semantic" ->
+      s"""WITH $learnedDocVecSql,
+         |b AS (
+         |  SELECT dv.doc_id,
+         |    CAST(sum(CASE WHEN dim = 1 AND s > 0 THEN 4
+         |                  WHEN dim = 2 AND s > 0 THEN 2
+         |                  WHEN dim = 3 AND s > 0 THEN 1 ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM dv JOIN n ON dv.doc_id = n.doc_id GROUP BY 1),
+         |p AS (
+         |  SELECT x.bucket, x.doc_id AS a, y.doc_id AS b
+         |  FROM b x JOIN b y ON x.bucket = y.bucket AND x.doc_id < y.doc_id),
+         |pd AS (
+         |  SELECT p.bucket, p.a, p.b, sum(CAST(da.s AS HUGEINT) * db.s) AS dot
+         |  FROM p JOIN dv da ON da.doc_id = p.a
+         |         JOIN dv db ON db.doc_id = p.b AND db.dim = da.dim
+         |  GROUP BY 1, 2, 3),
+         |sims AS (
+         |  SELECT bucket,
+         |    CAST(dot AS DOUBLE) /
+         |      sqrt(CAST(na.nsq AS DOUBLE) * CAST(nb.nsq AS DOUBLE)) AS sim
+         |  FROM pd JOIN n na ON pd.a = na.doc_id JOIN n nb ON pd.b = nb.doc_id),
+         |occ AS (SELECT bucket, count(*) AS n_docs FROM b GROUP BY 1),
+         |dups AS (SELECT bucket, count(*) AS nd FROM sims WHERE sim >= $SemDupT GROUP BY 1)
+         |SELECT o.bucket, CAST(o.n_docs AS BIGINT) AS n_docs,
+         |  CAST(coalesce(d.nd, 0) AS BIGINT) AS n_dup_pairs
+         |FROM occ o LEFT JOIN dups d USING (bucket)""".stripMargin,
     // The int8 tier's candidate margin makes its output equal exact
     // brute force — graded against the same oracle (cf. minhash-lsh vs
     // the exact Jaccard oracle).

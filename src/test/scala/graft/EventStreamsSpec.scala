@@ -397,4 +397,154 @@ class EventStreamsSpec extends AnyFunSuite {
       }
     } finally stream.stop()
   }
+
+  test("streaming backlog sweep-line state converges to the batch deltas across out-of-order splits") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.EventStreams.{BacklogDelta, ShipEvent}
+    // epoch-day intervals; order 2's close EXTENDS across batches
+    // (correction pair), order 3 gets a ship day INSIDE its span
+    // (no-op), order 4 arrives whole in the last batch
+    val batch1 = Seq(ShipEvent(1, 100, 105), ShipEvent(2, 101, 110))
+    val batch2 = Seq(ShipEvent(2, 101, 120), ShipEvent(3, 103, 115))
+    val batch3 = Seq(ShipEvent(3, 103, 112), ShipEvent(4, 104, 108))
+    val mem = MemoryStream[ShipEvent]
+    val stream = EventStreams.streamingBacklogDeltas(mem.toDS(), idleTimeout = None)
+      .writeStream.format("memory").queryName("backlog_deltas")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(batch1: _*); stream.processAllAvailable()
+      mem.addData(batch2: _*); stream.processAllAvailable()
+      mem.addData(batch3: _*); stream.processAllAvailable()
+      // net the emitted deltas per day; a correction can zero a day out
+      // (order 2's original close day 111) — batch has no row there
+      val streamed = spark.table("backlog_deltas").as[BacklogDelta]
+        .groupBy("day")
+        .agg(sum("d_opened").as("n_opened"), sum("d_closed").as("n_closed"))
+        .where(col("n_opened") =!= 0 || col("n_closed") =!= 0)
+        .as[(Long, Long, Long)].collect().toSet
+      // batch twin over the same intervals written as orders/lineitem
+      val dir = java.nio.file.Files.createTempDirectory("backlog_batch").toString
+      def day(d: Long) = java.time.LocalDate.ofEpochDay(d).toString
+      val intervals = Seq((1L, 100L, 105L), (2L, 101L, 120L), (3L, 103L, 115L), (4L, 104L, 108L))
+      intervals.map { case (o, od, _) => (o, day(od)) }
+        .toDF("o_orderkey", "o_orderdate")
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      // two lineitems per order, one at an interior day, one at close
+      intervals.flatMap { case (o, od, cd) => Seq((o, day(od + 1)), (o, day(cd))) }
+        .toDF("l_orderkey", "l_shipdate")
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      val batchRows = SparkEntry.queries("q_orders_backlog")(spark, dir)
+        .select(datediff(col("day"), lit("1970-01-01")).cast("long").as("d"),
+          col("n_opened"), col("n_closed"), col("backlog"))
+        .as[(Long, Long, Long, Long)].collect()
+      assert(batchRows.map(r => (r._1, r._2, r._3)).toSet == streamed,
+        s"delta mismatch:\nbatch=${batchRows.toSeq.sortBy(_._1)}\nstream=${streamed.toSeq.sorted}")
+      // and the day-axis cumsum over the streamed deltas IS the backlog
+      val cum = streamed.toSeq.sortBy(_._1)
+        .scanLeft((0L, 0L, 0L, 0L)) { case ((_, _, _, lvl), (d, o, c)) => (d, o, c, lvl + o - c) }
+        .drop(1)
+      assert(cum.toSet == batchRows.toSet, "cumulative backlog diverged")
+    } finally stream.stop()
+  }
+
+  test("streaming stickiness (daily+monthly actives) equals the batch query bit-for-bit") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // two months; users repeat within days (dedup) and across months;
+    // sentinel in June advances the watermark past February so the
+    // day windows finalize in append mode
+    val evs = Seq(
+      (1L, t("2024-01-05 10:00:00")), (1L, t("2024-01-05 11:00:00")),
+      (2L, t("2024-01-05 12:00:00")), (1L, t("2024-01-06 09:00:00")),
+      (3L, t("2024-01-07 09:00:00")), (2L, t("2024-02-02 09:00:00")),
+      (2L, t("2024-02-02 18:00:00")), (4L, t("2024-02-02 19:00:00")),
+      (2L, t("2024-02-03 08:00:00")), (5L, t("2024-02-04 08:00:00")))
+    val sentinel = (99L, t("2024-06-01 00:00:00"))
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    def stream(of: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+        name: String, mode: OutputMode) =
+      of(mem.toDF().toDF("user_id", "ts"))
+        .writeStream.format("memory").queryName(name).outputMode(mode).start()
+    val dayQ = stream(EventStreams.streamingDailyActive(_, lateness = "60 days"),
+      "stick_day", OutputMode.Append)
+    val monQ = stream(EventStreams.streamingMonthlyActive(_, lateness = "60 days"),
+      "stick_month", OutputMode.Update)
+    try {
+      mem.addData(evs.take(4): _*); dayQ.processAllAvailable(); monQ.processAllAvailable()
+      mem.addData(evs.slice(4, 8): _*); dayQ.processAllAvailable(); monQ.processAllAvailable()
+      mem.addData(evs.drop(8) :+ sentinel: _*)
+      dayQ.processAllAvailable(); monQ.processAllAvailable()
+      val byDay = spark.table("stick_day")
+      // update sink appends every revision; counts only grow, so the
+      // latest census per month is the max
+      val byMonth = spark.table("stick_month")
+        .groupBy("month").agg(max("mau").as("mau"))
+      val streamed = EventStreams.stickinessFrom(byDay, byMonth)
+        .where(col("month").isin("2024-01", "2024-02"))
+        .as[(String, Long, Long, Long, Double)].collect().toSet
+      val dir = java.nio.file.Files.createTempDirectory("stick_batch").toString
+      (evs :+ sentinel).zipWithIndex
+        .map { case ((u, time), i) => (i.toLong, time, u, "view", 1.0, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val batch = SparkEntry.queries("q_events_stickiness")(spark, dir)
+        .where(col("month").isin("2024-01", "2024-02"))
+        .as[(String, Long, Long, Long, Double)].collect().toSet
+      assert(batch.nonEmpty && streamed == batch,
+        s"stickiness mismatch:\nbatch=$batch\nstream=$streamed")
+    } finally { dayQ.stop(); monQ.stop() }
+  }
+
+  test("streaming span postings converge to the batch index; re-scoring reproduces dup_fraction") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingDedup
+    val para = (1 to 10).map(i => s"w$i").mkString(" ") // shared 10-token run
+    val docs = Seq(
+      (1L, para + " alpha beta"),              // shares spans with 2 and 3
+      (2L, para + " alpha beta"),              // exact dup of 1
+      (3L, "intro words " + para),             // shares the paragraph
+      (4L, (1 to 12).map(i => s"u$i").mkString(" "))) // unique
+    val mem = MemoryStream[(Long, String)]
+    val stream = StreamingDedup.streamingSpanPostings(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("span_postings")
+      .outputMode(OutputMode.Update).start()
+    try {
+      mem.addData(docs(0)); stream.processAllAvailable()
+      mem.addData(docs(1), docs(2)); stream.processAllAvailable()
+      mem.addData(docs(3)); stream.processAllAvailable()
+      val streamedPostings = spark.table("span_postings")
+        .groupBy("h").agg(max("docs_with").as("docs_with")) // counts only grow
+      // batch twin over the same docs as a documents table
+      val dir = java.nio.file.Files.createTempDirectory("span_batch").toString
+      docs.toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val docSpans = Tables.documents(spark, dir)
+        .select(col("doc_id"), graft.functions.TextFunctions.tokens(col("text")).as("t"))
+        .where(size(col("t")) >= 8)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(t)-8), i -> array_join(slice(t, i+1, 8), chr(1)))")).as("sp"))
+        .select(col("doc_id"), graft.functions.PolyHash64Expr(col("sp")).as("h"))
+        .distinct().persist()
+      val batchPostings = docSpans.groupBy("h").agg(count(lit(1)).as("docs_with"))
+      assert(streamedPostings.as[(Long, Long)].collect().toMap ==
+        batchPostings.as[(Long, Long)].collect().toMap, "postings index diverged")
+      // re-score against the STREAMED index == the batch query's output
+      val rescored = docSpans.join(streamedPostings, Seq("h"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_spans"),
+          sum(when(col("docs_with") >= 2, 1L).otherwise(0L)).as("n_shared"))
+        .select(col("doc_id"), col("n_spans"), col("n_shared"),
+          round(col("n_shared").cast("double") / col("n_spans"), 6).as("dup_fraction"))
+        .as[(Long, Long, Long, Double)].collect().toSet
+      val batch = SparkEntry.queries("dedup_span_fraction")(spark, dir)
+        .as[(Long, Long, Long, Double)].collect().toSet
+      docSpans.unpersist()
+      assert(batch == rescored, s"dup_fraction mismatch:\nbatch=$batch\nrescored=$rescored")
+    } finally stream.stop()
+  }
 }

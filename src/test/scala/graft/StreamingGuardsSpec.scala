@@ -24,7 +24,8 @@ class StreamingGuardsSpec extends AnyFunSuite {
     val evalSet = StreamingGuards.evalGramSet(
       Seq((0L, evalText)).toDF("doc_id", "text"))
     assert(evalSet.size == 4, "8 tokens -> 4 distinct 5-grams")
-    val bc = spark.sparkContext.broadcast(evalSet)
+    val bc = spark.sparkContext.broadcast(
+      StreamingGuards.ExactGrams(evalSet): StreamingGuards.EvalGramIndex)
     val mem = MemoryStream[Doc]
     val q = StreamingGuards.decontaminationTag(mem.toDS(), bc)
       .writeStream.format("memory").queryName("decon_tags")
@@ -62,6 +63,39 @@ class StreamingGuardsSpec extends AnyFunSuite {
       val got = spark.table("quality_tags")
         .select("doc_id", "accept").as[(Long, Boolean)].collect().toMap
       assert(got(1L) && !got(2L))
+    } finally q.stop()
+  }
+
+  test("eval gram gate counts BEFORE collecting; oversize routes to Bloom with no false negatives") {
+    import spark.implicits._
+    val evalDocs = Seq((0L, evalText)).toDF("doc_id", "text")
+    // 4 distinct grams > maxGrams=2 -> the index must come back as a
+    // Bloom filter (the auto-route), never an exception, never a
+    // 4-string collect
+    val idx = StreamingGuards.evalGramIndex(evalDocs, maxGrams = 2L)
+    assert(!idx.exact && idx.size == 4L, s"expected Bloom route, got $idx")
+    // Bloom guarantee: every true eval gram still flags (no FNs)
+    val grams = StreamingGuards.evalGramSet(evalDocs)
+    assert(grams.forall(idx.contains), "a contaminated gram slipped the Bloom index")
+    // the exact-set path fails LOUDLY (count-first, before any collect)
+    val e = intercept[IllegalArgumentException] {
+      StreamingGuards.evalGramSet(evalDocs, maxGrams = 2L)
+    }
+    assert(e.getMessage.contains("Bloom"), "gate message must name the Bloom route")
+    // and a Bloom-backed tag still catches an exact copy end-to-end
+    implicit val sqlCtx = spark.sqlContext
+    val bc = spark.sparkContext.broadcast(idx)
+    val mem = MemoryStream[Doc]
+    val q = StreamingGuards.decontaminationTag(mem.toDS(), bc)
+      .writeStream.format("memory").queryName("decon_bloom")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(Doc(1, ts(0), evalText))
+      q.processAllAvailable()
+      val r = spark.table("decon_bloom")
+        .select("doc_id", "n_contaminated", "clean")
+        .as[(Long, Long, Boolean)].collect().head
+      assert(r == ((1L, 4L, false)), s"Bloom tag missed the exact copy: $r")
     } finally q.stop()
   }
 }
