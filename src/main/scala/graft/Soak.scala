@@ -94,7 +94,8 @@ object Soak {
     "graph_part_twohop_reach" -> Set('f'),
     "q_entity_resolution" -> Set('f'),
     "q_correlation" -> Set('f'),
-    "sim_topk_learned" -> Set('d'), "dedup_learned_semantic" -> Set('d'))
+    "sim_topk_learned" -> Set('d'), "dedup_learned_semantic" -> Set('d'),
+    "graph_part_ppr_exact" -> Set('f'), "pipe_leakage_matrix" -> Set('d'))
 
   private[graft] def famsFor(queries: Seq[String]): Set[Char] =
     queries.map(q => SoakReads.getOrElse(q,

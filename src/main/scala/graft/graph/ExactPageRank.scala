@@ -50,35 +50,66 @@ object ExactPageRank {
     *              groupBy guarantees both)
     * @return (v: long, rank_scaled: long)
     */
-  def run(edges: DataFrame, iters: Int): DataFrame = {
-    require(iters >= 1, s"iters must be >= 1, got $iters")
-    // Hash-partition the directed edge list by src BEFORE caching: the
-    // per-iteration contribution join then finds both sides already
-    // partitioned on the join key (contrib inherits hashpartitioning(v)
-    // from the previous groupBy), so each iteration pays exactly ONE
-    // exchange — the message stream regrouping by dst. Without this the
-    // edge table (the big side) re-exchanges every iteration: measured
-    // ~10× slower at sf0.1.
+  /** Shared iteration prep: (degree/vertex table, degree-decorated
+    * directed edge table), both persisted.
+    *
+    * Hash-partition the directed edge list by src BEFORE caching: the
+    * per-iteration contribution join then finds both sides already
+    * partitioned on the join key (contrib inherits hashpartitioning(v)
+    * from the previous groupBy), so each iteration pays exactly ONE
+    * exchange — the message stream regrouping by dst. Without this the
+    * edge table (the big side) re-exchanges every iteration: measured
+    * ~10× slower at sf0.1. The sender's degree is pre-joined INTO the
+    * cached edge table so the loop never joins rank with deg. */
+  private def prepared(edges: DataFrame): (DataFrame, DataFrame) = {
     val und = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .repartition(col("src"))
-    // Degree table doubles as the vertex set (rank init); the sender's
-    // degree is pre-joined INTO the cached edge table so the loop never
-    // joins rank with deg — each iteration is exactly one co-partitioned
-    // join (edges ⋈ rank on src/v, both hash-partitioned already) plus
-    // the one message exchange the algorithm genuinely needs.
     val deg = graft.CacheRegistry.persistTracked(
       und.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg")))
     val undD = graft.CacheRegistry.persistTracked(
       und.join(deg, und("src") === deg("v"))
         .select(col("src"), col("dst"), col("deg")))
+    (deg, undD)
+  }
 
+  def run(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val (deg, undD) = prepared(edges)
     var rank = deg.select(col("v"), lit(Scale).as("rank"))
     for (_ <- 1 to iters) {
       rank = undD.join(rank, undD("src") === rank("v"))
         .select(col("dst"), expr("rank div deg").as("c"))
         .groupBy(col("dst").as("v"))
         .agg((lit(Reset) + expr(s"($DampNum * sum(c)) div $DampDen")).as("rank"))
+    }
+    rank.select(col("v"), col("rank").as("rank_scaled"))
+  }
+
+  /** Personalized PageRank from one `seed` vertex, in the same exact
+    * scaled-integer arithmetic: restart mass returns to the SEED only
+    * (rank init `Scale` at the seed, 0 elsewhere; per-iteration reset
+    * term `Reset` at the seed, 0 elsewhere), so the stationary mass
+    * measures proximity to the seed — the graph-local relevance
+    * ranking recommendation/curation pipelines key on, as opposed to
+    * [[run]]'s global centrality. Identical loop shape and exchange
+    * count; identical bit-determinism argument (integer adds commute).
+    * Scale envelope is STRICTER than run's in the favorable direction:
+    * total mass stays ≤ Scale (it starts there and the damped walk
+    * only leaks), so the `85 * sum` intermediate never grows with V. */
+  def personalizedRun(edges: DataFrame, seed: Long, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val (deg, undD) = prepared(edges)
+    var rank = deg.select(col("v"),
+      when(col("v") === seed, lit(Scale)).otherwise(lit(0L)).as("rank"))
+    for (_ <- 1 to iters) {
+      rank = undD.join(rank, undD("src") === rank("v"))
+        .select(col("dst"), expr("rank div deg").as("c"))
+        .groupBy(col("dst"))
+        .agg(expr(s"($DampNum * sum(c)) div $DampDen").as("walk"))
+        .select(col("dst").as("v"),
+          (when(col("dst") === seed, lit(Reset)).otherwise(lit(0L)) +
+            col("walk")).as("rank"))
     }
     rank.select(col("v"), col("rank").as("rank_scaled"))
   }
@@ -101,6 +132,30 @@ object ExactPageRank {
       "und AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges)",
       "deg AS (SELECT src AS v, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY 1)",
       s"r0 AS (SELECT v, CAST($Scale AS BIGINT) AS rank FROM deg)") ++ steps)
+      .mkString(",\n")
+  }
+
+  /** [[personalizedRun]]'s iterations as unrolled DuckDB CTEs. The
+    * seed is the smallest vertex id, derived IN the oracle (`seed`
+    * CTE) so the SQL needs no data-dependent interpolation — the Spark
+    * side collects the same min as its literal. */
+  def personalizedOracleCtes(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""r$i AS (
+         |  SELECT u.dst AS v,
+         |         CAST((CASE WHEN u.dst = (SELECT sv FROM seed) THEN $Reset ELSE 0 END)
+         |           + ($DampNum * sum(r.rank // g.deg)) // $DampDen AS BIGINT) AS rank
+         |  FROM und u
+         |  JOIN r${i - 1} r ON r.v = u.src
+         |  JOIN deg g ON g.v = u.src
+         |  GROUP BY 1)""".stripMargin
+    }
+    (Seq(
+      "und AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges)",
+      "deg AS (SELECT src AS v, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY 1)",
+      "seed AS (SELECT CAST(min(v) AS BIGINT) AS sv FROM deg)",
+      s"""r0 AS (SELECT v, CAST(CASE WHEN v = (SELECT sv FROM seed)
+         |  THEN $Scale ELSE 0 END AS BIGINT) AS rank FROM deg)""".stripMargin) ++ steps)
       .mkString(",\n")
   }
 }

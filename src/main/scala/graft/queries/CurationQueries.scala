@@ -54,7 +54,48 @@ object CurationQueries extends QueryPack {
       .where(size(col("ts")) >= N)
       .select(col("doc_id"), array_distinct(wordNgrams(col("ts"), N)).as("gs"))
 
+  /** Ubiquity guard for the leakage matrix: a gram present in more
+    * than this many sources is boilerplate, not leakage signal — and
+    * contributes df² matrix pairs (the wedge-hub failure mode).
+    * Observed max source-df is 3–4 at graded SFs, so the cap is
+    * invisible there; interpolated into the oracle so both engines
+    * apply the identical guard (the blockCap discipline). */
+  private val LeakDfCap = 32
+
   override def queries: Map[String, Q] = Map(
+    // Cross-source leakage matrix — which corpus sources share verbatim
+    // 5-grams (the duplicated-fixture docs light this up): the
+    // before-training audit that tells you WHERE contamination comes
+    // from, complementing pipe_decontaminate's per-document view.
+    // Shape: grams hash to 8 bytes map-side (PolyHash64 — gram text
+    // never shuffles), dedupe to (source, h), source-df decorates back
+    // (2 ≤ df ≤ LeakDfCap — singletons can't pair, ubiquitous grams are
+    // capped boilerplate), then the pair expansion is the df-bounded
+    // wedge join. Top-20 source pairs by shared-gram count,
+    // deterministic full-tuple tie-break.
+    "pipe_leakage_matrix" -> ((s, d) => {
+      val sg = graft.CacheRegistry.persistTracked(
+        Tables.documents(s, d)
+          .select(col("source"), tokens(col("text")).as("ts"))
+          .where(size(col("ts")) >= N)
+          .select(col("source"),
+            explode(array_distinct(wordNgrams(col("ts"), N))).as("g"))
+          .select(col("source"), graft.functions.PolyHash64Expr(col("g")).as("h"))
+          .distinct())
+      val ok = sg.join(
+          sg.groupBy("h").agg(count(lit(1)).as("sdf"))
+            .where(col("sdf") >= 2 && col("sdf") <= LeakDfCap),
+          Seq("h"))
+        .select("source", "h")
+      ok.as("a")
+        .join(ok.as("b"),
+          col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+        .agg(count(lit(1)).as("shared_grams"))
+        .orderBy(col("shared_grams").desc, col("source_a"), col("source_b"))
+        .limit(20)
+    }),
+
     // Benchmark decontamination: which held-out (eval) documents share
     // 5-grams with the training corpus, and how badly. Eval slice =
     // doc_id % 50 == 0 (stands in for a benchmark set). The eval gram
@@ -455,6 +496,35 @@ object CurationQueries extends QueryPack {
         |SELECT source, n_tokens,
         |  CAST(quota0 + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS quota
         |FROM r""".stripMargin,
+
+    // gram identity via the same PolyHash64 replay the span-fraction
+    // oracle uses (HUGEINT chain; h stays internal to each engine, so
+    // signed-vs-unsigned representation cannot matter — only the
+    // partition it induces does, and that is identical).
+    "pipe_leakage_matrix" ->
+      s"""WITH toks AS (
+         |  SELECT source, list_filter(string_split_regex(lower(text), '\\s+'),
+         |                             t -> length(t) > 0) AS ts
+         |  FROM documents),
+         |sg AS (
+         |  SELECT DISTINCT source,
+         |    list_reduce(
+         |      list_prepend(CAST(1125899906842597 AS HUGEINT),
+         |        list_transform(range(1, length(s) + 1),
+         |          i -> CAST(ord(substr(s, i, 1)) AS HUGEINT))),
+         |      (acc, b) -> (acc * 31 + b) % CAST('18446744073709551616' AS HUGEINT)) AS h
+         |  FROM (
+         |    SELECT source, unnest(list_distinct(list_transform(range(1, len(ts) - ${N - 2}),
+         |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4]))) AS s
+         |    FROM toks WHERE len(ts) >= $N)),
+         |sdf AS (SELECT h, count(*) AS sdf FROM sg GROUP BY 1),
+         |ok AS (SELECT sg.source, sg.h FROM sg JOIN sdf USING (h)
+         |       WHERE sdf >= 2 AND sdf <= $LeakDfCap)
+         |SELECT a.source AS source_a, b.source AS source_b,
+         |  count(*) AS shared_grams
+         |FROM ok a JOIN ok b ON a.h = b.h AND a.source < b.source
+         |GROUP BY 1, 2
+         |ORDER BY shared_grams DESC, source_a, source_b LIMIT 20""".stripMargin,
 
     "pipe_decontaminate" ->
       s"""WITH $gramCtes,

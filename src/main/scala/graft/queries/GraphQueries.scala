@@ -193,6 +193,26 @@ object GraphQueries extends QueryPack {
         .limit(20)
         .select(col("v").as("pkey"), col("rank_scaled"))),
 
+    // Personalized PageRank from the smallest part id — graph-LOCAL
+    // relevance (mass measures proximity to the seed, not global
+    // centrality): the ranking a curation pipeline uses to pull
+    // documents/entities "near" a trusted seed set. Same exact
+    // scaled-integer loop discipline as the global twin (one
+    // stationary degree-decorated edge table, one exchange per
+    // round, integer adds commute → hard value oracle); the seed is
+    // the min vertex id on both sides (a 1-row collect here, a `seed`
+    // CTE in the oracle). Top-20 proximity board, deterministic
+    // tie-break on the part key.
+    "graph_part_ppr_exact" -> ((s, d) => {
+      val e = graft.CacheRegistry.persistTracked(
+        cooccurEdges(s, d).select("src", "dst"))
+      val seed = e.agg(least(min("src"), min("dst"))).head.getLong(0)
+      graft.graph.ExactPageRank.personalizedRun(e, seed, iters = 10)
+        .orderBy(col("rank_scaled").desc, col("v").asc)
+        .limit(20)
+        .select(col("v").as("pkey"), col("rank_scaled"))
+    }),
+
     // Triangle counts: how clique-ish each part's neighborhood is.
     "graph_part_triangles" -> ((s, d) =>
       graphHistogram(s, d, Seq("triangles", "n_parts")) { g =>
@@ -460,6 +480,12 @@ object GraphQueries extends QueryPack {
     "graph_part_pagerank_exact" ->
       s"""WITH $edgesCte,
          |${graft.graph.ExactPageRank.oracleCtes(10)}
+         |SELECT v AS pkey, rank AS rank_scaled FROM r10
+         |ORDER BY rank_scaled DESC, pkey ASC LIMIT 20""".stripMargin,
+
+    "graph_part_ppr_exact" ->
+      s"""WITH $edgesCte,
+         |${graft.graph.ExactPageRank.personalizedOracleCtes(10)}
          |SELECT v AS pkey, rank AS rank_scaled FROM r10
          |ORDER BY rank_scaled DESC, pkey ASC LIMIT 20""".stripMargin,
 

@@ -87,6 +87,40 @@ class GraphSpec extends AnyFunSuite {
     SparkEntry.releaseCaches()
   }
 
+  /** Plain-Scala replay of the PERSONALIZED iteration (seeded restart). */
+  private def referencePpr(edges: Seq[(Long, Long)], seed: Long, iters: Int): Map[Long, Long] = {
+    import graft.graph.ExactPageRank._
+    val und = edges ++ edges.map { case (a, b) => (b, a) }
+    val nbrs = und.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val deg = nbrs.view.mapValues(_.size.toLong).toMap
+    var rank = deg.keys.map(v => v -> (if (v == seed) Scale else 0L)).toMap
+    for (_ <- 1 to iters) {
+      val contrib = rank.map { case (v, r) => v -> r / deg(v) }
+      rank = nbrs.map { case (v, ns) =>
+        v -> ((if (v == seed) Reset else 0L) +
+          (DampNum * ns.map(contrib).sum) / DampDen)
+      }
+    }
+    rank
+  }
+
+  test("personalized PageRank: bit-exact vs replay; mass decays with distance from the seed") {
+    import graft.graph.ExactPageRank.Scale
+    // path 1-2-3-4 plus a triangle 1-5-6: seed mass should order by
+    // graph proximity, which GLOBAL PageRank (degree-driven) does not
+    val fixture = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 5L), (1L, 6L), (5L, 6L))
+    val got = graft.graph.ExactPageRank
+      .personalizedRun(fixture.toDF("src", "dst"), seed = 1L, iters = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(got == referencePpr(fixture, 1L, 10))
+    assert(got(1L) == got.values.max, "the seed holds the most mass")
+    assert(got(2L) > got(3L) && got(3L) > got(4L), "mass decays along the path")
+    assert(got(5L) > got(4L), "seed-adjacent beats 3-hops-away")
+    // personalized mass is bounded by the seed's unit, never V·Scale
+    assert(got.values.sum <= Scale)
+    SparkEntry.releaseCaches()
+  }
+
   test("ExactPageRank is invariant under repartitioning (integer determinism)") {
     val fixture = (1L to 40L).flatMap(i => Seq((i, i % 20 + 41L), (i, (i * 7) % 20 + 41L)))
       .distinct

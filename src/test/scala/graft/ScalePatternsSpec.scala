@@ -121,6 +121,33 @@ class ScalePatternsSpec extends AnyFunSuite {
       "default block cap must preserve driver-SF blocking")
   }
 
+  test("kthLargestDecimal property sweep: arbitrary tie/cluster shapes equal the sorted reference") {
+    import spark.implicits._
+    import graft.queries.StatsQueries
+    import org.scalacheck.Gen
+    // adversarial generators: heavy ties, tight clusters (many values in
+    // one routing bucket), wide outliers, negatives
+    val value: Gen[BigDecimal] = Gen.frequency(
+      4 -> Gen.choose(-1000L, 1000L).map(v => BigDecimal(v) / 16),
+      3 -> Gen.oneOf(Seq(BigDecimal(7), BigDecimal("7.0001"), BigDecimal("7.0002"))),
+      2 -> Gen.choose(0L, 50L).map(BigDecimal(_)),
+      1 -> Gen.oneOf(Seq(BigDecimal("-99999999.9999"), BigDecimal("99999999.9999"))))
+    val lists = Gen.listOfN(12, Gen.nonEmptyListOf(value)).sample.get
+    lists.foreach { vs0 =>
+      val vs = vs0.map(_.setScale(4))
+      val df = vs.map(Tuple1(_)).toDF("v")
+        .select(col("v").cast("decimal(38,4)").as("v")).repartition(5).persist()
+      val sorted = vs.sorted.reverse
+      val ks = Seq(1, vs.size, (vs.size + 3) / 4, vs.size / 2 + 1).distinct
+      ks.foreach { k =>
+        val got = StatsQueries.kthLargestDecimal(df, "v", k.toLong)
+        assert(BigDecimal(got) == sorted(k - 1),
+          s"n=${vs.size} k=$k: got $got want ${sorted(k - 1)} in $vs")
+      }
+      df.unpersist()
+    }
+  }
+
   test("kthLargestDecimal: exact selection equals the sorted reference, ties and all") {
     import spark.implicits._
     import graft.queries.StatsQueries
