@@ -23,6 +23,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // custom SQL functions + the levenshtein band/threshold optimizer
+    // rule — the gate grades the REWRITTEN edit-distance plans
+    GraftExtensions.register(spark)
     // untimed warmup: JVM/codegen/scan setup shouldn't bill the first query
     try {
       spark.read.parquet(s"$sfDir/lineitem.parquet").count()

@@ -18,6 +18,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.shingleCosine)
     ext.injectFunction(GraftExtensions.polyHash64)
+    ext.injectOptimizerRule(_ => graft.plans.LevenshteinBandRule)
   }
 }
 
@@ -43,8 +44,14 @@ object GraftExtensions {
         case _ => throw new IllegalArgumentException("poly_hash64(str) expected")
       })
 
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     Seq(shingleCosine, polyHash64).foreach { f =>
       spark.sessionState.functionRegistry.registerFunction(f._1, f._2, f._3)
     }
+    // post-hoc optimizer injection for an already-built session (the
+    // builder path uses injectOptimizerRule instead); idempotent
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.LevenshteinBandRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.LevenshteinBandRule
+  }
 }

@@ -49,6 +49,7 @@ object GraftSession {
   def get(cores: Int = 4): SparkSession = {
     val s = builder(cores).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    GraftExtensions.register(s)
     s
   }
 }

@@ -290,6 +290,9 @@ object Soak {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // same session surface as Verify/Bench: custom SQL functions + the
+    // levenshtein band/threshold optimizer rule
+    GraftExtensions.register(spark)
 
     val workRoot = s"/tmp/graft_soak_${System.nanoTime()}"
     try {

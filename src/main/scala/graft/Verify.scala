@@ -14,6 +14,9 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // custom SQL functions + the levenshtein band/threshold optimizer
+    // rule — the gate grades the REWRITTEN edit-distance plans
+    GraftExtensions.register(spark)
     new java.io.File(outDir).mkdirs()
     // SPARK_GRAFT_ONLY=a,b,c restricts the dump (and the manifest) for
     // fast local iteration on a few queries; the driver never sets it,

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.LevenshteinBandRule
+
+/** Pins the levenshtein band/threshold optimizer rule: the rewrite
+  * fires where it should (filter conditions, cast-wrapped forms), never
+  * where it must not (projections), changes no results (nulls and
+  * boundary distances included), and is idempotent under the
+  * fixed-point batch. */
+class OptimizerRuleSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  // lengths 5/5/6/2 + null: covers dist <= k, dist > k at equal length
+  // (banded DP -1 path), length diff > k (band short-circuit), null
+  private val names = Seq("alpha", "aloha", "alphas", "be", null)
+
+  private def withRule[A](body: => A): A = {
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ LevenshteinBandRule
+    try body finally spark.experimental.extraOptimizations = prev
+  }
+
+  private def pairs = {
+    import spark.implicits._
+    names.toDF("n").as("a").crossJoin(names.toDF("m").as("b"))
+  }
+
+  test("rewrite fires on filter conditions (bare and cast-wrapped) and preserves results") {
+    import spark.implicits._
+    def direct = pairs.where(levenshtein(col("n"), col("m")) <= 2)
+      .select("n", "m")
+    def casted = pairs.where(levenshtein(col("n"), col("m")).cast("long") < 3)
+      .select("n", "m")
+    val base = (direct.as[(String, String)].collect().toSet,
+      casted.as[(String, String)].collect().toSet)
+    withRule {
+      val p = direct.queryExecution.optimizedPlan.toString
+      assert(p.contains("Some(2)) >= 0"), s"threshold form missing:\n$p")
+      assert(p.contains("abs((length(n"), s"length band missing:\n$p")
+      val pc = casted.queryExecution.optimizedPlan.toString
+      assert(pc.contains("Some(2)) >= 0"), s"cast/strict form not rewritten:\n$pc")
+      assert(direct.as[(String, String)].collect().toSet == base._1)
+      assert(casted.as[(String, String)].collect().toSet == base._2)
+    }
+  }
+
+  test("projections are NOT rewritten: edit_dist keeps the true distance") {
+    import spark.implicits._
+    def q = pairs
+      .select(col("n"), col("m"),
+        levenshtein(col("n"), col("m")).cast("long").as("edit_dist"))
+      .where(col("edit_dist") <= 2)
+    val base = q.as[(String, String, Long)].collect().toSet
+    withRule {
+      val got = q.as[(String, String, Long)].collect().toSet
+      assert(got == base, "projected distances or survivors changed")
+      // the far-but-same-length pair would read -1 if the projection
+      // had been thresholded
+      assert(got.forall(_._3 >= 0L))
+    }
+  }
+
+  test("idempotent: a second application leaves the plan unchanged") {
+    val plan = pairs.where(levenshtein(col("n"), col("m")) <= 2)
+      .queryExecution.analyzed
+    val once = LevenshteinBandRule(plan)
+    val twice = LevenshteinBandRule(once)
+    assert(once.fastEquals(twice), "rule is not a fixed point")
+    assert(!once.fastEquals(plan), "rule did not fire at all")
+  }
+
+  test("ER queries stay correct under the rule (the Verify session wiring)") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    def run() = SparkEntry.queries("q_fuzzy_name_pairs")(spark, sf)
+      .as[(String, String, Long)].collect().toSet
+    val base = run()
+    val got = withRule { run() }
+    SparkEntry.releaseCaches()
+    assert(base.nonEmpty && got == base)
+  }
+}
