@@ -92,6 +92,85 @@ object StatsQueries extends QueryPack {
     }
   }
 
+  /** Exact k-th SMALLEST of a numeric column read as double — the
+    * ascending twin of [[kthLargestDecimal]], same bounded-histogram
+    * narrowing (double routing is monotone, bucket min/max are exact
+    * doubles, ties collapse). Replaces `percentile()` where the value
+    * domain is near-unique per entity: Spark's exact percentile
+    * buffers a value→count map PER GROUP in one aggregation buffer, so
+    * over a continuous column it materializes the whole group on one
+    * task — the same class of hidden single-task state as the pareto
+    * rank window (percentile stays fine on bounded-distinct domains
+    * like quantities or day counts, where the buffer is the domain). */
+  private[graft] def kthSmallestDouble(df: DataFrame, vcol: String, k: Long): Double = {
+    require(k >= 1, s"selection rank must be >= 1, got $k")
+    val B = 4096
+    val slice0 = df.select(col(vcol).cast("double").as("v"))
+    val st = slice0.agg(min("v").as("lo"), max("v").as("hi")).head
+    require(!st.isNullAt(0), "kthSmallestDouble on an empty relation")
+    var lo = st.getDouble(0)
+    var hi = st.getDouble(1)
+    var kk = k
+    var rounds = 0
+    while (lo < hi && rounds < 4) {
+      rounds += 1
+      val width = math.max(hi - lo, java.lang.Double.MIN_NORMAL)
+      val bcol = least(greatest(
+          floor((col("v") - lit(lo)) / lit(width) * B), lit(0.0)),
+          lit((B - 1).toDouble)).cast("int")
+      val hist = slice0.where(col("v") >= lit(lo) && col("v") <= lit(hi))
+        .groupBy(bcol.as("b"))
+        .agg(count(lit(1)).as("c"), min("v").as("mn"), max("v").as("mx"))
+        .collect().sortBy(_.getInt(0))
+      var i = 0
+      var found = false
+      while (!found && i < hist.length) {
+        val c = hist(i).getLong(1)
+        if (kk <= c) {
+          found = true
+          lo = hist(i).getDouble(2)
+          hi = hist(i).getDouble(3)
+        } else { kk -= c; i += 1 }
+      }
+      require(found, s"selection invariant broken: rank $kk exceeds slice mass")
+    }
+    if (lo == hi) lo
+    else {
+      val vals = slice0.where(col("v") >= lit(lo) && col("v") <= lit(hi))
+        .groupBy("v").agg(count(lit(1)).as("c"))
+        .collect().sortBy(_.getDouble(0))
+      require(vals.length <= 2000000,
+        s"selection residue still holds ${vals.length} distinct values after " +
+          s"$rounds narrowing rounds — pathological value clustering; raise rounds")
+      var i = 0
+      while (kk > vals(i).getLong(1)) { kk -= vals(i).getLong(1); i += 1 }
+      vals(i).getDouble(0)
+    }
+  }
+
+  /** Exact interpolated quantile over a double-read column, reproducing
+    * Spark `percentile()`'s arithmetic EXACTLY (position = q·(n−1),
+    * linear interpolation between the straddling order statistics, all
+    * in doubles — StatsSpec pins equality against percentile() itself)
+    * while fetching the two order statistics by bounded selection
+    * instead of a per-group value buffer. `df` should be persisted by
+    * the caller; `n` its row count. */
+  private[graft] def exactQuantileDouble(df: DataFrame, vcol: String, q: Double, n: Long): Double = {
+    require(n >= 1, "quantile of an empty relation")
+    val pos = q * (n - 1).toDouble
+    val lower = math.floor(pos).toLong
+    val higher = math.ceil(pos).toLong
+    val v1 = kthSmallestDouble(df, vcol, lower + 1)
+    if (higher == lower) v1
+    else {
+      val v2 = kthSmallestDouble(df, vcol, higher + 1)
+      // EXACTLY Spark Percentile.getPercentile's combine — the
+      // symmetric two-product form rounds differently from
+      // v1 + (v2−v1)·frac, and the property spec catches the drift
+      (higher - pos) * v1 + (pos - lower) * v2
+    }
+  }
+
   override def queries: Map[String, Q] = Map(
     // Top-N per group — the per-key leaderboard shape (top parts per
     // brand by exact-decimal revenue). Aggregate FIRST to part
@@ -362,22 +441,32 @@ object StatsQueries extends QueryPack {
           datediff(col("mxd").cast("date"), col("last_o").cast("date"))
             .cast("long").as("r"),
           col("f"), col("m")))
+      // r/f cutpoints: percentile()'s per-group buffer holds one entry
+      // per DISTINCT value — recency days and order counts are bounded
+      // domains, so the buffer is the domain, not the customers. The
+      // MONETARY column is near-unique per customer (the buffer would
+      // be customer-sized on one task — the hidden pareto-class state,
+      // r9); its cutpoints come from exactQuantileDouble instead:
+      // bounded selection passes reproducing percentile()'s
+      // interpolation bit-for-bit (StatsSpec pins that), crossed back
+      // as literals. Oracle unchanged.
       val cuts = broadcast(withR.agg(
         percentile(col("r"), lit(0.25)).as("r1"),
         percentile(col("r"), lit(0.5)).as("r2"),
         percentile(col("r"), lit(0.75)).as("r3"),
         percentile(col("f"), lit(0.25)).as("f1"),
         percentile(col("f"), lit(0.5)).as("f2"),
-        percentile(col("f"), lit(0.75)).as("f3"),
-        percentile(col("m"), lit(0.25)).as("m1"),
-        percentile(col("m"), lit(0.5)).as("m2"),
-        percentile(col("m"), lit(0.75)).as("m3")))
+        percentile(col("f"), lit(0.75)).as("f3")))
+      val n = withR.count()
+      val m1 = exactQuantileDouble(withR, "m", 0.25, n)
+      val m2 = exactQuantileDouble(withR, "m", 0.5, n)
+      val m3 = exactQuantileDouble(withR, "m", 0.75, n)
       def bucket(v: Column, q1: Column, q2: Column, q3: Column): Column =
         lit(1L) + (v > q1).cast("long") + (v > q2).cast("long") + (v > q3).cast("long")
       withR.crossJoin(cuts)
         .select((bucket(col("r"), col("r1"), col("r2"), col("r3")) * 100 +
           bucket(col("f"), col("f1"), col("f2"), col("f3")) * 10 +
-          bucket(col("m"), col("m1"), col("m2"), col("m3"))).as("segment"))
+          bucket(col("m"), lit(m1), lit(m2), lit(m3))).as("segment"))
         .groupBy("segment").agg(count(lit(1)).as("n_customers"))
     }),
 

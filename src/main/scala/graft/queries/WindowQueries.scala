@@ -170,18 +170,28 @@ object WindowQueries extends QueryPack {
     // percentile over the converted-user rows (entity cardinality —
     // the same bounded-rows argument as the RFM cutpoints).
     "q_time_to_convert" -> ((s, d) => {
-      val perUser = Tables.events(s, d)
-        .groupBy("user_id")
-        .agg(
-          min(when(col("event_type") === "view", unix_micros(col("ts")))).as("first_view"),
-          min(when(col("event_type") === "buy", unix_micros(col("ts")))).as("first_buy"))
-        .where(col("first_view").isNotNull && col("first_buy").isNotNull &&
-          col("first_buy") > col("first_view"))
-        .select((col("first_buy") - col("first_view")).as("lat_us"))
+      val perUser = graft.CacheRegistry.persistTracked(
+        Tables.events(s, d)
+          .groupBy("user_id")
+          .agg(
+            min(when(col("event_type") === "view", unix_micros(col("ts")))).as("first_view"),
+            min(when(col("event_type") === "buy", unix_micros(col("ts")))).as("first_buy"))
+          .where(col("first_view").isNotNull && col("first_buy").isNotNull &&
+            col("first_buy") > col("first_view"))
+          .select((col("first_buy") - col("first_view")).as("lat_us")))
+      // latencies are near-unique per user, so percentile()'s
+      // value→count buffer would hold ~every converted user on one
+      // task; the median comes from the bounded selection kernel
+      // instead (exact same interpolation arithmetic — r9)
+      val n = perUser.count()
+      val p50 =
+        if (n == 0) lit(null).cast("double")
+        else round(lit(graft.queries.StatsQueries
+          .exactQuantileDouble(perUser, "lat_us", 0.5, n)), 6)
       perUser.agg(
         count(lit(1)).as("n_converted"),
         (sum(col("lat_us")).cast("double") / count(lit(1))).as("mean_us"),
-        round(percentile(col("lat_us"), lit(0.5)), 6).as("p50_us"))
+        p50.as("p50_us"))
     }),
 
     // Attribution interval join: every click paired with the view(s) it
@@ -258,6 +268,8 @@ object WindowQueries extends QueryPack {
         Tables.events(s, d)
           .select(col("event_type"), date_trunc("day", col("ts")).as("day"))
           .groupBy("event_type", "day").agg(count(lit(1)).as("cnt")))
+      // daily counts / deviations are bounded-distinct domains per
+      // type (the percentile buffer is the day axis; r9 audit)
       val med = daily.groupBy("event_type")
         .agg(percentile(col("cnt"), lit(0.5)).as("med"))
       val dev = daily.join(broadcast(med), Seq("event_type"))
@@ -332,6 +344,12 @@ object WindowQueries extends QueryPack {
 
     // Grouped exact quartiles: linear-interpolation percentile per
     // return flag, one pass, no window (percentile is an aggregate).
+    // Scale note (r9 percentile audit): the per-group buffer holds one
+    // entry per DISTINCT value — l_quantity is a 50-value domain, so
+    // the buffer is O(50) however many rows a flag carries. Exact
+    // percentile is the right tool HERE; near-unique domains route
+    // through StatsQueries.exactQuantileDouble instead (RFM monetary,
+    // conversion latency).
     // Quantities are integer-valued and the 0.25 grid is binary-exact,
     // so the interpolated values are bit-identical across engines;
     // round(6) guards the general case. Output policy: scalar columns
@@ -348,7 +366,9 @@ object WindowQueries extends QueryPack {
           count(lit(1)).as("n"))
         .orderBy("l_returnflag")),
 
-    // Exact percentiles of per-document token counts.
+    // Exact percentiles of per-document token counts — token counts
+    // are a bounded-distinct domain (the percentile buffer is the
+    // domain, not the documents; r9 percentile audit).
     "q_token_percentiles" -> ((s, d) =>
       Tables.documents(s, d)
         .select(size(split(trim(col("text")), "\\s+")).as("n_tokens"))

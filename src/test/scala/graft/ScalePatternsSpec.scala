@@ -148,6 +148,26 @@ class ScalePatternsSpec extends AnyFunSuite {
     }
   }
 
+  test("exactQuantileDouble reproduces percentile() bit-for-bit (duplicates, longs, skew)") {
+    import spark.implicits._
+    import graft.queries.StatsQueries
+    import org.scalacheck.Gen
+    val value: Gen[Double] = Gen.frequency(
+      5 -> Gen.choose(-1e6, 1e6),
+      2 -> Gen.oneOf(Seq(42.0, 42.0, 7.125)),   // planted duplicates
+      2 -> Gen.choose(0L, 1000000L).map(_.toDouble), // long-ish latencies
+      1 -> Gen.oneOf(Seq(1e12, -1e12)))
+    val lists = Gen.listOfN(8, Gen.nonEmptyListOf(value)).sample.get
+    for (vs <- lists; q <- Seq(0.25, 0.5, 0.75, 0.9)) {
+      val df = vs.map(Tuple1(_)).toDF("v").repartition(5).persist()
+      val expected = df.agg(percentile(col("v"), lit(q))).head.getDouble(0)
+      val got = StatsQueries.exactQuantileDouble(df, "v", q, vs.size.toLong)
+      df.unpersist()
+      assert(got == expected,
+        s"q=$q n=${vs.size}: selection $got vs percentile() $expected")
+    }
+  }
+
   test("kthLargestDecimal: exact selection equals the sorted reference, ties and all") {
     import spark.implicits._
     import graft.queries.StatsQueries
