@@ -255,10 +255,17 @@ object DedupQueries extends QueryPack {
     "dedup_clusters" -> ((s, d) => {
       import s.implicits._
       val pairs = pairsToClusters(s, jaccardPairs(s, d))
+      // members is a PRESENTATION list, sliced to MemberCap ids (the
+      // NeighborCap discipline — r9): a degenerate corpus-wide cluster
+      // would otherwise build one row-sized-as-the-cluster string in a
+      // single reducer. cluster_size stays exact and uncapped; the
+      // oracle slices identically.
       pairs
         .groupBy(col("root").as("survivor"))
         .agg(count(lit(1)).as("cluster_size"),
-          concat_ws("|", sort_array(collect_list(col("doc_id")))).as("members"))
+          concat_ws("|",
+            slice(sort_array(collect_list(col("doc_id"))), 1, MemberCap))
+            .as("members"))
     }),
 
     // Survivor selection — the step that actually rewrites a corpus:
@@ -561,6 +568,10 @@ FROM sh LEFT JOIN cnt ON sh.doc_id = cnt.doc_id"""
 
   /** Transitive closure by min-label reachability (components are tiny
     * near-dup clusters, so the quadratic closure is fine for an oracle). */
+  /** Max doc ids rendered in dedup_clusters' presentation list —
+    * bounds a degenerate cluster's output row (size stays exact). */
+  private val MemberCap = 64
+
   private val clustersOracle =
     s"""WITH RECURSIVE $jaccardCtes,
        |dedges AS (SELECT i AS a, j AS b FROM jpairs UNION ALL SELECT j, i FROM jpairs),
@@ -571,7 +582,7 @@ FROM sh LEFT JOIN cnt ON sh.doc_id = cnt.doc_id"""
        |  SELECT e.b, cc.lbl FROM cc JOIN dedges e ON cc.doc = e.a),
        |roots AS (SELECT doc, min(lbl) AS root FROM cc GROUP BY doc)
        |SELECT root AS survivor, count(*) AS cluster_size,
-       |  array_to_string(list_sort(list(doc)), '|') AS members
+       |  array_to_string(list_sort(list(doc))[1:$MemberCap], '|') AS members
        |FROM roots GROUP BY root""".stripMargin
 
   override def oracles: Map[String, String] = Map(
