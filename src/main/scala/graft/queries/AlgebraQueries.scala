@@ -78,6 +78,39 @@ object AlgebraQueries extends QueryPack {
           col("us").as("valid_from"), col("valid_to"))
     }),
 
+    // Point-in-time feature lookup — the feature-store join that
+    // prevents training leakage: each purchase decorated with the
+    // user's SCD-2 state IN FORCE at purchase time (never a later
+    // state). Dimension side = the same change rows pipe_scd2_history
+    // opens intervals on, collapsed to one row per (user, instant)
+    // with the LAST change winning (the zero-length-interval reading;
+    // min-of-(−id) argmax, combinable). The lookup itself is the
+    // AsofJoin kernel — union + ONE user_id window pass, never a
+    // probe × versions fanout — so a hyper-user costs their event
+    // count, not events × state-changes. state_age_us (how stale the
+    // feature was at use) rides along for free.
+    "q_pit_state_lookup" -> ((s, d) => {
+      val byUser = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      val ev = graft.CacheRegistry.persistTracked(
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_micros(col("ts")).as("us")))
+      val changes = ev
+        .withColumn("prev", lag("event_type", 1).over(byUser))
+        .where(col("prev").isNull || col("prev") =!= col("event_type"))
+        .groupBy(col("user_id"), col("us").as("cus"))
+        .agg(min(struct((-col("event_id")).as("nid"),
+          col("event_type").as("t"))).as("m"))
+        .select(col("user_id"), col("cus"), col("m.t").as("state"))
+      val buys = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("us"))
+      graft.functions.AsofJoin.asof(buys, changes, key = "user_id",
+          leftTime = "us", rightTime = "cus", payload = Seq("state", "cus"))
+        .select(col("event_id"), col("user_id"), col("state"),
+          (col("us") - col("cus")).as("state_age_us"))
+    }),
+
     // Incremental aggregate maintenance — the materialized-view merge
     // pattern: per-user stats are computed on two disjoint event
     // slices (the "history state" and the "new delta"), then MERGED
@@ -355,6 +388,19 @@ object AlgebraQueries extends QueryPack {
         |  count(*) AS cnt
         |FROM old FULL OUTER JOIN neu USING (o_orderkey)
         |GROUP BY 1""".stripMargin,
+
+    "q_pit_state_lookup" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |c0 AS (SELECT * FROM e WHERE prev IS NULL OR prev <> event_type),
+        |ch AS (SELECT user_id, us AS cus, max_by(event_type, event_id) AS state
+        |       FROM c0 GROUP BY 1, 2),
+        |b AS (SELECT event_id, user_id, us FROM e WHERE event_type = 'purchase')
+        |SELECT b.event_id, b.user_id, ch.state,
+        |  CAST(b.us - ch.cus AS BIGINT) AS state_age_us
+        |FROM b ASOF JOIN ch ON b.user_id = ch.user_id AND b.us >= ch.cus""".stripMargin,
 
     "pipe_scd2_history" ->
       """WITH e AS (
