@@ -465,6 +465,67 @@ object EventStreams {
       .groupBy("month")
       .agg(count(lit(1)).as("mau"))
 
+  case class TypedIdEvent(user_id: Long, event_id: Long, ts: Timestamp, event_type: String)
+  case class PitState(state: String, cus: Long)
+  case class PitOut(event_id: Long, user_id: Long, state: String, state_age_us: Long)
+
+  /** Streaming point-in-time enrichment — the stateful twin of batch
+    * `q_pit_state_lookup`: per-user state is the CURRENT SCD-2 tuple
+    * (state, change time — 2 fields however hot the
+    * user), updated on every type change; a purchase emits the state
+    * in force at its instant — the instant's FINAL state after the
+    * whole change chain, including a change carried by the purchase
+    * itself (the batch inclusive-as-of + per-instant-collapse
+    * reading). Within a micro-batch events sort by (event time,
+    * event_id); a
+    * change arriving in a LATER batch but timestamped behind an
+    * already-emitted purchase cannot retro-correct it — the standard
+    * watermark discipline of streaming enrichment (EventStreamsSpec
+    * pins equality with the batch query on event-time-ordered
+    * splits). */
+  def streamingPitLookup(
+      events: Dataset[TypedIdEvent],
+      idleTimeout: Option[String] = Some("90 days")): Dataset[PitOut] = {
+    import events.sparkSession.implicits._
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[PitState, PitOut](
+        OutputMode.Append, timeoutConf) {
+        (uid: Long, rows: Iterator[TypedIdEvent], state: GroupState[PitState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+            var st = state.getOption.orNull
+            val out = Seq.newBuilder[PitOut]
+            // two phases PER INSTANT, matching the batch reading: the
+            // change chain advances through ALL of an instant's events
+            // (id order) first, then the instant's purchases decorate
+            // with the instant's FINAL state — the batch side collapses
+            // same-instant change rows to the last one before the
+            // inclusive as-of, which is exactly this
+            sorted.groupBy(e => micros(e.ts)).toSeq.sortBy(_._1)
+              .foreach { case (us, evs) =>
+                evs.foreach { e =>
+                  if (st == null || st.state != e.event_type)
+                    st = PitState(e.event_type, us)
+                }
+                evs.foreach { e =>
+                  if (e.event_type == "purchase")
+                    out += PitOut(e.event_id, uid, st.state, us - st.cus)
+                }
+              }
+            if (st != null) {
+              state.update(st)
+              idleTimeout.foreach(state.setTimeoutDuration)
+            }
+            out.result().iterator
+          }
+      }
+  }
+
   /** Compose the two active tiers into the batch stickiness report —
     * shared presentation math (all-integer counts, ONE double
     * division) so the spec can assert the streamed result equals the

@@ -499,6 +499,49 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally { dayQ.stop(); monQ.stop() }
   }
 
+  test("streaming PIT lookup equals the batch as-of decoration across splits (same-instant chains included)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.EventStreams.{PitOut, TypedIdEvent}
+    // user 1: state chain with purchases between and AT changes —
+    // including a same-instant chain (view -> purchase -> click at
+    // t=10, ids 4,5,6): the purchase must read the instant's FINAL
+    // state (click), the batch per-instant-collapse reading
+    val evs = Seq(
+      TypedIdEvent(1, 1, ts(0), "view"),
+      TypedIdEvent(1, 2, ts(3), "purchase"),       // state purchase @3
+      TypedIdEvent(1, 3, ts(7), "view"),
+      TypedIdEvent(1, 4, ts(10), "view"),          // no change
+      TypedIdEvent(1, 5, ts(10), "purchase"),      // change @10...
+      TypedIdEvent(1, 6, ts(10), "click"),         // ...then click @10
+      TypedIdEvent(1, 7, ts(20), "purchase"),      // state purchase @20
+      TypedIdEvent(2, 8, ts(1), "purchase"),       // first event IS a purchase
+      TypedIdEvent(2, 9, ts(5), "purchase"))       // no change since
+    val mem = MemoryStream[TypedIdEvent]
+    val stream = EventStreams.streamingPitLookup(mem.toDS(), idleTimeout = None)
+      .writeStream.format("memory").queryName("pit_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(evs.take(3): _*); stream.processAllAvailable()
+      mem.addData(evs.slice(3, 7): _*); stream.processAllAvailable()
+      mem.addData(evs.drop(7): _*); stream.processAllAvailable()
+      val streamed = spark.table("pit_stream").as[PitOut].collect()
+        .map(o => o.event_id -> ((o.state, o.state_age_us))).toMap
+      val dir = java.nio.file.Files.createTempDirectory("pit_batch").toString
+      evs.map(e => (e.event_id, e.ts, e.user_id, e.event_type, 1.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val batch = SparkEntry.queries("q_pit_state_lookup")(spark, dir)
+        .select("event_id", "state", "state_age_us")
+        .as[(Long, String, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      SparkEntry.releaseCaches()
+      assert(batch.nonEmpty && streamed == batch,
+        s"PIT mismatch:\nbatch=$batch\nstream=$streamed")
+    } finally stream.stop()
+  }
+
   test("streaming span postings converge to the batch index; re-scoring reproduces dup_fraction") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
