@@ -84,11 +84,17 @@ object LevenshteinBandRule extends Rule[LogicalPlan] {
     And(band, banded)
   }
 
+  /** The guard duplicates `l`/`r` into a second evaluation site, which
+    * is only sound when both are deterministic (a random-suffixed
+    * operand would band-check one value and edit-distance another). */
+  private def dup(l: Expression, r: Expression): Boolean =
+    l.deterministic && r.deterministic
+
   private def rewriteCond(cond: Expression): Expression = cond.transformUp {
-    case LessThanOrEqual(BareLev(l, r), K(k)) => rewrite(l, r, k)
-    case LessThan(BareLev(l, r), K(k)) if k >= 1 => rewrite(l, r, k - 1)
-    case GreaterThanOrEqual(K(k), BareLev(l, r)) => rewrite(l, r, k)
-    case GreaterThan(K(k), BareLev(l, r)) if k >= 1 => rewrite(l, r, k - 1)
+    case LessThanOrEqual(BareLev(l, r), K(k)) if dup(l, r) => rewrite(l, r, k)
+    case LessThan(BareLev(l, r), K(k)) if k >= 1 && dup(l, r) => rewrite(l, r, k - 1)
+    case GreaterThanOrEqual(K(k), BareLev(l, r)) if dup(l, r) => rewrite(l, r, k)
+    case GreaterThan(K(k), BareLev(l, r)) if k >= 1 && dup(l, r) => rewrite(l, r, k - 1)
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
