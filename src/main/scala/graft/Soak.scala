@@ -185,10 +185,14 @@ object Soak {
     * names share ONE first token ("hotblk <10-hex-digest>"): the
     * degenerate blocking key for the edit-distance ER family, paying
     * n²/2 levenshtein evaluations if the block expands. Digest
-    * suffixes keep pairwise edit distance far above the match
-    * threshold, so the planted block changes NO output rows — only
-    * cost. A/B: default SPARK_GRAFT_BLOCK_CAP excludes the block
-    * (flat); SPARK_GRAFT_BLOCK_CAP=0 pays the quadratic tail. */
+    * suffixes keep MOST pairs above the match threshold, but 10-hex
+    * strings collide within distance 4 at ~1e-5 per pair — at n=4000
+    * that is ~100 pseudo-match rows in the UNCAPPED run (measured 111
+    * vs the real 8; recorded in NOTES_r9 §3). The A/B is therefore a
+    * COST probe: compare wall time, and expect the capped run — and
+    * only it — to reproduce the real-data output. Default
+    * SPARK_GRAFT_BLOCK_CAP excludes the block (flat);
+    * SPARK_GRAFT_BLOCK_CAP=0 pays the quadratic tail. */
   private def hotBlockNames: Int =
     sys.env.getOrElse("SPARK_GRAFT_SOAK_HOT_BLOCK", "0").toInt
 

@@ -136,8 +136,14 @@ object GraphOps {
     * that degree from wedge service (a mega-hub contributes deg²
     * candidate pairs and near-zero signal; same guard family as the
     * clique cap in the group-then-expand queries). */
-  def commonNeighbors(edges: DataFrame, hubCap: Int, topK: Int): DataFrame = {
-    val e = graft.CacheRegistry.persistTracked(edges.select("src", "dst"))
+  def commonNeighbors(edges: DataFrame, hubCap: Int, topK: Int,
+      pinned: Boolean = false): DataFrame = {
+    // pinned = caller already persisted `edges` (e.g. the grading
+    // wrapper's hub assert) — re-persisting the (src, dst) projection
+    // would hold a SECOND materialized copy of the edge data
+    val e =
+      if (pinned) edges.select("src", "dst")
+      else graft.CacheRegistry.persistTracked(edges.select("src", "dst"))
     val adj = e.select(col("src").as("c"), col("dst").as("v"))
       .unionAll(e.select(col("dst").as("c"), col("src").as("v")))
     val deg = adj.groupBy("c").agg(count(lit(1)).as("deg"))
@@ -160,8 +166,11 @@ object GraphOps {
     * cn/deg; the single double division is the ranking key on both
     * engines (exact ints in, correctly rounded out — bit-identical),
     * ties broken by the full pair. */
-  def neighborJaccard(edges: DataFrame, hubCap: Int, topK: Int): DataFrame = {
-    val e = graft.CacheRegistry.persistTracked(edges.select("src", "dst"))
+  def neighborJaccard(edges: DataFrame, hubCap: Int, topK: Int,
+      pinned: Boolean = false): DataFrame = {
+    val e =
+      if (pinned) edges.select("src", "dst")
+      else graft.CacheRegistry.persistTracked(edges.select("src", "dst"))
     val adj = e.select(col("src").as("c"), col("dst").as("v"))
       .unionAll(e.select(col("dst").as("c"), col("src").as("v")))
     val deg = graft.CacheRegistry.persistTracked(
@@ -191,8 +200,11 @@ object GraphOps {
     * hub-adjacent direct edges still count at one hop, so the cap
     * bounds cost without disconnecting anything. Only (vertex, vertex)
     * id pairs ever shuffle. */
-  def twoHopReach(edges: DataFrame, hubCap: Int): DataFrame = {
-    val e = graft.CacheRegistry.persistTracked(edges.select("src", "dst"))
+  def twoHopReach(edges: DataFrame, hubCap: Int,
+      pinned: Boolean = false): DataFrame = {
+    val e =
+      if (pinned) edges.select("src", "dst")
+      else graft.CacheRegistry.persistTracked(edges.select("src", "dst"))
     val adj = e.select(col("src").as("c"), col("dst").as("v"))
       .unionAll(e.select(col("dst").as("c"), col("src").as("v")))
     val deg = adj.groupBy("c").agg(count(lit(1)).as("deg"))

@@ -303,7 +303,7 @@ object GraphQueries extends QueryPack {
     "graph_part_common_neighbors" -> ((s, d) =>
       graft.graph.GraphOps.commonNeighbors(
         assertNoHubs(cooccurEdges(s, d), 1000, "graph_part_common_neighbors"),
-        hubCap = 1000, topK = 20)),
+        hubCap = 1000, topK = 20, pinned = true)),
 
     // Normalized link prediction: neighborhood Jaccard over the same
     // hub-capped wedge join — |N∩| / |N∪| ranks a pair sharing 3 of 4
@@ -316,7 +316,7 @@ object GraphQueries extends QueryPack {
     "graph_part_neighbor_jaccard" -> ((s, d) =>
       graft.graph.GraphOps.neighborJaccard(
         assertNoHubs(cooccurEdges(s, d), 1000, "graph_part_neighbor_jaccard"),
-        hubCap = 1000, topK = 20)),
+        hubCap = 1000, topK = 20, pinned = true)),
 
     // Per-vertex two-hop reach (local influence census): 1-hop pairs
     // union hub-capped wedge-expanded 2-hop pairs, distinct, count —
@@ -325,7 +325,7 @@ object GraphQueries extends QueryPack {
     "graph_part_twohop_reach" -> ((s, d) =>
       graft.graph.GraphOps.twoHopReach(
         assertNoHubs(cooccurEdges(s, d), 1000, "graph_part_twohop_reach"),
-        hubCap = 1000)),
+        hubCap = 1000, pinned = true)),
 
     // BFS / unweighted single-source shortest paths — hop distance
     // from the smallest part id, capped at 4 hops (−1 = unreached).

@@ -43,9 +43,13 @@ object MiscQueries extends QueryPack {
     * cardinality (the callers aggregate first). */
   private[graft] def cappedBlocks(names: org.apache.spark.sql.DataFrame,
       cap: Int): org.apache.spark.sql.DataFrame = {
-    val blocked = names.withColumn("blk", split(col("p_name"), " ").getItem(0))
-    if (cap <= 0) blocked
+    val blocked0 = names.withColumn("blk", split(col("p_name"), " ").getItem(0))
+    if (cap <= 0) blocked0
     else {
+      // pinned: the block census runs TWICE (the eager exclusion log
+      // and the anti-join at execution) — without the pin the whole
+      // distinct-names derivation above recomputes per consumer
+      val blocked = graft.CacheRegistry.persistTracked(blocked0)
       val hot = blocked.groupBy("blk").agg(count(lit(1)).as("bn"))
         .where(col("bn") > cap)
       // tiny relation (≤ distinct block keys); the count doubles as the

@@ -148,22 +148,92 @@ object StatsQueries extends QueryPack {
     }
   }
 
+  /** Ranks k AND k+1 in ONE narrowing (they share every round until
+    * the final bucket): when rank k exhausts its bucket, rank k+1's
+    * value is exactly the NEXT nonempty bucket's min — captured as it
+    * passes, never re-selected. Requires k+1 ≤ `n` (the caller's
+    * interpolation contract guarantees it). Halves the selection jobs
+    * of every interpolating quantile vs two independent walks. */
+  private[graft] def kthSmallestPairDouble(df: DataFrame, vcol: String,
+      k: Long, n: Long): (Double, Double) = {
+    require(k >= 1 && k + 1 <= n, s"pair selection needs 1 <= k < n, got k=$k n=$n")
+    val B = 4096
+    val slice0 = df.select(col(vcol).cast("double").as("v"))
+    val st = slice0.agg(min("v").as("lo"), max("v").as("hi")).head
+    require(!st.isNullAt(0), "kthSmallestPairDouble on an empty relation")
+    var lo = st.getDouble(0)
+    var hi = st.getDouble(1)
+    var kk = k
+    var mass = n
+    // set the first time rank k ends a bucket with a later bucket in
+    // view; never cleared (later rounds may not see past rank k again)
+    var pending: Option[Double] = None
+    var rounds = 0
+    while (lo < hi && rounds < 4) {
+      rounds += 1
+      val width = math.max(hi - lo, java.lang.Double.MIN_NORMAL)
+      val bcol = least(greatest(
+          floor((col("v") - lit(lo)) / lit(width) * B), lit(0.0)),
+          lit((B - 1).toDouble)).cast("int")
+      val hist = slice0.where(col("v") >= lit(lo) && col("v") <= lit(hi))
+        .groupBy(bcol.as("b"))
+        .agg(count(lit(1)).as("c"), min("v").as("mn"), max("v").as("mx"))
+        .collect().sortBy(_.getInt(0))
+      var i = 0
+      var found = false
+      while (!found && i < hist.length) {
+        val c = hist(i).getLong(1)
+        if (kk <= c) {
+          found = true
+          if (kk == c && i + 1 < hist.length)
+            pending = Some(hist(i + 1).getDouble(2))
+          lo = hist(i).getDouble(2)
+          hi = hist(i).getDouble(3)
+          mass = c
+        } else { kk -= c; i += 1 }
+      }
+      require(found, s"selection invariant broken: rank $kk exceeds slice mass")
+    }
+    if (lo == hi) {
+      // the slice collapsed to one distinct value of multiplicity
+      // `mass`: rank k+1 shares it unless k was its last occupant
+      if (kk < mass) (lo, lo)
+      else (lo, pending.getOrElse(
+        throw new IllegalStateException("rank k+1 lost during narrowing")))
+    } else {
+      val vals = slice0.where(col("v") >= lit(lo) && col("v") <= lit(hi))
+        .groupBy("v").agg(count(lit(1)).as("c"))
+        .collect().sortBy(_.getDouble(0))
+      require(vals.length <= 2000000,
+        s"selection residue still holds ${vals.length} distinct values after " +
+          s"$rounds narrowing rounds — pathological value clustering; raise rounds")
+      var i = 0
+      while (kk > vals(i).getLong(1)) { kk -= vals(i).getLong(1); i += 1 }
+      val v1 = vals(i).getDouble(0)
+      val v2 =
+        if (kk < vals(i).getLong(1)) v1
+        else if (i + 1 < vals.length) vals(i + 1).getDouble(0)
+        else pending.getOrElse(
+          throw new IllegalStateException("rank k+1 lost during narrowing"))
+      (v1, v2)
+    }
+  }
+
   /** Exact interpolated quantile over a double-read column, reproducing
     * Spark `percentile()`'s arithmetic EXACTLY (position = q·(n−1),
     * linear interpolation between the straddling order statistics, all
-    * in doubles — StatsSpec pins equality against percentile() itself)
-    * while fetching the two order statistics by bounded selection
-    * instead of a per-group value buffer. `df` should be persisted by
-    * the caller; `n` its row count. */
+    * in doubles — the ScalePatternsSpec property test pins equality
+    * against percentile() itself) while fetching the order statistics
+    * by bounded selection instead of a per-group value buffer. `df`
+    * should be persisted by the caller; `n` its row count. */
   private[graft] def exactQuantileDouble(df: DataFrame, vcol: String, q: Double, n: Long): Double = {
     require(n >= 1, "quantile of an empty relation")
     val pos = q * (n - 1).toDouble
     val lower = math.floor(pos).toLong
     val higher = math.ceil(pos).toLong
-    val v1 = kthSmallestDouble(df, vcol, lower + 1)
-    if (higher == lower) v1
+    if (higher == lower) kthSmallestDouble(df, vcol, lower + 1)
     else {
-      val v2 = kthSmallestDouble(df, vcol, higher + 1)
+      val (v1, v2) = kthSmallestPairDouble(df, vcol, lower + 1, n)
       // EXACTLY Spark Percentile.getPercentile's combine — the
       // symmetric two-product form rounds differently from
       // v1 + (v2−v1)·frac, and the property spec catches the drift
@@ -267,20 +337,29 @@ object StatsQueries extends QueryPack {
           .groupBy("l_partkey")
           .agg(sum(TpchMoney.discPrice).cast("decimal(38,4)").as("revd")))
       val np = rev.count()
-      val k = (np + 3) / 4
-      val cut = kthLargestDecimal(rev, "revd", k)
-      rev.agg(
-          count(lit(1)).as("n_parts"),
-          sum(when(col("revd") > lit(cut), col("revd")))
-            .cast("decimal(38,4)").as("s_gt"),
-          sum(when(col("revd") > lit(cut), 1L).otherwise(0L)).as("c_gt"),
-          sum(col("revd")).cast("decimal(38,4)").as("s_tot"))
-        .select(col("n_parts"),
-          lit(k).as("top_parts"),
-          ((coalesce(col("s_gt"), lit(java.math.BigDecimal.ZERO)) +
-            (lit(k) - col("c_gt")) * lit(cut))
-            .cast("decimal(38,4)").cast("double") /
-            col("s_tot").cast("double")).as("top_share"))
+      if (np == 0)
+        // degenerate empty corpus: answer, don't crash (the selection
+        // kernel requires rank >= 1) — one row of empty-aggregate
+        // zeros/nulls, the shape the old rank-window form degraded to
+        rev.agg(count(lit(1)).as("n_parts"))
+          .select(col("n_parts"), lit(0L).as("top_parts"),
+            lit(null).cast("double").as("top_share"))
+      else {
+        val k = (np + 3) / 4
+        val cut = kthLargestDecimal(rev, "revd", k)
+        rev.agg(
+            count(lit(1)).as("n_parts"),
+            sum(when(col("revd") > lit(cut), col("revd")))
+              .cast("decimal(38,4)").as("s_gt"),
+            sum(when(col("revd") > lit(cut), 1L).otherwise(0L)).as("c_gt"),
+            sum(col("revd")).cast("decimal(38,4)").as("s_tot"))
+          .select(col("n_parts"),
+            lit(k).as("top_parts"),
+            ((coalesce(col("s_gt"), lit(java.math.BigDecimal.ZERO)) +
+              (lit(k) - col("c_gt")) * lit(cut))
+              .cast("decimal(38,4)").cast("double") /
+              col("s_tot").cast("double")).as("top_share"))
+      }
     }),
 
     // Cohort LTV matrix — customers grouped by first-order year, order

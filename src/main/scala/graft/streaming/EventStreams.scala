@@ -407,9 +407,13 @@ object EventStreams {
         (_: Long, rows: Iterator[ShipEvent], state: GroupState[OrderSpan]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            // ship-day order within the batch: corrections collapse to
-            // one pair per batch instead of a chain (same final sums)
-            val sorted = rows.toSeq.sortBy(_.ship_day)
+            // DESCENDING ship-day order within the batch: the largest
+            // close lands first, so every remaining shipment falls
+            // inside the known span and the batch emits at most one
+            // open pair plus one correction pair (ascending would
+            // chain a correction pair per extension; same final sums,
+            // maximal emissions)
+            val sorted = rows.toSeq.sortBy(e => -e.ship_day)
             var st = state.getOption
             val out = Seq.newBuilder[BacklogDelta]
             sorted.foreach { e =>

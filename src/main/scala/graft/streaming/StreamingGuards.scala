@@ -61,14 +61,18 @@ object StreamingGuards {
     * driver — BEFORE its require fired; now nothing bigger than the
     * gate ever reaches the driver, and oversize eval sets keep working
     * instead of crashing. */
+  private def distinctGrams(evalDocs: DataFrame, n: Int): (DataFrame, Long) = {
+    val pinned = graft.CacheRegistry.persistTracked(
+      evalDocs
+        .select(tokens(coalesce(col("text"), lit(""))).as("ts"))
+        .select(explode(array_distinct(wordNgrams(col("ts"), n))).as("s"))
+        .distinct())
+    (pinned, pinned.count())
+  }
+
   def evalGramIndex(evalDocs: DataFrame, n: Int = 5, maxGrams: Long = 5000000L,
       fpp: Double = 1e-4): EvalGramIndex = {
-    val grams = evalDocs
-      .select(tokens(coalesce(col("text"), lit(""))).as("ts"))
-      .select(explode(array_distinct(wordNgrams(col("ts"), n))).as("s"))
-      .distinct()
-    val pinned = graft.CacheRegistry.persistTracked(grams)
-    val nGrams = pinned.count()
+    val (pinned, nGrams) = distinctGrams(evalDocs, n)
     if (nGrams <= maxGrams)
       ExactGrams(pinned.collect().map(_.getString(0)).toSet)
     else
@@ -79,13 +83,16 @@ object StreamingGuards {
     * gate 5M grams ≈ a few hundred MB of driver strings — an order
     * tighter than r8's 50M). Count-gated BEFORE any collect; an
     * oversize corpus fails loudly with the Bloom route named. */
-  def evalGramSet(evalDocs: DataFrame, n: Int = 5, maxGrams: Long = 5000000L): Set[String] =
-    evalGramIndex(evalDocs, n, maxGrams) match {
-      case ExactGrams(s) => s
-      case b: BloomGrams => throw new IllegalArgumentException(
-        s"eval gram set holds ${b.size} grams (> $maxGrams): too large for a " +
-          "driver set — use evalGramIndex, which just routed this corpus to a Bloom filter")
-    }
+  def evalGramSet(evalDocs: DataFrame, n: Int = 5, maxGrams: Long = 5000000L): Set[String] = {
+    val (pinned, nGrams) = distinctGrams(evalDocs, n)
+    // fail on the COUNT, before collecting anything — and without
+    // building the Bloom filter evalGramIndex would route to (this
+    // caller asked for exact membership; the build would be discarded)
+    require(nGrams <= maxGrams,
+      s"eval gram set holds $nGrams grams (> $maxGrams): too large for a " +
+        "driver set — use evalGramIndex, which routes oversize corpora to a Bloom filter")
+    pinned.collect().map(_.getString(0)).toSet
+  }
 
   /** Tag each arriving document with its benchmark-overlap counts:
     * (n_grams, n_contaminated, clean). Same gram kernel as the batch

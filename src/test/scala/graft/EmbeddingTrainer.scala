@@ -51,7 +51,11 @@ object EmbeddingTrainer {
     // raw counts factorizable into useful directions
     val m = Array.tabulate(v, v) { (i, j) =>
       if (cooc(i)(j) <= 0.0 || row(i) <= 0.0 || row(j) <= 0.0) 0.0
-      else math.max(0.0, math.log(cooc(i)(j) * total / (row(i) * row(j))))
+      // StrictMath, not Math: Math.log is only 1-ulp-accurate and
+      // platform-intrinsic-dependent, which would break the committed
+      // table's bit-reproducibility across JVMs; StrictMath is defined
+      // by fdlibm everywhere (sqrt is IEEE-exact either way)
+      else math.max(0.0, StrictMath.log(cooc(i)(j) * total / (row(i) * row(j))))
     }
 
     // top-Dim POSITIVE eigenpairs by fixed-iteration power iteration +

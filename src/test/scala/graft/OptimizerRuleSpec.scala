@@ -17,9 +17,20 @@ class OptimizerRuleSpec extends AnyFunSuite {
   // (banded DP -1 path), length diff > k (band short-circuit), null
   private val names = Seq("alpha", "aloha", "alphas", "be", null)
 
+  // SparkTestSession comes from GraftSession.get, which registers the
+  // rule — so the SHARED session is rule-ON by default, and honest
+  // baselines must strip it (a rule-on-vs-rule-on comparison is
+  // vacuous and would certify a semantically wrong rewrite).
   private def withRule[A](body: => A): A = {
     val prev = spark.experimental.extraOptimizations
-    spark.experimental.extraOptimizations = prev :+ LevenshteinBandRule
+    if (!prev.contains(LevenshteinBandRule))
+      spark.experimental.extraOptimizations = prev :+ LevenshteinBandRule
+    try body finally spark.experimental.extraOptimizations = prev
+  }
+
+  private def withoutRule[A](body: => A): A = {
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev.filterNot(_ == LevenshteinBandRule)
     try body finally spark.experimental.extraOptimizations = prev
   }
 
@@ -34,8 +45,12 @@ class OptimizerRuleSpec extends AnyFunSuite {
       .select("n", "m")
     def casted = pairs.where(levenshtein(col("n"), col("m")).cast("long") < 3)
       .select("n", "m")
-    val base = (direct.as[(String, String)].collect().toSet,
-      casted.as[(String, String)].collect().toSet)
+    val base = withoutRule {
+      val p0 = direct.queryExecution.optimizedPlan.toString
+      assert(!p0.contains("Some(2)"), s"baseline must be rule-free:\n$p0")
+      (direct.as[(String, String)].collect().toSet,
+        casted.as[(String, String)].collect().toSet)
+    }
     withRule {
       val p = direct.queryExecution.optimizedPlan.toString
       assert(p.contains("Some(2)) >= 0"), s"threshold form missing:\n$p")
@@ -53,7 +68,7 @@ class OptimizerRuleSpec extends AnyFunSuite {
       .select(col("n"), col("m"),
         levenshtein(col("n"), col("m")).cast("long").as("edit_dist"))
       .where(col("edit_dist") <= 2)
-    val base = q.as[(String, String, Long)].collect().toSet
+    val base = withoutRule { q.as[(String, String, Long)].collect().toSet }
     withRule {
       val got = q.as[(String, String, Long)].collect().toSet
       assert(got == base, "projected distances or survivors changed")
@@ -77,7 +92,7 @@ class OptimizerRuleSpec extends AnyFunSuite {
     val sf = "/root/testdata/sf0.001"
     def run() = SparkEntry.queries("q_fuzzy_name_pairs")(spark, sf)
       .as[(String, String, Long)].collect().toSet
-    val base = run()
+    val base = withoutRule { run() }
     val got = withRule { run() }
     SparkEntry.releaseCaches()
     assert(base.nonEmpty && got == base)
