@@ -95,7 +95,8 @@ object Soak {
     "q_entity_resolution" -> Set('f'),
     "q_correlation" -> Set('f'),
     "sim_topk_learned" -> Set('d'), "dedup_learned_semantic" -> Set('d'),
-    "graph_part_ppr_exact" -> Set('f'), "pipe_leakage_matrix" -> Set('d'))
+    "graph_part_ppr_exact" -> Set('f'), "pipe_leakage_matrix" -> Set('d'),
+    "q_orders_rfm" -> Set('f'))
 
   private[graft] def famsFor(queries: Seq[String]): Set[Char] =
     queries.map(q => SoakReads.getOrElse(q,
