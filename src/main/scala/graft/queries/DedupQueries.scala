@@ -295,6 +295,31 @@ object DedupQueries extends QueryPack {
           when(col("doc_id") === col("best"), 1L).otherwise(0L).as("kept"))
     }),
 
+    // Dedup-savings report — the pipeline-economics rollup a curation
+    // run publishes: per SOURCE, how many documents sit in near-dup
+    // clusters, how many the survivor pass drops, and the characters
+    // (≈ bytes) reclaimed. Same cluster + longest-wins machinery as
+    // dedup_survivors, then ONE source-cardinality aggregate over the
+    // flagged rows (clustered docs only — the corpus never re-scans);
+    // chars_saved is an exact integer sum. Rolls the per-cluster
+    // verdicts up to the view a storage bill actually shows.
+    "dedup_savings_by_source" -> ((s, d) => {
+      val roots = pairsToClusters(s, jaccardPairs(s, d))
+      val joined = graft.CacheRegistry.persistTracked(
+        roots.join(
+          Tables.documents(s, d).select(col("doc_id"), col("n_chars"), col("source")),
+          Seq("doc_id")))
+      val best = joined.groupBy("root")
+        .agg(min(struct((-col("n_chars")).as("negn"), col("doc_id").as("bd"))).as("m"))
+        .select(col("root"), col("m.bd").as("best"))
+      joined.join(best, Seq("root"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_clustered_docs"),
+          sum(when(col("doc_id") =!= col("best"), 1L).otherwise(0L)).as("n_dropped"),
+          sum(when(col("doc_id") =!= col("best"), col("n_chars")).otherwise(lit(0L)))
+            .cast("long").as("chars_saved"))
+    }),
+
     // Containment (asymmetric Jaccard): |A∩B| / min(|A|,|B|) — catches
     // a short doc embedded in a longer one, which symmetric Jaccard
     // dilutes below threshold. Same shared inverted-index core as the
@@ -637,6 +662,25 @@ FROM sh LEFT JOIN cnt ON sh.doc_id = cnt.doc_id"""
          |SELECT root, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
          |       CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS BIGINT) AS kept
          |FROM pick""".stripMargin,
+    "dedup_savings_by_source" ->
+      s"""WITH RECURSIVE $jaccardCtes,
+         |dedges AS (SELECT i AS a, j AS b FROM jpairs UNION ALL SELECT j, i FROM jpairs),
+         |dnodes AS (SELECT DISTINCT a AS doc FROM dedges),
+         |cc(doc, lbl) AS (
+         |  SELECT doc, doc FROM dnodes
+         |  UNION
+         |  SELECT e.b, cc.lbl FROM cc JOIN dedges e ON cc.doc = e.a),
+         |roots AS (SELECT doc, min(lbl) AS root FROM cc GROUP BY doc),
+         |pick AS (
+         |  SELECT r.root, d.doc_id, d.n_chars, d.source,
+         |         row_number() OVER (PARTITION BY r.root
+         |                            ORDER BY d.n_chars DESC NULLS FIRST, d.doc_id) AS rn
+         |  FROM roots r JOIN documents d ON r.doc = d.doc_id)
+         |SELECT source, count(*) AS n_clustered_docs,
+         |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+         |  CAST(sum(CASE WHEN rn > 1 THEN n_chars ELSE 0 END) AS BIGINT) AS chars_saved
+         |FROM pick GROUP BY 1""".stripMargin,
+
     "dedup_containment" ->
       s"""WITH $jaccardCtes
          |SELECT i, j, round(c * 1.0 / least(sa.n, sb.n), 6) AS containment
