@@ -200,18 +200,38 @@ object Soak {
   private def appendHotBlock(p: DataFrame): DataFrame =
     if (hotBlockNames <= 0) p
     else p.unionByName(
+      // every part column gets a benign value (not null): a hot-block
+      // run shares the scaled part.parquet with every other part-reading
+      // probe in the same soak invocation, and a null p_brand/p_type
+      // would silently change THEIR row sets (r9 ADVICE)
       p.sparkSession.range(hotBlockNames).select(
         (col("id") + 950000000L).as("p_partkey"),
         concat(lit("hotblk "),
-          substring(md5(col("id").cast("string")), 1, 10)).as("p_name")),
+          substring(md5(col("id").cast("string")), 1, 10)).as("p_name"),
+        lit("Brand#99").as("p_brand"),
+        lit("SYNTHETIC HOTBLK FILLER").as("p_type"),
+        lit(1).as("p_size"),
+        lit(0.0d).as("p_retailprice")),
       allowMissingColumns = true)
 
   private def appendHotOrder(li: DataFrame): DataFrame =
     if (hotOrderParts <= 0) li
     else li.unionByName(
+      // benign values for every lineitem column (same shared-parquet
+      // reasoning as appendHotBlock): other fact-family probes in the
+      // same soak run read this file too
       li.sparkSession.range(hotOrderParts).select(
         lit(999999999L).as("l_orderkey"),
-        (col("id") + 900000000L).as("l_partkey")),
+        (col("id") + 900000000L).as("l_partkey"),
+        lit(1L).as("l_suppkey"),
+        (col("id") + 1L).cast("int").as("l_linenumber"),
+        lit(1.0d).as("l_quantity"),
+        lit(0.0d).as("l_extendedprice"),
+        lit(0.0d).as("l_discount"),
+        lit(0.0d).as("l_tax"),
+        lit("N").as("l_returnflag"),
+        lit("O").as("l_linestatus"),
+        lit("1995-01-01 00:00:00").cast("timestamp").as("l_shipdate")),
       allowMissingColumns = true)
 
   private def scaleCopies(docs: DataFrame, k: Int, sharedDen: Int, historyOnly: Boolean): DataFrame = {

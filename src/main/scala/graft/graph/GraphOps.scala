@@ -127,6 +127,35 @@ object GraphOps {
           .as("assortativity"))
   }
 
+  /** Grading-time hub audit for the wedge family, FOLDED into the
+    * operator (r9 VERDICT #3): the driver oracles replay the wedge
+    * enumeration UNCAPPED, which is provably identical to the capped
+    * plan iff no vertex exceeds `hubCap` — assert that instead of
+    * trusting it. The audit reuses the SAME degree table the hub
+    * filter is about to consume: the table is persisted here, the
+    * eager max-aggregate populates the cache, and the wedge join then
+    * reads it back — so the degree pass is paid ONCE for both audit
+    * and filter (the r9 standalone `assertNoHubs` wrapper computed
+    * degrees in a separate full job, ~+1 s per wedge query). If corpus
+    * growth ever pushes a degree past the cap, grading fails LOUDLY
+    * here instead of Spark and the oracle silently diverging (today's
+    * max co-occurrence degree is 13 vs cap 1000). `audit = None`
+    * (library use) skips the action entirely. */
+  private def auditHubs(deg: DataFrame, hubCap: Int, audit: Option[String],
+      alreadyPinned: Boolean = false): DataFrame = audit match {
+    case None => deg
+    case Some(who) =>
+      val pinned =
+        if (alreadyPinned) deg else graft.CacheRegistry.persistTracked(deg)
+      val r = pinned.agg(max("deg")).head
+      val maxDeg = if (r.isNullAt(0)) 0L else r.getLong(0)
+      require(maxDeg <= hubCap,
+        s"$who: max co-occurrence degree $maxDeg exceeds hubCap=$hubCap — " +
+          "the uncapped SQL oracle is no longer equivalent to the capped " +
+          "plan; raise the cap or re-derive the oracle with the cap applied")
+      pinned
+  }
+
   /** Common-neighbor link prediction from a canonical (src < dst,
     * distinct) edge list: the top-K NON-adjacent vertex pairs ranked by
     * shared-neighbor count (the classic link-prediction baseline; ties
@@ -137,16 +166,17 @@ object GraphOps {
     * candidate pairs and near-zero signal; same guard family as the
     * clique cap in the group-then-expand queries). */
   def commonNeighbors(edges: DataFrame, hubCap: Int, topK: Int,
-      pinned: Boolean = false): DataFrame = {
-    // pinned = caller already persisted `edges` (e.g. the grading
-    // wrapper's hub assert) — re-persisting the (src, dst) projection
-    // would hold a SECOND materialized copy of the edge data
+      pinned: Boolean = false, audit: Option[String] = None): DataFrame = {
+    // pinned = caller already persisted `edges` — re-persisting the
+    // (src, dst) projection would hold a SECOND materialized copy of
+    // the edge data
     val e =
       if (pinned) edges.select("src", "dst")
       else graft.CacheRegistry.persistTracked(edges.select("src", "dst"))
     val adj = e.select(col("src").as("c"), col("dst").as("v"))
       .unionAll(e.select(col("dst").as("c"), col("src").as("v")))
-    val deg = adj.groupBy("c").agg(count(lit(1)).as("deg"))
+    val deg = auditHubs(adj.groupBy("c").agg(count(lit(1)).as("deg")),
+      hubCap, audit)
     val ok = adj.join(deg.where(col("deg") <= hubCap).select("c"), Seq("c"))
     val pairs = ok.as("x")
       .join(ok.as("y"), col("x.c") === col("y.c") && col("x.v") < col("y.v"))
@@ -167,14 +197,15 @@ object GraphOps {
     * engines (exact ints in, correctly rounded out — bit-identical),
     * ties broken by the full pair. */
   def neighborJaccard(edges: DataFrame, hubCap: Int, topK: Int,
-      pinned: Boolean = false): DataFrame = {
+      pinned: Boolean = false, audit: Option[String] = None): DataFrame = {
     val e =
       if (pinned) edges.select("src", "dst")
       else graft.CacheRegistry.persistTracked(edges.select("src", "dst"))
     val adj = e.select(col("src").as("c"), col("dst").as("v"))
       .unionAll(e.select(col("dst").as("c"), col("src").as("v")))
-    val deg = graft.CacheRegistry.persistTracked(
-      adj.groupBy("c").agg(count(lit(1)).as("deg")))
+    val deg = auditHubs(graft.CacheRegistry.persistTracked(
+      adj.groupBy("c").agg(count(lit(1)).as("deg"))), hubCap, audit,
+      alreadyPinned = true)
     val ok = adj.join(deg.where(col("deg") <= hubCap).select("c"), Seq("c"))
     val pairs = ok.as("x")
       .join(ok.as("y"), col("x.c") === col("y.c") && col("x.v") < col("y.v"))
@@ -201,13 +232,14 @@ object GraphOps {
     * bounds cost without disconnecting anything. Only (vertex, vertex)
     * id pairs ever shuffle. */
   def twoHopReach(edges: DataFrame, hubCap: Int,
-      pinned: Boolean = false): DataFrame = {
+      pinned: Boolean = false, audit: Option[String] = None): DataFrame = {
     val e =
       if (pinned) edges.select("src", "dst")
       else graft.CacheRegistry.persistTracked(edges.select("src", "dst"))
     val adj = e.select(col("src").as("c"), col("dst").as("v"))
       .unionAll(e.select(col("dst").as("c"), col("src").as("v")))
-    val deg = adj.groupBy("c").agg(count(lit(1)).as("deg"))
+    val deg = auditHubs(adj.groupBy("c").agg(count(lit(1)).as("deg")),
+      hubCap, audit)
     val mid = adj.join(deg.where(col("deg") <= hubCap).select("c"), Seq("c"))
     val twoHop = mid.select(col("v").as("a"), col("c").as("m"))
       .join(mid.select(col("c").as("m"), col("v").as("b")), Seq("m"))

@@ -48,18 +48,22 @@ import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, Sh
 object LevenshteinBandRule extends Rule[LogicalPlan] {
 
   /** levenshtein(a, b) with no threshold, possibly under an integral
-    * cast (`.cast("long")` from the DataFrame API). */
+    * cast (`.cast("long")` from the DataFrame API). Only WIDENING casts
+    * (int → int/long) qualify: a narrowing `cast(lev as byte/short)` is
+    * lossy — for long inputs a distance > 127/32767 wraps negative under
+    * non-ANSI cast (making `<= k` spuriously TRUE) or throws under ANSI,
+    * and rewriting would change that observable behavior. */
   private object BareLev {
     def unapply(e: Expression): Option[(Expression, Expression)] = e match {
       case Levenshtein(l, r, None) => Some((l, r))
-      case Cast(Levenshtein(l, r, None), dt, _, _) if integral(dt) =>
+      case Cast(Levenshtein(l, r, None), dt, _, _) if widening(dt) =>
         Some((l, r))
       case _ => None
     }
   }
 
-  private def integral(dt: DataType): Boolean = dt match {
-    case IntegerType | LongType | ShortType | ByteType => true
+  private def widening(dt: DataType): Boolean = dt match {
+    case IntegerType | LongType => true
     case _ => false
   }
 

@@ -31,29 +31,10 @@ object GraphQueries extends QueryPack {
       .where(col("w") >= 2)
   }
 
-  /** Grading-time guard for the hub-capped wedge operators (common
-    * neighbors / neighborhood Jaccard / two-hop reach): their driver
-    * oracles replay the enumeration UNCAPPED, which is provably
-    * identical to the capped plan iff no vertex exceeds `hubCap`.
-    * Assert that instead of trusting it (r8 ADVICE) — if corpus growth
-    * ever pushes a co-occurrence degree past the cap, grading fails
-    * LOUDLY here instead of Spark and the oracle silently diverging
-    * (today's max degree is 13 vs cap 1000). Cost: one max-aggregate
-    * over the persisted edge table, which the operator reuses. */
-  private def assertNoHubs(e: org.apache.spark.sql.DataFrame, hubCap: Int,
-      who: String): org.apache.spark.sql.DataFrame = {
-    val pinned = graft.CacheRegistry.persistTracked(e)
-    val r = pinned.select(col("src").as("v"))
-      .unionAll(pinned.select(col("dst").as("v")))
-      .groupBy("v").agg(count(lit(1)).as("deg"))
-      .agg(max("deg")).head
-    val maxDeg = if (r.isNullAt(0)) 0L else r.getLong(0)
-    require(maxDeg <= hubCap,
-      s"$who: max co-occurrence degree $maxDeg exceeds hubCap=$hubCap — " +
-        "the uncapped SQL oracle is no longer equivalent to the capped " +
-        "plan; raise the cap or re-derive the oracle with the cap applied")
-    pinned
-  }
+  // The wedge-family hub audit (r8 ADVICE) lives INSIDE the operators
+  // now — GraphOps.auditHubs rides the degree table the hub filter
+  // already builds, so it costs one tiny agg over cached data instead
+  // of the separate full-degree job the r9 wrapper ran (r9 VERDICT #3).
 
   /** An iterative graph job schedules ~3 stages per superstep; with a
     * small edge set, 32 near-empty tasks per stage cost more wall time
@@ -206,7 +187,11 @@ object GraphQueries extends QueryPack {
     "graph_part_ppr_exact" -> ((s, d) => {
       val e = graft.CacheRegistry.persistTracked(
         cooccurEdges(s, d).select("src", "dst"))
-      val seed = e.agg(least(min("src"), min("dst"))).head.getLong(0)
+      val seedRow = e.agg(least(min("src"), min("dst"))).head
+      require(!seedRow.isNullAt(0),
+        "graph_part_ppr_exact: empty co-occurrence edge set — no seed vertex " +
+          "(corpus has no multi-part order); cannot personalize")
+      val seed = seedRow.getLong(0)
       graft.graph.ExactPageRank.personalizedRun(e, seed, iters = 10)
         .orderBy(col("rank_scaled").desc, col("v").asc)
         .limit(20)
@@ -301,9 +286,9 @@ object GraphQueries extends QueryPack {
     // planted star). Integer counts + full-tuple tie-break make the
     // board deterministic and hash-gradable.
     "graph_part_common_neighbors" -> ((s, d) =>
-      graft.graph.GraphOps.commonNeighbors(
-        assertNoHubs(cooccurEdges(s, d), 1000, "graph_part_common_neighbors"),
-        hubCap = 1000, topK = 20, pinned = true)),
+      graft.graph.GraphOps.commonNeighbors(cooccurEdges(s, d),
+        hubCap = 1000, topK = 20,
+        audit = Some("graph_part_common_neighbors"))),
 
     // Normalized link prediction: neighborhood Jaccard over the same
     // hub-capped wedge join — |N∩| / |N∪| ranks a pair sharing 3 of 4
@@ -314,18 +299,17 @@ object GraphQueries extends QueryPack {
     // exact ints in, correctly rounded out, bit-identical on both
     // engines; full-tuple tie-break fixes the board.
     "graph_part_neighbor_jaccard" -> ((s, d) =>
-      graft.graph.GraphOps.neighborJaccard(
-        assertNoHubs(cooccurEdges(s, d), 1000, "graph_part_neighbor_jaccard"),
-        hubCap = 1000, topK = 20, pinned = true)),
+      graft.graph.GraphOps.neighborJaccard(cooccurEdges(s, d),
+        hubCap = 1000, topK = 20,
+        audit = Some("graph_part_neighbor_jaccard"))),
 
     // Per-vertex two-hop reach (local influence census): 1-hop pairs
     // union hub-capped wedge-expanded 2-hop pairs, distinct, count —
     // only id pairs shuffle, never neighbor lists. Max driver-SF
     // degree is 13, so the 1000-cap oracle replays uncapped.
     "graph_part_twohop_reach" -> ((s, d) =>
-      graft.graph.GraphOps.twoHopReach(
-        assertNoHubs(cooccurEdges(s, d), 1000, "graph_part_twohop_reach"),
-        hubCap = 1000, pinned = true)),
+      graft.graph.GraphOps.twoHopReach(cooccurEdges(s, d),
+        hubCap = 1000, audit = Some("graph_part_twohop_reach"))),
 
     // BFS / unweighted single-source shortest paths — hop distance
     // from the smallest part id, capped at 4 hops (−1 = unreached).

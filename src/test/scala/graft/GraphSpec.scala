@@ -257,6 +257,31 @@ class GraphSpec extends AnyFunSuite {
       (5L, 6L, 1L), (5L, 7L, 1L), (6L, 7L, 1L)))
   }
 
+  test("GraphOps wedge family: folded hub audit fails loudly past the cap, passes under it") {
+    // Planted degree-4 hub with audit cap 3 → the audit (which rides
+    // the operator's own degree table — no separate degree job) must
+    // throw BEFORE any wedge enumeration; the same graph under cap 4
+    // grades clean and returns the uncapped board. All three wedge
+    // operators share auditHubs, so one loud + one clean case each.
+    val star = Seq((4L, 10L), (5L, 10L), (6L, 10L), (7L, 10L)).toDF("src", "dst")
+    def loud(f: => org.apache.spark.sql.DataFrame): Unit = {
+      val e = intercept[IllegalArgumentException](f.collect())
+      assert(e.getMessage.contains("exceeds hubCap"), e.getMessage)
+      SparkEntry.releaseCaches()
+    }
+    loud(graft.graph.GraphOps.commonNeighbors(star, hubCap = 3, topK = 20,
+      audit = Some("cn_test")))
+    loud(graft.graph.GraphOps.neighborJaccard(star, hubCap = 3, topK = 20,
+      audit = Some("nj_test")))
+    loud(graft.graph.GraphOps.twoHopReach(star, hubCap = 3,
+      audit = Some("th_test")))
+    val clean = graft.graph.GraphOps.commonNeighbors(star, hubCap = 4, topK = 20,
+      audit = Some("cn_test")).as[(Long, Long, Long)].collect().toSeq
+    SparkEntry.releaseCaches()
+    assert(clean == Seq((4L, 5L, 1L), (4L, 6L, 1L), (4L, 7L, 1L),
+      (5L, 6L, 1L), (5L, 7L, 1L), (6L, 7L, 1L)))
+  }
+
   test("GraphOps.neighborJaccard: normalization inverts the raw-count ranking") {
     // Hub 10 serves leaves 1..4; pair (1,2) also shares private
     // neighbor 20, so cn(1,2)=2 — but deg(1)=deg(2)=2 gives

@@ -24,7 +24,9 @@ class NormalizePropertySpec extends AnyFunSuite {
       .as[Option[String]].collect().toSeq
 
   test("normalizeStr is idempotent and closed over [a-z0-9 space]") {
-    val inputs = Gen.listOfN(200, weird).sample.get
+    // pinned seed: reproducible coverage, total (no .sample None flake)
+    val inputs = Gen.listOfN(200, weird)
+      .pureApply(Gen.Parameters.default, org.scalacheck.rng.Seed(0x12340001L))
     val once = normalizeAll(inputs)
     val twice = normalizeAll(once.map(_.orNull))
     assert(once == twice, "idempotence")
@@ -36,7 +38,8 @@ class NormalizePropertySpec extends AnyFunSuite {
   }
 
   test("normalizeTopics output is deduped, <= 30 chars, null-free") {
-    val topicArrays = Gen.listOfN(60, Gen.listOf(weird)).sample.get
+    val topicArrays = Gen.listOfN(60, Gen.listOf(weird))
+      .pureApply(Gen.Parameters.default, org.scalacheck.rng.Seed(0x12340002L))
     val out = topicArrays.toDF("a")
       .select(normalizeTopics(col("a")).as("n"))
       .as[Seq[String]].collect()

@@ -62,6 +62,40 @@ class OptimizerRuleSpec extends AnyFunSuite {
     }
   }
 
+  test("narrowing casts are NOT rewritten: byte/short overflow semantics preserved") {
+    // `cast(lev as byte/short)` is lossy — a distance > 127/32767
+    // throws CAST_OVERFLOW under ANSI (Spark 4 default) or wraps
+    // negative under non-ANSI, while the band+threshold form would
+    // quietly return FALSE. Either way the rewrite would CHANGE the
+    // observable behavior, so the rule must leave the predicate alone
+    // (r9 ADVICE, medium). Rule applied to the analyzed plan directly:
+    // the full optimizer would eagerly evaluate the LocalRelation and
+    // throw before we could inspect anything.
+    import spark.implicits._
+    val long = "x" * 300 // lev vs "" = 300 > Byte.MaxValue
+    def narrowed(t: String) = Seq((long, "")).toDF("n", "m")
+      .where(levenshtein(col("n"), col("m")).cast(t) <= 100)
+    Seq("byte", "short").foreach { t =>
+      val plan = narrowed(t).queryExecution.analyzed
+      assert(LevenshteinBandRule(plan).fastEquals(plan),
+        s"narrowing $t cast must not rewrite")
+    }
+    // and the preserved behavior is the ANSI overflow error, which the
+    // band form would have swallowed into FALSE
+    withRule {
+      val e = intercept[Exception] { narrowed("byte").collect() }
+      assert(e.getMessage.contains("CAST_OVERFLOW"), e.getMessage)
+    }
+    // widening long cast still fires (the supported DataFrame shape);
+    // typed lit so the analyzed plan carries a bare long literal (the
+    // optimizer path would constant-fold an int literal's cast anyway)
+    val wide = Seq((long, "")).toDF("n", "m")
+      .where(levenshtein(col("n"), col("m")).cast("long") <= lit(100L))
+      .queryExecution.analyzed
+    assert(!LevenshteinBandRule(wide).fastEquals(wide),
+      "widening cast stopped firing")
+  }
+
   test("projections are NOT rewritten: edit_dist keeps the true distance") {
     import spark.implicits._
     def q = pairs

@@ -132,7 +132,11 @@ class ScalePatternsSpec extends AnyFunSuite {
       3 -> Gen.oneOf(Seq(BigDecimal(7), BigDecimal("7.0001"), BigDecimal("7.0002"))),
       2 -> Gen.choose(0L, 50L).map(BigDecimal(_)),
       1 -> Gen.oneOf(Seq(BigDecimal("-99999999.9999"), BigDecimal("99999999.9999"))))
-    val lists = Gen.listOfN(12, Gen.nonEmptyListOf(value)).sample.get
+    // pinned seed: the sweep covers the SAME adversarial inputs every
+    // run (an unseeded .sample.get made coverage nondeterministic and
+    // could throw on a None sample — r9 ADVICE); pureApply is total
+    val lists = Gen.listOfN(12, Gen.nonEmptyListOf(value))
+      .pureApply(Gen.Parameters.default, org.scalacheck.rng.Seed(0x5ca1ab1eL))
     lists.foreach { vs0 =>
       val vs = vs0.map(_.setScale(4))
       val df = vs.map(Tuple1(_)).toDF("v")
@@ -157,7 +161,9 @@ class ScalePatternsSpec extends AnyFunSuite {
       2 -> Gen.oneOf(Seq(42.0, 42.0, 7.125)),   // planted duplicates
       2 -> Gen.choose(0L, 1000000L).map(_.toDouble), // long-ish latencies
       1 -> Gen.oneOf(Seq(1e12, -1e12)))
-    val lists = Gen.listOfN(8, Gen.nonEmptyListOf(value)).sample.get
+    // pinned seed, same reproducibility discipline as the decimal sweep
+    val lists = Gen.listOfN(8, Gen.nonEmptyListOf(value))
+      .pureApply(Gen.Parameters.default, org.scalacheck.rng.Seed(0xdecaf123L))
     for (vs <- lists; q <- Seq(0.25, 0.5, 0.75, 0.9)) {
       val df = vs.map(Tuple1(_)).toDF("v").repartition(5).persist()
       val expected = df.agg(percentile(col("v"), lit(q))).head.getDouble(0)
