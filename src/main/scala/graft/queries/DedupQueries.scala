@@ -471,19 +471,29 @@ object DedupQueries extends QueryPack {
     }),
 
     // SemDeDup-style semantic dedup: assign every embedding to its
-    // nearest of K fixed centroids (here the K lowest vec_ids, which
-    // keeps the query SQL-oracle-able; `VectorKMeans.fit` is the
-    // deterministic trainer a production run plugs in — the assignment
-    // math is identical), then look for near-dups only WITHIN a cluster. The
+    // nearest of K centroids (the K lowest vec_ids, which keeps the
+    // query SQL-oracle-able; `VectorKMeans.fit` is the deterministic
+    // trainer a production run plugs in — the assignment math is
+    // identical), then look for near-dups only WITHIN a cluster. The
     // clusters are the candidate buckets that keep the pair stage at
     // O(Σ cluster²) instead of O(n²) — the trade is recall (pairs that
     // straddle a cluster boundary are missed; CurationSpec pins the
-    // within-cluster slice against the brute-force query). Output: one row
-    // per vector with its cluster, centroid similarity, and whether an
-    // earlier cluster member already covers it (is_dup).
+    // within-cluster slice against the brute-force query). K is
+    // ADAPTIVE (r9 VERDICT #2's "shares the regime" note):
+    // K = max(8, ceil(N/64)) in pure integer arithmetic on both
+    // engines, so expected occupancy stays ≈64 and the pair envelope
+    // grows linearly with the corpus — N≈500 keeps the r9 K=8,
+    // N≈2000 (sf0.1) probes 32 centroids. Clusters can still skew
+    // (K-nearest assignment has no balance guarantee — the learned
+    // tier's sign buckets are the balanced variant); the adaptive K
+    // removes the FIXED-K quadratic. Output: one row per vector with
+    // its cluster, centroid similarity, and whether an earlier cluster
+    // member already covers it (is_dup).
     "dedup_semantic" -> ((s, d) => {
-      val K = 8
-      val cents = Tables.embeddings(s, d).where(col("vec_id") < K)
+      val kSel = Tables.embeddings(s, d).agg(count(lit(1)).as("n"))
+        .select(expr("greatest(CAST(8 AS BIGINT), (n + 63) div 64)").as("k"))
+      val cents = Tables.embeddings(s, d).crossJoin(broadcast(kSel))
+        .where(col("vec_id") < col("k"))
         .select(col("vec_id").as("cluster"), col("embedding").as("cvec"))
       val bySim = org.apache.spark.sql.expressions.Window
         .partitionBy("vec_id").orderBy(col("sim").desc, col("cluster").asc)
@@ -725,7 +735,8 @@ FROM sh LEFT JOIN cnt ON sh.doc_id = cnt.doc_id"""
 
     "dedup_semantic" ->
       s"""WITH cents AS (
-         |  SELECT vec_id AS cluster, embedding FROM embeddings WHERE vec_id < 8),
+         |  SELECT vec_id AS cluster, embedding FROM embeddings
+         |  WHERE vec_id < (SELECT greatest(8, (count(*) + 63) // 64) FROM embeddings)),
          |sims AS (
          |  SELECT v.vec_id, c.cluster, round((${dotSql("v", "c")}) /
          |    sqrt((${dotSql("v", "v")}) * (${dotSql("c", "c")})), 6) AS sim

@@ -94,7 +94,7 @@ object SimilarityQueries extends QueryPack {
     * table broadcasts, and the per-(doc, dim) sums are one map-combined
     * aggregate — all integer, so every downstream cosine is exact
     * until its single double division. */
-  private def learnedDocVectors(s: org.apache.spark.sql.SparkSession, d: String) = {
+  private[graft] def learnedDocVectors(s: org.apache.spark.sql.SparkSession, d: String) = {
     import s.implicits._
     val vocab = graft.functions.EmbeddingVectors.Vectors.toDF("token", "vs")
       .select(col("token"), posexplode(col("vs")).as(Seq("dim", "w")))
@@ -114,6 +114,75 @@ object SimilarityQueries extends QueryPack {
     * ~0.996 — the threshold sits in the near-dup tail). Interpolated
     * into the oracle, so both engines compare the SAME double. */
   private val SemDupT = 0.995
+
+  /** Adaptive bucket-count policy for the learned SemDeDup tier (r9
+    * VERDICT #2 — the last fixed-K quadratic): the number of sign bits
+    * B is the smallest b with 2^b · SemTargetOcc ≥ N (N = docs with a
+    * positive norm), clamped to [SemMinBits, SemMaxBits]. Expected
+    * occupancy stays ≈SemTargetOcc, so the within-bucket pair envelope
+    * Σ n_b² grows LINEARLY with the corpus (~N·SemTargetOcc) instead
+    * of quadratically. Selection is pure INTEGER arithmetic on both
+    * engines (a caps VALUES table + min filter — no log2, whose libm
+    * vs StrictMath ulp could flip a ceil at a power-of-two boundary).
+    * Driver SFs: N≈500 → B=5 (32 buckets); N≈5000 → B=8 (256 buckets,
+    * first LCG plane exercised); soak ×8 → B=11. */
+  private[graft] val SemTargetOcc = 24L
+  private[graft] val SemMinBits = 3
+  private[graft] val SemMaxBits = 16
+  private[graft] val semBitCaps: Seq[(Long, Long)] =
+    (SemMinBits to SemMaxBits).map(b => (b.toLong, (1L << b) * SemTargetOcc))
+
+  /** Pure mirror of the in-plan B selection, for spec pins. */
+  private[graft] def semBitsFor(n: Long): Int =
+    semBitCaps.collectFirst { case (b, cap) if cap >= n => b.toInt }
+      .getOrElse(SemMaxBits)
+
+  /** Sign-plane table (p, dim, c, pw): planes 1..7 are the axis signs
+    * of learned dims 1..7 (dim 0 is the all-positive Perron component,
+    * EmbeddingSpec-pinned premise — every doc agrees there, zero
+    * information); planes 8..SemMaxBits are splitmix64-derived integer
+    * hyperplanes in the 8-dim learned basis — the SRP lever that keeps
+    * bucket count growing once the axis signs are spent. pw = 2^p is
+    * the bucket-id contribution, precomputed so neither engine needs a
+    * dynamic shift. Interpolated into the oracle as a VALUES table
+    * (the committed-vectors discipline). */
+  private[graft] val semPlanes: Seq[(Int, Int, Long, Long)] =
+    (1 to 7).map(p => (p, p, 1L, 1L << p)) ++
+      (8 to SemMaxBits).flatMap { p =>
+        (0 until 8).map { i =>
+          val c = java.lang.Math.floorMod(
+            graft.functions.HashFunctions.splitmix64(p.toLong * 8 + i), 2001L) - 1000L
+          (p, i, c, 1L << p)
+        }
+      }
+
+  /** The adaptive bucketing stage: (doc_id, bucket) for every doc with
+    * a positive norm. One broadcast of ≤ SemMaxBits·8 plane rows, one
+    * (doc, plane) aggregate, one per-doc bit sum — all integer.
+    * `forcedBits` pins B for spec A/Bs; production derives it from N. */
+  private[graft] def learnedBuckets(dv: org.apache.spark.sql.DataFrame,
+      nsq: org.apache.spark.sql.DataFrame,
+      forcedBits: Option[Int] = None): org.apache.spark.sql.DataFrame = {
+    val spark = dv.sparkSession
+    import spark.implicits._
+    val bsel = forcedBits match {
+      case Some(fb) => Seq(Tuple1(fb.toLong)).toDF("bbits")
+      case None =>
+        semBitCaps.toDF("bbits", "cap")
+          .crossJoin(nsq.agg(count(lit(1)).as("n")))
+          .where(col("cap") >= col("n"))
+          .agg(coalesce(min("bbits"), lit(SemMaxBits.toLong)).as("bbits"))
+    }
+    val planes = semPlanes.toDF("p", "dim", "c", "pw")
+      .crossJoin(broadcast(bsel)).where(col("p") <= col("bbits"))
+      .select("p", "dim", "c", "pw")
+    dv.join(nsq.select("doc_id"), Seq("doc_id"))
+      .join(broadcast(planes), Seq("dim"))
+      .groupBy("doc_id", "p")
+      .agg(sum(ld(col("c")) * ld(col("s"))).as("proj"), max(col("pw")).as("pw"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("proj") > 0, col("pw")).otherwise(0L)).as("bucket"))
+  }
 
   override def queries: Map[String, Q] = Map(
     // Exact brute-force top-k per query vector.
@@ -154,33 +223,27 @@ object SimilarityQueries extends QueryPack {
         .where(col("rank") <= K)
     }),
 
-    // SemDeDup over LEARNED document embeddings: coarse-cluster by the
-    // SIGN PATTERN of embedding dims 1-3 (dim 0 is the all-positive
-    // dominant eigenvector — every doc agrees there, so the sign bits
-    // start at dim 1; 3 bits → 8 buckets, an SRP-style partition in
-    // the LEARNED basis), then exact integer cosine WITHIN buckets
-    // only — the O(Σ cluster²) SemDeDup envelope shared with
-    // dedup_semantic (at 100 TB the bucket count grows with more sign
-    // dims or a real k-means the way Planes scales the SRP tier; the
-    // shape is unchanged). Near-dups whose borderline components
-    // straddle a sign flip can land in different buckets — the
-    // standard LSH recall trade, same as any banding scheme. Output:
-    // per-bucket doc census and pairs at cosine ≥ SemDupT; every
-    // arithmetic step exact until the one double division, hash-graded
-    // against the identical SQL replay.
+    // SemDeDup over LEARNED document embeddings: coarse-cluster by an
+    // ADAPTIVE sign pattern in the learned basis (B bits derived from
+    // corpus cardinality — axis signs of dims 1..7 first, committed
+    // LCG hyperplanes beyond, see learnedBuckets; r9's fixed 3-bit /
+    // 8-bucket scheme made within-bucket pairs grow quadratically with
+    // the corpus — the round's last fixed-K quadratic), then exact
+    // integer cosine WITHIN buckets only — expected occupancy pinned
+    // near SemTargetOcc, so the pair stage is ~N·occ/2, linear in N.
+    // Near-dups whose borderline components straddle a sign flip can
+    // land in different buckets — the standard LSH recall trade, same
+    // as any banding scheme. Output: per-bucket doc census and pairs
+    // at cosine ≥ SemDupT; every arithmetic step exact until the one
+    // double division, hash-graded against the identical SQL replay
+    // (planes and bit-caps interpolated as VALUES tables, B re-derived
+    // by the oracle in the same integer arithmetic).
     "dedup_learned_semantic" -> ((s, d) => {
       val dv = graft.CacheRegistry.persistTracked(learnedDocVectors(s, d))
       val nsq = graft.CacheRegistry.persistTracked(
         dv.groupBy("doc_id").agg(sum(ld(col("s")) * ld(col("s"))).as("nsq"))
           .where(col("nsq") > 0))
-      val b = graft.CacheRegistry.persistTracked(
-        dv.join(nsq.select("doc_id"), Seq("doc_id"))
-          .groupBy("doc_id")
-          .agg(sum(
-            when(col("dim") === 1 && col("s") > 0, 4L)
-              .when(col("dim") === 2 && col("s") > 0, 2L)
-              .when(col("dim") === 3 && col("s") > 0, 1L)
-              .otherwise(0L)).as("bucket")))
+      val b = graft.CacheRegistry.persistTracked(learnedBuckets(dv, nsq))
       val pairs = b.as("x")
         .join(b.as("y"),
           col("x.bucket") === col("y.bucket") && col("x.doc_id") < col("y.doc_id"))
@@ -304,6 +367,14 @@ object SimilarityQueries extends QueryPack {
        |  WHERE a.vec_id < $NQueries)
        |WHERE rank <= $K""".stripMargin
 
+  /** The adaptive-bucketing constants as SQL VALUES rows — generated
+    * from the SAME Scala tables the Spark plan broadcasts, so the two
+    * engines can never drift. */
+  private val semPlanesValues: String =
+    semPlanes.map { case (p, dim, c, pw) => s"($p, $dim, $c, $pw)" }.mkString(", ")
+  private val semCapsValues: String =
+    semBitCaps.map { case (b, cap) => s"($b, $cap)" }.mkString(", ")
+
   /** The committed learned vectors as a SQL VALUES table (token, dim,
     * w) — 360 rows; auto-synced with the asset the Spark side joins. */
   private val learnedVocabValues: String =
@@ -351,12 +422,23 @@ object SimilarityQueries extends QueryPack {
 
     "dedup_learned_semantic" ->
       s"""WITH $learnedDocVecSql,
+         |planes(p, dim, c, pw) AS (VALUES $semPlanesValues),
+         |caps(bb, cap) AS (VALUES $semCapsValues),
+         |bsel AS (
+         |  SELECT coalesce(min(bb), $SemMaxBits) AS bbits
+         |  FROM caps, (SELECT count(*) AS nd FROM n) WHERE cap >= nd),
+         |proj AS (
+         |  SELECT dv.doc_id, pl.p, max(pl.pw) AS pw,
+         |    sum(CAST(pl.c AS HUGEINT) * dv.s) AS proj
+         |  FROM dv JOIN n ON dv.doc_id = n.doc_id
+         |       JOIN planes pl ON pl.dim = dv.dim
+         |       CROSS JOIN bsel
+         |  WHERE pl.p <= bsel.bbits
+         |  GROUP BY 1, 2),
          |b AS (
-         |  SELECT dv.doc_id,
-         |    CAST(sum(CASE WHEN dim = 1 AND s > 0 THEN 4
-         |                  WHEN dim = 2 AND s > 0 THEN 2
-         |                  WHEN dim = 3 AND s > 0 THEN 1 ELSE 0 END) AS BIGINT) AS bucket
-         |  FROM dv JOIN n ON dv.doc_id = n.doc_id GROUP BY 1),
+         |  SELECT doc_id,
+         |    CAST(sum(CASE WHEN proj > 0 THEN pw ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM proj GROUP BY 1),
          |p AS (
          |  SELECT x.bucket, x.doc_id AS a, y.doc_id AS b
          |  FROM b x JOIN b y ON x.bucket = y.bucket AND x.doc_id < y.doc_id),

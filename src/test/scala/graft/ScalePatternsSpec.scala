@@ -121,6 +121,48 @@ class ScalePatternsSpec extends AnyFunSuite {
       "default block cap must preserve driver-SF blocking")
   }
 
+  test("learned SemDeDup bucket count derives from corpus cardinality; pair envelope shrinks") {
+    import graft.queries.SimilarityQueries
+    // the pure B-selection mirror: driver-SF anchors, monotonicity,
+    // both clamps (the in-plan selection is the same caps table)
+    assert(SimilarityQueries.semBitsFor(1) == SimilarityQueries.SemMinBits)
+    assert(SimilarityQueries.semBitsFor(500) == 5)   // sf0.01 regime
+    assert(SimilarityQueries.semBitsFor(5000) == 8)  // sf0.1 → first LCG plane
+    assert(SimilarityQueries.semBitsFor(40000) == 11) // soak ×8
+    assert(SimilarityQueries.semBitsFor(Long.MaxValue) == SimilarityQueries.SemMaxBits)
+    val ns = Seq(1L, 10L, 100L, 1000L, 10000L, 100000L, 1000000L)
+    assert(ns.map(SimilarityQueries.semBitsFor) == ns.map(SimilarityQueries.semBitsFor).sorted,
+      "B must be monotone in N")
+    // expected-occupancy envelope: 2^B · SemTargetOcc ≥ N for every
+    // unclamped N — the linear pair-stage guarantee
+    ns.filter(n => SimilarityQueries.semBitsFor(n) < SimilarityQueries.SemMaxBits)
+      .foreach { n =>
+        val b = SimilarityQueries.semBitsFor(n)
+        assert((1L << b) * SimilarityQueries.SemTargetOcc >= n, s"n=$n b=$b")
+      }
+    // real-corpus A/B at sf0.001 (N≈500 → adaptive B=5): the adaptive
+    // bucketing must occupy MORE buckets than the r9 fixed-3-bit
+    // scheme and cut the within-bucket pair envelope Σ C(n_b, 2)
+    val dv = graft.CacheRegistry.persistTracked(
+      SimilarityQueries.learnedDocVectors(spark, sf))
+    val nsq = graft.CacheRegistry.persistTracked(
+      dv.groupBy("doc_id")
+        .agg(sum(col("s").cast("decimal(38,0)") * col("s").cast("decimal(38,0)")).as("nsq"))
+        .where(col("nsq") > 0))
+    def envelope(bits: Option[Int]): (Long, Long) = {
+      val occ = SimilarityQueries.learnedBuckets(dv, nsq, bits)
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("buckets"),
+          sum(expr("n * (n - 1) div 2")).as("pairs")).head
+      (occ.getLong(0), occ.getLong(1))
+    }
+    val (bFixed, pFixed) = envelope(Some(3))
+    val (bAuto, pAuto) = envelope(None)
+    SparkEntry.releaseCaches()
+    assert(bAuto > bFixed, s"adaptive buckets $bAuto must exceed fixed $bFixed")
+    assert(pAuto < pFixed, s"pair envelope must shrink: $pAuto vs $pFixed")
+  }
+
   test("kthLargestDecimal property sweep: arbitrary tie/cluster shapes equal the sorted reference") {
     import spark.implicits._
     import graft.queries.StatsQueries
