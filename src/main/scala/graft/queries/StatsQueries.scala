@@ -241,6 +241,115 @@ object StatsQueries extends QueryPack {
     }
   }
 
+  /** Multi-rank exact selection: ALL `ranks` (1-based) resolved in ONE
+    * narrowing walk — each round runs a single bounded histogram job
+    * over the union of the ranks' active slices (a broadcast range
+    * join against the ≤|ranks| slice intervals, which are disjoint by
+    * construction: every slice is a bucket of some earlier round), so
+    * the job count is ≤ 1 + rounds + 1 regardless of how many ranks
+    * ride the walk. This is the r9 kthSmallestPairDouble generalized
+    * to a rank SET (r9 VERDICT #4): RFM's three monetary quantiles
+    * used to pay three independent walks (~15 jobs); now their six
+    * order statistics share one (~6 jobs). Interpolation neighbors
+    * (k, k+1) need no pending-bucket capture here — k+1 is simply
+    * another rank followed through the walk. */
+  private[graft] def kthSmallestMultiDouble(df: DataFrame, vcol: String,
+      ranks: Seq[Long]): Map[Long, Double] = {
+    require(ranks.nonEmpty && ranks.forall(_ >= 1), s"ranks must be >= 1: $ranks")
+    val B = 4096
+    val spark = df.sparkSession
+    import spark.implicits._
+    val slice0 = df.select(col(vcol).cast("double").as("v"))
+    val st = slice0.agg(min("v").as("lo"), max("v").as("hi")).head
+    require(!st.isNullAt(0), "kthSmallestMultiDouble on an empty relation")
+    // per-rank state: current slice [lo, hi] and the rank WITHIN it
+    var state: Map[Long, (Double, Double, Long)] =
+      ranks.distinct.map(r => r -> (st.getDouble(0), st.getDouble(1), r)).toMap
+    var rounds = 0
+    while (state.values.exists(s => s._1 < s._2) && rounds < 4) {
+      rounds += 1
+      val intervals = state.values.collect { case (lo, hi, _) if lo < hi => (lo, hi) }
+        .toSeq.distinct.sortBy(_._1)
+      val slices = intervals.zipWithIndex
+        .map { case ((lo, hi), i) => (i, lo, hi) }.toDF("sid", "slo", "shi")
+      val widthC = greatest(col("shi") - col("slo"),
+        lit(java.lang.Double.MIN_NORMAL))
+      val hist = slice0
+        .join(broadcast(slices), col("v") >= col("slo") && col("v") <= col("shi"))
+        .groupBy(col("sid"),
+          least(greatest(floor((col("v") - col("slo")) / widthC * B), lit(0.0)),
+            lit((B - 1).toDouble)).cast("int").as("b"))
+        .agg(count(lit(1)).as("c"), min("v").as("mn"), max("v").as("mx"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .view.mapValues(_.sortBy(_.getInt(1))).toMap
+      val sidOf = intervals.zipWithIndex.map { case (iv, i) => iv -> i }.toMap
+      state = state.map {
+        case done @ (_, (lo, hi, _)) if lo >= hi => done
+        case (r, (lo, hi, kk0)) =>
+          val hs = hist(sidOf((lo, hi)))
+          var kk = kk0
+          var i = 0
+          var out: (Double, Double, Long) = null
+          while (out == null && i < hs.length) {
+            val c = hs(i).getLong(2)
+            if (kk <= c) out = (hs(i).getDouble(3), hs(i).getDouble(4), kk)
+            else { kk -= c; i += 1 }
+          }
+          require(out != null,
+            s"selection invariant broken: rank $kk exceeds slice mass")
+          r -> out
+      }
+    }
+    val (collapsed, open) = state.partition { case (_, (lo, hi, _)) => lo >= hi }
+    val resolved = collapsed.map { case (r, (lo, _, _)) => r -> lo }
+    if (open.isEmpty) resolved
+    else {
+      // residue pass: the surviving slices' distinct values, still one job
+      val intervals = open.values.map(s => (s._1, s._2)).toSeq.distinct.sortBy(_._1)
+      val slices = intervals.zipWithIndex
+        .map { case ((lo, hi), i) => (i, lo, hi) }.toDF("sid", "slo", "shi")
+      val vals = slice0
+        .join(broadcast(slices), col("v") >= col("slo") && col("v") <= col("shi"))
+        .groupBy("sid", "v").agg(count(lit(1)).as("c"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .view.mapValues(_.sortBy(_.getDouble(1))).toMap
+      val sidOf = intervals.zipWithIndex.map { case (iv, i) => iv -> i }.toMap
+      vals.values.foreach(vs => require(vs.length <= 2000000,
+        s"selection residue still holds ${vs.length} distinct values after " +
+          s"$rounds narrowing rounds — pathological value clustering; raise rounds"))
+      resolved ++ open.map { case (r, (lo, hi, kk0)) =>
+        val vs = vals(sidOf((lo, hi)))
+        var kk = kk0
+        var i = 0
+        while (kk > vs(i).getLong(2)) { kk -= vs(i).getLong(2); i += 1 }
+        r -> vs(i).getDouble(1)
+      }
+    }
+  }
+
+  /** Several exact interpolated quantiles in one multi-rank walk —
+    * percentile()-identical arithmetic per quantile (the
+    * exactQuantileDouble contract), all order statistics fetched
+    * together by [[kthSmallestMultiDouble]]. */
+  private[graft] def exactQuantilesDouble(df: DataFrame, vcol: String,
+      qs: Seq[Double], n: Long): Map[Double, Double] = {
+    require(n >= 1, "quantile of an empty relation")
+    val needs = qs.distinct.map { q =>
+      val pos = q * (n - 1).toDouble
+      (q, pos, math.floor(pos).toLong, math.ceil(pos).toLong)
+    }
+    val ranks = needs.flatMap { case (_, _, lower, higher) =>
+      if (higher == lower) Seq(lower + 1) else Seq(lower + 1, higher + 1)
+    }.distinct
+    val sel = kthSmallestMultiDouble(df, vcol, ranks)
+    needs.map { case (q, pos, lower, higher) =>
+      q -> (if (higher == lower) sel(lower + 1)
+            else (higher - pos) * sel(lower + 1) + (pos - lower) * sel(higher + 1))
+    }.toMap
+  }
+
   override def queries: Map[String, Q] = Map(
     // Top-N per group — the per-key leaderboard shape (top parts per
     // brand by exact-decimal revenue). Aggregate FIRST to part
@@ -525,10 +634,12 @@ object StatsQueries extends QueryPack {
       // domains, so the buffer is the domain, not the customers. The
       // MONETARY column is near-unique per customer (the buffer would
       // be customer-sized on one task — the hidden pareto-class state,
-      // r9); its cutpoints come from exactQuantileDouble instead:
-      // bounded selection passes reproducing percentile()'s
-      // interpolation bit-for-bit (StatsSpec pins that), crossed back
-      // as literals. Oracle unchanged.
+      // r9); its cutpoints come from exact bounded selection instead,
+      // reproducing percentile()'s interpolation bit-for-bit (the
+      // property spec pins that), crossed back as literals — all three
+      // quantiles' order statistics ride ONE multi-rank narrowing walk
+      // (~6 jobs total, was ~15 as three independent walks — r9
+      // VERDICT #4). Oracle unchanged.
       val cuts = broadcast(withR.agg(
         percentile(col("r"), lit(0.25)).as("r1"),
         percentile(col("r"), lit(0.5)).as("r2"),
@@ -537,9 +648,8 @@ object StatsQueries extends QueryPack {
         percentile(col("f"), lit(0.5)).as("f2"),
         percentile(col("f"), lit(0.75)).as("f3")))
       val n = withR.count()
-      val m1 = exactQuantileDouble(withR, "m", 0.25, n)
-      val m2 = exactQuantileDouble(withR, "m", 0.5, n)
-      val m3 = exactQuantileDouble(withR, "m", 0.75, n)
+      val ms = exactQuantilesDouble(withR, "m", Seq(0.25, 0.5, 0.75), n)
+      val (m1, m2, m3) = (ms(0.25), ms(0.5), ms(0.75))
       def bucket(v: Column, q1: Column, q2: Column, q3: Column): Column =
         lit(1L) + (v > q1).cast("long") + (v > q2).cast("long") + (v > q3).cast("long")
       withR.crossJoin(cuts)

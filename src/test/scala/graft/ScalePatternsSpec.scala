@@ -206,13 +206,20 @@ class ScalePatternsSpec extends AnyFunSuite {
     // pinned seed, same reproducibility discipline as the decimal sweep
     val lists = Gen.listOfN(8, Gen.nonEmptyListOf(value))
       .pureApply(Gen.Parameters.default, org.scalacheck.rng.Seed(0xdecaf123L))
-    for (vs <- lists; q <- Seq(0.25, 0.5, 0.75, 0.9)) {
+    for (vs <- lists) {
+      val qs = Seq(0.25, 0.5, 0.75, 0.9)
       val df = vs.map(Tuple1(_)).toDF("v").repartition(5).persist()
-      val expected = df.agg(percentile(col("v"), lit(q))).head.getDouble(0)
-      val got = StatsQueries.exactQuantileDouble(df, "v", q, vs.size.toLong)
+      // the multi-rank walk must agree too (one walk, all quantiles)
+      val multi = StatsQueries.exactQuantilesDouble(df, "v", qs, vs.size.toLong)
+      for (q <- qs) {
+        val expected = df.agg(percentile(col("v"), lit(q))).head.getDouble(0)
+        val got = StatsQueries.exactQuantileDouble(df, "v", q, vs.size.toLong)
+        assert(got == expected,
+          s"q=$q n=${vs.size}: selection $got vs percentile() $expected")
+        assert(multi(q) == expected,
+          s"q=$q n=${vs.size}: multi-rank ${multi(q)} vs percentile() $expected")
+      }
       df.unpersist()
-      assert(got == expected,
-        s"q=$q n=${vs.size}: selection $got vs percentile() $expected")
     }
   }
 
