@@ -65,6 +65,22 @@ object MiscQueries extends QueryPack {
     }
   }
 
+  /** The ER match stage alone — blocking self-join + edit-distance
+    * verifier over a (p_name, nid) entity table — factored out so
+    * PlanInvariantsSpec can pin the LevenshteinBandRule rewrite on the
+    * EXACT pair plan q_entity_resolution executes (the driver query
+    * consumes this eagerly through the union-find, so its final plan
+    * no longer shows the match predicate). */
+  private[graft] def erMatchPairs(names: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val blocked = cappedBlocks(names.select("p_name", "nid"), blockCap)
+    blocked.as("a")
+      .join(blocked.as("b"),
+        col("a.blk") === col("b.blk") && col("a.p_name") < col("b.p_name"))
+      .where(levenshtein(col("a.p_name"), col("b.p_name")) <= 4)
+      .select(least(col("a.nid"), col("b.nid")).as("i"),
+        greatest(col("a.nid"), col("b.nid")).as("j"))
+  }
+
   override def queries: Map[String, Q] = Map(
     // Data-profiling audit — the corpus-health dashboard query every
     // engine needs before anything else runs: row count, per-column
@@ -259,14 +275,7 @@ object MiscQueries extends QueryPack {
       val names = graft.CacheRegistry.persistTracked(
         Tables.part(s, d).groupBy("p_name")
           .agg(min(col("p_partkey")).as("nid"), count(lit(1)).as("rows_n")))
-      val blocked = cappedBlocks(names.select("p_name", "nid"), blockCap)
-      val pairs = blocked.as("a")
-        .join(blocked.as("b"),
-          col("a.blk") === col("b.blk") && col("a.p_name") < col("b.p_name"))
-        .where(levenshtein(col("a.p_name"), col("b.p_name")) <= 4)
-        .select(least(col("a.nid"), col("b.nid")).as("i"),
-          greatest(col("a.nid"), col("b.nid")).as("j"))
-      DedupQueries.pairsToClusters(s, pairs)
+      DedupQueries.pairsToClusters(s, erMatchPairs(names))
         .join(names, col("doc_id") === col("nid"))
         .groupBy("root")
         .agg(min(col("p_name")).as("canonical"), count(lit(1)).as("n_names"),

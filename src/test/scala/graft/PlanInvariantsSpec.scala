@@ -677,6 +677,33 @@ class PlanInvariantsSpec extends AnyFunSuite {
       s"blocked edit-distance match must stay an equi-join:\n$p")
   }
 
+  test("ER/fuzzy driver plans: LevenshteinBandRule FIRED (band + threshold DP in the optimized plan)") {
+    // OptimizerRuleSpec proves the rewrite on synthetic plans; this
+    // closes the loop on the ACTUAL driver queries (r9 VERDICT #7) —
+    // if an edit to the ER family ever reshapes its predicate out of
+    // the rule's reach, the banded-DP speedup silently vanishes and
+    // this pin catches it. The driver session registers the rule via
+    // GraftExtensions (same wiring as `--conf
+    // spark.sql.extensions=graft.GraftExtensions`).
+    import org.apache.spark.sql.functions.{col, count, lit, min}
+    val erNames = Tables.part(spark, sf).groupBy("p_name")
+      .agg(min(col("p_partkey")).as("nid"), count(lit(1)).as("rows_n"))
+    val plans = Seq(
+      // ER's final plan consumes the match stage eagerly (union-find →
+      // LocalRelation), so pin the factored pair stage it executes
+      "q_entity_resolution pair stage" ->
+        graft.queries.MiscQueries.erMatchPairs(erNames),
+      "q_fuzzy_name_pairs" -> SparkEntry.queries("q_fuzzy_name_pairs")(spark, sf))
+    for ((q, df) <- plans) {
+      val p = df.queryExecution.optimizedPlan.toString
+      SparkEntry.releaseCaches()
+      assert(p.contains("Some(4)) >= 0"),
+        s"$q: threshold-DP form missing — the band rule did not fire:\n$p")
+      assert(p.contains("abs((length("),
+        s"$q: length-band short-circuit missing:\n$p")
+    }
+  }
+
   test("mm_audio_silence: per-clip codec kernel, ZERO shuffles") {
     val p = planOf("mm_audio_silence")
     assert(exchangeCount(p) == 0,
