@@ -14,11 +14,14 @@ import graft.functions.TextFunctions._
   * gets the same verdict whether it arrives in a backfill or on the
   * live stream.
   *
-  * Both guards are pure per-row maps — no watermark, no state store,
-  * append-mode safe — which is exactly what an ingest edge wants: the
-  * expensive corpus-level decisions (dedup, funnel accounting) happen
-  * downstream in batch; the edge only TAGS, so late data can never
-  * corrupt guard state.
+  * The tag guards are pure per-row maps — no watermark, no state
+  * store, append-mode safe — which is exactly what an ingest edge
+  * wants: the expensive corpus-level decisions (dedup, funnel
+  * accounting) happen downstream in batch; the edge only TAGS, so
+  * late data can never corrupt guard state. The one stateful member
+  * is [[streamingLeakagePostings]] — an update-mode (source, gram)
+  * postings count whose latest sink rows feed the batch leakage
+  * matrix's pair board unchanged.
   *
   * The eval n-gram set rides a driver broadcast: benchmark suites are
   * MBs even when the training corpus is 100 TB, the same envelope as
@@ -114,6 +117,31 @@ object StreamingGuards {
         hits(col("gs")).as("n_contaminated"))
       .withColumn("clean", col("n_contaminated") === 0L)
   }
+
+  /** Incremental cross-source gram-postings index — the streaming twin
+    * of batch `pipe_leakage_matrix`'s (source, gram-hash) core (the
+    * one guard here that IS stateful — an update-mode count, not a
+    * per-row tag): per arriving document, its DISTINCT 5-gram hashes
+    * (PolyHash64 computed INSIDE the row — gram text never leaves the
+    * map side, the batch invariant) emit (source, h) pairs, and the
+    * keyed count maintains the postings across micro-batches. The
+    * sink's latest row per key IS the batch `sg` relation (presence =
+    * any count ≥ 1), independent of how documents split across
+    * batches; feeding the SAME df-guarded wedge join over the postings
+    * reproduces the batch leakage matrix exactly — EventStreamsSpec
+    * pins a ≥3-split run against the batch query. State is one long
+    * per live (source, gram) key; at 100 TB the store is RocksDB and
+    * the key space is the distinct-gram census, the same envelope as
+    * the span-postings twin (StreamingDedup.streamingSpanPostings). */
+  def streamingLeakagePostings(docs: DataFrame, n: Int = 5): DataFrame =
+    docs
+      .select(col("source"), tokens(col("text")).as("t"))
+      .where(size(col("t")) >= n)
+      .select(col("source"),
+        explode(array_distinct(wordNgrams(col("t"), n))).as("g"))
+      .select(col("source"), graft.functions.PolyHash64Expr(col("g")).as("h"))
+      .groupBy("source", "h")
+      .agg(count(lit(1)).as("occurrences"))
 
   /** Tag each arriving document with the batch quality gate's verdict
     * (same `qualityCounters` kernel and thresholds as

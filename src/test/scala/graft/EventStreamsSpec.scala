@@ -542,6 +542,67 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally stream.stop()
   }
 
+  test("streaming leakage postings converge to the batch (source, gram) core; pair board reproduces the matrix") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingGuards
+    val shared = (1 to 6).map(i => s"s$i").mkString(" ")   // one leaked 5-gram run
+    val boiler = (1 to 5).map(i => s"b$i").mkString(" ")   // in EVERY source
+    val docs = Seq(
+      (1L, "web", s"$shared unique web tail one two"),
+      (2L, "books", s"$shared other continuation here now"),
+      (3L, "code", s"$boiler code only body words here"),
+      (4L, "web", s"$boiler and some more web words"),
+      (5L, "books", s"$boiler books filler tokens go here"),
+      (6L, "wiki", s"totally disjoint wiki text content here"))
+    val mem = MemoryStream[(Long, String, String)]
+    val stream = StreamingGuards.streamingLeakagePostings(
+        mem.toDF().toDF("doc_id", "source", "text"))
+      .writeStream.format("memory").queryName("leak_postings")
+      .outputMode(OutputMode.Update).start()
+    try {
+      mem.addData(docs(0), docs(3)); stream.processAllAvailable()
+      mem.addData(docs(1), docs(2)); stream.processAllAvailable()
+      mem.addData(docs(4), docs(5)); stream.processAllAvailable()
+      // latest row per key = the postings; presence = the batch sg set
+      val postings = spark.table("leak_postings")
+        .groupBy("source", "h").agg(max("occurrences").as("occurrences"))
+        .persist()
+      // the SAME df-guarded pair board the batch query runs (df 2..32);
+      // re-root the lineage first — a self-join through the MemorySink
+      // view trips Spark's conflicting-reference resolution (test-only
+      // concern: a real deployment reads the sink table, not the plan)
+      val sg = spark.createDataFrame(
+        postings.select("source", "h").rdd, postings.select("source", "h").schema)
+      val ok = sg.join(
+          sg.groupBy("h").agg(count(lit(1)).as("sdf"))
+            .where(col("sdf") >= 2 && col("sdf") <= 32), Seq("h"))
+        .select("source", "h")
+      val board = ok.as("a")
+        .join(ok.as("b"),
+          col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+        .agg(count(lit(1)).as("shared_grams"))
+        .as[(String, String, Long)].collect().toSet
+      // batch twin over the same corpus as a documents table
+      val dir = java.nio.file.Files.createTempDirectory("leak_batch").toString
+      docs.map { case (id, src, text) => (id, text, "en", src, text.length) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val batch = SparkEntry.queries("pipe_leakage_matrix")(spark, dir)
+        .as[(String, String, Long)].collect().toSet
+      SparkEntry.releaseCaches()
+      postings.unpersist()
+      assert(batch.nonEmpty, "fixture must produce a non-empty matrix")
+      assert(board == batch, s"leakage matrix mismatch:\nbatch=$batch\nstream=$board")
+      // known row so the fixture can't rot into vacuity: books×web
+      // share the two 5-grams of the leaked 6-token run PLUS the
+      // boilerplate gram (df 3 ≤ cap, so it pairs all three carriers)
+      assert(board.contains(("books", "web", 3L)), s"leaked-run row missing: $board")
+    } finally stream.stop()
+  }
+
   test("streaming span postings converge to the batch index; re-scoring reproduces dup_fraction") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
