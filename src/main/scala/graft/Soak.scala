@@ -217,9 +217,14 @@ object Soak {
   private def appendHotOrder(li: DataFrame): DataFrame =
     if (hotOrderParts <= 0) li
     else li.unionByName(
-      // benign values for every lineitem column (same shared-parquet
-      // reasoning as appendHotBlock): other fact-family probes in the
-      // same soak run read this file too
+      // non-null but OUT-OF-DOMAIN values for every lineitem column
+      // (same shared-parquet reasoning as appendHotBlock, r10 ADVICE
+      // refined): other fact-family probes in the same soak run read
+      // this file too, and an IN-domain filler (r10 used shipdate
+      // 1995 / flags N,O) silently entered their date-range and
+      // flag-grouped row sets. Sentinels — a shipdate past the TPC-H
+      // 1992–1998 window and a flag pair no real row carries — fall
+      // out of every range/flag predicate while staying non-null.
       li.sparkSession.range(hotOrderParts).select(
         lit(999999999L).as("l_orderkey"),
         (col("id") + 900000000L).as("l_partkey"),
@@ -229,9 +234,9 @@ object Soak {
         lit(0.0d).as("l_extendedprice"),
         lit(0.0d).as("l_discount"),
         lit(0.0d).as("l_tax"),
-        lit("N").as("l_returnflag"),
-        lit("O").as("l_linestatus"),
-        lit("1995-01-01 00:00:00").cast("timestamp").as("l_shipdate")),
+        lit("X").as("l_returnflag"),
+        lit("X").as("l_linestatus"),
+        lit("2099-01-01 00:00:00").cast("timestamp").as("l_shipdate")),
       allowMissingColumns = true)
 
   private def scaleCopies(docs: DataFrame, k: Int, sharedDen: Int, historyOnly: Boolean): DataFrame = {
@@ -259,11 +264,13 @@ object Soak {
 
   /** lineitem scaled k×: copy c shifts l_orderkey / l_partkey so the
     * co-occurrence graph gains k disjoint isomorphic components. */
-  /** embeddings scaled k×: copy c shifts vec_id. The centroid PARAMS of
-    * `dedup_semantic` stay `vec_id < 8` (copy 0 only) — deliberately:
-    * this measures the fixed-K regime, where clusters grow k× and the
-    * intra-cluster pair stage grows ~k², which is the documented reason
-    * production SemDeDup scales K with the corpus. */
+  /** embeddings scaled k×: copy c shifts vec_id. `dedup_semantic`'s
+    * adaptive pieces both ride the scaled table: B grows with N (so
+    * bucket count and expected occupancy track the corpus), and each
+    * bucket's centroid candidates are its own lowest vec_ids —
+    * under the shift those come from copy 0, which is fine: copies
+    * are isomorphic, and the r11 scheme's cost is O(N·C) regardless
+    * of where the centroids sit. */
   /** The one shift-and-union kernel behind every keyed table: copy c
     * shifts each named key by c·KeyShift (copy 0 is the original), so
     * copies are key-disjoint isomorphic replicas. Keys that two tables

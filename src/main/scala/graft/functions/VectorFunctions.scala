@@ -59,6 +59,44 @@ object VectorFunctions {
     f(v)
   }
 
+  /** Integer SRP coefficients for the ORACLE-REPLICATED sign-bucket
+    * family: plane p, dim i → (splitmix64 mod 1024) − 512 ∈ [−512, 511].
+    * Unlike [[srpBucket]]'s fractional coefficients (certificate-graded
+    * only), these are integers so the DuckDB oracle interpolates them
+    * EXACTLY, and ±512 × a float mantissa fits in 34 significant bits —
+    * every per-term product is exact in double, leaving the fixed
+    * left-to-right summation as the only rounding, which both engines
+    * share (the [[dotExpr]] discipline). */
+  def srpIntCoeffs(planes: Int, dim: Int): Array[Array[Long]] =
+    Array.tabulate(planes, dim)((p, i) =>
+      (splitmix64(1000000007L + p.toLong * dim + i) & 1023L) - 512L)
+
+  /** Sign bucket over the first `bits` planes of `coeffs` (bits is a
+    * COLUMN — the adaptive-B selection rides the plan, no driver
+    * action): bit p set iff Σᵢ coeffs(p)(i)·v(i) > 0, products exact,
+    * sum left-to-right from +0.0 (x + 0.0 = x exactly, so the fold
+    * equals the oracle's bare term chain). A UDF, not an unrolled
+    * expression, for the same janino reason as [[srpBucket]]:
+    * 16×64 = 1024 codegen terms cost more to compile than to run,
+    * while the primitive loop is compile-free and equally distributed
+    * (map-side only — buckets shuffle as one long). */
+  def signBucket(v: Column, bits: Column, coeffs: Array[Array[Long]], dim: Int): Column = {
+    val f = udf { (vec: Array[Float], bits: Long) =>
+      var bucket = 0L
+      var p = 0
+      while (p < bits) {
+        var proj = 0.0
+        val row = coeffs(p)
+        var i = 0
+        while (i < dim) { proj += vec(i).toDouble * row(i); i += 1 }
+        if (proj > 0) bucket |= (1L << p)
+        p += 1
+      }
+      bucket
+    }
+    f(v, bits)
+  }
+
   /** max |a[i]|, unrolled (floored at 1e-30 so a zero vector quantizes
     * to all-zeros instead of NaN). */
   def maxAbsExpr(a: Column, dim: Int): Column =

@@ -36,6 +36,74 @@ object DedupQueries extends QueryPack {
   private val CosineThreshold = 0.4
   private val Dim = 64
 
+  /** Adaptive bit-count policy of dedup_semantic's SRP coarse
+    * quantizer (the learned tier's caps-table discipline at target
+    * occupancy 64, the old scheme's expected cluster size): B =
+    * smallest b in [SemMinBits, SemMaxBits] with 2^b·64 ≥ N —
+    * integer-only selection on both engines. */
+  private[graft] val SemOcc = 64L
+  private[graft] val SemMinBits = 3
+  private[graft] val SemMaxBits = 16
+  private[graft] val semCaps: Seq[(Long, Long)] =
+    (SemMinBits to SemMaxBits).map(b => (b.toLong, (1L << b) * SemOcc))
+
+  /** Centroid candidates per bucket — bounds assignment at O(N·C). */
+  private[graft] val CentsPerBucket = 4
+
+  /** Committed integer SRP coefficients, one row per plane (16×64) —
+    * interpolated into the oracle term-by-term. */
+  private[graft] val semCoeffs: Array[Array[Long]] =
+    srpIntCoeffs(SemMaxBits, Dim)
+
+  /** Bucketing stage of dedup_semantic, UNCACHED (the query persists
+    * it; PlanInvariantsSpec plans it bare so the one 1-row scalar
+    * nested-loop is exactly countable — the erMatchPairs discipline):
+    * adaptive B from the caps table, then the map-side sign bucket. */
+  private[graft] def semBucketed(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bsel = semCaps.toDF("bbits", "cap")
+      .crossJoin(Tables.embeddings(s, d).agg(count(lit(1)).as("n")))
+      .where(col("cap") >= col("n"))
+      .agg(coalesce(min("bbits"), lit(SemMaxBits.toLong)).as("bbits"))
+    Tables.fanout(Tables.embeddings(s, d))
+      .select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(bsel))
+      .select(col("vec_id"), col("embedding"),
+        signBucket(col("embedding"), col("bbits"), semCoeffs, Dim).as("bucket"))
+  }
+
+  /** Assignment stage of dedup_semantic: per-bucket centroid
+    * candidates (first CentsPerBucket by vec_id) → nearest by
+    * (round-6 cosine desc, cluster asc) via a bucket equi-join. */
+  private[graft] def semAssign(bucketed: DataFrame): DataFrame = {
+    val byId = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket").orderBy(col("vec_id").asc)
+    val cents = bucketed
+      .withColumn("crn", row_number().over(byId))
+      .where(col("crn") <= CentsPerBucket)
+      .select(col("bucket"), col("vec_id").as("cluster"), col("embedding").as("cvec"))
+    val bySim = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("sim").desc, col("cluster").asc)
+    bucketed.join(cents, Seq("bucket"))
+      .select(col("vec_id"), col("cluster"), col("embedding"),
+        round(cosineExpr(col("embedding"), col("cvec"), Dim), 6).as("sim"))
+      .withColumn("rn", row_number().over(bySim))
+      .where(col("rn") === 1)
+      .drop("rn")
+  }
+
+  /** Per-cluster member cap for the intra-cluster pair stage: members
+    * ranked past the cap (by vec_id) never generate candidate pairs,
+    * so an adversarial corpus that piles mass into one cluster stays
+    * O(cap²) instead of quadratic — they still appear in the output
+    * census with is_dup decided by the capped prefix. ~10× the
+    * expected cluster size (64/C ≈ 16), so it never binds on an
+    * honest corpus (both driver SFs stay hash-identical with the cap
+    * off). `SPARK_GRAFT_SEM_CLUSTER_CAP` overrides (0 disables — the
+    * soak A/B arm). */
+  private[graft] def semClusterCap: Long =
+    sys.env.get("SPARK_GRAFT_SEM_CLUSTER_CAP").map(_.toLong).getOrElse(256L)
+
   /** (doc_id, hs: distinct word-3-gram shingle hashes) for docs with
     * >= 3 tokens. */
   private def docShingleHashes(s: SparkSession, d: String): DataFrame =
@@ -470,43 +538,42 @@ object DedupQueries extends QueryPack {
         .where(col("jac") >= JaccardThreshold)
     }),
 
-    // SemDeDup-style semantic dedup: assign every embedding to its
-    // nearest of K centroids (the K lowest vec_ids, which keeps the
-    // query SQL-oracle-able; `VectorKMeans.fit` is the deterministic
-    // trainer a production run plugs in — the assignment math is
-    // identical), then look for near-dups only WITHIN a cluster. The
-    // clusters are the candidate buckets that keep the pair stage at
-    // O(Σ cluster²) instead of O(n²) — the trade is recall (pairs that
-    // straddle a cluster boundary are missed; CurationSpec pins the
-    // within-cluster slice against the brute-force query). K is
-    // ADAPTIVE (r9 VERDICT #2's "shares the regime" note):
-    // K = max(8, ceil(N/64)) in pure integer arithmetic on both
-    // engines, so expected occupancy stays ≈64 and the pair envelope
-    // grows linearly with the corpus — N≈500 keeps the r9 K=8,
-    // N≈2000 (sf0.1) probes 32 centroids. Clusters can still skew
-    // (K-nearest assignment has no balance guarantee — the learned
-    // tier's sign buckets are the balanced variant); the adaptive K
-    // removes the FIXED-K quadratic. Output: one row per vector with
-    // its cluster, centroid similarity, and whether an earlier cluster
-    // member already covers it (is_dup).
+    // SemDeDup-style semantic dedup, bucket-local edition (r10 VERDICT
+    // #1: the adaptive-K scheme assigned every vector against ALL
+    // K = ceil(N/64) broadcast centroids — O(N²/64) work plus a
+    // broadcast that GREW with N; the ×16 soak kneed 7.2 → 29.1 s for
+    // 2× data). Now the coarse quantizer is an SRP sign bucket (the
+    // learned tier's discipline, moved onto the raw float vectors):
+    // B = smallest b with 2^b·64 ≥ N (integer caps-table selection,
+    // no log2), bucket bit p set iff the integer-coefficient
+    // projection Σ c(p,i)·v(i) is positive — every product exact in
+    // double (±512 × a float mantissa = 34 significant bits),
+    // summation order fixed left-to-right, so DuckDB replays the
+    // bucket bit-for-bit. Each bucket's centroids are its first
+    // CentsPerBucket members by vec_id (a window, not a trained
+    // quantizer — `VectorKMeans.fit` is the production plug-in; the
+    // assignment math is what matters), and every vector assigns to
+    // the nearest centroid IN ITS OWN BUCKET: O(N·C) work via an
+    // equi-join on bucket, and nothing broadcast grows with N.
+    // Near-dups only WITHIN a cluster, and only among a cluster's
+    // first semClusterCap members by vec_id (adversarial mass piling
+    // into one bucket stays bounded — the df-cap discipline; the
+    // census row set keeps EVERY vector). The recall trade (pairs
+    // straddling a bucket or cluster boundary are missed) is pinned
+    // by CurationSpec's within-cluster-slice equality vs brute force.
+    // Output: one row per vector with its cluster, centroid
+    // similarity, and whether an earlier capped cluster member
+    // already covers it (is_dup).
     "dedup_semantic" -> ((s, d) => {
-      val kSel = Tables.embeddings(s, d).agg(count(lit(1)).as("n"))
-        .select(expr("greatest(CAST(8 AS BIGINT), (n + 63) div 64)").as("k"))
-      val cents = Tables.embeddings(s, d).crossJoin(broadcast(kSel))
-        .where(col("vec_id") < col("k"))
-        .select(col("vec_id").as("cluster"), col("embedding").as("cvec"))
-      val bySim = org.apache.spark.sql.expressions.Window
-        .partitionBy("vec_id").orderBy(col("sim").desc, col("cluster").asc)
       val assign = graft.CacheRegistry.persistTracked(
-        Tables.fanout(Tables.embeddings(s, d))
-          .select(col("vec_id"), col("embedding"))
-          .crossJoin(broadcast(cents))
-          .select(col("vec_id"), col("cluster"), col("embedding"),
-            round(cosineExpr(col("embedding"), col("cvec"), Dim), 6).as("sim"))
-          .withColumn("rn", row_number().over(bySim))
-          .where(col("rn") === 1)
-          .drop("rn"))
-      val dups = assign.as("a").join(assign.as("b"),
+        semAssign(graft.CacheRegistry.persistTracked(semBucketed(s, d))))
+      val byCluster = org.apache.spark.sql.expressions.Window
+        .partitionBy("cluster").orderBy(col("vec_id").asc)
+      val capped =
+        if (semClusterCap <= 0) assign
+        else assign.withColumn("krn", row_number().over(byCluster))
+          .where(col("krn") <= semClusterCap).drop("krn")
+      val dups = capped.as("a").join(capped.as("b"),
           col("a.cluster") === col("b.cluster") &&
             col("a.vec_id") < col("b.vec_id") &&
             round(cosineExpr(col("a.embedding"), col("b.embedding"), Dim), 6)
@@ -576,6 +643,25 @@ FROM sh LEFT JOIN cnt ON sh.doc_id = cnt.doc_id"""
   private def dotSql(a: String, b: String): String =
     (1 to Dim).map(i => s"CAST($a.embedding[$i] AS DOUBLE) * CAST($b.embedding[$i] AS DOUBLE)")
       .mkString(" + ")
+
+  /** The caps table of the adaptive B selection as SQL VALUES rows —
+    * generated from the SAME Scala table the Spark plan joins. */
+  private val semCapsValues: String =
+    semCaps.map { case (b, cap) => s"($b, $cap)" }.mkString(", ")
+
+  /** The signBucket UDF replayed in SQL: per plane p a bare
+    * left-to-right chain of `coeff * CAST(e.embedding[i] AS DOUBLE)`
+    * terms (each product exact — integer coefficient × float value —
+    * so only the shared summation order rounds), one CASE per plane
+    * gated on p < bbits contributing 2^p when the projection is
+    * positive. Coefficients interpolated from [[semCoeffs]]. */
+  private val semBucketSql: String =
+    semCoeffs.zipWithIndex.map { case (row, p) =>
+      val proj = row.zipWithIndex
+        .map { case (c, i) => s"$c * CAST(e.embedding[${i + 1}] AS DOUBLE)" }
+        .mkString(" + ")
+      s"(CASE WHEN bsel.bbits > $p AND ($proj) > 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
 
   private val jaccardCtes =
     s"""toks AS (
@@ -733,27 +819,49 @@ FROM sh LEFT JOIN cnt ON sh.doc_id = cnt.doc_id"""
          |JOIN sizes sb ON j = sb.doc_id
          |WHERE round(c * 1.0 / (sa.n + sb.n - c), 6) >= $JaccardThreshold""".stripMargin,
 
-    "dedup_semantic" ->
-      s"""WITH cents AS (
-         |  SELECT vec_id AS cluster, embedding FROM embeddings
-         |  WHERE vec_id < (SELECT greatest(8, (count(*) + 63) // 64) FROM embeddings)),
+    "dedup_semantic" -> {
+      // cap disabled (soak A/B arm) → the pair stage reads a1 whole
+      val cappedCte =
+        if (semClusterCap <= 0) "SELECT vec_id, cluster FROM a1"
+        else
+          s"""SELECT vec_id, cluster FROM (
+             |    SELECT vec_id, cluster, row_number() OVER (PARTITION BY cluster
+             |      ORDER BY vec_id) AS krn FROM a1)
+             |  WHERE krn <= $semClusterCap""".stripMargin
+      s"""WITH caps(bb, cap) AS (VALUES $semCapsValues),
+         |bsel AS (
+         |  SELECT coalesce(min(bb), $SemMaxBits) AS bbits
+         |  FROM caps, (SELECT count(*) AS n FROM embeddings) WHERE cap >= n),
+         |b AS (
+         |  SELECT e.vec_id, CAST($semBucketSql AS BIGINT) AS bucket
+         |  FROM embeddings e CROSS JOIN bsel),
+         |cents AS (
+         |  SELECT bucket, vec_id AS cluster FROM (
+         |    SELECT bucket, vec_id, row_number() OVER (PARTITION BY bucket
+         |      ORDER BY vec_id) AS crn FROM b)
+         |  WHERE crn <= $CentsPerBucket),
          |sims AS (
-         |  SELECT v.vec_id, c.cluster, round((${dotSql("v", "c")}) /
-         |    sqrt((${dotSql("v", "v")}) * (${dotSql("c", "c")})), 6) AS sim
-         |  FROM embeddings v CROSS JOIN cents c),
+         |  SELECT b.vec_id, c.cluster, round((${dotSql("v", "cv")}) /
+         |    sqrt((${dotSql("v", "v")}) * (${dotSql("cv", "cv")})), 6) AS sim
+         |  FROM b JOIN embeddings v ON b.vec_id = v.vec_id
+         |       JOIN cents c ON b.bucket = c.bucket
+         |       JOIN embeddings cv ON cv.vec_id = c.cluster),
          |a1 AS (
          |  SELECT vec_id, cluster, sim FROM (
          |    SELECT *, row_number() OVER (PARTITION BY vec_id
          |      ORDER BY sim DESC, cluster ASC) AS rn FROM sims)
          |  WHERE rn = 1),
+         |capped AS (
+         |  $cappedCte),
          |dups AS (
-         |  SELECT DISTINCT b.vec_id
-         |  FROM a1 a JOIN a1 b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         |  SELECT DISTINCT b2.vec_id
+         |  FROM capped a JOIN capped b2 ON a.cluster = b2.cluster AND a.vec_id < b2.vec_id
          |  JOIN embeddings x ON x.vec_id = a.vec_id
-         |  JOIN embeddings y ON y.vec_id = b.vec_id
+         |  JOIN embeddings y ON y.vec_id = b2.vec_id
          |  WHERE round((${dotSql("x", "y")}) /
          |    sqrt((${dotSql("x", "x")}) * (${dotSql("y", "y")})), 6) >= $CosineThreshold)
          |SELECT a1.vec_id, a1.cluster, a1.sim,
          |  CAST(CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_dup
-         |FROM a1 LEFT JOIN dups d ON a1.vec_id = d.vec_id""".stripMargin)
+         |FROM a1 LEFT JOIN dups d ON a1.vec_id = d.vec_id""".stripMargin
+    })
 }

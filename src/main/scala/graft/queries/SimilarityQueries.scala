@@ -137,6 +137,23 @@ object SimilarityQueries extends QueryPack {
     semBitCaps.collectFirst { case (b, cap) if cap >= n => b.toInt }
       .getOrElse(SemMaxBits)
 
+  /** Per-bucket member cap for the learned tier's pair stage (r10
+    * VERDICT #4): expected occupancy ≈SemTargetOcc assumes sign-bit
+    * balance, and an adversarially correlated corpus (every doc's
+    * projections sharing signs) piles mass into ONE bucket with no
+    * guard — unlike every other pair stage in the repo. Members ranked
+    * past the cap by doc_id never enter the pair join, bounding the
+    * worst bucket at O(cap²); the n_docs census still counts EVERY
+    * member, so a capped bucket is visible in the output (occupancy ≫
+    * n_dup_pairs envelope) rather than silently truncated. ~10× the
+    * expected occupancy, so it never binds on an honest corpus (both
+    * driver SFs hash-identical with the cap off — ScalePatternsSpec
+    * pins the planted correlated corpus where it does bind).
+    * `SPARK_GRAFT_SEM_BUCKET_CAP` overrides (0 disables — the soak
+    * A/B arm). */
+  private[graft] def semBucketCap: Long =
+    sys.env.get("SPARK_GRAFT_SEM_BUCKET_CAP").map(_.toLong).getOrElse(256L)
+
   /** Sign-plane table (p, dim, c, pw): planes 1..7 are the axis signs
     * of learned dims 1..7 (dim 0 is the all-positive Perron component,
     * EmbeddingSpec-pinned premise — every doc agrees there, zero
@@ -244,8 +261,15 @@ object SimilarityQueries extends QueryPack {
         dv.groupBy("doc_id").agg(sum(ld(col("s")) * ld(col("s"))).as("nsq"))
           .where(col("nsq") > 0))
       val b = graft.CacheRegistry.persistTracked(learnedBuckets(dv, nsq))
-      val pairs = b.as("x")
-        .join(b.as("y"),
+      // pair stage reads only each bucket's first semBucketCap members
+      // by doc_id (bounded worst bucket); the census below reads b whole
+      val capped =
+        if (semBucketCap <= 0) b
+        else b.withColumn("brn", row_number().over(
+            Window.partitionBy("bucket").orderBy(col("doc_id").asc)))
+          .where(col("brn") <= semBucketCap).drop("brn")
+      val pairs = capped.as("x")
+        .join(capped.as("y"),
           col("x.bucket") === col("y.bucket") && col("x.doc_id") < col("y.doc_id"))
         .select(col("x.bucket").as("bucket"),
           col("x.doc_id").as("a"), col("y.doc_id").as("b"))
@@ -382,6 +406,16 @@ object SimilarityQueries extends QueryPack {
       vs.zipWithIndex.map { case (w, i) => s"('$t', $i, $w)" }
     }.mkString(", ")
 
+  /** The bucket-cap filter as a CTE body (cap disabled → pass b
+    * through whole, the soak A/B arm). */
+  private def learnedCappedCte: String =
+    if (semBucketCap <= 0) "SELECT doc_id, bucket FROM b"
+    else
+      s"""SELECT doc_id, bucket FROM (
+         |    SELECT doc_id, bucket, row_number() OVER (PARTITION BY bucket
+         |      ORDER BY doc_id) AS brn FROM b)
+         |  WHERE brn <= $semBucketCap""".stripMargin
+
   /** Shared learned-doc-vector CTE chain: vocab, tokens, counts, the
     * integer (doc_id, dim, s) vectors, and the positive norms. */
   private val learnedDocVecSql: String =
@@ -439,9 +473,11 @@ object SimilarityQueries extends QueryPack {
          |  SELECT doc_id,
          |    CAST(sum(CASE WHEN proj > 0 THEN pw ELSE 0 END) AS BIGINT) AS bucket
          |  FROM proj GROUP BY 1),
+         |capped AS (
+         |  ${learnedCappedCte}),
          |p AS (
          |  SELECT x.bucket, x.doc_id AS a, y.doc_id AS b
-         |  FROM b x JOIN b y ON x.bucket = y.bucket AND x.doc_id < y.doc_id),
+         |  FROM capped x JOIN capped y ON x.bucket = y.bucket AND x.doc_id < y.doc_id),
          |pd AS (
          |  SELECT p.bucket, p.a, p.b, sum(CAST(da.s AS HUGEINT) * db.s) AS dot
          |  FROM p JOIN dv da ON da.doc_id = p.a

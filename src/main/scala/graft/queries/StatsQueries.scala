@@ -323,7 +323,13 @@ object StatsQueries extends QueryPack {
         val vs = vals(sidOf((lo, hi)))
         var kk = kk0
         var i = 0
-        while (kk > vs(i).getLong(2)) { kk -= vs(i).getLong(2); i += 1 }
+        while (i < vs.length && kk > vs(i).getLong(2)) { kk -= vs(i).getLong(2); i += 1 }
+        // same diagnostic as the narrowing loop's invariant — fires if a
+        // caller's n over-counts the slice (e.g. null vcol rows, which
+        // the histogram joins drop) instead of an opaque AIOOBE
+        require(i < vs.length,
+          s"selection invariant broken: rank $kk0 exceeds residue slice mass " +
+            s"(null $vcol rows counted in n?)")
         r -> vs(i).getDouble(1)
       }
     }

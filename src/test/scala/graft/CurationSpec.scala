@@ -109,8 +109,15 @@ class CurationSpec extends AnyFunSuite {
     SparkEntry.releaseCaches()
     val cluster = assign.map(r => r._1 -> r._2).toMap
     val gotDups = assign.filter(_._3 == 1L).map(_._1).toSet
-    // centroids are the lowest id of their own cluster: never dups
-    (0L until 8L).foreach(c => assert(cluster(c) == c && !gotDups.contains(c)))
+    // every cluster id is a centroid that assigned to ITSELF: its own
+    // sim is exactly 1.0, which beats any other bucket-local candidate
+    // (a round-6 tie would need an exact-duplicate centroid pair, absent
+    // in the driver corpus)
+    val clusterIds = cluster.values.toSet
+    clusterIds.foreach(c => assert(cluster(c) == c, s"centroid $c not self-assigned"))
+    // bucket-local centroids: strictly more clusters than the r10
+    // global-K floor of 8 (sf0.01 → B=3 → 8 buckets × up to 4 centroids)
+    assert(clusterIds.size > 8, s"expected >8 clusters, got ${clusterIds.size}")
     val brutePairs = SparkEntry.queries("dedup_embedding_cosine")(spark, sf)
       .select("i", "j").as[(Long, Long)].collect()
     SparkEntry.releaseCaches()

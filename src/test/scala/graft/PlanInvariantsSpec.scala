@@ -123,12 +123,41 @@ class PlanInvariantsSpec extends AnyFunSuite {
       s"the vocabulary-sized df table must broadcast onto tf:\n$p")
   }
 
-  test("dedup_semantic: assignment computed once (cached), centroids broadcast") {
+  test("dedup_semantic: bucket-local assignment — keyed joins only, no N-sized broadcast") {
+    // the composed driver plan re-renders its cached subtrees once per
+    // scan, so nested-loop occurrences there aren't countable; plan the
+    // factored stages BARE (the erMatchPairs discipline) and count.
+    // The r10 scheme's N-growing centroid broadcast cross is exactly
+    // what must not come back.
+    import graft.queries.DedupQueries
+    import org.apache.spark.sql.catalyst.optimizer.BuildLeft
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    val assign = DedupQueries.semAssign(DedupQueries.semBucketed(spark, sf))
+    val plan = assign.queryExecution.sparkPlan
+    // every nested-loop must build from a GLOBAL (groupless) aggregate —
+    // a guaranteed single row (the caps×N and vectors×bsel scalar
+    // attaches); a build side that grows with the data (the r10
+    // centroid broadcast) fails this
+    val badCross = plan.collect { case j: BroadcastNestedLoopJoinExec => j }
+      .filterNot { j =>
+        val build = if (j.buildSide == BuildLeft) j.left else j.right
+        build.collectFirst {
+          case a: HashAggregateExec if a.groupingExpressions.isEmpty => a
+        }.isDefined
+      }
+    assert(badCross.isEmpty,
+      s"nested-loop against a non-scalar build side:\n${badCross.mkString("\n")}\n$plan")
+    // sparkPlan predates EnsureRequirements, so read the exchanges off
+    // the executed plan
+    val pa = assign.queryExecution.executedPlan.toString
+    assert(!pa.contains("CartesianProduct"), s"no cartesian anywhere:\n$pa")
+    // centroid assignment must key on the SRP bucket
+    assert(pa.contains("hashpartitioning(bucket"),
+      s"assignment must hash-distribute on the bucket column:\n$pa")
+    // and the composed query must read the persisted assignment in the
+    // pair stage, not recompute it
     val p = planOf("dedup_semantic")
-    // the K-centroid cross product is a deliberate 8-row broadcast
-    assert(p.contains("BroadcastNestedLoopJoin Cross BuildRight"),
-      s"centroid assignment should be a tiny broadcast cross:\n$p")
-    // the self-join must read the persisted assignment, not recompute it
     assert(p.contains("InMemoryTableScan"),
       s"assignment must be reused via cache in the pair stage:\n$p")
   }
@@ -694,13 +723,26 @@ class PlanInvariantsSpec extends AnyFunSuite {
       "q_entity_resolution pair stage" ->
         graft.queries.MiscQueries.erMatchPairs(erNames),
       "q_fuzzy_name_pairs" -> SparkEntry.queries("q_fuzzy_name_pairs")(spark, sf))
+    // structural match, not toString fragments (r10 ADVICE): collect
+    // the expression trees and look for the rule's two products — a
+    // Levenshtein carrying threshold Some(4) (the DP early-exit form)
+    // and the abs(length − length) band guard — so a Spark upgrade's
+    // expression rendering can't break the pin spuriously
+    import org.apache.spark.sql.catalyst.expressions.{Abs, Length, Levenshtein, Literal, Subtract}
     for ((q, df) <- plans) {
-      val p = df.queryExecution.optimizedPlan.toString
+      val plan = df.queryExecution.optimizedPlan
       SparkEntry.releaseCaches()
-      assert(p.contains("Some(4)) >= 0"),
-        s"$q: threshold-DP form missing — the band rule did not fire:\n$p")
-      assert(p.contains("abs((length("),
-        s"$q: length-band short-circuit missing:\n$p")
+      val exprs = plan.collect { case n => n.expressions }.flatten
+        .flatMap(e => e.collect { case x => x })
+      val thresholds = exprs.collect {
+        case Levenshtein(_, _, Some(Literal(t, _))) => t
+      }
+      assert(thresholds.contains(4),
+        s"$q: no Levenshtein with threshold Some(4) — the band rule did not fire:\n$plan")
+      assert(exprs.exists {
+        case Abs(Subtract(_: Length, _: Length, _), _) => true
+        case _ => false
+      }, s"$q: length-band short-circuit missing:\n$plan")
     }
   }
 

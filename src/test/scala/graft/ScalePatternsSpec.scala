@@ -163,6 +163,68 @@ class ScalePatternsSpec extends AnyFunSuite {
     assert(pAuto < pFixed, s"pair envelope must shrink: $pAuto vs $pFixed")
   }
 
+  test("learned SemDeDup bucket cap: a planted correlated corpus bounds the pair stage; census intact") {
+    import spark.implicits._
+    import graft.queries.SimilarityQueries
+    val cap = SimilarityQueries.semBucketCap
+    assert(cap == 256L, s"test assumes the default cap, got $cap")
+    // adversarial corpus: every doc IDENTICAL (all projections share
+    // signs → one bucket, the exact failure mode the cap guards) —
+    // cap+20 members, each pair at cosine exactly 1.0 ≥ SemDupT
+    val m = (cap + 20).toInt
+    val text = graft.functions.EmbeddingVectors.Vectors.take(3)
+      .map(_._1).mkString(" ")
+    val dir = s"/tmp/graft_sembucketcap_${suiteName.hashCode}"
+    (0 until m).map(i => (i.toLong, text)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("dedup_learned_semantic")(spark, dir)
+      .select("n_docs", "n_dup_pairs").as[(Long, Long)].collect()
+    SparkEntry.releaseCaches()
+    assert(out.length == 1, s"identical docs must share one bucket: ${out.toSeq}")
+    // census counts EVERY member (capped bucket visible, not truncated)…
+    assert(out.head._1 == m.toLong, s"census must be $m, got ${out.head._1}")
+    // …while the pair stage reads only the first `cap` members by doc_id
+    assert(out.head._2 == cap * (cap - 1) / 2,
+      s"pairs must bound at C(cap,2)=${cap * (cap - 1) / 2}, got ${out.head._2}")
+    // the default cap is invisible on an honest corpus: no sf0.001
+    // bucket comes near it, so the capped prefix is every member
+    val dv = graft.CacheRegistry.persistTracked(
+      SimilarityQueries.learnedDocVectors(spark, sf))
+    val nsq = dv.groupBy("doc_id")
+      .agg(sum(col("s").cast("decimal(38,0)") * col("s").cast("decimal(38,0)")).as("nsq"))
+      .where(col("nsq") > 0)
+    val maxOcc = SimilarityQueries.learnedBuckets(dv, nsq)
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+      .agg(max("n")).head.getLong(0)
+    SparkEntry.releaseCaches()
+    assert(maxOcc < cap, s"real-corpus max occupancy $maxOcc must sit under the cap")
+  }
+
+  test("dedup_semantic cluster cap: planted identical vectors stay O(cap²); every row still in the census") {
+    import spark.implicits._
+    import graft.queries.DedupQueries
+    val cap = DedupQueries.semClusterCap
+    assert(cap == 256L, s"test assumes the default cap, got $cap")
+    // cap+20 identical embeddings: one SRP bucket, every sim ties at
+    // 1.0 so the whole corpus assigns to cluster 0 (lowest centroid)
+    val m = (cap + 20).toInt
+    val vec = Array.tabulate(64)(i => (0.01f * (i % 7 + 1)))
+    val dir = s"/tmp/graft_semclustercap_${suiteName.hashCode}"
+    (0 until m).map(i => (i.toLong, vec)).toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = SparkEntry.queries("dedup_semantic")(spark, dir)
+      .select("vec_id", "cluster", "is_dup").as[(Long, Long, Long)].collect()
+    SparkEntry.releaseCaches()
+    assert(out.length == m, s"census must keep every vector, got ${out.length}")
+    assert(out.forall(_._2 == 0L), "ties must all resolve to the lowest centroid")
+    // pair stage saw only the first `cap` members: b-sides 1..cap-1
+    // flag as dups, the excluded tail stays 0 — bounded, deterministic
+    assert(out.count(_._3 == 1L) == (cap - 1),
+      s"exactly cap-1 dups expected, got ${out.count(_._3 == 1L)}")
+    assert(out.filter(_._1 >= cap).forall(_._3 == 0L),
+      "members past the cap never enter the pair stage")
+  }
+
   test("kthLargestDecimal property sweep: arbitrary tie/cluster shapes equal the sorted reference") {
     import spark.implicits._
     import graft.queries.StatsQueries
