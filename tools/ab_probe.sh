@@ -42,8 +42,10 @@ for i in $(seq 1 "$N"); do
   for arm in A B; do
     envs="$([ "$arm" = A ] && echo "$ARM_A" || echo "$ARM_B")"
     # shellcheck disable=SC2086
-    env $envs sbt -batch "runMain graft.Probe $QUERIES" 2>/dev/null |
-      grep '^PROBE' | sed "s/^PROBE/PROBE $arm $i/" | tee -a "$LOG"
+    # Probe lives in the root package, and sbt prefixes forked stdout
+    # with "[info] " — strip it with grep -o rather than anchoring
+    env $envs sbt -batch "runMain Probe $QUERIES" 2>/dev/null |
+      grep -o 'PROBE .*' | sed "s/^PROBE/PROBE $arm $i/" | tee -a "$LOG"
   done
 done
 
