@@ -43,7 +43,13 @@ object Soak {
     "text_lm_surprisal", "mm_image_phash",
     // r9 wave: the two rewritten scale fixes + the learned-vector tier
     "q_pareto_share", "q_entity_resolution",
-    "sim_topk_learned", "dedup_learned_semantic")
+    "sim_topk_learned", "dedup_learned_semantic",
+    // r11 wave: bench-heavy rows that had never been soaked — the
+    // salted-join and multi-rank-walk mechanisms ARE scale mechanisms,
+    // so their curves belong in the standing evidence
+    "q_orders_rfm", "q_skew_salted_join", "assoc_basket_lift",
+    "pipe_leakage_matrix", "sim_topk_int8", "mm_resize_stats",
+    "mm_image_near_dup", "dedup_span_fraction")
 
   /** Scaled-table families each KNOWN soak query reads: 'd' =
     * documents, 'f' = the fact triple (lineitem/orders/part), 'e' =
@@ -96,7 +102,8 @@ object Soak {
     "q_correlation" -> Set('f'),
     "sim_topk_learned" -> Set('d'), "dedup_learned_semantic" -> Set('d'),
     "graph_part_ppr_exact" -> Set('f'), "pipe_leakage_matrix" -> Set('d'),
-    "q_orders_rfm" -> Set('f'))
+    "q_orders_rfm" -> Set('f'),
+    "mm_resize_stats" -> Set('d'), "q_skew_salted_join" -> Set('f'))
 
   private[graft] def famsFor(queries: Seq[String]): Set[Char] =
     queries.map(q => SoakReads.getOrElse(q,
