@@ -49,7 +49,11 @@ object Soak {
     // so their curves belong in the standing evidence
     "q_orders_rfm", "q_skew_salted_join", "assoc_basket_lift",
     "pipe_leakage_matrix", "sim_topk_int8", "mm_resize_stats",
-    "mm_image_near_dup", "dedup_span_fraction")
+    "mm_image_near_dup", "dedup_span_fraction",
+    // r11 additions: the asymmetric broadcast-index decontamination is
+    // the scale-interesting newcomer (its cost must track the TRAIN
+    // side linearly while the eval broadcast stays fixed)
+    "pipe_decontaminate_fuzzy")
 
   /** Scaled-table families each KNOWN soak query reads: 'd' =
     * documents, 'f' = the fact triple (lineitem/orders/part), 'e' =
@@ -103,7 +107,9 @@ object Soak {
     "sim_topk_learned" -> Set('d'), "dedup_learned_semantic" -> Set('d'),
     "graph_part_ppr_exact" -> Set('f'), "pipe_leakage_matrix" -> Set('d'),
     "q_orders_rfm" -> Set('f'),
-    "mm_resize_stats" -> Set('d'), "q_skew_salted_join" -> Set('f'))
+    "mm_resize_stats" -> Set('d'), "q_skew_salted_join" -> Set('f'),
+    "pipe_decontaminate_fuzzy" -> Set('d'), "text_token_fertility" -> Set('d'),
+    "text_classifier_sweep" -> Set('d'))
 
   private[graft] def famsFor(queries: Seq[String]): Set[Char] =
     queries.map(q => SoakReads.getOrElse(q,

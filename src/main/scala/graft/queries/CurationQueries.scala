@@ -62,6 +62,54 @@ object CurationQueries extends QueryPack {
     * apply the identical guard (the blockCap discipline). */
   private val LeakDfCap = 32
 
+  /** Containment threshold for the fuzzy decontamination pass: a train
+    * doc containing ≥ half of an eval doc's distinct shingles is a
+    * near-copy. The observed corpus distribution cliffs hard (every
+    * honest pair sits below 0.34 at both graded SFs; planted/straddling
+    * near-dups sit above 0.95), so the grade is insensitive to the
+    * exact cut. */
+  private[graft] val FuzzyThreshold = 0.5
+
+  /** Eval-side shingle df cap for pipe_decontaminate_fuzzy — the
+    * LeakDfCap discipline on the benchmark side: a shingle in more
+    * than this many EVAL docs is boilerplate and fans out train_df×df
+    * candidate hits. Max observed eval-df at graded SFs is single
+    * digits, so the cap is invisible there; the planted correlated
+    * fixture in CurationSpec is where it binds.
+    * `SPARK_GRAFT_FUZZY_EVAL_DF_CAP` overrides (0 disables — soak A/B
+    * arm). */
+  private[graft] def fuzzyEvalDfCap: Long =
+    sys.env.get("SPARK_GRAFT_FUZZY_EVAL_DF_CAP").map(_.toLong).getOrElse(64L)
+
+  /** Cap-injectable core of pipe_decontaminate_fuzzy — spec'd directly
+    * (env is immutable in a test JVM, so CurationSpec passes the cap
+    * explicitly; the DedupQualitySpec discipline). */
+  private[graft] def decontaminateFuzzyCap(
+      s: org.apache.spark.sql.SparkSession, d: String, cap: Long): org.apache.spark.sql.DataFrame = {
+    val isEval = pmod(col("doc_id"), lit(50)) === 0
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"),
+        graft.functions.HashFunctions.wordShingleHashes(col("text"), 3).as("hs"))
+      .where(size(col("hs")) > 0)
+    val evalEx = sh.where(isEval)
+      .select(col("doc_id").as("eval_id"), explode(col("hs")).as("h"))
+    val evalIdx =
+      if (cap <= 0) evalEx
+      else evalEx.join(
+        evalEx.groupBy("h").agg(count(lit(1)).as("edf"))
+          .where(col("edf") <= cap).select("h"),
+        Seq("h"), "left_semi")
+    val evalSizes = evalIdx.groupBy("eval_id").agg(count(lit(1)).as("n_eval"))
+    val hits = sh.where(!isEval)
+      .select(col("doc_id").as("train_id"), explode(col("hs")).as("h"))
+      .join(broadcast(evalIdx), Seq("h"))
+      .groupBy("train_id", "eval_id").agg(count(lit(1)).as("c"))
+    hits.join(broadcast(evalSizes), Seq("eval_id"))
+      .select(col("eval_id"), col("train_id"), col("n_eval"), col("c"),
+        round(col("c").cast("double") / col("n_eval"), 6).as("containment"))
+      .where(col("containment") >= FuzzyThreshold)
+  }
+
   override def queries: Map[String, Q] = Map(
     // Cross-source leakage matrix — which corpus sources share verbatim
     // 5-grams (the duplicated-fixture docs light this up): the
@@ -123,6 +171,29 @@ object CurationQueries extends QueryPack {
           round(coalesce(col("n_contaminated"), lit(0L)).cast("double") /
             col("n_grams"), 6).as("contamination"))
     }),
+
+    // FUZZY benchmark decontamination — the near-duplicate companion to
+    // pipe_decontaminate's exact-gram view: an eval doc is contaminated
+    // when some TRAIN doc contains most of its shingles even if no
+    // single 5-gram survives verbatim edits (the paraphrased-benchmark
+    // case exact matching misses; real pipelines run both passes).
+    // Metric: containment of the eval doc in the train doc — shared
+    // distinct word-3-gram shingles over the eval doc's shingle count
+    // (Jaccard would dilute a benchmark question embedded in a long
+    // train doc to ~0; containment is the right directional measure).
+    // Shape: the eval side is benchmark-sized however big the corpus,
+    // so its (hash, eval_id) index BROADCASTS and the train scan never
+    // shuffles — shingles hash to 8 bytes map-side (wordShingleHashes),
+    // the broadcast join emits only matched (train, eval) hits, and the
+    // one exchange aggregates those hits at matched-pair cardinality.
+    // Guard: shingles present in more than FuzzyEvalDfCap EVAL docs are
+    // boilerplate, not contamination signal, and each contributes
+    // train_df × eval_df candidate hits — they leave the shingle
+    // UNIVERSE (both c and n_eval, cap interpolated into the oracle so
+    // both engines agree; invisible at driver SFs where max eval-df is
+    // far below the cap, binding only on the planted spec fixture).
+    "pipe_decontaminate_fuzzy" -> ((s, d) =>
+      decontaminateFuzzyCap(s, d, fuzzyEvalDfCap)),
 
     // Quality-funnel observability: how many docs survive each curation
     // stage, cumulatively. ONE pass of conditional sums — the funnel is
@@ -537,6 +608,38 @@ object CurationQueries extends QueryPack {
          |  round(coalesce(hits.n, 0) * 1.0 / len(gs), 6) AS contamination
          |FROM g LEFT JOIN hits ON g.doc_id = hits.doc_id
          |WHERE g.doc_id % 50 = 0""".stripMargin,
+
+    // Same 3-gram shingle universe as the dedup-family oracles (string
+    // shingles stand in for the Spark side's injective-in-practice
+    // 8-byte hashes); the eval-df cap and threshold interpolate from
+    // the SAME Scala constants the plan uses.
+    "pipe_decontaminate_fuzzy" -> {
+      val cap = fuzzyEvalDfCap
+      val eidxCte =
+        if (cap <= 0) "eidx AS (SELECT eval_id, s FROM eex)"
+        else
+          s"""edf AS (SELECT s, count(*) AS edf FROM eex GROUP BY 1),
+             |eidx AS (SELECT eval_id, s FROM eex JOIN edf USING (s) WHERE edf <= $cap)""".stripMargin
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0) AS ts
+         |  FROM documents),
+         |sh AS (
+         |  SELECT doc_id, list_distinct(list_transform(range(1, len(ts)-1),
+         |           i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS shingles
+         |  FROM toks WHERE len(ts) >= 3),
+         |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+         |eex AS (SELECT doc_id AS eval_id, s FROM ex WHERE doc_id % 50 = 0),
+         |$eidxCte,
+         |esz AS (SELECT eval_id, count(*) AS n_eval FROM eidx GROUP BY 1),
+         |c AS (
+         |  SELECT t.doc_id AS train_id, e.eval_id, count(*) AS c
+         |  FROM ex t JOIN eidx e USING (s) WHERE t.doc_id % 50 <> 0
+         |  GROUP BY 1, 2)
+         |SELECT eval_id, train_id, n_eval, c,
+         |  round(c * 1.0 / n_eval, 6) AS containment
+         |FROM c JOIN esz USING (eval_id)
+         |WHERE round(c * 1.0 / n_eval, 6) >= $FuzzyThreshold""".stripMargin
+    },
 
     "pipe_quality_funnel" ->
       s"""WITH q AS (

@@ -111,6 +111,32 @@ object TextQueries extends QueryPack {
           subwordCount(col("text")).as("n_subwords"),
           length(col("text")).as("n_chars_computed"))),
 
+    // Tokenizer fertility per source — the tokenizer-evaluation rollup
+    // a vocab decision runs per domain: subwords per whitespace word
+    // (BPE fertility; 1.0 = every word is one token, higher = the
+    // domain fragments) and chars per subword (compression), from the
+    // SAME committed 200-rule merge table text_token_stats grades.
+    // Integer sums off one map-side pass + a source-cardinality
+    // aggregate; the two ratios are single double divisions of exact
+    // int64 sums (the q_regr_slope discipline), so the row hashes.
+    "text_token_fertility" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("source"), tokenCount(col("text")).as("w"),
+          subwordCount(col("text")).as("sw"), length(col("text")).as("ch"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("w")).cast("long").as("n_words"),
+          sum(col("sw")).cast("long").as("n_subwords"),
+          sum(col("ch")).cast("long").as("n_chars"))
+        .select(col("source"), col("n_docs"), col("n_words"),
+          col("n_subwords"), col("n_chars"),
+          round(when(col("n_words") === 0, 0.0)
+            .otherwise(col("n_subwords").cast("double") / col("n_words")), 6)
+            .as("fertility"),
+          round(when(col("n_subwords") === 0, 0.0)
+            .otherwise(col("n_chars").cast("double") / col("n_subwords")), 6)
+            .as("chars_per_subword"))),
+
     // Quality scoring: deterministic heuristic per document. Counters
     // come from one UDF pass; the ratio arithmetic (int-derived double
     // division + round) runs in SQL, identical to the pure-column
@@ -302,6 +328,33 @@ object TextQueries extends QueryPack {
           coalesce(sum(col("w")), lit(0L)).as("score"))
         .select(col("doc_id"), col("n_tokens"), col("n_scored"), col("score"),
           signum(col("score")).cast("long").as("pred"))
+    }),
+
+    // Classifier threshold sweep — the keep-rate curve a curation run
+    // reads before picking the quality-filter cutoff: for each margin
+    // threshold × source, how many docs the committed perceptron would
+    // keep (score ≥ t) and the keep rate. One per-doc scoring pass
+    // (the text_classifier_score kernel, source carried through), then
+    // the threshold axis expands MAP-SIDE on doc-cardinality rows (5
+    // literals — an Expand, not a join) into a (threshold, source)
+    // aggregate of a few dozen rows. Thresholds interpolate into the
+    // oracle from the same Seq.
+    "text_classifier_sweep" -> ((s, d) => {
+      import s.implicits._
+      val vocab = graft.functions.ClassifierWeights.Weights.toDF("token", "w")
+      val scored = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), explode(tokens(col("text"))).as("token"))
+        .join(broadcast(vocab), Seq("token"), "left")
+        .groupBy("doc_id", "source")
+        .agg(coalesce(sum(col("w")), lit(0L)).as("score"))
+      scored
+        .select(col("source"), col("score"),
+          explode(array(SweepThresholds.map(lit(_)): _*)).as("threshold"))
+        .groupBy("threshold", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("score") >= col("threshold"), 1L).otherwise(0L)).as("n_kept"))
+        .select(col("threshold"), col("source"), col("n_docs"), col("n_kept"),
+          round(col("n_kept").cast("double") / col("n_docs"), 6).as("keep_rate"))
     }),
 
     // Distribution-drift monitor between the train/test halves of the
@@ -619,6 +672,11 @@ object TextQueries extends QueryPack {
       |    THEN h - CAST('18446744073709551616' AS HUGEINT) ELSE h END AS BIGINT) AS cleaned_fp
       |FROM hashed""".stripMargin
 
+  /** Margin thresholds for the classifier keep-rate sweep — ONE Scala
+    * definition feeds both the Spark explode axis and the oracle's
+    * VALUES table (the Bm25 constants discipline). */
+  private val SweepThresholds = Seq(-4L, -2L, 0L, 2L, 4L)
+
   /** The committed perceptron weights replayed as a literal VALUES
     * table — the oracle scores with the SAME learned parameters the
     * engine ships (functions/ClassifierWeights.scala). */
@@ -636,6 +694,44 @@ SELECT doc_id, count(*) AS n_tokens, CAST(count(w) AS BIGINT) AS n_scored,
             WHEN coalesce(sum(w), 0) < 0 THEN -1 ELSE 0 END AS BIGINT) AS pred
 FROM j GROUP BY 1"""
   }
+
+  /** Same scoring join as classifierOracle with `source` carried
+    * through, crossed with the shared threshold axis. */
+  private val classifierSweepOracle: String = {
+    val values = graft.functions.ClassifierWeights.Weights
+      .map { case (t, w) => s"('$t', $w)" }.mkString(", ")
+    val ths = SweepThresholds.map(t => s"($t)").mkString(", ")
+    s"""WITH tok AS (
+  SELECT doc_id, source, unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> length(x) > 0)) AS token
+  FROM documents),
+vocab(token, w) AS (VALUES $values),
+sc AS (
+  SELECT doc_id, source, CAST(coalesce(sum(w), 0) AS BIGINT) AS score
+  FROM tok t LEFT JOIN vocab v USING (token) GROUP BY 1, 2),
+th(threshold) AS (VALUES $ths)
+SELECT CAST(threshold AS BIGINT) AS threshold, source, count(*) AS n_docs,
+  CAST(sum(CASE WHEN score >= threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  round(sum(CASE WHEN score >= threshold THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS keep_rate
+FROM sc, th GROUP BY 1, 2"""
+  }
+
+  /** Per-source rollup of the text_token_stats per-doc expressions —
+    * the same BPE merge-chain CTEs, aggregated by source. */
+  private val tokenFertilityOracle: String =
+    s"""WITH ${graft.functions.BpeMerges.oracleCtes("documents", "text")},
+       |per AS (
+       |  SELECT source,
+       |    len(list_filter(string_split_regex(lower(text), '\\s+'), t -> length(t) > 0)) AS w,
+       |    length(bpe) - length(replace(bpe, '(', ''))
+       |      + len(regexp_extract_all(text, '[0-9]+'))
+       |      + length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS sw,
+       |    length(text) AS ch
+       |  FROM ${graft.functions.BpeMerges.oracleFinalRelation()})
+       |SELECT source, count(*) AS n_docs, CAST(sum(w) AS BIGINT) AS n_words,
+       |  CAST(sum(sw) AS BIGINT) AS n_subwords, CAST(sum(ch) AS BIGINT) AS n_chars,
+       |  round(CASE WHEN sum(w) = 0 THEN 0.0 ELSE sum(sw) * 1.0 / sum(w) END, 6) AS fertility,
+       |  round(CASE WHEN sum(sw) = 0 THEN 0.0 ELSE sum(ch) * 1.0 / sum(sw) END, 6) AS chars_per_subword
+       |FROM per GROUP BY 1""".stripMargin
 
   private val splitDriftOracle =
     """WITH tok AS (
@@ -701,5 +797,7 @@ ORDER BY score DESC, doc_id LIMIT 20"""
       ("text_line_dedup" -> lineDedupOracle) +
       ("text_classifier_score" -> classifierOracle) +
       ("text_split_drift" -> splitDriftOracle) +
-      ("text_bm25_topk" -> bm25Oracle)
+      ("text_bm25_topk" -> bm25Oracle) +
+      ("text_classifier_sweep" -> classifierSweepOracle) +
+      ("text_token_fertility" -> tokenFertilityOracle)
 }

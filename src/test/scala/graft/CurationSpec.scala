@@ -37,6 +37,98 @@ class CurationSpec extends AnyFunSuite {
     assert(got(50L)._2 == 0L && got(50L)._3 == 0.0, "clean eval doc reports zero overlap")
   }
 
+  test("fuzzy decontamination: an embedded copy and a one-token paraphrase are caught, light overlap is not") {
+    val dir = fixtureDir()
+    val evalText = "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 t11 t12" // 10 distinct 3-shingles
+    writeDocs(dir, Seq(
+      0L -> evalText,                                    // eval (0 % 50 == 0)
+      1L -> s"p1 p2 $evalText s1 s2",                    // train: eval embedded whole
+      2L -> "t1 t2 t3 unrelated words entirely different here now", // 1 shared shingle
+      3L -> "t1 t2 t3 t4 t5 xx t7 t8 t9 t10 t11 t12",    // paraphrase: one token swapped
+      50L -> "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11 u12"))  // clean eval
+    val got = SparkEntry.queries("pipe_decontaminate_fuzzy")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    // embedding keeps every eval shingle (containment 1.0); the swap at
+    // position 6 kills the three shingles covering it (7/10 = 0.7) —
+    // which the exact 5-gram pass scores at only 3/8, the case fuzzy
+    // matching exists for; the 1-shingle overlap (0.1) stays out
+    assert(got == Map(
+      (0L, 1L) -> ((10L, 10L, 1.0)),
+      (0L, 3L) -> ((10L, 7L, 0.7))), s"got $got")
+  }
+
+  test("fuzzy decontamination: eval-df cap drops boilerplate shingles from the universe") {
+    val dir = fixtureDir()
+    val header = "h1 h2 h3 h4 h5 h6 h7 h8" // 6 header-only shingles, shared by all three eval docs
+    writeDocs(dir, Seq(
+      0L -> s"$header a1 a2 a3 a4",
+      50L -> s"$header b1 b2 b3 b4",
+      100L -> s"$header c1 c2 c3 c4",
+      1L -> header)) // train doc: pure boilerplate
+    // uncapped, the shared header alone clears the threshold for every
+    // eval doc (6 of 10 shingles) — three boilerplate false positives
+    val uncapped = graft.queries.CurationQueries.decontaminateFuzzyCap(spark, dir, 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4)))
+    assert(uncapped.toSet == Set((0L, 1L, 0.6), (50L, 1L, 0.6), (100L, 1L, 0.6)),
+      s"got ${uncapped.toSeq}")
+    // capped at 2, the header shingles (eval-df 3) leave the UNIVERSE —
+    // n_eval shrinks to the 4 content shingles and the pure-boilerplate
+    // train doc matches none of them
+    val capped = graft.queries.CurationQueries.decontaminateFuzzyCap(spark, dir, 2L)
+    assert(capped.count() == 0L)
+  }
+
+  test("fuzzy decontamination: the default cap is invisible on the honest corpus") {
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+    val deflt = SparkEntry.queries("pipe_decontaminate_fuzzy")(spark, sf).collect().map(key).toSet
+    val off = graft.queries.CurationQueries.decontaminateFuzzyCap(spark, sf, 0L).collect().map(key).toSet
+    assert(deflt == off, "default eval-df cap must not change the sf0.01 result")
+    assert(deflt.nonEmpty, "sf0.01 must contain at least one fuzzy-contaminated pair (anti-vacuity)")
+  }
+
+  test("token fertility: hand-computed sums and ratios per source") {
+    val dir = fixtureDir()
+    // digits/punctuation only — subword counts are closed-form without
+    // replaying the BPE merge table: digit runs + non-alnum chars
+    Seq((1L, "12 34 ..", "srcA"), (2L, "7 7 7 7", "srcB"))
+      .toDF("doc_id", "text", "source")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"), col("source"),
+        length(col("text")).cast("long").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("text_token_fertility")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6))))
+      .toMap
+    // srcA: words 3, subwords 2 digit runs + 2 dots = 4, chars 8
+    // srcB: words 4, subwords 4 digit runs, chars 7
+    assert(got == Map(
+      "srcA" -> ((1L, 3L, 4L, 8L, 1.333333, 2.0)),
+      "srcB" -> ((1L, 4L, 4L, 7L, 1.0, 1.75))), s"got $got")
+  }
+
+  test("classifier sweep: fixed threshold axis, monotone keep curve, agrees with the score query") {
+    val rows = SparkEntry.queries("text_classifier_sweep")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.map(_._1).toSet == Set(-4L, -2L, 0L, 2L, 4L))
+    rows.groupBy(_._2).foreach { case (src, rs) =>
+      assert(rs.map(_._3).toSet.size == 1, s"$src: n_docs must not vary across thresholds")
+      val byT = rs.sortBy(_._1).map(_._4)
+      byT.sliding(2).foreach { case Array(a, b) =>
+        assert(b <= a, s"$src: keep count must be non-increasing in the threshold") }
+      rs.foreach { case (_, _, n, k, rate) =>
+        assert(rate == math.rint(k.toDouble / n * 1e6) / 1e6) }
+    }
+    // cross-query pin: the t=0 column counts exactly the docs the score
+    // query marks non-negative (same scored-doc universe)
+    val keptAt0 = rows.filter(_._1 == 0L).map(_._4).sum
+    val nonNeg = SparkEntry.queries("text_classifier_score")(spark, sf)
+      .where(col("score") >= 0).count()
+    assert(keptAt0 == nonNeg, s"sweep t=0 kept $keptAt0 vs score-query non-negative $nonNeg")
+  }
+
   test("every oracle's stopword IN-list matches the kernel's canonical list") {
     // pipe_text_corpus's oracle literal can't interpolate (its regex
     // anchors collide with s-string syntax), so pin it to the single

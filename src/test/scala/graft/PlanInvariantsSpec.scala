@@ -116,6 +116,25 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("pipe_decontaminate_fuzzy: eval index broadcasts onto the train scan — no shingle-keyed shuffle join") {
+    val p = planOf("pipe_decontaminate_fuzzy")
+    // the 100 TB shape: the benchmark-sized eval (hash, eval_id) index
+    // and the per-eval-doc sizes cross in as broadcasts; the train
+    // corpus is never exchanged on a shingle key
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(bhj >= 2, s"eval index AND eval sizes must broadcast (got $bhj):\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no shingle-keyed shuffle join anywhere:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("text_classifier_sweep: threshold axis expands map-side; vocab broadcasts") {
+    val p = planOf("text_classifier_sweep")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the vocabulary lookup must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the threshold axis must be an Expand/Generate, never a join:\n$p")
+  }
+
   test("text_tfidf_terms: top-3 rank limit pushed into the window sort") {
     val p = planOf("text_tfidf_terms")
     assert(p.contains("WindowGroupLimit"), s"rank filter must push into the window:\n$p")
