@@ -13,7 +13,10 @@ import graft.functions.TextFunctions._
   * Scale shapes:
   *  - Decontamination broadcasts the EVAL n-gram set (benchmarks are
   *    MBs even when the corpus is 100 TB) so the train scan never
-  *    shuffles; only matched grams (tiny) are exchanged.
+  *    shuffles; only matched grams (tiny) are exchanged. The broadcast
+  *    is count-gated (evalBroadcastGate): an eval side that turns out
+  *    corpus-sized routes to a shuffle join instead of a forced
+  *    unbounded broadcast.
   *  - The funnel and mix queries are single-pass conditional aggregates
   *    — one exchange of a handful of counters.
   *  - TF-IDF is two aggregations and a per-doc top-k window; the
@@ -81,11 +84,28 @@ object CurationQueries extends QueryPack {
   private[graft] def fuzzyEvalDfCap: Long =
     sys.env.get("SPARK_GRAFT_FUZZY_EVAL_DF_CAP").map(_.toLong).getOrElse(64L)
 
+  /** Broadcast gate (rows) for the decontamination passes' eval-side
+    * index. The eval corpus is benchmark-sized by contract — MBs
+    * against a 100 TB train corpus — so the broadcast hint is the
+    * right default; but `broadcast()` FORCES the exchange regardless
+    * of size, and this harness's stand-in eval slice (doc_id % 50) is
+    * 2% of the corpus, i.e. it grows with N. Past the gate the hint is
+    * dropped and the join routes through the planner's own size logic
+    * (a shuffle join on the 8-byte key at real scale) — identical
+    * rows, bounded driver/executor memory. Same discipline and same 5M
+    * figure as [[graft.streaming.StreamingGuards.evalGramIndex]]'s
+    * exact-set→Bloom route; counted BEFORE any broadcast is built.
+    * `SPARK_GRAFT_EVAL_BROADCAST_GATE` overrides (0 disables — the
+    * always-broadcast arm of the soak A/B). */
+  private[graft] def evalBroadcastGate: Long =
+    sys.env.get("SPARK_GRAFT_EVAL_BROADCAST_GATE").map(_.toLong).getOrElse(5000000L)
+
   /** Cap-injectable core of pipe_decontaminate_fuzzy — spec'd directly
     * (env is immutable in a test JVM, so CurationSpec passes the cap
     * explicitly; the DedupQualitySpec discipline). */
   private[graft] def decontaminateFuzzyCap(
-      s: org.apache.spark.sql.SparkSession, d: String, cap: Long): org.apache.spark.sql.DataFrame = {
+      s: org.apache.spark.sql.SparkSession, d: String, cap: Long,
+      gate: Long = evalBroadcastGate): org.apache.spark.sql.DataFrame = {
     val isEval = pmod(col("doc_id"), lit(50)) === 0
     val sh = Tables.documents(s, d)
       .select(col("doc_id"),
@@ -93,21 +113,62 @@ object CurationQueries extends QueryPack {
       .where(size(col("hs")) > 0)
     val evalEx = sh.where(isEval)
       .select(col("doc_id").as("eval_id"), explode(col("hs")).as("h"))
-    val evalIdx =
+    // pinned: the index feeds the sizes aggregate AND the train join
+    // (without the pin each consumer re-explodes the eval slice), and
+    // the broadcast gate needs its row count before any exchange
+    val evalIdx = graft.CacheRegistry.persistTracked(
       if (cap <= 0) evalEx
       else evalEx.join(
         evalEx.groupBy("h").agg(count(lit(1)).as("edf"))
           .where(col("edf") <= cap).select("h"),
-        Seq("h"), "left_semi")
+        Seq("h"), "left_semi"))
+    // one gate decision covers both eval-side relations (sizes has at
+    // most one row per eval doc — strictly fewer than the index)
+    val broadcastable = gate <= 0 || evalIdx.count() <= gate
+    def route(df: org.apache.spark.sql.DataFrame) =
+      if (broadcastable) broadcast(df) else df
     val evalSizes = evalIdx.groupBy("eval_id").agg(count(lit(1)).as("n_eval"))
     val hits = sh.where(!isEval)
       .select(col("doc_id").as("train_id"), explode(col("hs")).as("h"))
-      .join(broadcast(evalIdx), Seq("h"))
+      .join(route(evalIdx.toDF()), Seq("h"))
       .groupBy("train_id", "eval_id").agg(count(lit(1)).as("c"))
-    hits.join(broadcast(evalSizes), Seq("eval_id"))
+    hits.join(route(evalSizes), Seq("eval_id"))
       .select(col("eval_id"), col("train_id"), col("n_eval"), col("c"),
         round(col("c").cast("double") / col("n_eval"), 6).as("containment"))
       .where(col("containment") >= FuzzyThreshold)
+  }
+
+  /** Gate-injectable core of pipe_decontaminate (see
+    * [[evalBroadcastGate]]; CurationSpec drives the shuffle arm with an
+    * explicit gate since env is immutable inside a test JVM). */
+  private[graft] def decontaminateGate(
+      s: org.apache.spark.sql.SparkSession, d: String,
+      gate: Long = evalBroadcastGate): org.apache.spark.sql.DataFrame = {
+    val grams = docGrams(s, d)
+    val isEval = pmod(col("doc_id"), lit(50)) === 0
+    val evalEx = grams.where(isEval)
+      .select(col("doc_id"), explode(col("gs")).as("s"))
+    // pinned so the gate's count and the semi-join share one
+    // materialization of the distinct eval grams
+    val evalSet = graft.CacheRegistry.persistTracked(evalEx.select("s").distinct())
+    val route =
+      if (gate <= 0 || evalSet.count() <= gate) broadcast(evalSet.toDF())
+      else evalSet.toDF()
+    // map-side semi-join against the (gated) eval set, then dedup the
+    // (few) matched grams
+    val found = grams.where(!isEval)
+      .select(explode(col("gs")).as("s"))
+      .join(route, Seq("s"), "left_semi")
+      .distinct()
+    val hits = evalEx.join(found, Seq("s"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
+    grams.where(isEval)
+      .select(col("doc_id"), size(col("gs")).cast("long").as("n_grams"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        round(coalesce(col("n_contaminated"), lit(0L)).cast("double") /
+          col("n_grams"), 6).as("contamination"))
   }
 
   override def queries: Map[String, Q] = Map(
@@ -147,30 +208,12 @@ object CurationQueries extends QueryPack {
     // Benchmark decontamination: which held-out (eval) documents share
     // 5-grams with the training corpus, and how badly. Eval slice =
     // doc_id % 50 == 0 (stands in for a benchmark set). The eval gram
-    // set is broadcast; the train side is scanned, filtered map-side,
-    // and only MATCHED grams are deduplicated through an exchange.
-    "pipe_decontaminate" -> ((s, d) => {
-      val grams = docGrams(s, d)
-      val isEval = pmod(col("doc_id"), lit(50)) === 0
-      val evalEx = grams.where(isEval)
-        .select(col("doc_id"), explode(col("gs")).as("s"))
-      val evalSet = evalEx.select("s").distinct()
-      // map-side semi-join against the broadcast eval set, then dedup
-      // the (few) matched grams
-      val found = grams.where(!isEval)
-        .select(explode(col("gs")).as("s"))
-        .join(broadcast(evalSet), Seq("s"), "left_semi")
-        .distinct()
-      val hits = evalEx.join(found, Seq("s"))
-        .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
-      grams.where(isEval)
-        .select(col("doc_id"), size(col("gs")).cast("long").as("n_grams"))
-        .join(hits, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_grams"),
-          coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
-          round(coalesce(col("n_contaminated"), lit(0L)).cast("double") /
-            col("n_grams"), 6).as("contamination"))
-    }),
+    // set is broadcast while it is benchmark-sized (count-gated — see
+    // evalBroadcastGate; past the gate the planner's shuffle join takes
+    // over with identical rows); the train side is scanned, filtered
+    // map-side, and only MATCHED grams are deduplicated through an
+    // exchange.
+    "pipe_decontaminate" -> ((s, d) => decontaminateGate(s, d)),
 
     // FUZZY benchmark decontamination — the near-duplicate companion to
     // pipe_decontaminate's exact-gram view: an eval doc is contaminated
@@ -183,7 +226,10 @@ object CurationQueries extends QueryPack {
     // train doc to ~0; containment is the right directional measure).
     // Shape: the eval side is benchmark-sized however big the corpus,
     // so its (hash, eval_id) index BROADCASTS and the train scan never
-    // shuffles — shingles hash to 8 bytes map-side (wordShingleHashes),
+    // shuffles (count-gated like the exact pass — evalBroadcastGate —
+    // so a misconfigured corpus-scale "eval" slice degrades to a
+    // shuffle join instead of an unbounded forced broadcast)
+    // — shingles hash to 8 bytes map-side (wordShingleHashes),
     // the broadcast join emits only matched (train, eval) hits, and the
     // one exchange aggregates those hits at matched-pair cardinality.
     // Guard: shingles present in more than FuzzyEvalDfCap EVAL docs are

@@ -89,6 +89,43 @@ class CurationSpec extends AnyFunSuite {
     assert(deflt.nonEmpty, "sf0.01 must contain at least one fuzzy-contaminated pair (anti-vacuity)")
   }
 
+  test("decontamination broadcast gate: past the gate both passes shuffle-route to identical rows") {
+    // the stand-in eval slice (doc_id % 50) is 2% of the corpus — it
+    // GROWS with N, so the forced broadcast() hint must be count-gated.
+    // gate=1 forces the shuffle arm here; with the planner's own
+    // broadcast logic disabled the eval index must NOT cross as a
+    // broadcast, and the rows must match the broadcast arm exactly.
+    val fuzzyKey = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+    val exactKey = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    val cap = graft.queries.CurationQueries.fuzzyEvalDfCap
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val fShuffle = graft.queries.CurationQueries.decontaminateFuzzyCap(spark, sf, cap, gate = 1L)
+      val eShuffle = graft.queries.CurationQueries.decontaminateGate(spark, sf, gate = 1L)
+      for (df <- Seq(fShuffle, eShuffle)) {
+        val p = df.queryExecution.executedPlan.toString
+        assert(!p.contains("BroadcastHashJoin"),
+          s"past the gate (and with auto-broadcast off) nothing may force a broadcast:\n$p")
+      }
+      val fGot = fShuffle.collect().map(fuzzyKey).toSet
+      val eGot = eShuffle.collect().map(exactKey).toSet
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+      val fBc = graft.queries.CurationQueries.decontaminateFuzzyCap(spark, sf, cap, gate = 0L)
+        .collect().map(fuzzyKey).toSet
+      val eBc = graft.queries.CurationQueries.decontaminateGate(spark, sf, gate = 0L)
+        .collect().map(exactKey).toSet
+      assert(fGot == fBc, "fuzzy pass: shuffle route must return the broadcast route's rows")
+      assert(eGot == eBc, "exact pass: shuffle route must return the broadcast route's rows")
+      assert(fGot.nonEmpty && eGot.nonEmpty, "anti-vacuity: both passes must flag something at sf0.01")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+      graft.SparkEntry.releaseCaches()
+    }
+  }
+
   test("token fertility: hand-computed sums and ratios per source") {
     val dir = fixtureDir()
     // digits/punctuation only — subword counts are closed-form without
