@@ -109,7 +109,8 @@ object Soak {
     "q_orders_rfm" -> Set('f'),
     "mm_resize_stats" -> Set('d'), "q_skew_salted_join" -> Set('f'),
     "pipe_decontaminate_fuzzy" -> Set('d'), "text_token_fertility" -> Set('d'),
-    "text_classifier_sweep" -> Set('d'))
+    "text_classifier_sweep" -> Set('d'),
+    "pipe_decontaminate_semantic" -> Set('e'), "sim_hard_negatives" -> Set('e'))
 
   private[graft] def famsFor(queries: Seq[String]): Set[Char] =
     queries.map(q => SoakReads.getOrElse(q,

@@ -29,6 +29,28 @@ object VectorFunctions {
   def cosineExpr(a: Column, b: Column, dim: Int): Column =
     dotExpr(a, b, dim) / sqrt(normSqExpr(a, dim) * normSqExpr(b, dim))
 
+  /** Cosine similarity as a primitive loop — bit-identical to
+    * [[cosineExpr]] (same index order, accumulators start at +0.0 and
+    * x + 0.0 == x, the signBucket argument), for call sites where the
+    * unrolled form's 192 terms land TWICE in one fused stage (a
+    * pushed-down filter duplicates the aliased projection) and push
+    * the generated processNext() past janino's 64 KB method limit —
+    * the whole stage then loses codegen, which costs more than the
+    * UDF boundary ever could. */
+  def cosineLoop(a: Column, b: Column, dim: Int): Column = {
+    val f = udf { (x: Array[Float], y: Array[Float]) =>
+      var dot = 0.0; var nx = 0.0; var ny = 0.0
+      var i = 0
+      while (i < dim) {
+        val xi = x(i).toDouble; val yi = y(i).toDouble
+        dot += xi * yi; nx += xi * xi; ny += yi * yi
+        i += 1
+      }
+      dot / math.sqrt(nx * ny)
+    }
+    f(a, b)
+  }
+
   /** Sign-random-projection LSH bucket: `planes` hyperplanes with
     * deterministic splitmix64-seeded coefficients in [-0.5, 0.5). The
     * bucket id packs the per-plane sign bits — cosine-close vectors

@@ -104,6 +104,64 @@ object DedupQueries extends QueryPack {
   private[graft] def semClusterCap: Long =
     sys.env.get("SPARK_GRAFT_SEM_CLUSTER_CAP").map(_.toLong).getOrElse(256L)
 
+  /** XOR masks of the semantic decontamination screen's hamming≤2
+    * multiprobe: every mask with ≤2 bits set over the max plane count
+    * (137 at 16 planes); the plan filters to mask < 2^B against the
+    * adaptive-B scalar. Probing radius 2 mirrors [[SimilarityQueries]]
+    * srpTopK — per-table recall for a near-copy pair (cosine ≥0.95,
+    * per-bit disagreement ≈0.1) stays ≈0.8 even at B=16, while the
+    * probed fraction of buckets, (1+B+B(B-1)/2)/2^B, falls from 7/8 at
+    * B=3 to 0.2% at B=16 — the screen gets CHEAPER per pair as the
+    * corpus grows. */
+  private[graft] val DecontMasks: Seq[Long] =
+    (0 until (1 << SemMaxBits)).filter(m => Integer.bitCount(m) <= 2).map(_.toLong)
+
+  /** Gate-injectable core of pipe_decontaminate_semantic (env is
+    * immutable in a test JVM — DedupQualitySpec drives the shuffle arm
+    * with an explicit gate, the decontaminateGate discipline). */
+  private[graft] def decontaminateSemanticGate(
+      s: SparkSession, d: String,
+      gate: Long = graft.queries.CurationQueries.evalBroadcastGate): DataFrame = {
+    import s.implicits._
+    val bsel = semCaps.toDF("bbits", "cap")
+      .crossJoin(Tables.embeddings(s, d).agg(count(lit(1)).as("n")))
+      .where(col("cap") >= col("n"))
+      .agg(coalesce(min("bbits"), lit(SemMaxBits.toLong)).as("bbits"))
+    val b = graft.CacheRegistry.persistTracked(semBucketed(s, d))
+    val isEval = pmod(col("vec_id"), lit(50)) === 0
+    // eval probe index: each eval vector × every in-range hamming≤2
+    // mask — benchmark-sized × ≤137, still a dimension table. A given
+    // (eval, train) pair matches at most ONE mask (the XOR of their
+    // buckets), so the candidate join never duplicates pairs. Masks
+    // ride a 137-row broadcast, not an exploded literal array — the
+    // unrolled form pushed the generated processNext() past janino's
+    // 64 KB method limit (the signBucket-UDF lesson) and cost the
+    // whole stage its codegen.
+    val masks = DecontMasks.toDF("m")
+    val probe = b.where(isEval)
+      .select(col("vec_id").as("eval_id"), col("embedding").as("evec"), col("bucket"))
+      .crossJoin(broadcast(bsel))
+      .crossJoin(broadcast(masks))
+      .where(col("m") < expr("shiftleft(CAST(1 AS BIGINT), CAST(bbits AS INT))"))
+      .select(col("eval_id"), col("evec"),
+        col("bucket").bitwiseXOR(col("m")).as("pbucket"))
+    // the decontaminateGate discipline: broadcast only while the probe
+    // index is benchmark-sized; past the gate the bucket equi-join
+    // shuffle-routes with identical rows
+    val routed =
+      if (gate <= 0 || probe.count() <= gate) broadcast(probe) else probe
+    b.where(!isEval)
+      .select(col("vec_id").as("train_id"), col("embedding"), col("bucket"))
+      .join(routed, col("bucket") === col("pbucket"))
+      // cosineLoop, not cosineExpr: the pushed-down threshold filter
+      // duplicates the projection, and 2×192 unrolled terms plus the
+      // join stage breach janino's 64 KB limit (observed: the stage
+      // lost codegen entirely)
+      .select(col("eval_id"), col("train_id"),
+        round(cosineLoop(col("evec"), col("embedding"), Dim), 6).as("sim"))
+      .where(col("sim") >= CosineThreshold)
+  }
+
   /** (doc_id, hs: distinct word-3-gram shingle hashes) for docs with
     * >= 3 tokens. */
   private def docShingleHashes(s: SparkSession, d: String): DataFrame =
@@ -582,7 +640,27 @@ object DedupQueries extends QueryPack {
       assign.join(dups.withColumn("hit", lit(1L)), Seq("vec_id"), "left")
         .select(col("vec_id"), col("cluster"), col("sim"),
           coalesce(col("hit"), lit(0L)).as("is_dup"))
-    }))
+    }),
+
+    // SEMANTIC benchmark decontamination — the embedding-space member
+    // of the decon trilogy (exact 5-grams / fuzzy shingle containment
+    // live in CurationQueries): an eval vector is contaminated when
+    // some TRAIN vector's cosine clears the near-dup threshold even
+    // after a rewrite that shares no n-gram at all — the paraphrase
+    // case BOTH text passes structurally miss. Lives here (not
+    // CurationQueries) because it shares dedup_semantic's committed
+    // integer-SRP quantizer and its oracle interpolation. Shape at
+    // 100 TB: train vectors bucket MAP-SIDE (the signBucket kernel,
+    // adaptive B); the benchmark-sized eval side expands into a
+    // hamming≤2 multiprobe index (≤137 masks) that BROADCASTS under
+    // the shared evalBroadcastGate, so candidates come from a bucket
+    // EQUI-join — the train corpus never exchanges on anything wider
+    // than its 8-byte bucket, and past the gate the same equi-join
+    // shuffle-routes (unlike a brute eval×train pass, which has no
+    // join key to fall back on). Exact cosine re-ranks candidates
+    // only. Recall is per-table SRP recall (DecontMasks scaladoc);
+    // deterministic given the data, so DuckDB replays it exactly.
+    "pipe_decontaminate_semantic" -> ((s, d) => decontaminateSemanticGate(s, d)))
 
   /** The whole SimHash sketch reproduced in DuckDB: PolyHash64 per token
     * in HUGEINT mod-2^64 (same trick as the fingerprint oracle; ASCII
@@ -648,6 +726,9 @@ FROM sh LEFT JOIN cnt ON sh.doc_id = cnt.doc_id"""
     * generated from the SAME Scala table the Spark plan joins. */
   private val semCapsValues: String =
     semCaps.map { case (b, cap) => s"($b, $cap)" }.mkString(", ")
+
+  private val decontMaskValues: String =
+    DecontMasks.map(m => s"($m)").mkString(", ")
 
   /** The signBucket UDF replayed in SQL: per plane p a bare
     * left-to-right chain of `coeff * CAST(e.embedding[i] AS DOUBLE)`
@@ -863,5 +944,34 @@ FROM sh LEFT JOIN cnt ON sh.doc_id = cnt.doc_id"""
          |SELECT a1.vec_id, a1.cluster, a1.sim,
          |  CAST(CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_dup
          |FROM a1 LEFT JOIN dups d ON a1.vec_id = d.vec_id""".stripMargin
-    })
+    },
+
+    // The probe expansion replayed literally: bucket via the shared
+    // semBucketSql interpolation, masks from the SAME Scala table the
+    // Spark plan expands, in-range filter against the adaptive-B
+    // scalar, then exact cosine on bucket-equi candidates.
+    "pipe_decontaminate_semantic" ->
+      s"""WITH caps(bb, cap) AS (VALUES $semCapsValues),
+         |bsel AS (
+         |  SELECT coalesce(min(bb), $SemMaxBits) AS bbits
+         |  FROM caps, (SELECT count(*) AS n FROM embeddings) WHERE cap >= n),
+         |b AS (
+         |  SELECT e.vec_id, CAST($semBucketSql AS BIGINT) AS bucket
+         |  FROM embeddings e CROSS JOIN bsel),
+         |masks(m) AS (VALUES $decontMaskValues),
+         |probe AS (
+         |  SELECT be.vec_id AS eval_id, xor(be.bucket, CAST(m.m AS BIGINT)) AS pbucket
+         |  FROM b be CROSS JOIN masks m CROSS JOIN bsel
+         |  WHERE be.vec_id % 50 = 0 AND m.m < (CAST(1 AS BIGINT) << bsel.bbits)),
+         |cand AS (
+         |  SELECT p.eval_id, bt.vec_id AS train_id
+         |  FROM probe p JOIN b bt ON bt.bucket = p.pbucket
+         |  WHERE bt.vec_id % 50 <> 0)
+         |SELECT c.eval_id, c.train_id,
+         |  round((${dotSql("x", "y")}) /
+         |    sqrt((${dotSql("x", "x")}) * (${dotSql("y", "y")})), 6) AS sim
+         |FROM cand c JOIN embeddings x ON x.vec_id = c.eval_id
+         |     JOIN embeddings y ON y.vec_id = c.train_id
+         |WHERE round((${dotSql("x", "y")}) /
+         |    sqrt((${dotSql("x", "x")}) * (${dotSql("y", "y")})), 6) >= $CosineThreshold""".stripMargin)
 }

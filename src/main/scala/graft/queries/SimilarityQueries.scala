@@ -38,6 +38,32 @@ object SimilarityQueries extends QueryPack {
     * 0.80 sf0.1 — comfortable margin; SimilaritySpec pins it too). */
   private val SrpRecallFloor = 0.5
 
+  /** False-negative ceiling of the hard-negative miner: cross-label
+    * cosine at or above this is treated as a suspected duplicate /
+    * labeling error, not a negative. Max observed cross-label cosine
+    * is ≈0.49 at both graded SFs, so the ceiling never binds there;
+    * SimilaritySpec plants a cross-label near-copy where it does. */
+  private[graft] val HardNegCeil = 0.95
+
+  /** Semi-hard-negative mining kernel (spec-driven directly): top-K
+    * cross-label neighbors per anchor, under [[HardNegCeil]]. */
+  private[graft] def hardNegatives(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val e = Tables.fanout(Tables.embeddings(s, d))
+      .select(col("vec_id"), col("label"), col("embedding"),
+        normSqExpr(col("embedding"), Dim).as("nsq"))
+    val q = e.where(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("embedding").as("qvec"), col("nsq").as("qnsq"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id").asc)
+    broadcast(q).join(e, col("qlabel") =!= col("label"))
+      .select(col("qid"), col("vec_id"),
+        round(dotExpr(col("qvec"), col("embedding"), Dim) /
+          sqrt(col("qnsq") * col("nsq")), 6).as("sim"))
+      .where(col("sim") < HardNegCeil)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= K)
+  }
+
   /** Exact brute-force top-K per query vector — the baseline tier and
     * the ground truth the SRP certificate is measured against. */
   private def bruteTopK(s: org.apache.spark.sql.SparkSession, d: String) = {
@@ -204,6 +230,20 @@ object SimilarityQueries extends QueryPack {
   override def queries: Map[String, Q] = Map(
     // Exact brute-force top-k per query vector.
     "sim_topk_bruteforce" -> ((s, d) => bruteTopK(s, d)),
+
+    // Hard-negative mining for contrastive training: per anchor, the K
+    // nearest vectors with a DIFFERENT label — capped above by the
+    // false-negative ceiling (a cross-label vector at near-duplicate
+    // cosine is more likely a labeling error or missed duplicate than
+    // training signal; semi-hard mining excludes it rather than teach
+    // the model to push apart near-copies). Same broadcast-anchor × N
+    // scan as the brute tier — anchors are per-batch-sized however big
+    // the corpus, the big side never shuffles, and the per-anchor
+    // top-k is the one window over candidate cardinality. At real
+    // scale the candidate pass swaps to the SRP/IVF tiers unchanged —
+    // the mining predicate (label ≠, sim < ceiling, top-k) composes
+    // with any of this file's candidate generators.
+    "sim_hard_negatives" -> ((s, d) => hardNegatives(s, d)),
 
     // Brute-force top-K over LEARNED document embeddings — the same
     // broadcast-Q × N shape as sim_topk_bruteforce, but the vectors
@@ -434,6 +474,16 @@ object SimilarityQueries extends QueryPack {
 
   override def oracles: Map[String, String] = Map(
     "sim_topk_bruteforce" -> bruteForceSql,
+
+    "sim_hard_negatives" ->
+      s"""SELECT qid, vec_id, sim, rank FROM (
+         |  SELECT a.vec_id AS qid, b.vec_id AS vec_id, ${simSql("a", "b")} AS sim,
+         |    row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY ${simSql("a", "b")} DESC, b.vec_id ASC) AS rank
+         |  FROM embeddings a JOIN embeddings b
+         |    ON a.label <> b.label AND ${simSql("a", "b")} < $HardNegCeil
+         |  WHERE a.vec_id < $NQueries)
+         |WHERE rank <= $K""".stripMargin,
 
     "sim_topk_learned" ->
       s"""WITH $learnedDocVecSql,

@@ -122,4 +122,46 @@ class DedupQualitySpec extends AnyFunSuite {
       phraseOnly.contains(i) || phraseOnly.contains(j) },
       "the traded tail must be exactly the only-hot-shingle pairs")
   }
+
+  test("semantic decontamination: planted eval copies are caught, negation/orthogonal stay out") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // exact copies ALWAYS share the SRP bucket (identical projections),
+    // so the catch assertions are deterministic at any adaptive B; the
+    // excluded vectors fail the 0.4 threshold regardless of probing
+    val a = Array.tabulate(64)(i => if (i % 3 == 0) 1.0f else 0.25f)
+    val w = Array.tabulate(64)(i => if (i % 3 == 0) -0.25f else 1.0f) // cos(a,w) ≈ 0.15, asserted below
+    val dir = s"/tmp/graft_semdecont_${suiteName.hashCode}"
+    Seq(
+      0L -> a,                  // eval
+      1L -> a,                  // train: exact copy -> caught at 1.0
+      2L -> a.map(-_),          // train: negation -> cosine -1, out
+      50L -> w,                 // eval
+      3L -> w                   // train: exact copy of the other eval -> caught
+    ).toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = SparkEntry.queries("pipe_decontaminate_semantic")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    SparkEntry.releaseCaches()
+    // cross pairs (0,3)/(50,1) score cos(a,w): assert it is below the
+    // threshold so their absence is the threshold's doing, not luck
+    val cosAw = {
+      val dot = a.zip(w).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      dot / math.sqrt(a.map(x => x.toDouble * x).sum * w.map(x => x.toDouble * x).sum)
+    }
+    assert(math.abs(cosAw) < 0.4, s"fixture invariant: cross cosine $cosAw must sit under the threshold")
+    assert(got == Set((0L, 1L, 1.0), (50L, 3L, 1.0)), s"got $got")
+  }
+
+  test("semantic decontamination: past the broadcast gate the shuffle route returns identical rows") {
+    val key = (r: org.apache.spark.sql.Row) => (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val bc = graft.queries.DedupQueries.decontaminateSemanticGate(spark, sf, gate = 0L)
+      .collect().map(key).toSet
+    SparkEntry.releaseCaches()
+    val sh = graft.queries.DedupQueries.decontaminateSemanticGate(spark, sf, gate = 1L)
+      .collect().map(key).toSet
+    SparkEntry.releaseCaches()
+    assert(bc == sh, "gate routing must never change the row set")
+    assert(bc.nonEmpty, "anti-vacuity: sf0.01 must contain semantic contamination pairs")
+  }
 }

@@ -127,6 +127,28 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("pipe_decontaminate_semantic: train buckets map-side into a broadcast bucket equi-join") {
+    val p = planOf("pipe_decontaminate_semantic")
+    // the 100 TB shape: the multiprobe eval index crosses in as a
+    // broadcast under the gate and candidates come from a bucket
+    // EQUI-join — the train side is never exchanged at all (the only
+    // nested loops are the 1-row adaptive-B scalar and the 137-row
+    // mask table, both on the benchmark-sized eval branch)
+    assert(p.contains("BroadcastHashJoin"),
+      s"the probe index must broadcast into a bucket equi-join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no bucket-keyed shuffle join on the honest corpus:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("sim_hard_negatives: anchors broadcast; one qid exchange feeds the rank window") {
+    val p = planOf("sim_hard_negatives")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the label-mismatch scan must be anchor-broadcast, never shuffled:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"the corpus side must not exchange for the join:\n$p")
+    assert(p.contains("WindowGroupLimit"), s"rank limit not pushed into the window:\n$p")
+  }
+
   test("text_classifier_sweep: threshold axis expands map-side; vocab broadcasts") {
     val p = planOf("text_classifier_sweep")
     assert(p.contains("BroadcastHashJoin"),

@@ -48,4 +48,28 @@ class SimilaritySpec extends AnyFunSuite {
       .groupBy("qid").count().collect().map(_.getLong(1))
     assert(ivf.nonEmpty && ivf.forall(_ == 5L))
   }
+
+  test("hard negatives: same-label excluded, near-copy ceiling binds, moderate cross-label ranks first") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = Array.tabulate(64)(i => if (i == 0) 1.0f else 0.0f)
+    val diag = Array.tabulate(64)(i => if (i <= 1) 1.0f else 0.0f)  // cos vs base = 1/√2
+    val orth = Array.tabulate(64)(i => if (i == 1) 1.0f else 0.0f)  // cos vs base = 0
+    val dir = s"/tmp/graft_hardneg_${suiteName.hashCode}"
+    Seq(
+      (0L, 0, base),            // anchor
+      (1L, 0, diag),            // same label: NEVER a negative
+      (2L, 1, base.map(_ * 2)), // cross-label exact copy: cos 1.0 ≥ ceiling, excluded
+      (3L, 1, diag),            // cross-label, cos 1/√2: the hard negative, rank 1
+      (4L, 1, orth)             // cross-label, cos 0: easy negative, rank 2
+    ).toDF("vec_id", "label", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = SparkEntry.queries("sim_hard_negatives")(spark, dir)
+      .where(col("qid") === 0L)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getInt(3))).toList
+      .sortBy(_._3)
+    SparkEntry.releaseCaches()
+    assert(got == List((3L, 0.707107, 1), (4L, 0.0, 2)),
+      s"anchor 0 must mine exactly the sub-ceiling cross-label vectors, got $got")
+  }
 }
