@@ -38,17 +38,22 @@ object VectorFunctions {
     * the whole stage then loses codegen, which costs more than the
     * UDF boundary ever could. */
   def cosineLoop(a: Column, b: Column, dim: Int): Column = {
-    val f = udf { (x: Array[Float], y: Array[Float]) =>
-      var dot = 0.0; var nx = 0.0; var ny = 0.0
-      var i = 0
-      while (i < dim) {
-        val xi = x(i).toDouble; val yi = y(i).toDouble
-        dot += xi * yi; nx += xi * xi; ny += yi * yi
-        i += 1
-      }
-      dot / math.sqrt(nx * ny)
-    }
+    val f = udf { (x: Array[Float], y: Array[Float]) => cosineScalar(x, y, dim) }
     f(a, b)
+  }
+
+  /** The [[cosineLoop]] kernel as a plain function — shared by the
+    * streaming semantic-decontamination tag, whose eval index lives in
+    * a driver broadcast rather than a column. */
+  def cosineScalar(x: Array[Float], y: Array[Float], dim: Int): Double = {
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    var i = 0
+    while (i < dim) {
+      val xi = x(i).toDouble; val yi = y(i).toDouble
+      dot += xi * yi; nx += xi * xi; ny += yi * yi
+      i += 1
+    }
+    dot / math.sqrt(nx * ny)
   }
 
   /** Sign-random-projection LSH bucket: `planes` hyperplanes with
@@ -104,19 +109,26 @@ object VectorFunctions {
     * (map-side only — buckets shuffle as one long). */
   def signBucket(v: Column, bits: Column, coeffs: Array[Array[Long]], dim: Int): Column = {
     val f = udf { (vec: Array[Float], bits: Long) =>
-      var bucket = 0L
-      var p = 0
-      while (p < bits) {
-        var proj = 0.0
-        val row = coeffs(p)
-        var i = 0
-        while (i < dim) { proj += vec(i).toDouble * row(i); i += 1 }
-        if (proj > 0) bucket |= (1L << p)
-        p += 1
-      }
-      bucket
+      signBucketScalar(vec, bits.toInt, coeffs, dim)
     }
     f(v, bits)
+  }
+
+  /** The [[signBucket]] kernel as a plain function — shared by the
+    * streaming semantic-decontamination tag's driver-side eval index
+    * build, so stream and batch quantize identically by construction. */
+  def signBucketScalar(vec: Array[Float], bits: Int, coeffs: Array[Array[Long]], dim: Int): Long = {
+    var bucket = 0L
+    var p = 0
+    while (p < bits) {
+      var proj = 0.0
+      val row = coeffs(p)
+      var i = 0
+      while (i < dim) { proj += vec(i).toDouble * row(i); i += 1 }
+      if (proj > 0) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
   }
 
   /** max |a[i]|, unrolled (floored at 1e-30 so a zero vector quantizes

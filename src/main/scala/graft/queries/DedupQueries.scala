@@ -33,8 +33,8 @@ object DedupQueries extends QueryPack {
 
   private val JaccardThreshold = 0.8
   private val ContainmentThreshold = 0.9
-  private val CosineThreshold = 0.4
-  private val Dim = 64
+  private[graft] val CosineThreshold = 0.4
+  private[graft] val Dim = 64
 
   /** Adaptive bit-count policy of dedup_semantic's SRP coarse
     * quantizer (the learned tier's caps-table discipline at target
@@ -46,6 +46,13 @@ object DedupQueries extends QueryPack {
   private[graft] val SemMaxBits = 16
   private[graft] val semCaps: Seq[(Long, Long)] =
     (SemMinBits to SemMaxBits).map(b => (b.toLong, (1L << b) * SemOcc))
+
+  /** The caps-table bit selection as a plain function — the streaming
+    * semantic-decontamination tag pins its quantizer width at index
+    * build time with THIS policy so a stream sized for the batch
+    * corpus buckets identically to the batch query. */
+  private[graft] def semBitsFor(n: Long): Int =
+    semCaps.find(_._2 >= n).map(_._1.toInt).getOrElse(SemMaxBits)
 
   /** Centroid candidates per bucket — bounds assignment at O(N·C). */
   private[graft] val CentsPerBucket = 4

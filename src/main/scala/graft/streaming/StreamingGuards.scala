@@ -143,6 +143,79 @@ object StreamingGuards {
       .groupBy("source", "h")
       .agg(count(lit(1)).as("occurrences"))
 
+  case class Vec(vec_id: Long, ts: Timestamp, embedding: Array[Float])
+
+  /** Broadcastable eval-side index for [[semanticDecontTag]]: the eval
+    * vectors keyed by every bucket within hamming≤2 of their own SRP
+    * sign bucket — so a train vector's single map-side bucket lookup
+    * reproduces exactly the batch pipe_decontaminate_semantic
+    * candidate rule (train ∈ probe(eval) ⟺ hamming(eval, train) ≤ 2 ⟺
+    * eval ∈ probe(train)). `bits` is pinned at build time
+    * (DedupQueries.semBitsFor(corpus size) — a stream cannot re-count
+    * the corpus per row; size the quantizer for the corpus the batch
+    * twin sees and the two bucket identically by construction). */
+  final case class EvalVecIndex(bits: Int,
+      byBucket: Map[Long, Array[(Long, Array[Float])]]) extends Serializable
+
+  /** Build the eval vector index — driver-side and count-gated BEFORE
+    * the collect (the evalGramSet discipline): benchmark suites are
+    * thousands of vectors when the corpus is 100 TB; an eval side
+    * bigger than the gate is a misconfiguration, and the batch query
+    * (whose bucket equi-join shuffle-routes past its gate) is the
+    * right tool for it. */
+  def evalVecIndex(evalVecs: DataFrame, bits: Int, maxVecs: Long = 100000L): EvalVecIndex = {
+    import graft.functions.VectorFunctions.signBucketScalar
+    import graft.queries.DedupQueries.{semCoeffs, DecontMasks, Dim}
+    val n = evalVecs.count()
+    require(n <= maxVecs,
+      s"eval vector index holds $n vectors (> $maxVecs): too large for a driver " +
+        "broadcast — run the batch pipe_decontaminate_semantic, whose bucket " +
+        "equi-join shuffle-routes past its gate")
+    val rows = evalVecs.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val expanded = rows.flatMap { case (id, v) =>
+      val b = signBucketScalar(v, bits, semCoeffs, Dim)
+      DecontMasks.iterator.filter(_ < (1L << bits)).map(m => (b ^ m) -> ((id, v)))
+    }
+    EvalVecIndex(bits, expanded.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) })
+  }
+
+  /** Tag each arriving vector with its semantic benchmark overlap —
+    * the streaming twin of batch `pipe_decontaminate_semantic`, same
+    * quantizer (signBucketScalar over the committed integer SRP
+    * coefficients), same hamming≤2 candidate rule (pre-expanded into
+    * the index), same exact-cosine threshold (cosineScalar — the
+    * batch query's cosineLoop kernel). Stateless map-side tag: the
+    * edge only TAGS, like [[decontaminationTag]]; dedup/accounting
+    * stay in batch where late data cannot corrupt them. */
+  def semanticDecontTag(vecs: Dataset[Vec], idx: Broadcast[EvalVecIndex],
+      threshold: Double = graft.queries.DedupQueries.CosineThreshold): DataFrame = {
+    import graft.functions.VectorFunctions.{cosineScalar, signBucketScalar}
+    import graft.queries.DedupQueries.{semCoeffs, Dim}
+    val tag = udf { (v: Array[Float]) =>
+      val ix = idx.value
+      val cands = ix.byBucket.getOrElse(
+        signBucketScalar(v, ix.bits, semCoeffs, Dim),
+        Array.empty[(Long, Array[Float])])
+      var hits = 0L
+      var best = Double.NegativeInfinity
+      cands.foreach { case (_, ev) =>
+        // eval first — the batch query's cosineLoop(evec, train) order
+        val s = BigDecimal(cosineScalar(ev, v, Dim))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        if (s >= threshold) hits += 1
+        if (s > best) best = s
+      }
+      (hits, if (cands.isEmpty) None else Some(best))
+    }
+    vecs.toDF()
+      .withColumn("t", tag(col("embedding")))
+      .select(col("vec_id"), col("ts"),
+        col("t._1").as("n_contaminated"),
+        col("t._2").as("best_sim"),
+        (col("t._1") === 0L).as("clean"))
+  }
+
   /** Tag each arriving document with the batch quality gate's verdict
     * (same `qualityCounters` kernel and thresholds as
     * `pipe_text_corpus`'s gate): token/stopword counts plus an accept

@@ -47,6 +47,67 @@ class StreamingGuardsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("semantic decontamination tag agrees with the batch query on the same fixture, across batches") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingGuards.Vec
+    // the DedupQualitySpec fixture: two eval vectors, one exact train
+    // copy of each, one negation (cosine −1), plus a mid-similarity
+    // train vector so the threshold is exercised away from ±1
+    val a = Array.tabulate(64)(i => if (i % 3 == 0) 1.0f else 0.25f)
+    val w = Array.tabulate(64)(i => if (i % 3 == 0) -0.25f else 1.0f)
+    val mid = a.zip(w).map { case (x, y) => x * 0.8f + y * 0.2f } // near a, not exact
+    val train = Seq(1L -> a, 2L -> a.map(-_), 3L -> w, 4L -> mid)
+    val evalRows = Seq(0L -> a, 50L -> w)
+    val dir = s"/tmp/graft_semdecont_stream_${suiteName.hashCode}"
+    (train ++ evalRows).toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    // batch verdicts on the identical corpus (6 vectors -> B = minimum)
+    val batch = SparkEntry.queries("pipe_decontaminate_semantic")(spark, dir)
+      .collect().map(r => (r.getLong(1), (r.getLong(0), r.getDouble(2))))
+      .groupBy(_._1).map { case (t, vs) => t -> vs.map(_._2).toSet }
+    SparkEntry.releaseCaches()
+    val bits = graft.queries.DedupQueries.semBitsFor(6L)
+    val idx = spark.sparkContext.broadcast(StreamingGuards.evalVecIndex(
+      evalRows.toDF("vec_id", "embedding"), bits))
+    val mem = MemoryStream[Vec]
+    val q = StreamingGuards.semanticDecontTag(mem.toDS(), idx)
+      .writeStream.format("memory").queryName("sem_decon_tags")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(Vec(1, ts(0), a), Vec(2, ts(1), a.map(-_)))
+      q.processAllAvailable()
+      mem.addData(Vec(3, ts(2), w), Vec(4, ts(3), mid))           // batch boundary
+      q.processAllAvailable()
+      val got = spark.table("sem_decon_tags")
+        .select("vec_id", "n_contaminated", "clean")
+        .as[(Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+      // per-vector agreement: contaminated on the stream ⟺ the batch
+      // query emitted a pair for that train vector, with equal counts
+      train.foreach { case (id, _) =>
+        val want = batch.getOrElse(id, Set.empty)
+        assert(got(id)._2 == want.size.toLong,
+          s"vec $id: stream counted ${got(id)._2} eval hits, batch found $want")
+        assert(got(id)._3 == want.isEmpty, s"vec $id: clean flag disagrees with batch")
+      }
+      // and the fixture itself is non-degenerate: both catches present
+      assert(!got(1L)._3 && !got(3L)._3, "exact copies must be flagged")
+      assert(got(2L)._3, "the negation must pass clean")
+    } finally q.stop()
+  }
+
+  test("eval vector index: count-gated before collect; oversize names the batch route") {
+    import spark.implicits._
+    val vecs = (0 until 8).map(i => (i.toLong, Array.fill(64)(i.toFloat + 1f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      StreamingGuards.evalVecIndex(vecs, bits = 3, maxVecs = 4L)
+    }
+    assert(e.getMessage.contains("pipe_decontaminate_semantic"),
+      "gate message must route oversize eval sets to the batch query")
+  }
+
   test("quality tag matches the batch gate's thresholds") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
