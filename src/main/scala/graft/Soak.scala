@@ -53,7 +53,11 @@ object Soak {
     // r11 additions: the asymmetric broadcast-index decontamination is
     // the scale-interesting newcomer (its cost must track the TRAIN
     // side linearly while the eval broadcast stays fixed)
-    "pipe_decontaminate_fuzzy")
+    "pipe_decontaminate_fuzzy",
+    // r11 second wave: the embedding-space decon screen (multiprobe
+    // bucket equi-join — candidate mass must stay bounded as B steps)
+    // and the broadcast-anchor miner (one corpus pass, k fixed)
+    "pipe_decontaminate_semantic", "sim_hard_negatives")
 
   /** Scaled-table families each KNOWN soak query reads: 'd' =
     * documents, 'f' = the fact triple (lineitem/orders/part), 'e' =
