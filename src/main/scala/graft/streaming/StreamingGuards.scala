@@ -199,14 +199,21 @@ object StreamingGuards {
         Array.empty[(Long, Array[Float])])
       var hits = 0L
       var best = Double.NegativeInfinity
+      var scored = false
       cands.foreach { case (_, ev) =>
         // eval first — the batch query's cosineLoop(evec, train) order
-        val s = BigDecimal(cosineScalar(ev, v, Dim))
-          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-        if (s >= threshold) hits += 1
-        if (s > best) best = s
+        val c = cosineScalar(ev, v, Dim)
+        // a zero vector cosines to NaN; the batch round() passes NaN
+        // through and the threshold comparison fails it — mirror that
+        // (BigDecimal(NaN) would instead crash the stream)
+        if (!c.isNaN) {
+          val s = BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          if (s >= threshold) hits += 1
+          if (s > best) best = s
+          scored = true
+        }
       }
-      (hits, if (cands.isEmpty) None else Some(best))
+      (hits, if (scored) Some(best) else None)
     }
     vecs.toDF()
       .withColumn("t", tag(col("embedding")))

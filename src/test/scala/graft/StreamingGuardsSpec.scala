@@ -79,6 +79,7 @@ class StreamingGuardsSpec extends AnyFunSuite {
       mem.addData(Vec(1, ts(0), a), Vec(2, ts(1), a.map(-_)))
       q.processAllAvailable()
       mem.addData(Vec(3, ts(2), w), Vec(4, ts(3), mid))           // batch boundary
+      mem.addData(Vec(5, ts(4), Array.fill(64)(0.0f)))            // zero vector: NaN cosine
       q.processAllAvailable()
       val got = spark.table("sem_decon_tags")
         .select("vec_id", "n_contaminated", "clean")
@@ -94,6 +95,9 @@ class StreamingGuardsSpec extends AnyFunSuite {
       // and the fixture itself is non-degenerate: both catches present
       assert(!got(1L)._3 && !got(3L)._3, "exact copies must be flagged")
       assert(got(2L)._3, "the negation must pass clean")
+      // zero vector: NaN cosine is a data condition, not a crash — it
+      // fails the threshold exactly as the batch round() does
+      assert(got(5L) == ((5L, 0L, true)), s"zero vector must tag clean, got ${got(5L)}")
     } finally q.stop()
   }
 
