@@ -57,7 +57,9 @@ object Soak {
     // r11 second wave: the embedding-space decon screen (multiprobe
     // bucket equi-join — candidate mass must stay bounded as B steps)
     // and the broadcast-anchor miner (one corpus pass, k fixed)
-    "pipe_decontaminate_semantic", "sim_hard_negatives")
+    "pipe_decontaminate_semantic", "sim_hard_negatives",
+    // r11 third wave: the uncertainty sampler rides the classifier pass
+    "text_uncertainty_sample")
 
   /** Scaled-table families each KNOWN soak query reads: 'd' =
     * documents, 'f' = the fact triple (lineitem/orders/part), 'e' =
@@ -114,7 +116,8 @@ object Soak {
     "mm_resize_stats" -> Set('d'), "q_skew_salted_join" -> Set('f'),
     "pipe_decontaminate_fuzzy" -> Set('d'), "text_token_fertility" -> Set('d'),
     "text_classifier_sweep" -> Set('d'),
-    "pipe_decontaminate_semantic" -> Set('e'), "sim_hard_negatives" -> Set('e'))
+    "pipe_decontaminate_semantic" -> Set('e'), "sim_hard_negatives" -> Set('e'),
+    "text_uncertainty_sample" -> Set('d'))
 
   private[graft] def famsFor(queries: Seq[String]): Set[Char] =
     queries.map(q => SoakReads.getOrElse(q,

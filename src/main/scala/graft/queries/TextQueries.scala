@@ -339,6 +339,32 @@ object TextQueries extends QueryPack {
     // literals — an Expand, not a join) into a (threshold, source)
     // aggregate of a few dozen rows. Thresholds interpolate into the
     // oracle from the same Seq.
+    // Uncertainty sampling — the annotate-next batch an active-learning
+    // loop sends for labels (or to a teacher model): per source, the K
+    // docs whose committed-perceptron margin sits closest to the
+    // decision boundary (smallest |score|, doc_id tie-break — scores
+    // are integer weight sums, so the ordering is exact on both
+    // engines). Shape at 100 TB: one scoring pass (tokens reduce
+    // map-side through the broadcast vocab), then the per-source top-k
+    // is a WindowGroupLimit — each partition keeps K rows before the
+    // single source-keyed exchange, so the sort never materializes a
+    // corpus-wide ordering.
+    "text_uncertainty_sample" -> ((s, d) => {
+      import s.implicits._
+      val vocab = graft.functions.ClassifierWeights.Weights.toDF("token", "w")
+      val scored = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), explode(tokens(col("text"))).as("token"))
+        .join(broadcast(vocab), Seq("token"), "left")
+        .groupBy("doc_id", "source")
+        .agg(coalesce(sum(col("w")), lit(0L)).as("score"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(abs(col("score")).asc, col("doc_id").asc)
+      scored.withColumn("abs_score", abs(col("score")))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= UncertaintyK)
+        .select("source", "doc_id", "score", "abs_score", "rank")
+    }),
+
     "text_classifier_sweep" -> ((s, d) => {
       import s.implicits._
       val vocab = graft.functions.ClassifierWeights.Weights.toDF("token", "w")
@@ -677,6 +703,28 @@ object TextQueries extends QueryPack {
     * VALUES table (the Bm25 constants discipline). */
   private val SweepThresholds = Seq(-4L, -2L, 0L, 2L, 4L)
 
+  /** Annotation-batch size per source of the uncertainty sampler. */
+  private val UncertaintyK = 10
+
+  /** Same scoring join as classifierOracle with `source` carried
+    * through, then the per-source smallest-|margin| top-K. */
+  private val uncertaintyOracle: String = {
+    val values = graft.functions.ClassifierWeights.Weights
+      .map { case (t, w) => s"('$t', $w)" }.mkString(", ")
+    s"""WITH tok AS (
+  SELECT doc_id, source, unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> length(x) > 0)) AS token
+  FROM documents),
+vocab(token, w) AS (VALUES $values),
+sc AS (
+  SELECT doc_id, source, CAST(coalesce(sum(w), 0) AS BIGINT) AS score
+  FROM tok t LEFT JOIN vocab v USING (token) GROUP BY 1, 2),
+r AS (
+  SELECT source, doc_id, score, CAST(abs(score) AS BIGINT) AS abs_score,
+    row_number() OVER (PARTITION BY source ORDER BY abs(score), doc_id) AS rank
+  FROM sc)
+SELECT source, doc_id, score, abs_score, rank FROM r WHERE rank <= $UncertaintyK"""
+  }
+
   /** The committed perceptron weights replayed as a literal VALUES
     * table — the oracle scores with the SAME learned parameters the
     * engine ships (functions/ClassifierWeights.scala). */
@@ -799,5 +847,6 @@ ORDER BY score DESC, doc_id LIMIT 20"""
       ("text_split_drift" -> splitDriftOracle) +
       ("text_bm25_topk" -> bm25Oracle) +
       ("text_classifier_sweep" -> classifierSweepOracle) +
-      ("text_token_fertility" -> tokenFertilityOracle)
+      ("text_token_fertility" -> tokenFertilityOracle) +
+      ("text_uncertainty_sample" -> uncertaintyOracle)
 }

@@ -49,4 +49,31 @@ class ClassifierSpec extends AnyFunSuite {
       assert(margin * y > 0, s"misclassified training row (y=$y): ${toks.take(5).mkString(" ")}…")
     }
   }
+
+  test("uncertainty sample is exactly the per-source smallest-|margin| top-k of the full scoring pass") {
+    import org.apache.spark.sql.functions._
+    val spark = SparkTestSession.spark
+    val sf = "/root/testdata/sf0.01"
+    val got = SparkEntry.queries("text_uncertainty_sample")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+    SparkEntry.releaseCaches()
+    // full ground truth: every doc's score from the graded scoring
+    // query, decorated with its source
+    val full = SparkEntry.queries("text_classifier_score")(spark, sf)
+      .join(spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "source"), Seq("doc_id"))
+      .select("source", "doc_id", "score")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    SparkEntry.releaseCaches()
+    val bySource = full.groupBy(_._1)
+    got.groupBy(_._1).foreach { case (src, rows) =>
+      val pool = bySource(src).map { case (_, id, s) => (math.abs(s), id, s) }.sorted
+      val want = pool.take(10).zipWithIndex
+        .map { case ((a, id, s), i) => (src, id, s, a, i + 1) }.toList
+      assert(rows.toList.sortBy(_._5) == want,
+        s"$src: selection must equal the sorted smallest-|margin| prefix")
+    }
+    assert(got.groupBy(_._1).forall(_._2.length == 10),
+      "every sf0.01 source has >= 10 docs, so each batch is exactly k")
+  }
 }

@@ -149,6 +149,15 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), s"rank limit not pushed into the window:\n$p")
   }
 
+  test("text_uncertainty_sample: vocab broadcasts; per-source top-k limit pushed into the window") {
+    val p = planOf("text_uncertainty_sample")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the vocabulary lookup must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no shuffle join anywhere:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"the top-k must prune per-partition before the source exchange:\n$p")
+  }
+
   test("text_classifier_sweep: threshold axis expands map-side; vocab broadcasts") {
     val p = planOf("text_classifier_sweep")
     assert(p.contains("BroadcastHashJoin"),
