@@ -166,7 +166,13 @@ object DedupQueries extends QueryPack {
       // lost codegen entirely)
       .select(col("eval_id"), col("train_id"),
         round(cosineLoop(col("evec"), col("embedding"), Dim), 6).as("sim"))
-      .where(col("sim") >= CosineThreshold)
+      // NaN is excluded EXPLICITLY, not left to the comparison: Spark
+      // SQL orders NaN greater than every number, so a zero vector's
+      // 0/0 cosine would otherwise pass the threshold and flag as
+      // contaminating every eval doc in its probe range (caught by the
+      // planted zero-vector fixture). Mirrored in the oracle so the
+      // exclusion never depends on either engine's NaN ordering.
+      .where(!isnan(col("sim")) && col("sim") >= CosineThreshold)
   }
 
   /** (doc_id, hs: distinct word-3-gram shingle hashes) for docs with
@@ -979,6 +985,8 @@ FROM sh LEFT JOIN cnt ON sh.doc_id = cnt.doc_id"""
          |    sqrt((${dotSql("x", "x")}) * (${dotSql("y", "y")})), 6) AS sim
          |FROM cand c JOIN embeddings x ON x.vec_id = c.eval_id
          |     JOIN embeddings y ON y.vec_id = c.train_id
-         |WHERE round((${dotSql("x", "y")}) /
+         |WHERE NOT isnan(round((${dotSql("x", "y")}) /
+         |    sqrt((${dotSql("x", "x")}) * (${dotSql("y", "y")})), 6))
+         |  AND round((${dotSql("x", "y")}) /
          |    sqrt((${dotSql("x", "x")}) * (${dotSql("y", "y")})), 6) >= $CosineThreshold""".stripMargin)
 }

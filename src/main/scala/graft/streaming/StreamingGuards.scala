@@ -203,9 +203,10 @@ object StreamingGuards {
       cands.foreach { case (_, ev) =>
         // eval first — the batch query's cosineLoop(evec, train) order
         val c = cosineScalar(ev, v, Dim)
-        // a zero vector cosines to NaN; the batch round() passes NaN
-        // through and the threshold comparison fails it — mirror that
-        // (BigDecimal(NaN) would instead crash the stream)
+        // a zero vector cosines to NaN; the batch query EXCLUDES NaN
+        // explicitly (Spark SQL orders NaN above every number, so a
+        // bare `>= threshold` would pass it) — mirror the exclusion
+        // here, where BigDecimal(NaN) would also crash the stream
         if (!c.isNaN) {
           val s = BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
           if (s >= threshold) hits += 1

@@ -137,7 +137,8 @@ class DedupQualitySpec extends AnyFunSuite {
       1L -> a,                  // train: exact copy -> caught at 1.0
       2L -> a.map(-_),          // train: negation -> cosine -1, out
       50L -> w,                 // eval
-      3L -> w                   // train: exact copy of the other eval -> caught
+      3L -> w,                  // train: exact copy of the other eval -> caught
+      4L -> Array.fill(64)(0.0f) // train: zero vector -> NaN cosine, out (not a crash)
     ).toDF("vec_id", "embedding")
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     val got = SparkEntry.queries("pipe_decontaminate_semantic")(spark, dir)

@@ -95,8 +95,9 @@ class StreamingGuardsSpec extends AnyFunSuite {
       // and the fixture itself is non-degenerate: both catches present
       assert(!got(1L)._3 && !got(3L)._3, "exact copies must be flagged")
       assert(got(2L)._3, "the negation must pass clean")
-      // zero vector: NaN cosine is a data condition, not a crash — it
-      // fails the threshold exactly as the batch round() does
+      // zero vector: NaN cosine is a data condition, not a crash —
+      // excluded exactly as the batch query's explicit NaN filter
+      // (DedupQualitySpec pins the batch side of the same fixture)
       assert(got(5L) == ((5L, 0L, true)), s"zero vector must tag clean, got ${got(5L)}")
     } finally q.stop()
   }
