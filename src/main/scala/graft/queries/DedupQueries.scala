@@ -563,7 +563,13 @@ object DedupQueries extends QueryPack {
               var dot = 0.0; var k = 0
               while (k < va.length) { dot += va(k).toDouble * vb(k).toDouble; k += 1 }
               val sim = dot / math.sqrt(nsqA * nsqs(j))
-              // pre-filter with slack; the exact rounded filter runs in SQL
+              // pre-filter with slack; the exact rounded filter runs in
+              // SQL. NaN (a zero vector's 0/0) fails this IEEE
+              // comparison — deliberate, and the oracle's NOT isnan
+              // mirrors it: SQL engines order NaN ABOVE every number,
+              // so an unmirrored oracle would emit (i, j, NaN) pairs
+              // the kernel correctly suppresses (planted zero-vector
+              // fixture in DedupQualitySpec)
               if (sim >= thr - 1e-6) out += ((ida, idb, sim))
             }
             j += 1
@@ -886,7 +892,9 @@ FROM sh LEFT JOIN cnt ON sh.doc_id = cnt.doc_id"""
       s"""SELECT a.vec_id AS i, b.vec_id AS j, round((${dotSql("a", "b")}) /
          |  sqrt((${dotSql("a", "a")}) * (${dotSql("b", "b")})), 6) AS sim
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-         |WHERE round((${dotSql("a", "b")}) /
+         |WHERE NOT isnan(round((${dotSql("a", "b")}) /
+         |  sqrt((${dotSql("a", "a")}) * (${dotSql("b", "b")})), 6))
+         |  AND round((${dotSql("a", "b")}) /
          |  sqrt((${dotSql("a", "a")}) * (${dotSql("b", "b")})), 6) >= $CosineThreshold""".stripMargin,
 
     "dedup_simhash" -> simhashOracle,

@@ -154,6 +154,21 @@ class DedupQualitySpec extends AnyFunSuite {
     assert(got == Set((0L, 1L, 1.0), (50L, 3L, 1.0)), s"got $got")
   }
 
+  test("embedding cosine: a zero vector pairs with nothing (NaN suppressed, matching the oracle's isnan filter)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val a = Array.tabulate(64)(i => if (i % 3 == 0) 1.0f else 0.25f)
+    val dir = s"/tmp/graft_embcos_nan_${suiteName.hashCode}"
+    Seq(0L -> a, 1L -> a, 2L -> Array.fill(64)(0.0f))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = SparkEntry.queries("dedup_embedding_cosine")(spark, dir)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    SparkEntry.releaseCaches()
+    assert(got == Set((0L, 1L)),
+      s"only the real pair may survive — a zero vector's NaN cosine is not a near-dup: $got")
+  }
+
   test("semantic decontamination: past the broadcast gate the shuffle route returns identical rows") {
     val key = (r: org.apache.spark.sql.Row) => (r.getLong(0), r.getLong(1), r.getDouble(2))
     val bc = graft.queries.DedupQueries.decontaminateSemanticGate(spark, sf, gate = 0L)
