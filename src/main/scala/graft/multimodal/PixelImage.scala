@@ -28,6 +28,15 @@ import org.apache.spark.sql.functions._
   */
 object PixelImage {
 
+  // ImageIO's default stream cache is a TEMP FILE per encode/decode
+  // call — at corpus scale that is one disk round-trip per image and a
+  // global bottleneck the thread count cannot buy back (measured at
+  // ×32 soak: 160k images took the same ~40 s on 2, 8, and 32 cores —
+  // zero parallel speedup until this switch). Memory-cached streams
+  // are pure CPU and scale with the executor. JVM-global, idempotent,
+  // safe on executors (each JVM runs it once at class load).
+  ImageIO.setUseCache(false)
+
   case class Media(media_id: Long, payload: Array[Byte])
   case class ChannelStats(media_id: Long, width: Int, height: Int,
       r_sum: Long, g_sum: Long, b_sum: Long)
@@ -115,7 +124,13 @@ object PixelImage {
   def mediaFromDocuments(docs: DataFrame): Dataset[Media] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id").as("media_id")).as[Long]
+    // fanout BEFORE the codec kernel: the id column prunes the scan to
+    // a few MB however many documents there are, so Spark's size-based
+    // splitting hands the whole corpus to one or two partitions and
+    // the per-image encode/decode work serializes — the ×32 soak read
+    // 37 s for what 32 cores do in 3 (the exchange moves 8-byte ids,
+    // the cheapest possible repartition)
+    graft.Tables.fanout(docs.select(col("doc_id").as("media_id"))).as[Long]
       .mapPartitions(_.map(id => Media(id, encodePng(synthImage(id)))))
   }
 

@@ -164,7 +164,10 @@ object WavAudio {
   def audioFromDocuments(docs: DataFrame): Dataset[Audio] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id").as("media_id")).as[Long]
+    // fanout before the codec kernel — same rationale as
+    // PixelImage.mediaFromDocuments: the pruned id scan packs into a
+    // couple of partitions and would serialize the WAV encode
+    graft.Tables.fanout(docs.select(col("doc_id").as("media_id"))).as[Long]
       .mapPartitions(_.map(id => Audio(id, encodeWav(synthClip(id)))))
   }
 
