@@ -88,6 +88,14 @@ class PlanInvariantsSpec extends AnyFunSuite {
   private def exchangeCount(p: String): Int =
     "\\(\\d+\\) Exchange\\b".r.findAllIn(p).length
 
+  /** Round-robin repartitions (the deliberate pre-codec id fanout in
+    * the multimodal tier — r11: the pruned single-column scan packs
+    * any corpus into 1-2 size-based splits, serializing the codec
+    * kernels without it). Keyed work still counts via exchangeCount
+    * minus this. */
+  private def roundRobinCount(p: String): Int =
+    "RoundRobinPartitioning".r.findAllIn(p).length
+
   test("pipe_seq_packing: one shuffle total (shard window, no global sort)") {
     val p = planOf("pipe_seq_packing")
     assert(exchangeCount(p) == 1,
@@ -631,8 +639,12 @@ class PlanInvariantsSpec extends AnyFunSuite {
   test("mm_image_phash / mm_audio_fingerprint: signatures shrink before the one bucket exchange") {
     for (q <- Seq("mm_image_phash", "mm_audio_fingerprint")) {
       val p = planOf(q)
-      assert(exchangeCount(p) == 1,
-        s"$q must shuffle only 8-16 byte signatures, got ${exchangeCount(p)} exchanges:\n$p")
+      // two exchanges total, but only ONE is keyed: the r11 id fanout
+      // (round-robin over 8-byte ids, pre-codec) plus the signature
+      // bucket aggregation — pixels/samples still never shuffle
+      assert(exchangeCount(p) == 2 && roundRobinCount(p) == 1,
+        s"$q must shuffle only the id fanout + 8-16 byte signatures, " +
+          s"got ${exchangeCount(p)} exchanges (${roundRobinCount(p)} round-robin):\n$p")
     }
   }
 
@@ -796,10 +808,13 @@ class PlanInvariantsSpec extends AnyFunSuite {
     }
   }
 
-  test("mm_audio_silence: per-clip codec kernel, ZERO shuffles") {
+  test("mm_audio_silence: per-clip codec kernel, zero KEYED shuffles") {
     val p = planOf("mm_audio_silence")
-    assert(exchangeCount(p) == 0,
-      s"silence split must not shuffle at all, got ${exchangeCount(p)}:\n$p")
+    // the only exchange is the r11 pre-codec id fanout (round-robin,
+    // 8-byte ids) — no keyed shuffle anywhere
+    assert(exchangeCount(p) == 1 && roundRobinCount(p) == 1,
+      s"silence split may only carry the id fanout, got ${exchangeCount(p)} " +
+        s"exchanges (${roundRobinCount(p)} round-robin):\n$p")
   }
 
   test("q_events_stickiness: one fact scan feeds both distinct tiers") {
