@@ -100,6 +100,19 @@ object CurationQueries extends QueryPack {
   private[graft] def evalBroadcastGate: Long =
     sys.env.get("SPARK_GRAFT_EVAL_BROADCAST_GATE").map(_.toLong).getOrElse(5000000L)
 
+  /** One gate decision (count ≤ gate, 0 disables) shared by every
+    * decontamination pass — single-sourced so the gate semantics can
+    * never diverge between the three routings. The count runs BEFORE
+    * any broadcast is built; pin the relation first when it feeds
+    * multiple consumers. */
+  private[graft] def gateBroadcastable(df: org.apache.spark.sql.DataFrame, gate: Long): Boolean =
+    gate <= 0 || df.count() <= gate
+
+  /** Apply (or drop) the broadcast hint per the shared gate decision. */
+  private[graft] def routeIf(broadcastable: Boolean)(
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    if (broadcastable) broadcast(df) else df
+
   /** Cap-injectable core of pipe_decontaminate_fuzzy — spec'd directly
     * (env is immutable in a test JVM, so CurationSpec passes the cap
     * explicitly; the DedupQualitySpec discipline). */
@@ -124,9 +137,7 @@ object CurationQueries extends QueryPack {
         Seq("h"), "left_semi"))
     // one gate decision covers both eval-side relations (sizes has at
     // most one row per eval doc — strictly fewer than the index)
-    val broadcastable = gate <= 0 || evalIdx.count() <= gate
-    def route(df: org.apache.spark.sql.DataFrame) =
-      if (broadcastable) broadcast(df) else df
+    val route = routeIf(gateBroadcastable(evalIdx, gate)) _
     val evalSizes = evalIdx.groupBy("eval_id").agg(count(lit(1)).as("n_eval"))
     val hits = sh.where(!isEval)
       .select(col("doc_id").as("train_id"), explode(col("hs")).as("h"))
@@ -151,9 +162,7 @@ object CurationQueries extends QueryPack {
     // pinned so the gate's count and the semi-join share one
     // materialization of the distinct eval grams
     val evalSet = graft.CacheRegistry.persistTracked(evalEx.select("s").distinct())
-    val route =
-      if (gate <= 0 || evalSet.count() <= gate) broadcast(evalSet.toDF())
-      else evalSet.toDF()
+    val route = routeIf(gateBroadcastable(evalSet, gate))(evalSet.toDF())
     // map-side semi-join against the (gated) eval set, then dedup the
     // (few) matched grams
     val found = grams.where(!isEval)

@@ -62,22 +62,27 @@ object DedupQueries extends QueryPack {
   private[graft] val semCoeffs: Array[Array[Long]] =
     srpIntCoeffs(SemMaxBits, Dim)
 
+  /** The adaptive-B selection as a 1-row relation — shared by
+    * dedup_semantic's bucketing stage and the semantic decon screen's
+    * mask filter (one definition, no drift). */
+  private[graft] def semBsel(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    semCaps.toDF("bbits", "cap")
+      .crossJoin(Tables.embeddings(s, d).agg(count(lit(1)).as("n")))
+      .where(col("cap") >= col("n"))
+      .agg(coalesce(min("bbits"), lit(SemMaxBits.toLong)).as("bbits"))
+  }
+
   /** Bucketing stage of dedup_semantic, UNCACHED (the query persists
     * it; PlanInvariantsSpec plans it bare so the one 1-row scalar
     * nested-loop is exactly countable — the erMatchPairs discipline):
     * adaptive B from the caps table, then the map-side sign bucket. */
-  private[graft] def semBucketed(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val bsel = semCaps.toDF("bbits", "cap")
-      .crossJoin(Tables.embeddings(s, d).agg(count(lit(1)).as("n")))
-      .where(col("cap") >= col("n"))
-      .agg(coalesce(min("bbits"), lit(SemMaxBits.toLong)).as("bbits"))
+  private[graft] def semBucketed(s: SparkSession, d: String): DataFrame =
     Tables.fanout(Tables.embeddings(s, d))
       .select(col("vec_id"), col("embedding"))
-      .crossJoin(broadcast(bsel))
+      .crossJoin(broadcast(semBsel(s, d)))
       .select(col("vec_id"), col("embedding"),
         signBucket(col("embedding"), col("bbits"), semCoeffs, Dim).as("bucket"))
-  }
 
   /** Assignment stage of dedup_semantic: per-bucket centroid
     * candidates (first CentsPerBucket by vec_id) → nearest by
@@ -130,10 +135,6 @@ object DedupQueries extends QueryPack {
       s: SparkSession, d: String,
       gate: Long = graft.queries.CurationQueries.evalBroadcastGate): DataFrame = {
     import s.implicits._
-    val bsel = semCaps.toDF("bbits", "cap")
-      .crossJoin(Tables.embeddings(s, d).agg(count(lit(1)).as("n")))
-      .where(col("cap") >= col("n"))
-      .agg(coalesce(min("bbits"), lit(SemMaxBits.toLong)).as("bbits"))
     val b = graft.CacheRegistry.persistTracked(semBucketed(s, d))
     val isEval = pmod(col("vec_id"), lit(50)) === 0
     // eval probe index: each eval vector × every in-range hamming≤2
@@ -143,23 +144,34 @@ object DedupQueries extends QueryPack {
     // ride a 137-row broadcast, not an exploded literal array — the
     // unrolled form pushed the generated processNext() past janino's
     // 64 KB method limit (the signBucket-UDF lesson) and cost the
-    // whole stage its codegen.
+    // whole stage its codegen. The probe carries ONLY
+    // (eval_id, pbucket) — 16 bytes/row, the width the shared 5M-row
+    // gate is calibrated for; the eval VECTORS ride a separate
+    // mask-free relation joined back after the bucket cut, so the
+    // ≤137× probe expansion never multiplies 256-byte embeddings.
+    // Pinned before the gate count (the decontaminateFuzzyCap
+    // discipline: the count and the join share one materialization).
     val masks = DecontMasks.toDF("m")
-    val probe = b.where(isEval)
-      .select(col("vec_id").as("eval_id"), col("embedding").as("evec"), col("bucket"))
-      .crossJoin(broadcast(bsel))
-      .crossJoin(broadcast(masks))
-      .where(col("m") < expr("shiftleft(CAST(1 AS BIGINT), CAST(bbits AS INT))"))
-      .select(col("eval_id"), col("evec"),
-        col("bucket").bitwiseXOR(col("m")).as("pbucket"))
-    // the decontaminateGate discipline: broadcast only while the probe
-    // index is benchmark-sized; past the gate the bucket equi-join
-    // shuffle-routes with identical rows
-    val routed =
-      if (gate <= 0 || probe.count() <= gate) broadcast(probe) else probe
+    val probe = graft.CacheRegistry.persistTracked(
+      b.where(isEval)
+        .select(col("vec_id").as("eval_id"), col("bucket"))
+        .crossJoin(broadcast(semBsel(s, d)))
+        .crossJoin(broadcast(masks))
+        .where(col("m") < expr("shiftleft(CAST(1 AS BIGINT), CAST(bbits AS INT))"))
+        .select(col("eval_id"),
+          col("bucket").bitwiseXOR(col("m")).as("pbucket")))
+    val evalVecs = b.where(isEval)
+      .select(col("vec_id").as("eval_id"), col("embedding").as("evec"))
+    // the decontaminateGate discipline — ONE gate decision covers both
+    // eval-side relations (the vector table has strictly fewer rows
+    // than the probe): broadcast while benchmark-sized; past the gate
+    // both equi-joins shuffle-route with identical rows
+    val route = graft.queries.CurationQueries.routeIf(
+      graft.queries.CurationQueries.gateBroadcastable(probe, gate)) _
     b.where(!isEval)
       .select(col("vec_id").as("train_id"), col("embedding"), col("bucket"))
-      .join(routed, col("bucket") === col("pbucket"))
+      .join(route(probe.toDF()), col("bucket") === col("pbucket"))
+      .join(route(evalVecs), Seq("eval_id"))
       // cosineLoop, not cosineExpr: the pushed-down threshold filter
       // duplicates the projection, and 2×192 unrolled terms plus the
       // join stage breach janino's 64 KB limit (observed: the stage

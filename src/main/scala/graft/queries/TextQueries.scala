@@ -330,15 +330,6 @@ object TextQueries extends QueryPack {
           signum(col("score")).cast("long").as("pred"))
     }),
 
-    // Classifier threshold sweep — the keep-rate curve a curation run
-    // reads before picking the quality-filter cutoff: for each margin
-    // threshold × source, how many docs the committed perceptron would
-    // keep (score ≥ t) and the keep rate. One per-doc scoring pass
-    // (the text_classifier_score kernel, source carried through), then
-    // the threshold axis expands MAP-SIDE on doc-cardinality rows (5
-    // literals — an Expand, not a join) into a (threshold, source)
-    // aggregate of a few dozen rows. Thresholds interpolate into the
-    // oracle from the same Seq.
     // Uncertainty sampling — the annotate-next batch an active-learning
     // loop sends for labels (or to a teacher model): per source, the K
     // docs whose committed-perceptron margin sits closest to the
@@ -365,6 +356,15 @@ object TextQueries extends QueryPack {
         .select("source", "doc_id", "score", "abs_score", "rank")
     }),
 
+    // Classifier threshold sweep — the keep-rate curve a curation run
+    // reads before picking the quality-filter cutoff: for each margin
+    // threshold × source, how many docs the committed perceptron would
+    // keep (score ≥ t) and the keep rate. One per-doc scoring pass
+    // (the text_classifier_score kernel, source carried through), then
+    // the threshold axis expands MAP-SIDE on doc-cardinality rows (5
+    // literals — an Expand, not a join) into a (threshold, source)
+    // aggregate of a few dozen rows. Thresholds interpolate into the
+    // oracle from the same Seq.
     "text_classifier_sweep" -> ((s, d) => {
       import s.implicits._
       val vocab = graft.functions.ClassifierWeights.Weights.toDF("token", "w")

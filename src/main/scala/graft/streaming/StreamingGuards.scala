@@ -166,6 +166,13 @@ object StreamingGuards {
   def evalVecIndex(evalVecs: DataFrame, bits: Int, maxVecs: Long = 100000L): EvalVecIndex = {
     import graft.functions.VectorFunctions.signBucketScalar
     import graft.queries.DedupQueries.{semCoeffs, DecontMasks, Dim}
+    // fail at the API boundary, not with an opaque AIOOBE inside the
+    // coefficient loop: the committed plane table has SemMaxBits rows
+    require(bits >= graft.queries.DedupQueries.SemMinBits &&
+        bits <= graft.queries.DedupQueries.SemMaxBits,
+      s"bits=$bits outside the committed SRP plane range " +
+        s"[${graft.queries.DedupQueries.SemMinBits}, ${graft.queries.DedupQueries.SemMaxBits}] " +
+        "— derive it with DedupQueries.semBitsFor(corpus size)")
     val n = evalVecs.count()
     require(n <= maxVecs,
       s"eval vector index holds $n vectors (> $maxVecs): too large for a driver " +
