@@ -117,7 +117,8 @@ object Soak {
     "pipe_decontaminate_fuzzy" -> Set('d'), "text_token_fertility" -> Set('d'),
     "text_classifier_sweep" -> Set('d'),
     "pipe_decontaminate_semantic" -> Set('e'), "sim_hard_negatives" -> Set('e'),
-    "text_uncertainty_sample" -> Set('d'))
+    "text_uncertainty_sample" -> Set('d'),
+    "pipe_decontaminate_report" -> Set('d', 'e'))
 
   private[graft] def famsFor(queries: Seq[String]): Set[Char] =
     queries.map(q => SoakReads.getOrElse(q,

@@ -224,6 +224,35 @@ object CurationQueries extends QueryPack {
     // exchange.
     "pipe_decontaminate" -> ((s, d) => decontaminateGate(s, d)),
 
+    // The trilogy's operational artifact: ONE row per eval doc with all
+    // three decontamination signals and the keep/drop verdict a
+    // curation run actually consumes — exact 5-gram contamination
+    // ratio, max fuzzy shingle containment (≥ 0.5 pairs, else 0), max
+    // semantic cosine (≥ 0.4 pairs, else 0), flagged = any signal
+    // fired. The semantic column joins on the synthetic corpus's
+    // doc_id = vec_id correspondence; eval docs without an embedding
+    // row report 0 there (LEFT join), so the report covers every eval
+    // doc regardless of embedding coverage. Each underlying pass keeps
+    // its own 100 TB shape (gated eval broadcasts, bucket equi-join) —
+    // the report adds only two eval-cardinality aggregations and two
+    // eval-keyed joins on top.
+    "pipe_decontaminate_report" -> ((s, d) => {
+      val ex = decontaminateGate(s, d)
+        .select(col("doc_id").as("eval_id"), col("contamination"))
+      val fz = decontaminateFuzzyCap(s, d, fuzzyEvalDfCap)
+        .groupBy("eval_id").agg(max(col("containment")).as("fmax"))
+      val sm = graft.queries.DedupQueries.decontaminateSemanticGate(s, d)
+        .groupBy("eval_id").agg(max(col("sim")).as("smax"))
+      ex.join(fz, Seq("eval_id"), "left")
+        .join(sm, Seq("eval_id"), "left")
+        .select(col("eval_id"),
+          col("contamination").as("exact_contamination"),
+          coalesce(col("fmax"), lit(0.0)).as("fuzzy_max_containment"),
+          coalesce(col("smax"), lit(0.0)).as("semantic_max_sim"),
+          (col("contamination") > 0 || col("fmax").isNotNull ||
+            col("smax").isNotNull).cast("long").as("flagged"))
+    }),
+
     // FUZZY benchmark decontamination — the near-duplicate companion to
     // pipe_decontaminate's exact-gram view: an eval doc is contaminated
     // when some TRAIN doc contains most of its shingles even if no
@@ -560,7 +589,8 @@ object CurationQueries extends QueryPack {
        |    i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4])) AS gs
        |  FROM toks WHERE len(ts) >= $N)""".stripMargin
 
-  override def oracles: Map[String, String] = Map(
+  override def oracles: Map[String, String] = {
+    val base = Map(
     "text_pii_scan" ->
       s"""SELECT doc_id,
          |  len(regexp_extract_all(text, '$PiiEmail')) AS n_emails,
@@ -826,4 +856,25 @@ object CurationQueries extends QueryPack {
         |  CAST((SELECT count(*) FROM v) AS BIGINT) AS n_users
         |UNION ALL SELECT 1, 'view_click_7d', CAST((SELECT count(*) FROM c) AS BIGINT)
         |UNION ALL SELECT 2, 'view_click_purchase_7d', CAST((SELECT count(*) FROM p) AS BIGINT)""".stripMargin)
+
+    // The report's oracle COMPOSES the three pass oracles verbatim as
+    // CTEs (nested WITH is legal DuckDB), so an oracle change in any
+    // pass propagates here automatically and the report can never
+    // drift from its inputs.
+    base + ("pipe_decontaminate_report" ->
+      s"""WITH exr AS (${base("pipe_decontaminate")}),
+         |fzr AS (${base("pipe_decontaminate_fuzzy")}),
+         |smr AS (${graft.queries.DedupQueries.oracles("pipe_decontaminate_semantic")}),
+         |fmax AS (SELECT eval_id, max(containment) AS v FROM fzr GROUP BY 1),
+         |smax AS (SELECT eval_id, max(sim) AS v FROM smr GROUP BY 1)
+         |SELECT exr.doc_id AS eval_id,
+         |  exr.contamination AS exact_contamination,
+         |  coalesce(fmax.v, 0.0) AS fuzzy_max_containment,
+         |  coalesce(smax.v, 0.0) AS semantic_max_sim,
+         |  CAST(CASE WHEN exr.contamination > 0 OR fmax.v IS NOT NULL
+         |            OR smax.v IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS flagged
+         |FROM exr
+         |LEFT JOIN fmax ON exr.doc_id = fmax.eval_id
+         |LEFT JOIN smax ON exr.doc_id = smax.eval_id""".stripMargin)
+  }
 }

@@ -89,6 +89,35 @@ class CurationSpec extends AnyFunSuite {
     assert(deflt.nonEmpty, "sf0.01 must contain at least one fuzzy-contaminated pair (anti-vacuity)")
   }
 
+  test("decontamination report: one row per eval doc, each signal fires on its own planted case") {
+    import spark.implicits._
+    val dir = fixtureDir()
+    val evalText = "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 t11 t12"
+    writeDocs(dir, Seq(
+      0L -> evalText,                                   // eval
+      1L -> evalText,                                   // train exact copy: exact + fuzzy fire
+      3L -> "t1 t2 t3 t4 t5 xx t7 t8 t9 t10 t11 t12",   // paraphrase: fuzzy only (0.7)
+      50L -> "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11 u12")) // clean eval
+    // embeddings on the doc_id = vec_id correspondence: eval 0's vector
+    // has a train near-copy (semantic fires); eval 50's does not
+    val a = Array.tabulate(64)(i => if (i % 3 == 0) 1.0f else 0.25f)
+    val w = Array.tabulate(64)(i => if (i % 3 == 0) -0.25f else 1.0f)
+    Seq(0L -> a, 1L -> a, 3L -> w.map(-_), 50L -> w)
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = SparkEntry.queries("pipe_decontaminate_report")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getLong(4))))
+      .toMap
+    SparkEntry.releaseCaches()
+    // eval 0: every 5-gram contaminated (exact 1.0), fuzzy max is the
+    // exact copy's 1.0 (paraphrase's 0.7 loses the max), semantic max
+    // is the identical vector's 1.0; eval 50: all three silent
+    assert(got == Map(
+      0L -> ((1.0, 1.0, 1.0, 1L)),
+      50L -> ((0.0, 0.0, 0.0, 0L))), s"got $got")
+  }
+
   test("decontamination broadcast gate: past the gate both passes shuffle-route to identical rows") {
     // the stand-in eval slice (doc_id % 50) is 2% of the corpus — it
     // GROWS with N, so the forced broadcast() hint must be count-gated.
