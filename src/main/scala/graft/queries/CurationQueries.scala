@@ -229,10 +229,12 @@ object CurationQueries extends QueryPack {
     // curation run actually consumes — exact 5-gram contamination
     // ratio, max fuzzy shingle containment (≥ 0.5 pairs, else 0), max
     // semantic cosine (≥ 0.4 pairs, else 0), flagged = any signal
-    // fired. The semantic column joins on the synthetic corpus's
-    // doc_id = vec_id correspondence; eval docs without an embedding
-    // row report 0 there (LEFT join), so the report covers every eval
-    // doc regardless of embedding coverage. Each underlying pass keeps
+    // fired. Row universe = the exact pass's (eval docs with ≥ N
+    // tokens — a sub-N doc has no grams to audit; both engines apply
+    // the same floor). The semantic column joins on the synthetic
+    // corpus's doc_id = vec_id correspondence; eval docs without an
+    // embedding row report 0 there (LEFT join), so the report never
+    // shrinks to the embedding table's coverage. Each underlying pass keeps
     // its own 100 TB shape (gated eval broadcasts, bucket equi-join) —
     // the report adds only two eval-cardinality aggregations and two
     // eval-keyed joins on top.
