@@ -59,7 +59,10 @@ object Soak {
     // and the broadcast-anchor miner (one corpus pass, k fixed)
     "pipe_decontaminate_semantic", "sim_hard_negatives",
     // r11 third wave: the uncertainty sampler rides the classifier pass
-    "text_uncertainty_sample")
+    "text_uncertainty_sample",
+    // r11 fourth wave: the trilogy report composes three gated passes —
+    // its curve belongs in the standing evidence
+    "pipe_decontaminate_report")
 
   /** Scaled-table families each KNOWN soak query reads: 'd' =
     * documents, 'f' = the fact triple (lineitem/orders/part), 'e' =

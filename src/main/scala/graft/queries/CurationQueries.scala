@@ -229,30 +229,38 @@ object CurationQueries extends QueryPack {
     // curation run actually consumes — exact 5-gram contamination
     // ratio, max fuzzy shingle containment (≥ 0.5 pairs, else 0), max
     // semantic cosine (≥ 0.4 pairs, else 0), flagged = any signal
-    // fired. Row universe = the exact pass's (eval docs with ≥ N
-    // tokens — a sub-N doc has no grams to audit; both engines apply
-    // the same floor). The semantic column joins on the synthetic
-    // corpus's doc_id = vec_id correspondence; eval docs without an
-    // embedding row report 0 there (LEFT join), so the report never
-    // shrinks to the embedding table's coverage. Each underlying pass keeps
-    // its own 100 TB shape (gated eval broadcasts, bucket equi-join) —
-    // the report adds only two eval-cardinality aggregations and two
-    // eval-keyed joins on top.
+    // fired. The SPINE is the documents table's eval slice itself, so
+    // the row universe is literally EVERY eval doc: a 3-4-token doc
+    // has no 5-grams for the exact pass to audit (ratio reports 0)
+    // but its SHINGLE or EMBEDDING signal can still fire — basing the
+    // spine on any single pass would report such a doc clean by
+    // omission. The exact flag derives from the contaminated-gram
+    // COUNT, not the 6-dp rounded ratio (one verbatim hit in a ~2M-
+    // gram doc rounds to 0.000000 but must still flag). The semantic
+    // column joins on the synthetic corpus's doc_id = vec_id
+    // correspondence; eval docs without an embedding row report 0
+    // there. Each underlying pass keeps its own 100 TB shape (gated
+    // eval broadcasts, bucket equi-join) — the report adds only
+    // eval-cardinality aggregations and eval-keyed joins on top.
     "pipe_decontaminate_report" -> ((s, d) => {
+      val spine = Tables.documents(s, d)
+        .where(pmod(col("doc_id"), lit(50)) === 0)
+        .select(col("doc_id").as("eval_id"))
       val ex = decontaminateGate(s, d)
-        .select(col("doc_id").as("eval_id"), col("contamination"))
+        .select(col("doc_id").as("eval_id"), col("contamination"), col("n_contaminated"))
       val fz = decontaminateFuzzyCap(s, d, fuzzyEvalDfCap)
         .groupBy("eval_id").agg(max(col("containment")).as("fmax"))
       val sm = graft.queries.DedupQueries.decontaminateSemanticGate(s, d)
         .groupBy("eval_id").agg(max(col("sim")).as("smax"))
-      ex.join(fz, Seq("eval_id"), "left")
+      spine.join(ex, Seq("eval_id"), "left")
+        .join(fz, Seq("eval_id"), "left")
         .join(sm, Seq("eval_id"), "left")
         .select(col("eval_id"),
-          col("contamination").as("exact_contamination"),
+          coalesce(col("contamination"), lit(0.0)).as("exact_contamination"),
           coalesce(col("fmax"), lit(0.0)).as("fuzzy_max_containment"),
           coalesce(col("smax"), lit(0.0)).as("semantic_max_sim"),
-          (col("contamination") > 0 || col("fmax").isNotNull ||
-            col("smax").isNotNull).cast("long").as("flagged"))
+          (coalesce(col("n_contaminated"), lit(0L)) > 0 ||
+            col("fmax").isNotNull || col("smax").isNotNull).cast("long").as("flagged"))
     }),
 
     // FUZZY benchmark decontamination — the near-duplicate companion to
@@ -864,19 +872,23 @@ object CurationQueries extends QueryPack {
     // pass propagates here automatically and the report can never
     // drift from its inputs.
     base + ("pipe_decontaminate_report" ->
-      s"""WITH exr AS (${base("pipe_decontaminate")}),
+      s"""WITH spine AS (
+         |  SELECT doc_id AS eval_id FROM documents WHERE doc_id % 50 = 0),
+         |exr AS (${base("pipe_decontaminate")}),
          |fzr AS (${base("pipe_decontaminate_fuzzy")}),
          |smr AS (${graft.queries.DedupQueries.oracles("pipe_decontaminate_semantic")}),
          |fmax AS (SELECT eval_id, max(containment) AS v FROM fzr GROUP BY 1),
          |smax AS (SELECT eval_id, max(sim) AS v FROM smr GROUP BY 1)
-         |SELECT exr.doc_id AS eval_id,
-         |  exr.contamination AS exact_contamination,
+         |SELECT spine.eval_id,
+         |  coalesce(exr.contamination, 0.0) AS exact_contamination,
          |  coalesce(fmax.v, 0.0) AS fuzzy_max_containment,
          |  coalesce(smax.v, 0.0) AS semantic_max_sim,
-         |  CAST(CASE WHEN exr.contamination > 0 OR fmax.v IS NOT NULL
+         |  CAST(CASE WHEN coalesce(exr.n_contaminated, 0) > 0
+         |            OR fmax.v IS NOT NULL
          |            OR smax.v IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS flagged
-         |FROM exr
-         |LEFT JOIN fmax ON exr.doc_id = fmax.eval_id
-         |LEFT JOIN smax ON exr.doc_id = smax.eval_id""".stripMargin)
+         |FROM spine
+         |LEFT JOIN exr ON spine.eval_id = exr.doc_id
+         |LEFT JOIN fmax ON spine.eval_id = fmax.eval_id
+         |LEFT JOIN smax ON spine.eval_id = smax.eval_id""".stripMargin)
   }
 }

@@ -97,7 +97,9 @@ class CurationSpec extends AnyFunSuite {
       0L -> evalText,                                   // eval
       1L -> evalText,                                   // train exact copy: exact + fuzzy fire
       3L -> "t1 t2 t3 t4 t5 xx t7 t8 t9 t10 t11 t12",   // paraphrase: fuzzy only (0.7)
-      50L -> "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11 u12")) // clean eval
+      50L -> "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11 u12",  // clean eval
+      100L -> "f1 f2 f3 f4",                            // SHORT eval: no 5-grams to audit...
+      4L -> "f1 f2 f3 f4"))                             // ...but its shingle copy must still flag
     // embeddings on the doc_id = vec_id correspondence: eval 0's vector
     // has a train near-copy (semantic fires); eval 50's does not
     val a = Array.tabulate(64)(i => if (i % 3 == 0) 1.0f else 0.25f)
@@ -112,10 +114,14 @@ class CurationSpec extends AnyFunSuite {
     SparkEntry.releaseCaches()
     // eval 0: every 5-gram contaminated (exact 1.0), fuzzy max is the
     // exact copy's 1.0 (paraphrase's 0.7 loses the max), semantic max
-    // is the identical vector's 1.0; eval 50: all three silent
+    // is the identical vector's 1.0; eval 50: all three silent; eval
+    // 100 (4 tokens — invisible to the exact pass AND without an
+    // embedding row) still gets its row and flags on the fuzzy copy:
+    // the spine is the documents table, not any single pass
     assert(got == Map(
       0L -> ((1.0, 1.0, 1.0, 1L)),
-      50L -> ((0.0, 0.0, 0.0, 0L))), s"got $got")
+      50L -> ((0.0, 0.0, 0.0, 0L)),
+      100L -> ((0.0, 1.0, 0.0, 1L))), s"got $got")
   }
 
   test("decontamination broadcast gate: past the gate both passes shuffle-route to identical rows") {

@@ -157,6 +157,26 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), s"rank limit not pushed into the window:\n$p")
   }
 
+  test("pipe_decontaminate_report: composed passes keep their broadcast shapes; no all-pairs join") {
+    val p = planOf("pipe_decontaminate_report")
+    assert(!p.contains("CartesianProduct"), s"no all-pairs join anywhere:\n$p")
+    // the three underlying passes' gated eval broadcasts must survive
+    // composition (exact semi-join + fuzzy index/sizes + semantic
+    // probe/vectors)
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(bhj >= 5, s"the composed passes' eval broadcasts must survive (got $bhj):\n$p")
+    // the only sort-merge joins allowed are the report's own
+    // eval-keyed OUTER joins of eval-cardinality aggregates (the
+    // initial plan defaults them to SMJ; AQE converts at runtime) —
+    // nothing corpus-sized may sort-merge
+    // formatted plans list each operator twice (tree + detail) — count
+    // operators via the tree lines, where the join type is visible
+    val smjOps = "\\(\\d+\\) SortMergeJoin\\b".r.findAllIn(p).length
+    val smjOuter = "SortMergeJoin LeftOuter \\(\\d+\\)".r.findAllIn(p).length
+    assert(smjOps == smjOuter && smjOps <= 3,
+      s"only the report-level eval-keyed outer joins may SMJ (got $smjOps ops, $smjOuter outer):\n$p")
+  }
+
   test("text_uncertainty_sample: vocab broadcasts; per-source top-k limit pushed into the window") {
     val p = planOf("text_uncertainty_sample")
     assert(p.contains("BroadcastHashJoin"),
