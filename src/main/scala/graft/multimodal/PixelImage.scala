@@ -33,9 +33,14 @@ object PixelImage {
   // global bottleneck the thread count cannot buy back (measured at
   // ×32 soak: 160k images took the same ~40 s on 2, 8, and 32 cores —
   // zero parallel speedup until this switch). Memory-cached streams
-  // are pure CPU and scale with the executor. JVM-global, idempotent,
-  // safe on executors (each JVM runs it once at class load).
-  ImageIO.setUseCache(false)
+  // are pure CPU and scale with the executor. The setter is JVM-global,
+  // so it runs inside the codec ENTRY POINTS, not at class load (r11
+  // ADVICE): an application that merely links this object — to call
+  // synthPixel or resizeNN — never has its ImageIO behavior changed;
+  // only actually running a graft encode/decode flips the flag, and
+  // that is documented kernel behavior. Idempotent and race-free (a
+  // boolean store), so calling it per invocation costs nothing.
+  private def ensureInMemoryStreams(): Unit = ImageIO.setUseCache(false)
 
   case class Media(media_id: Long, payload: Array[Byte])
   case class ChannelStats(media_id: Long, width: Int, height: Int,
@@ -71,6 +76,7 @@ object PixelImage {
   }
 
   def encodePng(img: BufferedImage): Array[Byte] = {
+    ensureInMemoryStreams()
     val bos = new ByteArrayOutputStream()
     require(ImageIO.write(img, "png", bos), "no PNG writer available")
     bos.toByteArray
@@ -79,6 +85,7 @@ object PixelImage {
   /** Real codec decode. Malformed bytes fail loudly — a silent fallback
     * would hide corrupt blobs until they poisoned a training run. */
   def decodePng(mediaId: Long, payload: Array[Byte]): BufferedImage = {
+    ensureInMemoryStreams()
     val img = ImageIO.read(new ByteArrayInputStream(payload))
     require(img != null, s"media $mediaId: not a decodable image")
     img

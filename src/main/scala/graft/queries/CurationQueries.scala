@@ -100,13 +100,32 @@ object CurationQueries extends QueryPack {
   private[graft] def evalBroadcastGate: Long =
     sys.env.get("SPARK_GRAFT_EVAL_BROADCAST_GATE").map(_.toLong).getOrElse(5000000L)
 
+  /** Decision cache for [[gateBroadcastable]], keyed by (session
+    * identity, analyzed-plan semantic hash, gate) — r11 ADVICE: the
+    * gate count is an eager job during query CONSTRUCTION, so without
+    * the cache every build of pipe_decontaminate_report re-ran three
+    * corpus scans and even plan-only consumers (ExplainProbe,
+    * PlanInvariantsSpec) paid real scans to print a plan. Now a given
+    * eval relation is counted once per session; every later build of
+    * any pass sharing it (the report composes three) reuses the
+    * decision. Lifetime = session: source data is immutable under a
+    * benchmark dir, and even a stale entry only flips broadcast vs
+    * shuffle ROUTING — the two routes are row-identical by the gate's
+    * own spec, so correctness never depends on cache freshness. Keys
+    * are O(#distinct eval relations per session) — no eviction needed. */
+  private val gateDecisions =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Long), java.lang.Boolean]()
+
   /** One gate decision (count ≤ gate, 0 disables) shared by every
     * decontamination pass — single-sourced so the gate semantics can
     * never diverge between the three routings. The count runs BEFORE
     * any broadcast is built; pin the relation first when it feeds
     * multiple consumers. */
   private[graft] def gateBroadcastable(df: org.apache.spark.sql.DataFrame, gate: Long): Boolean =
-    gate <= 0 || df.count() <= gate
+    gate <= 0 || gateDecisions.computeIfAbsent(
+      (System.identityHashCode(df.sparkSession),
+        df.queryExecution.analyzed.semanticHash(), gate),
+      _ => df.count() <= gate)
 
   /** Apply (or drop) the broadcast hint per the shared gate decision. */
   private[graft] def routeIf(broadcastable: Boolean)(

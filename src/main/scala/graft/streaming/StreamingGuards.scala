@@ -143,6 +143,106 @@ object StreamingGuards {
       .groupBy("source", "h")
       .agg(count(lit(1)).as("occurrences"))
 
+  /** Broadcastable eval-side index for [[fuzzyDecontTag]] — the fuzzy
+    * containment pass's analogue of [[EvalVecIndex]]: per surviving
+    * eval shingle hash, the eval docs containing it (`postings`), plus
+    * each eval doc's surviving distinct-shingle count (`nEval`, the
+    * containment denominator). "Surviving" = after the SAME eval-df
+    * cap as batch `pipe_decontaminate_fuzzy`: a shingle in more than
+    * `dfCap` eval docs is boilerplate and is dropped from the UNIVERSE
+    * (postings AND denominator), so stream and batch compute identical
+    * containments by construction. An eval doc whose shingles are all
+    * capped away simply has no postings — exactly the batch pass,
+    * where it leaves the `sh` relation and can never pair. */
+  final case class EvalShingleIndex(postings: Map[Long, Array[Long]],
+      nEval: Map[Long, Long]) extends Serializable
+
+  /** Build the eval shingle index — driver-side and count-gated BEFORE
+    * the collect (the evalGramSet discipline): benchmark suites are
+    * MBs when the corpus is 100 TB, and the index rows are 16-byte
+    * (eval_id, hash) pairs, so the default gate (the shared 5M figure)
+    * bounds the driver at ~80 MB. An eval side bigger than the gate is
+    * a misconfiguration; the batch pass (whose eval index shuffle-
+    * routes past its own gate) is the right tool for it. */
+  def evalShingleIndex(evalDocs: DataFrame,
+      dfCap: Long = graft.queries.CurationQueries.fuzzyEvalDfCap,
+      maxRows: Long = 5000000L): EvalShingleIndex = {
+    import graft.functions.HashFunctions.wordShingleHashes
+    val ex = evalDocs
+      .select(col("doc_id").as("eval_id"),
+        wordShingleHashes(coalesce(col("text"), lit("")), 3).as("hs"))
+      .where(size(col("hs")) > 0)
+      .select(col("eval_id"), explode(col("hs")).as("h"))
+    // pinned: the capped index feeds the gate count AND the collect
+    val capped = graft.CacheRegistry.persistTracked(
+      if (dfCap <= 0) ex
+      else ex.join(
+        ex.groupBy("h").agg(count(lit(1)).as("edf"))
+          .where(col("edf") <= dfCap).select("h"),
+        Seq("h"), "left_semi"))
+    val n = capped.count()
+    // fail on the COUNT, before collecting anything
+    require(n <= maxRows,
+      s"eval shingle index holds $n rows (> $maxRows): too large for a driver " +
+        "broadcast — run the batch pipe_decontaminate_fuzzy, whose eval index " +
+        "shuffle-routes past its broadcast gate")
+    val rows = capped.select("eval_id", "h").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    EvalShingleIndex(
+      rows.groupBy(_._2).map { case (h, vs) => h -> vs.map(_._1).toArray },
+      rows.groupBy(_._1).map { case (e, vs) => e -> vs.length.toLong })
+  }
+
+  /** Tag each arriving document with its fuzzy benchmark overlap — the
+    * streaming twin of batch `pipe_decontaminate_fuzzy`, completing
+    * the trilogy's ingest edge (exact → [[decontaminationTag]],
+    * semantic → [[semanticDecontTag]]): same shingle kernel
+    * (wordShingleHashes — the doc's DISTINCT word-3-gram hashes), same
+    * eval-df-capped universe (pre-applied in the index), same
+    * containment rule (shared shingles / eval doc's surviving count,
+    * round-6, ≥ threshold). Output per doc: how many eval docs it
+    * contaminates (`n_flagged`), the max containment over
+    * THRESHOLD-CLEARED evals (`best_containment`, null when clean —
+    * reconciles exactly with batch max(containment) per train doc,
+    * the best_sim discipline), and `clean`. Stateless map-side tag;
+    * corpus-level accounting stays in batch. */
+  def fuzzyDecontTag(docs: Dataset[Doc], idx: Broadcast[EvalShingleIndex],
+      threshold: Double = graft.queries.CurationQueries.FuzzyThreshold): DataFrame = {
+    import graft.functions.HashFunctions.wordShingleHashes
+    val tag = udf { (hs: Seq[Long]) =>
+      val ix = idx.value
+      val counts = scala.collection.mutable.HashMap.empty[Long, Long]
+      hs.foreach { h =>
+        ix.postings.get(h).foreach(_.foreach { e =>
+          counts.update(e, counts.getOrElse(e, 0L) + 1L)
+        })
+      }
+      var flagged = 0L
+      var best = Double.NegativeInfinity
+      counts.foreach { case (e, c) =>
+        // nEval(e) ≥ 1 by construction: postings exist only for rows
+        // that survived the cap, and those same rows are the count
+        val cont = BigDecimal(c.toDouble / ix.nEval(e))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        if (cont >= threshold) {
+          flagged += 1
+          if (cont > best) best = cont
+        }
+      }
+      (flagged, if (flagged > 0) Some(best) else None)
+    }
+    docs.toDF()
+      // null text is a data condition, not a crash: empty -> no
+      // shingles -> clean (the decontaminationTag rule)
+      .withColumn("hs", wordShingleHashes(coalesce(col("text"), lit("")), 3))
+      .withColumn("t", tag(col("hs")))
+      .select(col("doc_id"), col("ts"),
+        size(col("hs")).cast("long").as("n_shingles"),
+        col("t._1").as("n_flagged"),
+        col("t._2").as("best_containment"),
+        (col("t._1") === 0L).as("clean"))
+  }
+
   case class Vec(vec_id: Long, ts: Timestamp, embedding: Array[Float])
 
   /** Broadcastable eval-side index for [[semanticDecontTag]]: the eval
@@ -192,7 +292,11 @@ object StreamingGuards {
     * quantizer (signBucketScalar over the committed integer SRP
     * coefficients), same hamming≤2 candidate rule (pre-expanded into
     * the index), same exact-cosine threshold (cosineScalar — the
-    * batch query's cosineLoop kernel). Stateless map-side tag: the
+    * batch query's cosineLoop kernel). `best_sim` is the max round-6
+    * cosine over candidates that CLEARED the threshold (null when
+    * none did) — exactly the batch query's `max(sim) GROUP BY
+    * train_id`, so stream and batch reconcile row-for-row on all
+    * three outputs, not just the counts. Stateless map-side tag: the
     * edge only TAGS, like [[decontaminationTag]]; dedup/accounting
     * stay in batch where late data cannot corrupt them. */
   def semanticDecontTag(vecs: Dataset[Vec], idx: Broadcast[EvalVecIndex],
@@ -206,7 +310,6 @@ object StreamingGuards {
         Array.empty[(Long, Array[Float])])
       var hits = 0L
       var best = Double.NegativeInfinity
-      var scored = false
       cands.foreach { case (_, ev) =>
         // eval first — the batch query's cosineLoop(evec, train) order
         val c = cosineScalar(ev, v, Dim)
@@ -216,12 +319,18 @@ object StreamingGuards {
         // here, where BigDecimal(NaN) would also crash the stream
         if (!c.isNaN) {
           val s = BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-          if (s >= threshold) hits += 1
-          if (s > best) best = s
-          scored = true
+          // best_sim tracks only candidates that CLEARED the threshold
+          // (r11 ADVICE): the batch twin never surfaces sub-threshold
+          // sims, so a consumer reconciling stream best_sim against
+          // batch max(sim) per train vector must see the same value —
+          // clean rows carry NULL, matching the batch query's absence
+          if (s >= threshold) {
+            hits += 1
+            if (s > best) best = s
+          }
         }
       }
-      (hits, if (scored) Some(best) else None)
+      (hits, if (hits > 0) Some(best) else None)
     }
     vecs.toDF()
       .withColumn("t", tag(col("embedding")))

@@ -82,24 +82,112 @@ class StreamingGuardsSpec extends AnyFunSuite {
       mem.addData(Vec(5, ts(4), Array.fill(64)(0.0f)))            // zero vector: NaN cosine
       q.processAllAvailable()
       val got = spark.table("sem_decon_tags")
-        .select("vec_id", "n_contaminated", "clean")
-        .as[(Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+        .select("vec_id", "n_contaminated", "best_sim", "clean")
+        .as[(Long, Long, Option[Double], Boolean)].collect().map(r => r._1 -> r).toMap
       // per-vector agreement: contaminated on the stream ⟺ the batch
       // query emitted a pair for that train vector, with equal counts
+      // AND equal best similarity — best_sim is max only over
+      // THRESHOLD-CLEARED candidates (r11 ADVICE), so it reconciles
+      // exactly with batch max(sim) per train id and is NULL when the
+      // batch emitted nothing
       train.foreach { case (id, _) =>
         val want = batch.getOrElse(id, Set.empty)
         assert(got(id)._2 == want.size.toLong,
           s"vec $id: stream counted ${got(id)._2} eval hits, batch found $want")
-        assert(got(id)._3 == want.isEmpty, s"vec $id: clean flag disagrees with batch")
+        assert(got(id)._4 == want.isEmpty, s"vec $id: clean flag disagrees with batch")
+        val wantBest = if (want.isEmpty) None else Some(want.map(_._2).max)
+        assert(got(id)._3 == wantBest,
+          s"vec $id: stream best_sim ${got(id)._3} != batch max(sim) $wantBest")
       }
       // and the fixture itself is non-degenerate: both catches present
-      assert(!got(1L)._3 && !got(3L)._3, "exact copies must be flagged")
-      assert(got(2L)._3, "the negation must pass clean")
+      assert(!got(1L)._4 && !got(3L)._4, "exact copies must be flagged")
+      assert(got(2L)._4, "the negation must pass clean")
       // zero vector: NaN cosine is a data condition, not a crash —
       // excluded exactly as the batch query's explicit NaN filter
       // (DedupQualitySpec pins the batch side of the same fixture)
-      assert(got(5L) == ((5L, 0L, true)), s"zero vector must tag clean, got ${got(5L)}")
+      assert(got(5L) == ((5L, 0L, None, true)), s"zero vector must tag clean, got ${got(5L)}")
     } finally q.stop()
+  }
+
+  test("fuzzy decontamination tag agrees with the batch query on the same fixture, across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // two eval docs (doc_id % 50 == 0), one exact train copy of each,
+    // one train doc at EXACTLY the containment threshold (2 of eval
+    // 0's 4 shingles -> 0.5, pinning the >= boundary), one clean doc,
+    // a null-text doc, and a sub-n doc
+    val eval0 = "alpha beta gamma delta epsilon zeta"
+    val eval50 = "red orange yellow green blue"
+    val half = "alpha beta gamma delta"
+    val train: Seq[(Long, String)] = Seq(
+      1L -> eval0, 2L -> half,
+      3L -> "totally unrelated words about nothing in particular here",
+      4L -> eval50, 5L -> null, 6L -> "short")
+    val dir = s"/tmp/graft_fuzzydecont_stream_${suiteName.hashCode}"
+    (train ++ Seq(0L -> eval0, 50L -> eval50)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val batch = SparkEntry.queries("pipe_decontaminate_fuzzy")(spark, dir)
+      .collect().map(r => (r.getLong(1), (r.getLong(0), r.getDouble(4))))
+      .groupBy(_._1).map { case (t, vs) => t -> vs.map(_._2).toSet }
+    SparkEntry.releaseCaches()
+    val idx = spark.sparkContext.broadcast(StreamingGuards.evalShingleIndex(
+      Seq(0L -> eval0, 50L -> eval50).toDF("doc_id", "text")))
+    val mem = MemoryStream[Doc]
+    val q = StreamingGuards.fuzzyDecontTag(mem.toDS(), idx)
+      .writeStream.format("memory").queryName("fuzzy_decon_tags")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(Doc(1, ts(0), eval0), Doc(2, ts(1), half))
+      q.processAllAvailable()
+      mem.addData(Doc(3, ts(2), train.toMap.apply(3L)), Doc(4, ts(3), eval50)) // batch boundary
+      mem.addData(Doc(5, ts(4), null), Doc(6, ts(5), "short"))
+      q.processAllAvailable()
+      val got = spark.table("fuzzy_decon_tags")
+        .select("doc_id", "n_flagged", "best_containment", "clean")
+        .as[(Long, Long, Option[Double], Boolean)].collect().map(r => r._1 -> r).toMap
+      // per-doc agreement on all three outputs: count of flagged eval
+      // docs, max containment over CLEARED evals (null when clean —
+      // batch max(containment) per train doc), and the clean flag
+      train.foreach { case (id, _) =>
+        val want = batch.getOrElse(id, Set.empty)
+        assert(got(id)._2 == want.size.toLong,
+          s"doc $id: stream flagged ${got(id)._2} eval docs, batch found $want")
+        assert(got(id)._4 == want.isEmpty, s"doc $id: clean flag disagrees with batch")
+        val wantBest = if (want.isEmpty) None else Some(want.map(_._2).max)
+        assert(got(id)._3 == wantBest,
+          s"doc $id: stream best_containment ${got(id)._3} != batch max $wantBest")
+      }
+      // and the fixture is non-degenerate: every regime present
+      assert(!got(1L)._4 && got(1L)._3.contains(1.0), "exact copy flags at containment 1")
+      assert(!got(2L)._4 && got(2L)._3.contains(0.5), "threshold boundary flags (>= rule)")
+      assert(got(3L)._4, "clean doc passes")
+      assert(got(5L)._4 && got(6L)._4, "null / sub-n docs tag clean, not crash")
+    } finally q.stop()
+  }
+
+  test("eval shingle index: df cap drops boilerplate from the universe; count gate names the batch route") {
+    import spark.implicits._
+    // 3 eval docs share the shingle "x y z"; cap 2 drops it from the
+    // universe, so a train doc made ONLY of that shingle can't flag —
+    // and each eval doc's denominator shrinks to its surviving count
+    val evals = Seq(
+      (0L, "x y z alpha beta"), (50L, "x y z gamma delta"), (100L, "x y z"))
+    val idx = StreamingGuards.evalShingleIndex(
+      evals.toDF("doc_id", "text"), dfCap = 2L)
+    // "x y z" is in all 3 eval docs -> capped away; doc 100 has no
+    // surviving shingles and leaves the universe entirely
+    assert(!idx.nEval.contains(100L), "fully-capped eval doc leaves the universe")
+    assert(idx.nEval(0L) == 2L && idx.nEval(50L) == 2L,
+      "denominators count only surviving shingles")
+    assert(idx.postings.values.forall(_.length <= 2), "no posting exceeds the cap")
+    // oversize index fails on the COUNT with the batch route named
+    val big = (1 to 4).map(i => (i.toLong, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      StreamingGuards.evalShingleIndex(big, maxRows = 3L)
+    }
+    assert(e.getMessage.contains("pipe_decontaminate_fuzzy"),
+      "gate message must route oversize eval sets to the batch query")
   }
 
   test("eval vector index: count-gated before collect; oversize names the batch route") {
