@@ -96,9 +96,15 @@ object DedupQueries extends QueryPack {
       .select(col("bucket"), col("vec_id").as("cluster"), col("embedding").as("cvec"))
     val bySim = org.apache.spark.sql.expressions.Window
       .partitionBy("vec_id").orderBy(col("sim").desc, col("cluster").asc)
+    // cosineLoop, not cosineExpr: under ANSI mode (the Spark 4 default)
+    // the SQL division 0/0 THROWS on a zero vector, while the loop
+    // kernel yields IEEE NaN — which both engines then rank ABOVE every
+    // real sim, deterministically (tie → lowest cluster), so a zero
+    // vector assigns identically in Spark and DuckDB instead of
+    // crashing one engine (NanOrderingAuditSpec's planted fixture)
     bucketed.join(cents, Seq("bucket"))
       .select(col("vec_id"), col("cluster"), col("embedding"),
-        round(cosineExpr(col("embedding"), col("cvec"), Dim), 6).as("sim"))
+        round(cosineLoop(col("embedding"), col("cvec"), Dim), 6).as("sim"))
       .withColumn("rn", row_number().over(bySim))
       .where(col("rn") === 1)
       .drop("rn")
@@ -662,12 +668,20 @@ object DedupQueries extends QueryPack {
         if (semClusterCap <= 0) assign
         else assign.withColumn("krn", row_number().over(byCluster))
           .where(col("krn") <= semClusterCap).drop("krn")
+      // cosineLoop + explicit NaN exclusion (the NanOrderingAuditSpec
+      // invariant): a zero vector's 0/0 cosine is NaN, which BOTH SQL
+      // engines order above every number — a bare `>= threshold` would
+      // mark it a dup of its entire cluster in both engines,
+      // consistently graded but semantically wrong. The loop kernel
+      // (bit-identical to cosineExpr) keeps the pushed-down two-conjunct
+      // filter janino-safe where 2×192 unrolled terms would not be.
       val dups = capped.as("a").join(capped.as("b"),
           col("a.cluster") === col("b.cluster") &&
-            col("a.vec_id") < col("b.vec_id") &&
-            round(cosineExpr(col("a.embedding"), col("b.embedding"), Dim), 6)
-              >= CosineThreshold)
-        .select(col("b.vec_id").as("vec_id")).distinct()
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("b.vec_id").as("vec_id"),
+          round(cosineLoop(col("a.embedding"), col("b.embedding"), Dim), 6).as("psim"))
+        .where(!isnan(col("psim")) && col("psim") >= CosineThreshold)
+        .select(col("vec_id")).distinct()
       assign.join(dups.withColumn("hit", lit(1L)), Seq("vec_id"), "left")
         .select(col("vec_id"), col("cluster"), col("sim"),
           coalesce(col("hit"), lit(0L)).as("is_dup"))
@@ -972,7 +986,9 @@ FROM sh LEFT JOIN cnt ON sh.doc_id = cnt.doc_id"""
          |  FROM capped a JOIN capped b2 ON a.cluster = b2.cluster AND a.vec_id < b2.vec_id
          |  JOIN embeddings x ON x.vec_id = a.vec_id
          |  JOIN embeddings y ON y.vec_id = b2.vec_id
-         |  WHERE round((${dotSql("x", "y")}) /
+         |  WHERE NOT isnan(round((${dotSql("x", "y")}) /
+         |    sqrt((${dotSql("x", "x")}) * (${dotSql("y", "y")})), 6))
+         |    AND round((${dotSql("x", "y")}) /
          |    sqrt((${dotSql("x", "x")}) * (${dotSql("y", "y")})), 6) >= $CosineThreshold)
          |SELECT a1.vec_id, a1.cluster, a1.sim,
          |  CAST(CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_dup
