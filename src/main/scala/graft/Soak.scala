@@ -62,7 +62,11 @@ object Soak {
     "text_uncertainty_sample",
     // r11 fourth wave: the trilogy report composes three gated passes —
     // its curve belongs in the standing evidence
-    "pipe_decontaminate_report")
+    "pipe_decontaminate_report",
+    // r12: trained bucket-local centroids — the Lloyd passes add
+    // iterations×(equi-join + aggregation); the curve must stay in
+    // dedup_semantic's flat envelope
+    "dedup_semantic_kmeans")
 
   /** Scaled-table families each KNOWN soak query reads: 'd' =
     * documents, 'f' = the fact triple (lineitem/orders/part), 'e' =
@@ -120,6 +124,7 @@ object Soak {
     "pipe_decontaminate_fuzzy" -> Set('d'), "text_token_fertility" -> Set('d'),
     "text_classifier_sweep" -> Set('d'),
     "pipe_decontaminate_semantic" -> Set('e'), "sim_hard_negatives" -> Set('e'),
+    "dedup_semantic_kmeans" -> Set('e'),
     "text_uncertainty_sample" -> Set('d'),
     "pipe_decontaminate_report" -> Set('d', 'e'))
 

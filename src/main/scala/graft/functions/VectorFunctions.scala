@@ -56,6 +56,46 @@ object VectorFunctions {
     dot / math.sqrt(nx * ny)
   }
 
+  /** [[cosineLoop]] against a DOUBLE-coordinate vector (a trained
+    * k-means centroid — per-dimension means leave the float lattice).
+    * Same accumulation order as [[cosineScalar]], so the DuckDB replay
+    * (float side cast term-by-term, centroid side used as-is) matches
+    * bit-for-bit. */
+  def cosineLoopD(v: Column, c: Column): Column = {
+    val f = udf { (x: Seq[Float], y: Seq[Double]) =>
+      var dot = 0.0; var nx = 0.0; var ny = 0.0
+      var i = 0
+      while (i < y.length) {
+        val xi = x(i).toDouble; val yi = y(i)
+        dot += xi * yi; nx += xi * xi; ny += yi * yi
+        i += 1
+      }
+      dot / math.sqrt(nx * ny)
+    }
+    f(v, c)
+  }
+
+  /** Squared L2 distance to a DOUBLE-coordinate centroid — the Lloyd
+    * assignment kernel. Primitive loop, subtraction-then-square summed
+    * left-to-right in index order; the oracle replays the identical
+    * chain, so argmin ranks (and their ties, broken on cluster id)
+    * agree across engines bit-for-bit. Never NaN: finite inputs only
+    * subtract and multiply, so a zero vector assigns by real distances
+    * — no NaN ordering hazard on the k-means path. */
+  def sqDistLoopD(v: Column, c: Column): Column = {
+    val f = udf { (x: Seq[Float], y: Seq[Double]) =>
+      var d = 0.0
+      var i = 0
+      while (i < y.length) {
+        val diff = x(i).toDouble - y(i)
+        d += diff * diff
+        i += 1
+      }
+      d
+    }
+    f(v, c)
+  }
+
   /** Sign-random-projection LSH bucket: `planes` hyperplanes with
     * deterministic splitmix64-seeded coefficients in [-0.5, 0.5). The
     * bucket id packs the per-plane sign bits — cosine-close vectors

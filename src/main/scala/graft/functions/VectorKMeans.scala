@@ -98,4 +98,77 @@ object VectorKMeans {
       assignUdf(centers)(col("embedding")).cast("long").as("cluster"))
     KMeansModel(centers, sse.result(), finalAssign)
   }
+
+  /** Bucket-LOCAL distributed Lloyd — the trained-centroid upgrade of
+    * `dedup_semantic`'s first-k-by-vec_id heuristic (r11 VERDICT #2),
+    * in the shape that survives 100 TB: centers live in a DATAFRAME
+    * keyed by (bucket, cluster) — never on the driver, never broadcast
+    * — and every iteration refines ALL buckets' centers in one
+    * distributed pass (assignment = bucket equi-join + per-vector
+    * argmin over ≤k candidates; update = one (bucket, cluster, pos)
+    * aggregation). Work per pass is O(N·k + N·dim); nothing grows
+    * superlinearly and nothing depends on the bucket count.
+    *
+    * Cross-engine determinism (the committed-SRP discipline, extended
+    * to trained floats): seeds are each bucket's first k members by
+    * vec_id cast to double; distances are the [[VectorFunctions
+    * .sqDistLoopD]] left-to-right chain (bit-replayable, tie → lower
+    * cluster id); per-coordinate means sum members in vec_id order
+    * left-to-right from +0.0 and divide once in double — DuckDB
+    * replays the same order via `list(x ORDER BY vec_id)` +
+    * `list_reduce`, so the trained centers, every assignment, and
+    * every downstream cosine are bit-identical in both engines.
+    * Empty clusters keep their previous center (standard Lloyd).
+    *
+    * `trainCap` bounds the per-bucket training membership (first cap
+    * by vec_id — the semClusterCap discipline): adversarial mass piled
+    * into one bucket caps the update-side state at O(cap·dim) per
+    * cluster; assignment of the FULL corpus stays uncapped. */
+  def fitBucketed(bucketed: DataFrame, k: Int, iters: Int, trainCap: Long): DataFrame = {
+    require(k > 0 && iters >= 0)
+    val byId = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket").orderBy(col("vec_id").asc)
+    val ranked = bucketed.select(col("vec_id"), col("bucket"), col("embedding"))
+      .withColumn("trn", row_number().over(byId))
+    val tr = (if (trainCap <= 0) ranked else ranked.where(col("trn") <= trainCap))
+      .select("vec_id", "bucket", "embedding")
+    var cents = ranked.where(col("trn") <= k)
+      .select(col("bucket"), col("vec_id").as("cluster"),
+        transform(col("embedding"), x => x.cast("double")).as("cvec"))
+    for (_ <- 1 to iters) {
+      val assigned = assignBucketLocal(tr, cents)
+      val means = assigned
+        .select(col("bucket"), col("cluster"), col("vec_id"),
+          posexplode(col("embedding")).as(Seq("pos", "xf")))
+        .select(col("bucket"), col("cluster"), col("pos"),
+          struct(col("vec_id"), col("xf").cast("double").as("x")).as("vx"))
+        .groupBy("bucket", "cluster", "pos")
+        .agg((aggregate(sort_array(collect_list(col("vx"))), lit(0.0),
+            (acc, s) => acc + s.getField("x")) /
+          count(lit(1)).cast("double")).as("m"))
+        .groupBy("bucket", "cluster")
+        .agg(transform(sort_array(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("mvec"))
+      cents = cents.join(means, Seq("bucket", "cluster"), "left")
+        .select(col("bucket"), col("cluster"),
+          coalesce(col("mvec"), col("cvec")).as("cvec"))
+    }
+    cents
+  }
+
+  /** Assign each vector to its bucket's nearest centroid by squared L2
+    * (argmin via a per-vector window over the ≤k bucket-local
+    * candidates — the semAssign shape), tie → lower cluster id.
+    * Output keeps the winning centroid's coordinates for downstream
+    * similarity scoring. */
+  def assignBucketLocal(vecs: DataFrame, cents: DataFrame): DataFrame = {
+    val byDist = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("dist").asc, col("cluster").asc)
+    vecs.join(cents, Seq("bucket"))
+      .select(col("vec_id"), col("bucket"), col("cluster"), col("embedding"), col("cvec"),
+        graft.functions.VectorFunctions.sqDistLoopD(col("embedding"), col("cvec")).as("dist"))
+      .withColumn("rn", row_number().over(byDist))
+      .where(col("rn") === 1)
+      .select("vec_id", "bucket", "cluster", "embedding", "cvec")
+  }
 }

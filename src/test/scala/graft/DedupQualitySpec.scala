@@ -169,6 +169,25 @@ class DedupQualitySpec extends AnyFunSuite {
       s"only the real pair may survive — a zero vector's NaN cosine is not a near-dup: $got")
   }
 
+  test("trained semantic clusters beat the heuristic: mean within-cluster cosine strictly improves") {
+    import org.apache.spark.sql.functions._
+    // the r11 VERDICT #2 quality pin: dedup_semantic_kmeans' Lloyd-
+    // refined bucket-local centroids must hold vectors closer (by
+    // round-6 cosine to the assigned centroid) than dedup_semantic's
+    // frozen first-4-by-vec_id seeds, on the SAME corpus. Measured
+    // margin is ~+0.14 at both driver SFs; the pin asserts a
+    // conservative floor so a regression to (or below) the heuristic
+    // fails loudly while quality drift stays visible in bench/soak.
+    val heuristic = SparkEntry.queries("dedup_semantic")(spark, sf)
+      .agg(avg("sim")).head.getDouble(0)
+    SparkEntry.releaseCaches()
+    val trained = SparkEntry.queries("dedup_semantic_kmeans")(spark, sf)
+      .agg(avg("sim")).head.getDouble(0)
+    SparkEntry.releaseCaches()
+    assert(trained >= heuristic + 0.05,
+      s"trained centroids must tighten clusters: kmeans mean sim $trained vs heuristic $heuristic")
+  }
+
   test("semantic decontamination: past the broadcast gate the shuffle route returns identical rows") {
     val key = (r: org.apache.spark.sql.Row) => (r.getLong(0), r.getLong(1), r.getDouble(2))
     val bc = graft.queries.DedupQueries.decontaminateSemanticGate(spark, sf, gate = 0L)

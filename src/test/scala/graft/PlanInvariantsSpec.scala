@@ -240,6 +240,36 @@ class PlanInvariantsSpec extends AnyFunSuite {
       s"assignment must be reused via cache in the pair stage:\n$p")
   }
 
+  test("dedup_semantic_kmeans: Lloyd refinement stays bucket-keyed — no N-sized broadcast, no cartesian") {
+    // the trained tier must inherit dedup_semantic's assignment shape:
+    // every join on the SRP bucket key, centers in a DataFrame (never
+    // an N-growing broadcast), nested loops only against guaranteed
+    // 1-row scalar builds (the bsel attach)
+    import graft.queries.DedupQueries
+    import graft.functions.VectorKMeans
+    import org.apache.spark.sql.catalyst.optimizer.BuildLeft
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    val b = DedupQueries.semBucketed(spark, sf)
+    val cents = VectorKMeans.fitBucketed(b, 4, 2, 256L)
+    val assign = VectorKMeans.assignBucketLocal(
+      b.select("vec_id", "bucket", "embedding"), cents)
+    val badCross = assign.queryExecution.sparkPlan
+      .collect { case j: BroadcastNestedLoopJoinExec => j }
+      .filterNot { j =>
+        val build = if (j.buildSide == BuildLeft) j.left else j.right
+        build.collectFirst {
+          case a: HashAggregateExec if a.groupingExpressions.isEmpty => a
+        }.isDefined
+      }
+    assert(badCross.isEmpty,
+      s"nested-loop against a non-scalar build side:\n${badCross.mkString("\n")}")
+    val pa = assign.queryExecution.executedPlan.toString
+    assert(!pa.contains("CartesianProduct"), s"no cartesian anywhere:\n$pa")
+    assert(pa.contains("hashpartitioning(bucket"),
+      s"training and assignment must hash-distribute on the bucket column:\n$pa")
+  }
+
   test("pipe_stratified_sample: per-stratum quota pushed into the window sort, one shuffle") {
     val p = planOf("pipe_stratified_sample")
     assert(p.contains("WindowGroupLimit"),
