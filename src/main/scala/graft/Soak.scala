@@ -346,6 +346,14 @@ object Soak {
     val onlyQueries = sys.env.get("SPARK_GRAFT_SOAK_QUERIES")
       .map(_.split(",").map(_.trim).toSeq).getOrElse(SoakQueries)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // 1 = scale spark.sql.shuffle.partitions with the factor (cpus·k),
+    // the way a real cluster sizes partitions to the corpus. The
+    // default soak HOLDS partitions fixed, so per-partition state
+    // grows with the factor — a deliberate stress, but it conflates
+    // "operator scales" with "32 partitions fit ×64 data" (r11 ×64:
+    // three rows read >2× per 2× and the fixed-partition explanation
+    // was an argument, not a measurement — this knob makes it one).
+    val shufScale = sys.env.getOrElse("SPARK_GRAFT_SOAK_SHUFFLE_SCALE", "0") == "1"
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -359,6 +367,8 @@ object Soak {
     val workRoot = s"/tmp/graft_soak_${System.nanoTime()}"
     try {
       factors.foreach { k =>
+        val parts = if (shufScale) cpus.toInt * k else cpus.toInt
+        spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
         val dir = s"$workRoot/x$k"
         // which families to scale comes from the explicit per-query map
         // (unknown query -> scale everything); the three fact-keyed
@@ -411,7 +421,7 @@ object Soak {
         }
         val qs = results.map { case (n, t, _) => s"\"$n\":$t" }.mkString("{", ",", "}")
         val rows = results.map { case (n, _, r) => s"\"$n\":$r" }.mkString("{", ",", "}")
-        println(s"""{"factor":$k,"sharedDen":$sharedDen,"historyOnly":$historyOnly,"queries":$qs,"rows":$rows}""")
+        println(s"""{"factor":$k,"sharedDen":$sharedDen,"historyOnly":$historyOnly,"shuffleParts":$parts,"queries":$qs,"rows":$rows}""")
       }
     } finally {
       val p = new org.apache.hadoop.fs.Path(workRoot)
