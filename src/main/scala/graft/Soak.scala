@@ -66,7 +66,10 @@ object Soak {
     // r12: trained bucket-local centroids — the Lloyd passes add
     // iterations×(equi-join + aggregation); the curve must stay in
     // dedup_semantic's flat envelope
-    "dedup_semantic_kmeans")
+    "dedup_semantic_kmeans",
+    // r12: the daily-embedding-ingest query — probe×cap pair stage
+    // must scale with the batch (half the scaled corpus), not N²
+    "dedup_semantic_incremental")
 
   /** Scaled-table families each KNOWN soak query reads: 'd' =
     * documents, 'f' = the fact triple (lineitem/orders/part), 'e' =
@@ -125,6 +128,7 @@ object Soak {
     "text_classifier_sweep" -> Set('d'),
     "pipe_decontaminate_semantic" -> Set('e'), "sim_hard_negatives" -> Set('e'),
     "dedup_semantic_kmeans" -> Set('e'),
+    "dedup_semantic_incremental" -> Set('e'),
     "text_uncertainty_sample" -> Set('d'),
     "pipe_decontaminate_report" -> Set('d', 'e'))
 

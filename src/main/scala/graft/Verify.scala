@@ -7,9 +7,16 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // SPARK_GRAFT_AQE=0 disables adaptive execution for the whole
+    // battery — a determinism axis like SPARK_GRAFT_CPUS: every query
+    // must stay hash-green whether or not the runtime re-plans
+    // (coalesced partitions, demoted broadcasts, split skew joins).
+    // Default leaves Spark's default (AQE on) in force.
+    val aqe = sys.env.getOrElse("SPARK_GRAFT_AQE", "1") != "0"
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", aqe.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

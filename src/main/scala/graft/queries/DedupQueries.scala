@@ -65,10 +65,18 @@ object DedupQueries extends QueryPack {
   /** The adaptive-B selection as a 1-row relation — shared by
     * dedup_semantic's bucketing stage and the semantic decon screen's
     * mask filter (one definition, no drift). */
-  private[graft] def semBsel(s: SparkSession, d: String): DataFrame = {
+  private[graft] def semBsel(s: SparkSession, d: String): DataFrame =
+    semBselFor(s, Tables.embeddings(s, d))
+
+  /** Same caps-table selection over an arbitrary base relation —
+    * dedup_semantic_incremental sizes its quantizer from the HISTORY
+    * side only (the persisted index's width is fixed when the index is
+    * built; an arriving batch buckets with the index's width, never
+    * its own — the semanticDecontTag policy, here in-plan). */
+  private[graft] def semBselFor(s: SparkSession, base: DataFrame): DataFrame = {
     import s.implicits._
     semCaps.toDF("bbits", "cap")
-      .crossJoin(Tables.embeddings(s, d).agg(count(lit(1)).as("n")))
+      .crossJoin(base.agg(count(lit(1)).as("n")))
       .where(col("cap") >= col("n"))
       .agg(coalesce(min("bbits"), lit(SemMaxBits.toLong)).as("bbits"))
   }
@@ -144,6 +152,19 @@ object DedupQueries extends QueryPack {
     * the soak A/B arm). */
   private[graft] def semTrainCap: Long =
     sys.env.get("SPARK_GRAFT_SEM_TRAIN_CAP").map(_.toLong).getOrElse(256L)
+
+  /** Per-(bucket, side) BUILD membership cap for
+    * dedup_semantic_incremental (first cap by vec_id): the probe side
+    * (the arriving batch) is never capped, so incremental cost is
+    * O(batch · 2·cap) in the worst bucket — linear in the batch even
+    * when an adversarial corpus piles mass into one bucket. ~4× the
+    * expected bucket occupancy (64), invisible on honest corpora
+    * (both driver SFs hash-identical with the cap off); interpolated
+    * into the oracle; DedupQualitySpec plants a 300-identical-history
+    * corpus pinning exactly cap pairs. `SPARK_GRAFT_SEM_INCR_CAP`
+    * overrides (0 disables — the soak A/B arm). */
+  private[graft] def semIncrCap: Long =
+    sys.env.get("SPARK_GRAFT_SEM_INCR_CAP").map(_.toLong).getOrElse(256L)
 
   /** XOR masks of the semantic decontamination screen's hamming≤2
     * multiprobe: every mask with ≤2 bits set over the max plane count
@@ -656,6 +677,47 @@ object DedupQueries extends QueryPack {
         .where(col("jac") >= JaccardThreshold)
     }),
 
+    // Incremental SEMANTIC dedup — dedup_incremental's embedding-space
+    // sibling, the query a daily embedding ingest runs: near-dups of an
+    // arriving vector batch against the HISTORICAL corpus (plus
+    // keep-first within the batch), never history-vs-history. The
+    // history side stands in for a persisted SRP-bucketed vector index
+    // (io/VectorIndex in production); the quantizer width comes from
+    // the HISTORY count alone (semBselFor — an index's width is fixed
+    // at build time; the batch buckets with the index's width, the
+    // semanticDecontTag policy). Candidates = same sign bucket; the
+    // build side (history AND earlier-batch) is capped per (bucket,
+    // side) at semIncrCap by vec_id while the probe side never is, so
+    // the worst adversarial bucket costs O(batch · 2·cap) — linear in
+    // the batch, like every pair stage in this file. cosineLoop +
+    // explicit NaN exclusion (the NanOrderingAuditSpec invariant): a
+    // zero vector's 0/0 cosine must not flag in either engine.
+    // Split here: even vec_ids = history/index, odd = arriving batch.
+    "dedup_semantic_incremental" -> ((s, d) => {
+      val emb = Tables.fanout(Tables.embeddings(s, d))
+        .select(col("vec_id"), col("embedding"))
+      val bucketed = graft.CacheRegistry.persistTracked(
+        emb.crossJoin(broadcast(
+            semBselFor(s, emb.where(pmod(col("vec_id"), lit(2)) === 0))))
+          .select(col("vec_id"), col("embedding"),
+            signBucket(col("embedding"), col("bbits"), semCoeffs, Dim).as("bucket"),
+            (pmod(col("vec_id"), lit(2)) === 1).as("is_new")))
+      val bySide = org.apache.spark.sql.expressions.Window
+        .partitionBy("bucket", "is_new").orderBy(col("vec_id").asc)
+      val build =
+        if (semIncrCap <= 0) bucketed
+        else bucketed.withColumn("brn", row_number().over(bySide))
+          .where(col("brn") <= semIncrCap).drop("brn")
+      bucketed.where(col("is_new")).as("a")
+        .join(build.as("b"),
+          col("a.bucket") === col("b.bucket") &&
+            (!col("b.is_new") || col("b.vec_id") < col("a.vec_id")))
+        .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
+          when(col("b.is_new"), lit("batch")).otherwise(lit("history")).as("against"),
+          round(cosineLoop(col("a.embedding"), col("b.embedding"), Dim), 6).as("sim"))
+        .where(!isnan(col("sim")) && col("sim") >= CosineThreshold)
+    }),
+
     // SemDeDup-style semantic dedup, bucket-local edition (r10 VERDICT
     // #1: the adaptive-K scheme assigned every vector against ALL
     // K = ceil(N/64) broadcast centroids — O(N²/64) work plus a
@@ -1072,6 +1134,42 @@ FROM sh LEFT JOIN cnt ON sh.doc_id = cnt.doc_id"""
          |JOIN sizes sa ON i = sa.doc_id
          |JOIN sizes sb ON j = sb.doc_id
          |WHERE round(c * 1.0 / (sa.n + sb.n - c), 6) >= $JaccardThreshold""".stripMargin,
+
+    // Quantizer width from the HISTORY count only (the index policy),
+    // build side capped per (bucket, side) by the interpolated cap,
+    // probe side uncapped, NaN-guarded round-6 cosine threshold.
+    "dedup_semantic_incremental" -> {
+      val buildCte =
+        if (semIncrCap <= 0) "SELECT vec_id, bucket, is_new FROM b"
+        else
+          s"""SELECT vec_id, bucket, is_new FROM (
+             |    SELECT vec_id, bucket, is_new, row_number() OVER (
+             |      PARTITION BY bucket, is_new ORDER BY vec_id) AS brn FROM b)
+             |  WHERE brn <= $semIncrCap""".stripMargin
+      s"""WITH caps(bb, cap) AS (VALUES $semCapsValues),
+         |bsel AS (
+         |  SELECT coalesce(min(bb), $SemMaxBits) AS bbits
+         |  FROM caps, (SELECT count(*) AS n FROM embeddings WHERE vec_id % 2 = 0)
+         |  WHERE cap >= n),
+         |b AS (
+         |  SELECT e.vec_id, CAST($semBucketSql AS BIGINT) AS bucket,
+         |    (e.vec_id % 2 = 1) AS is_new
+         |  FROM embeddings e CROSS JOIN bsel),
+         |build AS (
+         |  $buildCte)
+         |SELECT a.vec_id AS i, b2.vec_id AS j,
+         |  CASE WHEN b2.is_new THEN 'batch' ELSE 'history' END AS against,
+         |  round((${dotSql("x", "y")}) /
+         |    sqrt((${dotSql("x", "x")}) * (${dotSql("y", "y")})), 6) AS sim
+         |FROM b a JOIN build b2 ON a.bucket = b2.bucket AND a.is_new
+         |  AND (NOT b2.is_new OR b2.vec_id < a.vec_id)
+         |JOIN embeddings x ON x.vec_id = a.vec_id
+         |JOIN embeddings y ON y.vec_id = b2.vec_id
+         |WHERE NOT isnan(round((${dotSql("x", "y")}) /
+         |    sqrt((${dotSql("x", "x")}) * (${dotSql("y", "y")})), 6))
+         |  AND round((${dotSql("x", "y")}) /
+         |    sqrt((${dotSql("x", "x")}) * (${dotSql("y", "y")})), 6) >= $CosineThreshold""".stripMargin
+    },
 
     "dedup_semantic" -> {
       // cap disabled (soak A/B arm) → the pair stage reads a1 whole

@@ -169,6 +169,57 @@ class DedupQualitySpec extends AnyFunSuite {
       s"only the real pair may survive — a zero vector's NaN cosine is not a near-dup: $got")
   }
 
+  test("incremental semantic dedup: history hit, keep-first batch hit, zero vector silent") {
+    import spark.implicits._
+    // identical vectors ALWAYS share the SRP bucket (identical
+    // projections), so the catch assertions are deterministic at any
+    // adaptive B; the distinct pair sits under the 0.4 threshold
+    val a = Array.tabulate(64)(i => if (i % 3 == 0) 1.0f else 0.25f)
+    val w = Array.tabulate(64)(i => if (i % 3 == 0) -0.25f else 1.0f)
+    val dir = s"/tmp/graft_semincr_${suiteName.hashCode}"
+    Seq(
+      0L -> a,                   // history: the "index" copy
+      1L -> a,                   // new: exact dup of history -> (1, 0, history)
+      2L -> w,                   // history: distinct -> no pair with a-family
+      3L -> w.map(x => x),       // new: dup of history 2 AND of new 5's twin
+      5L -> w,                   // new: dup -> keep-first gives (5, 3, batch) + (5, 2, history) + (3, 2, history)
+      7L -> Array.fill(64)(0.0f) // new: zero vector -> NaN cosine, never flags
+    ).toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = SparkEntry.queries("dedup_semantic_incremental")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3))).toSet
+    SparkEntry.releaseCaches()
+    val cosAw = {
+      val dot = a.zip(w).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      dot / math.sqrt(a.map(x => x.toDouble * x).sum * w.map(x => x.toDouble * x).sum)
+    }
+    assert(math.abs(cosAw) < 0.4, s"fixture invariant: cross cosine $cosAw must sit under the threshold")
+    assert(got == Set(
+      (1L, 0L, "history", 1.0),
+      (3L, 2L, "history", 1.0),
+      (5L, 2L, "history", 1.0),
+      (5L, 3L, "batch", 1.0)),
+      s"new-first orientation, keep-first within batch, no history-history row, no NaN row: $got")
+  }
+
+  test("incremental semantic dedup: an adversarial bucket probes exactly the capped history prefix") {
+    import spark.implicits._
+    // 300 identical HISTORY vectors (> semIncrCap = 256) + one
+    // identical new vector: the probe must pair with exactly the 256
+    // lowest-id history members (the capped build prefix) — bounded
+    // work per bucket, and the bound is visible, not silent
+    val a = Array.tabulate(64)(i => if (i % 5 == 0) 0.8f else -0.3f)
+    val dir = s"/tmp/graft_semincr_cap_${suiteName.hashCode}"
+    ((0 until 300).map(i => (2L * i) -> a) :+ (999L -> a))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = SparkEntry.queries("dedup_semantic_incremental")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    SparkEntry.releaseCaches()
+    assert(got == (0 until 256).map(i => (999L, 2L * i, "history")).toSet,
+      s"expected exactly the 256-member capped prefix, got ${got.size} pairs")
+  }
+
   test("trained semantic clusters beat the heuristic: mean within-cluster cosine strictly improves") {
     import org.apache.spark.sql.functions._
     // the r11 VERDICT #2 quality pin: dedup_semantic_kmeans' Lloyd-

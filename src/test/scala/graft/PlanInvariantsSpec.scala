@@ -270,6 +270,34 @@ class PlanInvariantsSpec extends AnyFunSuite {
       s"training and assignment must hash-distribute on the bucket column:\n$pa")
   }
 
+  test("dedup_semantic_incremental: probe×build is a bucket equi-join; the only cross is the 1-row bsel attach") {
+    // the daily-ingest pair stage must candidate on the SRP bucket KEY
+    // (shuffle-routable at any batch size), never all-pairs: no
+    // cartesian, every nested-loop build side a scalar aggregate (the
+    // quantizer-width attach), and the pair join hash-distributed on
+    // the bucket column
+    val p = planOf("dedup_semantic_incremental")
+    assert(!p.contains("CartesianProduct"), s"no cartesian anywhere:\n$p")
+    assert(p.contains("hashpartitioning(bucket"),
+      s"pair stage must hash-distribute on the bucket column:\n$p")
+    import graft.queries.DedupQueries
+    import org.apache.spark.sql.catalyst.optimizer.BuildLeft
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    val df = SparkEntry.queries("dedup_semantic_incremental")(spark, sf)
+    val badCross = df.queryExecution.sparkPlan
+      .collect { case j: BroadcastNestedLoopJoinExec => j }
+      .filterNot { j =>
+        val build = if (j.buildSide == BuildLeft) j.left else j.right
+        build.collectFirst {
+          case a: HashAggregateExec if a.groupingExpressions.isEmpty => a
+        }.isDefined
+      }
+    SparkEntry.releaseCaches()
+    assert(badCross.isEmpty,
+      s"nested-loop against a non-scalar build side:\n${badCross.mkString("\n")}")
+  }
+
   test("pipe_stratified_sample: per-stratum quota pushed into the window sort, one shuffle") {
     val p = planOf("pipe_stratified_sample")
     assert(p.contains("WindowGroupLimit"),
