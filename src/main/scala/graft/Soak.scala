@@ -69,7 +69,10 @@ object Soak {
     "dedup_semantic_kmeans",
     // r12: the daily-embedding-ingest query — probe×cap pair stage
     // must scale with the batch (half the scaled corpus), not N²
-    "dedup_semantic_incremental")
+    "dedup_semantic_incremental",
+    // r12: the two-tier cascade — stage 2 must stay proportional to
+    // the PAIR set (two equi-joins against embeddings), not the corpus
+    "dedup_cascade")
 
   /** Scaled-table families each KNOWN soak query reads: 'd' =
     * documents, 'f' = the fact triple (lineitem/orders/part), 'e' =
@@ -129,6 +132,7 @@ object Soak {
     "pipe_decontaminate_semantic" -> Set('e'), "sim_hard_negatives" -> Set('e'),
     "dedup_semantic_kmeans" -> Set('e'),
     "dedup_semantic_incremental" -> Set('e'),
+    "dedup_cascade" -> Set('d', 'e'),
     "text_uncertainty_sample" -> Set('d'),
     "pipe_decontaminate_report" -> Set('d', 'e'))
 

@@ -559,6 +559,40 @@ object DedupQueries extends QueryPack {
         .where(col("jac") >= JaccardThreshold)
     }),
 
+    // Cascade dedup — the production two-tier shape (a hash tier for
+    // recall, an embedding tier for precision): exact-verified Jaccard
+    // near-dup pairs are CONFIRMED or REFUTED semantically by the
+    // corpus's embedding column (doc_id = vec_id on this corpus). A
+    // pair both tiers agree on ('both') is a safe drop; a hash-dup
+    // whose vectors disagree ('hash_only' — boilerplate wrappers
+    // around different payloads) is exactly the false-positive audit a
+    // production pass reviews before deleting bytes; 'no_vector' marks
+    // embedding-coverage gaps (real at sf0.1, where only 2 of 5 docs
+    // carry vectors — a LEFT join, so the hash verdict is never
+    // silently dropped with its evidence). Stage 2 costs two equi-joins
+    // of the TINY pair set against the embedding column — the corpus
+    // never reshuffles, and at 100 TB the pair side broadcasts (pairs
+    // ≪ corpus by the dedup rate). NaN (a zero vector's 0/0 cosine) is
+    // excluded from confirmation on BOTH engines (the
+    // NanOrderingAuditSpec invariant): an unverifiable pair stays
+    // 'hash_only', it does not get promoted by NaN ordering.
+    "dedup_cascade" -> ((s, d) => {
+      val pairs = jaccardPairs(s, d)
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      pairs
+        .join(e.as("ea"), col("i") === col("ea.vec_id"), "left")
+        .join(e.as("eb"), col("j") === col("eb.vec_id"), "left")
+        .withColumn("sim",
+          when(col("ea.vec_id").isNotNull && col("eb.vec_id").isNotNull,
+            round(cosineLoop(col("ea.embedding"), col("eb.embedding"), Dim), 6)))
+        .select(col("i"), col("j"), col("jac"),
+          when(!isnan(col("sim")) && col("sim") >= CosineThreshold, col("sim"))
+            .as("sim_confirmed"),
+          when(col("ea.vec_id").isNull || col("eb.vec_id").isNull, lit("no_vector"))
+            .when(!isnan(col("sim")) && col("sim") >= CosineThreshold, lit("both"))
+            .otherwise(lit("hash_only")).as("verdict"))
+    }),
+
     // SimHash fingerprint + hamming-band candidate counts per doc.
     // Element hashes are PolyHash64 (not xxhash64) so the ENTIRE sketch
     // — 63-bit majority vote, 16-bit hamming bands, candidate counts —
@@ -1101,6 +1135,23 @@ FROM sh LEFT JOIN cnt ON sh.doc_id = cnt.doc_id"""
     // LSH+verify equals brute force w.h.p. — graded against the same
     // exact oracle, which is the point of the verify stage.
     "dedup_minhash_lsh" -> jaccardOracle,
+
+    "dedup_cascade" ->
+      s"""WITH $jaccardCtes,
+         |sims AS (
+         |  SELECT p.i, p.j, p.jac, x.vec_id AS xv, y.vec_id AS yv,
+         |    round((${dotSql("x", "y")}) /
+         |      sqrt((${dotSql("x", "x")}) * (${dotSql("y", "y")})), 6) AS sim
+         |  FROM jpairs p
+         |  LEFT JOIN embeddings x ON x.vec_id = p.i
+         |  LEFT JOIN embeddings y ON y.vec_id = p.j)
+         |SELECT i, j, jac,
+         |  CASE WHEN xv IS NOT NULL AND yv IS NOT NULL AND NOT isnan(sim)
+         |    AND sim >= $CosineThreshold THEN sim END AS sim_confirmed,
+         |  CASE WHEN xv IS NULL OR yv IS NULL THEN 'no_vector'
+         |    WHEN NOT isnan(sim) AND sim >= $CosineThreshold THEN 'both'
+         |    ELSE 'hash_only' END AS verdict
+         |FROM sims""".stripMargin,
 
     "dedup_embedding_cosine" ->
       s"""SELECT a.vec_id AS i, b.vec_id AS j, round((${dotSql("a", "b")}) /

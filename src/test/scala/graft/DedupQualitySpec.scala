@@ -239,6 +239,48 @@ class DedupQualitySpec extends AnyFunSuite {
       s"trained centroids must tighten clusters: kmeans mean sim $trained vs heuristic $heuristic")
   }
 
+  test("cascade dedup: the semantic tier confirms, refutes, NaN-guards, and flags missing vectors") {
+    import spark.implicits._
+    // four identical-text pairs, one per verdict path: aligned vectors
+    // (confirm), orthogonal vectors (refute), zero vectors (NaN must
+    // NOT promote — the NanOrderingAuditSpec class), absent vectors
+    // (coverage gap keeps the hash verdict, never drops the row);
+    // plus a singleton doc that must pair with nothing
+    val dir = s"/tmp/graft_cascade_${suiteName.hashCode}"
+    def rep(s: String) = Array.fill(8)(s).mkString(" ")
+    Seq(
+      (0L, rep("alpha bravo charlie"), "s1"),
+      (1L, rep("alpha bravo charlie"), "s1"),
+      (2L, rep("delta echo foxtrot"), "s1"),
+      (3L, rep("delta echo foxtrot"), "s1"),
+      (4L, rep("golf hotel india"), "s1"),
+      (5L, rep("golf hotel india"), "s1"),
+      (6L, rep("juliet kilo lima"), "s1"),
+      (7L, rep("juliet kilo lima"), "s1"),
+      (8L, rep("mike november oscar"), "s1")
+    ).toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val even = Array.tabulate(64)(i => if (i % 2 == 0) 1.0f else 0.0f)
+    val odd = Array.tabulate(64)(i => if (i % 2 == 1) 1.0f else 0.0f)
+    Seq(
+      0L -> even, 1L -> even, // identical -> confirmed at exactly 1.0
+      2L -> even, 3L -> odd, // orthogonal (cos 0.0) -> refuted
+      4L -> Array.fill(64)(0.0f), 5L -> Array.fill(64)(0.0f) // 0/0 = NaN
+      // 6, 7 carry no vectors at all
+    ).toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = SparkEntry.queries("dedup_cascade")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)), r.getString(4))).toSet
+    SparkEntry.releaseCaches()
+    assert(got == Set(
+      (0L, 1L, 1.0, Some(1.0), "both"),
+      (2L, 3L, 1.0, None, "hash_only"),
+      (4L, 5L, 1.0, None, "hash_only"),
+      (6L, 7L, 1.0, None, "no_vector")),
+      s"one pair per verdict path, singleton absent: $got")
+  }
+
   test("semantic decontamination: past the broadcast gate the shuffle route returns identical rows") {
     val key = (r: org.apache.spark.sql.Row) => (r.getLong(0), r.getLong(1), r.getDouble(2))
     val bc = graft.queries.DedupQueries.decontaminateSemanticGate(spark, sf, gate = 0L)

@@ -270,6 +270,31 @@ class PlanInvariantsSpec extends AnyFunSuite {
       s"training and assignment must hash-distribute on the bucket column:\n$pa")
   }
 
+  test("dedup_cascade: semantic confirmation is vec_id equi-joins of the pair set; no cartesian, no non-scalar nested loop") {
+    // stage 2 must attach embeddings by KEY — at 100 TB the pair set
+    // (≪ corpus by the dedup rate) broadcasts and the corpus never
+    // reshuffles; any cartesian or non-scalar nested loop here would
+    // re-couple the confirmation cost to corpus², which is exactly
+    // what the cascade exists to avoid
+    val p = planOf("dedup_cascade")
+    assert(!p.contains("CartesianProduct"), s"no cartesian anywhere:\n$p")
+    import org.apache.spark.sql.catalyst.optimizer.BuildLeft
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    val df = SparkEntry.queries("dedup_cascade")(spark, sf)
+    val badCross = df.queryExecution.sparkPlan
+      .collect { case j: BroadcastNestedLoopJoinExec => j }
+      .filterNot { j =>
+        val build = if (j.buildSide == BuildLeft) j.left else j.right
+        build.collectFirst {
+          case a: HashAggregateExec if a.groupingExpressions.isEmpty => a
+        }.isDefined
+      }
+    SparkEntry.releaseCaches()
+    assert(badCross.isEmpty,
+      s"nested-loop against a non-scalar build side:\n${badCross.mkString("\n")}")
+  }
+
   test("dedup_semantic_incremental: probe×build is a bucket equi-join; the only cross is the 1-row bsel attach") {
     // the daily-ingest pair stage must candidate on the SRP bucket KEY
     // (shuffle-routable at any batch size), never all-pairs: no
