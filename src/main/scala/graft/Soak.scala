@@ -327,6 +327,26 @@ object Soak {
   private[graft] def scaleEmbeddings(e: DataFrame, k: Int): DataFrame =
     scaleShifted(e, k, "vec_id")
 
+  /** embeddings scaled k× on the HISTORY side only (even vec_ids; the
+    * even KeyShift preserves parity): the arriving batch (odd vec_ids)
+    * stays CONSTANT while the probed history grows k× — the semantic
+    * twin of [[scaleDocumentsHistoryOnly]], for
+    * dedup_semantic_incremental's cost-∝-batch claim. Copies are exact
+    * vector duplicates, so every batch vector's candidate bucket fills
+    * with history twins — the per-(bucket, side) cap is what keeps the
+    * pair stage bounded, which is exactly what this axis measures. The
+    * quantizer width still derives from the GROWN history count, as a
+    * rebuilt index would. */
+  private[graft] def scaleEmbeddingsHistoryOnly(e: DataFrame, k: Int): DataFrame = {
+    if (k > 1) requireKeysBelowShift(e, "vec_id")
+    val copies = (0 until k).map { c =>
+      if (c == 0) e
+      else e.where(pmod(col("vec_id"), lit(2)) === 0)
+        .withColumn("vec_id", col("vec_id") + lit(c.toLong * KeyShift))
+    }
+    copies.reduce(_.unionByName(_))
+  }
+
   private[graft] def scaleLineitem(li: DataFrame, k: Int): DataFrame =
     scaleShifted(li, k, "l_orderkey", "l_partkey")
 
@@ -414,7 +434,8 @@ object Soak {
         Tables.events(spark, sfDir)
           .write.mode("overwrite").parquet(s"$dir/events.parquet")
         if (fams('e'))
-          scaleEmbeddings(Tables.embeddings(spark, sfDir), k)
+          (if (historyOnly) scaleEmbeddingsHistoryOnly(Tables.embeddings(spark, sfDir), k)
+           else scaleEmbeddings(Tables.embeddings(spark, sfDir), k))
             .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
         else
           Tables.embeddings(spark, sfDir)

@@ -68,7 +68,23 @@ def df_sig(df):
 
 
 def main(sf_dir, out_dir):
-    con = duckdb.connect()
+    # Bound the oracle engine explicitly. The r12 flake class — heavy
+    # oracles dying with "Out of Memory Error: Failed to allocate block
+    # of <KB> (bad allocation)" while the host shows >100 GB free — is
+    # a SYSTEM-allocator failure, not DuckDB's own limit (whose message
+    # says "memory limit exceeded"): the default in-memory connection
+    # sizes its pool at 80% of physical RAM (100.6 GiB here), spawns a
+    # thread per core, and has NO temp directory, so any transient
+    # environment-level allocation refusal (also seen as a bare
+    # pthread_create EAGAIN) lands mid-oracle with nothing to spill to.
+    # A 24 GB cap (oracles run at sf<=0.1; the heaviest needs far less),
+    # 16 threads, and a disk spill directory make each query's
+    # footprint predictable and give overflow a destination other than
+    # abort. The bounded retry below stays as the last line.
+    import tempfile
+    tmp = tempfile.mkdtemp(prefix="graft_oracle_spill_")
+    con = duckdb.connect(config={"memory_limit": "24GB", "threads": 16,
+                                 "temp_directory": tmp})
     for t in TABLES:
         p = Path(sf_dir) / f"{t}.parquet"
         if p.exists():
