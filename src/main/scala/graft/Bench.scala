@@ -40,7 +40,7 @@ object Bench {
       // drop cross-query cached relations so each query pays its own cost
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { GraftSession.forceAll(fn(spark, sfDir)) } catch { case _: Throwable => -1L }
       val t = (System.nanoTime() - t0) / 1e9
       SparkEntry.releaseCaches()
       t

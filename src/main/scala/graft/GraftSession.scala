@@ -14,6 +14,22 @@ import org.apache.spark.sql.SparkSession
   *  - UTC so timestamp-derived columns match the DuckDB oracle.
   */
 object GraftSession {
+
+  /** Execute a query's FULL physical plan and return its row count —
+    * the timing action for Bench/Soak/Probe. A bare `Dataset.count()`
+    * lets Catalyst prune every column the count doesn't need, so a
+    * query whose tail is a per-row Window/projection (q_events_rolling,
+    * q_events_ewma) collapses to a parquet scan-count and the timing
+    * measures I/O, not the operator (r12 finding: rolling read a flat
+    * 0.29 s while its output grew 64× up the soak ladder). `toRdd`
+    * executes the plan with its full output schema — every column
+    * computed distributed, nothing shipped to the driver — which is
+    * what "run the query" costs the consumer who writes the result
+    * (Verify, the correctness gate, has always paid it: it writes
+    * parquet). */
+  def forceAll(df: org.apache.spark.sql.DataFrame): Long =
+    df.queryExecution.toRdd.count()
+
   def builder(cores: Int = 4): SparkSession.Builder =
     SparkSession
       .builder()

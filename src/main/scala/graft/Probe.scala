@@ -19,7 +19,7 @@ object Probe {
     for (_ <- 1 to reps) names.foreach { n =>
       spark.catalog.clearCache()
       val t0 = System.nanoTime
-      val c = SparkEntry.queries(n)(spark, sf).count()
+      val c = GraftSession.forceAll(SparkEntry.queries(n)(spark, sf))
       val dt = (System.nanoTime - t0) / 1e9
       SparkEntry.releaseCaches()
       println(f"PROBE $n%-28s $c%9d rows  $dt%8.2fs")

@@ -84,7 +84,7 @@ object Soak {
     * name missed every pattern (the r7 §8 failure, twice re-patched).
     * A WRONG entry here fails loudly (missing parquet path), never
     * silently. */
-  private[graft] val AllFams = Set('d', 'f', 'e')
+  private[graft] val AllFams = Set('d', 'f', 'e', 'v')
   private[graft] val SoakReads: Map[String, Set[Char]] = Map(
     "dedup_exact" -> Set('d'), "dedup_ngram_jaccard" -> Set('d'),
     "dedup_containment" -> Set('d'), "dedup_minhash_lsh" -> Set('d'),
@@ -134,7 +134,15 @@ object Soak {
     "dedup_semantic_incremental" -> Set('e'),
     "dedup_cascade" -> Set('d', 'e'),
     "text_uncertainty_sample" -> Set('d'),
-    "pipe_decontaminate_report" -> Set('d', 'e'))
+    "pipe_decontaminate_report" -> Set('d', 'e'),
+    // r12: the events battery had ZERO weak-scaling evidence (the soak
+    // wrote events.parquet through unscaled) — the user-partitioned
+    // window family is where a bot user serializes a partition at
+    // 100 TB, so it gets its own scaled family + hot-user knob
+    "q_events_sessions" -> Set('v'), "q_events_rolling" -> Set('v'),
+    "q_events_ewma" -> Set('v'), "q_events_paths" -> Set('v'),
+    "q_events_transitions" -> Set('v'), "q_events_retention" -> Set('v'),
+    "q_events_funnel" -> Set('v'), "q_events_hau" -> Set('v'))
 
   private[graft] def famsFor(queries: Seq[String]): Set[Char] =
     queries.map(q => SoakReads.getOrElse(q,
@@ -337,6 +345,42 @@ object Soak {
     * pair stage bounded, which is exactly what this axis measures. The
     * quantizer width still derives from the GROWN history count, as a
     * rebuilt index would. */
+  /** events scaled k×: copy c shifts user_id AND event_id — k disjoint
+    * isomorphic user populations active over the SAME time range (the
+    * realistic growth axis for an event stream: more users, same
+    * period, k× density per time bucket). Timestamps are unshifted, so
+    * date-keyed outputs keep their cardinality while user-keyed window
+    * state grows with the corpus. */
+  private[graft] def scaleEvents(e: DataFrame, k: Int): DataFrame =
+    scaleShifted(e, k, "user_id", "event_id")
+
+  /** SPARK_GRAFT_SOAK_HOT_USER=n appends ONE synthetic user carrying n
+    * events (out-of-domain id and type, far-future timestamps one
+    * second apart) — the bot-user axis for the user-partitioned window
+    * family: every per-user window (sessionization, rolling frames,
+    * EWMA, paths) must sort and aggregate that user's whole history
+    * inside ONE partition, so a query whose per-user state is
+    * unbounded knees here long before the uniform ladder shows it.
+    * Sentinel values (user 999999999, type "hot", year 2099) follow
+    * the appendHotOrder discipline: other 'v' probes sharing the
+    * scaled parquet gain at most a few out-of-range groups, never
+    * in-domain rows. */
+  private def hotUserEvents: Int =
+    sys.env.getOrElse("SPARK_GRAFT_SOAK_HOT_USER", "0").toInt
+
+  private def appendHotUser(ev: DataFrame): DataFrame =
+    if (hotUserEvents <= 0) ev
+    else ev.unionByName(
+      ev.sparkSession.range(hotUserEvents).select(
+        (col("id") + 900000000L).as("event_id"),
+        // 2099-01-01 epoch-micros + 1s per event
+        expr("timestamp_micros(4070908800000000 + id * 1000000)").as("ts"),
+        lit(999999999L).as("user_id"),
+        lit("hot").as("event_type"),
+        lit(0.0d).as("value"),
+        lit(null).cast("string").as("props")),
+      allowMissingColumns = true)
+
   private[graft] def scaleEmbeddingsHistoryOnly(e: DataFrame, k: Int): DataFrame = {
     if (k > 1) requireKeysBelowShift(e, "vec_id")
     val copies = (0 until k).map { c =>
@@ -431,8 +475,12 @@ object Soak {
           Tables.table(spark, sfDir, n)
             .write.mode("overwrite").parquet(s"$dir/$n.parquet")
         }
-        Tables.events(spark, sfDir)
-          .write.mode("overwrite").parquet(s"$dir/events.parquet")
+        if (fams('v'))
+          appendHotUser(scaleEvents(Tables.events(spark, sfDir), k))
+            .write.mode("overwrite").parquet(s"$dir/events.parquet")
+        else
+          Tables.events(spark, sfDir)
+            .write.mode("overwrite").parquet(s"$dir/events.parquet")
         if (fams('e'))
           (if (historyOnly) scaleEmbeddingsHistoryOnly(Tables.embeddings(spark, sfDir), k)
            else scaleEmbeddings(Tables.embeddings(spark, sfDir), k))
@@ -443,7 +491,7 @@ object Soak {
         val results = onlyQueries.map { name =>
           spark.catalog.clearCache()
           val t0 = System.nanoTime()
-          val n = SparkEntry.queries(name)(spark, dir).count()
+          val n = GraftSession.forceAll(SparkEntry.queries(name)(spark, dir))
           val dt = (System.nanoTime() - t0) / 1e9
           SparkEntry.releaseCaches()
           (name, dt, n)

@@ -18,6 +18,68 @@ class WindowOpsSpec extends AnyFunSuite {
 
   private def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
 
+  test("q_events_rolling: the O(n) deque kernel equals the declarative RANGE frame exactly") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // sharp edges: INCLUSIVE lower bound (ts 3600 still sees ts 0),
+    // first expiry (ts 3601 drops ts 0, keeps 1800), same-timestamp
+    // PEERS (both ts-3600 rows see each other — the RANGE semantic the
+    // kernel must reproduce by emitting per (user, us) group), per-user
+    // state reset, sub-6-dp rounding, negative values
+    val dir = eventsDir(Seq(
+      (1L, ts(0), 1L, "view", 1.0000005, "{}"),
+      (2L, ts(1800), 1L, "view", -2.25, "{}"),
+      (3L, ts(3600), 1L, "view", 10.0, "{}"),
+      (4L, ts(3600), 1L, "view", 0.125, "{}"),
+      (5L, ts(3601), 1L, "view", 4.0, "{}"),
+      (6L, ts(90000), 1L, "view", 7.5, "{}"),
+      (7L, ts(100), 2L, "view", 3.5, "{}")))
+    val got = SparkEntry.queries("q_events_rolling")(spark, dir)
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    SparkEntry.releaseCaches()
+    // the declarative frame the kernel replaced (O(n·w) per partition —
+    // the r12 hot-user finding) stays here as the semantic reference
+    val w = Window.partitionBy("user_id").orderBy(col("us"))
+      .rangeBetween(-3600000000L, 0)
+    val ref = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id"), col("event_id"), col("value"),
+        unix_micros(col("ts")).as("us"))
+      .select(col("user_id"), col("event_id"), col("us"),
+        count(lit(1)).over(w).as("n_1h"),
+        sum(col("value").cast("decimal(18,6)")).over(w)
+          .cast("double").as("sum_1h"))
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    assert(got == ref, s"kernel and RANGE frame must agree row-for-row:\n$got\nvs\n$ref")
+    val byId = got.map(t => t._2 -> ((t._4, t._5))).toMap
+    assert(byId(3L) == byId(4L) && byId(3L)._1 == 4L,
+      "same-timestamp rows are PEERS: both ts-3600 rows see {0, 1800, 3600, 3600}")
+    assert(byId(5L) == ((4L, 11.875)),
+      "at ts 3601 the ts-0 row expired: {1800, 3600, 3600, 3601}, all-exact decimal sum")
+    assert(byId(6L) == ((1L, 7.5)), "a far-future event's frame is itself")
+    assert(byId(7L) == ((1L, 3.5)), "second user starts from clean deque state")
+  }
+
+  test("q_events_rolling: kernel equals the declarative frame on the real sf0.01 table") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.01"
+    val got = SparkEntry.queries("q_events_rolling")(spark, sf)
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    SparkEntry.releaseCaches()
+    val w = Window.partitionBy("user_id").orderBy(col("us"))
+      .rangeBetween(-3600000000L, 0)
+    val ref = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("value"),
+        unix_micros(col("ts")).as("us"))
+      .select(col("user_id"), col("event_id"), col("us"),
+        count(lit(1)).over(w).as("n_1h"),
+        sum(col("value").cast("decimal(18,6)")).over(w)
+          .cast("double").as("sum_1h"))
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    assert(got.size == ref.size && got == ref,
+      s"kernel must reproduce the declarative frame on real data (${got.size} rows)")
+  }
+
   test("q_events_ewma: weights 2^(m-1-j) renormalized by 2^m - 1, by hand") {
     // user 1: values 1, 2, 3 in time order.
     //   e1: m=1 -> 1/1 = 1
