@@ -198,25 +198,40 @@ object WindowQueries extends QueryPack {
     // Path analysis / sequence mining: each user's journey as the
     // ordered chain of their first 8 event types, then the top-10 most
     // common journeys — the product-analytics view q_events_transitions
-    // (pairwise) cannot give. The per-user chain is ONE aggregation
-    // (array_sort over (time, id, type) structs — deterministic under
-    // any partitioning thanks to the total ordering), truncated to 8
-    // BEFORE the path string materializes, so per-user state is
-    // bounded no matter how hot a user is; the journey census is a
-    // second map-combining aggregate on bounded-length strings.
-    "q_events_paths" -> ((s, d) =>
+    // (pairwise) cannot give. r12 rework: the original collected EVERY
+    // event of a user into one aggregation buffer before slicing to 8
+    // — "bounded per-user state" was false, and a 100M-event bot user
+    // is a single-buffer OOM no partitioning fixes (the hot-user probe
+    // that exposed q_events_rolling measured this path at 80 MB for a
+    // 1.6M-event user — survivable there, unbounded by design). Now a
+    // row_number ≤ 8 filter runs BEFORE the collect: it compiles to
+    // WindowGroupLimit (the text_uncertainty_sample shape), which
+    // streams the user-sorted partition keeping at most 8 rows per
+    // user — state bounded by construction — and the groupBy(user_id)
+    // rides the window's own hash partitioning, so the plan keeps its
+    // two exchanges. The (us, event_id) window order is the same total
+    // order the struct sort used (event_id unique), so the selected 8
+    // and the emitted path are IDENTICAL; oracle untouched.
+    "q_events_paths" -> ((s, d) => {
+      val firstN = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("us"), col("eid"))
       Tables.events(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_id").as("eid"),
+          coalesce(col("event_type"), lit("")).as("t"))
+        .withColumn("rn", row_number().over(firstN))
+        .where(col("rn") <= 8)
         .select(col("user_id"),
-          struct(unix_micros(col("ts")).as("us"), col("event_id").as("eid"),
-            coalesce(col("event_type"), lit("")).as("t")).as("e"))
+          struct(col("us"), col("eid"), col("t")).as("e"))
         .groupBy("user_id")
         .agg(array_join(
-          slice(transform(array_sort(collect_list(col("e"))), x => x.getField("t")),
-            1, 8), ">").as("path"))
+          transform(array_sort(collect_list(col("e"))), x => x.getField("t")),
+          ">").as("path"))
         .groupBy("path")
         .agg(count(lit(1)).as("n_users"))
         .orderBy(col("n_users").desc, col("path"))
-        .limit(10)),
+        .limit(10)
+    }),
 
     // Conversion latency: per user, first view → first LATER buy; the
     // funnel-health metric (how long acquisition takes, not just

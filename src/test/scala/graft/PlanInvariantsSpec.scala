@@ -775,11 +775,17 @@ class PlanInvariantsSpec extends AnyFunSuite {
       s"scene cuts must not shuffle at all, got ${exchangeCount(p)}:\n$p")
   }
 
-  test("q_events_paths: two aggregation exchanges, TakeOrdered board (no global sort)") {
+  test("q_events_paths: two aggregation exchanges, TakeOrdered board, per-user state capped at 8") {
     val p = planOf("q_events_paths")
     assert(exchangeCount(p) == 2,
       s"paths = user aggregation + path census, got ${exchangeCount(p)}:\n$p")
     assert(p.contains("TakeOrderedAndProject"), s"top-10 must be TakeOrdered:\n$p")
+    // the r12 bounded-state rework: the rn <= 8 filter must compile to
+    // WindowGroupLimit (streaming, at most 8 rows kept per user) —
+    // a plain WindowExec here would re-buffer whole user partitions,
+    // which is exactly the unbounded collect the rework removed
+    assert("\\(\\d+\\) WindowGroupLimit".r.findFirstIn(p).isDefined,
+      s"first-8 selection must be a WindowGroupLimit, not a buffering window:\n$p")
   }
 
   test("q_pareto_share: fact scans once (persisted per-part revenue feeds count AND ranks)") {
