@@ -211,6 +211,14 @@ object EventStreams {
   case class EwmaState(recent: List[Double])
   case class EwmaOut(user_id: Long, event_id: Long, ewma: Double)
 
+  /** (epoch-micros, decimal(18,6) unscaled value) entries still inside
+    * the trailing window — bounded by window occupancy, never by a
+    * user's lifetime traffic (the batch kernel's O(window) argument
+    * made durable across micro-batches). */
+  case class RollingState(entries: Seq[(Long, Long)])
+  case class RollingOut(user_id: Long, event_id: Long, us: Long,
+      n_1h: Long, sum_1h: Double)
+
   /** Streaming EWMA — the stateful twin of batch `q_events_ewma`
     * (α = 1/2 truncated at `depth`, renormalized): state per user is
     * the last ≤ `depth` values (oldest first), carried across
@@ -255,6 +263,75 @@ object EventStreams {
             }
             if (sorted.nonEmpty) {
               state.update(EwmaState(recent))
+              idleTimeout.foreach(state.setTimeoutDuration)
+            }
+            out.result().iterator
+          }
+      }
+  }
+
+  /** Streaming trailing-window rolling count/sum per user — the stream
+    * twin of the batch `q_events_rolling` deque kernel (r12: the
+    * declarative RANGE frame measured O(n·w) per partition and was
+    * replaced; THIS is the same two-pointer discipline on an unbounded
+    * stream). State per user is only the events still inside the
+    * trailing window as (micros, decimal-unscaled-long) pairs: exact
+    * integer arithmetic, so incremental add/evict equals the batch
+    * kernel's BigDecimal chain bit-for-bit (same shortest-repr
+    * double→decimal(18,6) HALF_UP cast, same final toDouble). Equal
+    * timestamps arriving in ONE micro-batch are peers exactly as in
+    * batch; peers SPLIT across micro-batches diverge on the earlier
+    * row only (it was already emitted — append mode cannot retract),
+    * and a straggler strictly BEHIND the user's max seen time is
+    * dropped (its frame pre-dates retained state — the
+    * streamingDebounce discipline; EventStreamsSpec pins both edges).
+    * Users idle past `idleTimeout` are evicted. */
+  def streamingRolling(
+      events: Dataset[ValueEvent],
+      windowUs: Long = 3600000000L,
+      idleTimeout: Option[String] = Some("30 days")): Dataset[RollingOut] = {
+    import events.sparkSession.implicits._
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[RollingState, RollingOut](
+        OutputMode.Append, timeoutConf) {
+        (uid: Long, rows: Iterator[ValueEvent], state: GroupState[RollingState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+            var entries: Vector[(Long, Long)] =
+              state.getOption.map(_.entries.toVector).getOrElse(Vector.empty)
+            var maxSeen = entries.lastOption.map(_._1).getOrElse(Long.MinValue)
+            val out = Seq.newBuilder[RollingOut]
+            var i = 0
+            while (i < sorted.length) {
+              val us0 = micros(sorted(i).ts)
+              if (us0 < maxSeen) {
+                i += 1 // straggler behind retained state: dropped
+              } else {
+                var j = i
+                while (j < sorted.length && micros(sorted(j).ts) == us0) j += 1
+                entries = entries.dropWhile(_._1 < us0 - windowUs)
+                (i until j).foreach { k =>
+                  val unscaled = java.math.BigDecimal.valueOf(sorted(k).value)
+                    .setScale(6, java.math.RoundingMode.HALF_UP)
+                    .unscaledValue().longValueExact()
+                  entries = entries :+ ((us0, unscaled))
+                }
+                val cnt = entries.length.toLong
+                val sumD = java.math.BigDecimal
+                  .valueOf(entries.iterator.map(_._2).sum, 6).doubleValue
+                (i until j).foreach(k =>
+                  out += RollingOut(uid, sorted(k).event_id, us0, cnt, sumD))
+                maxSeen = us0
+                i = j
+              }
+            }
+            if (sorted.nonEmpty) {
+              state.update(RollingState(entries))
               idleTimeout.foreach(state.setTimeoutDuration)
             }
             out.result().iterator

@@ -364,6 +364,52 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming rolling window equals the batch deque kernel across micro-batch boundaries; stragglers drop") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.EventStreams.{RollingOut, ValueEvent}
+    // user 1 crosses the trailing-hour boundary mid-stream (minute 60
+    // still sees minute 0 — inclusive lower bound; minute 61 drops it),
+    // with same-timestamp PEERS (ids 3, 4) arriving in one batch; the
+    // deque state must carry across the batch-B boundary for the
+    // expiry to be computed against events emitted a batch earlier
+    val evs = Seq(
+      ValueEvent(1L, ts(0), 1L, 1.0000005),
+      ValueEvent(1L, ts(30), 2L, -2.25),
+      ValueEvent(1L, ts(60), 3L, 10.0),
+      ValueEvent(1L, ts(60), 4L, 0.125),
+      ValueEvent(1L, ts(61), 5L, 4.0),
+      ValueEvent(1L, ts(1500), 6L, 7.5),
+      ValueEvent(2L, ts(5), 7L, 3.5))
+    val mem = MemoryStream[ValueEvent]
+    val stream = EventStreams.streamingRolling(mem.toDS(), idleTimeout = None)
+      .writeStream.format("memory").queryName("rolling_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(evs.take(2): _*); stream.processAllAvailable()
+      mem.addData(evs.slice(2, 5): _*); stream.processAllAvailable()
+      mem.addData(evs.drop(5): _*); stream.processAllAvailable()
+      // straggler strictly behind user 1's max seen time: dropped (its
+      // frame pre-dates retained state — the debounce discipline)
+      mem.addData(ValueEvent(1L, ts(70), 99L, 123.0)); stream.processAllAvailable()
+      val streamed = spark.table("rolling_stream").as[RollingOut].collect()
+        .map(o => o.event_id -> ((o.us, o.n_1h, o.sum_1h))).toMap
+      assert(!streamed.contains(99L),
+        "a straggler behind retained state is dropped, never misframed")
+      val dir = java.nio.file.Files.createTempDirectory("rolling_batch").toString
+      evs.map(e => (e.event_id, e.ts, e.user_id, "view", e.value, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val batch = SparkEntry.queries("q_events_rolling")(spark, dir)
+        .select("event_id", "us", "n_1h", "sum_1h")
+        .as[(Long, Long, Long, Double)].collect()
+        .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+      SparkEntry.releaseCaches()
+      assert(streamed == batch,
+        s"stream must equal the batch kernel bit-for-bit on in-order input:\n$streamed\nvs\n$batch")
+    } finally stream.stop()
+  }
+
   test("streaming EWMA agrees with the batch q_events_ewma bit-for-bit across batch splits") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
