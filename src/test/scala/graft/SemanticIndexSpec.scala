@@ -51,6 +51,42 @@ class SemanticIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("past the broadcast envelope only the BATCH exchanges — the stored corpus still never shuffles") {
+    // the Scaladoc claim for real batch sizes, pinned: with broadcast
+    // disabled the probe join degrades to sort-merge, the batch side
+    // shuffles INTO the index's bucket scheme (exactly one Exchange),
+    // and the index side still reads its bucketBy layout with no
+    // Exchange anywhere above the scan — plus row-set equality with
+    // the broadcast arm, so the routing never changes answers
+    val emb = Tables.embeddings(spark, sf)
+    SemanticIndex.build(spark,
+      emb.where(pmod(col("vec_id"), lit(2)) === 0), "sem_idx_smj")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      val bcRows = SemanticIndex.probe(spark,
+          emb.where(pmod(col("vec_id"), lit(2)) === 1), "sem_idx_smj")
+        .select("new_id", "vec_id", "sim")
+        .as[(Long, Long, Double)].collect().toSet
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val probe = SemanticIndex.probe(spark,
+        emb.where(pmod(col("vec_id"), lit(2)) === 1), "sem_idx_smj")
+      val got = probe.select("new_id", "vec_id", "sim")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got == bcRows && got.nonEmpty,
+        "join routing (broadcast vs sort-merge) must never change the pair set")
+      val p = probe.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      val exchanges = "\\(\\d+\\) Exchange\\b".r.findAllIn(p).length
+      assert(exchanges == 1,
+        s"sort-merge arm: exactly ONE Exchange (the batch, into the bucket scheme):\n$p")
+      assert(p.contains("SortMergeJoin"), s"broadcast disabled must yield sort-merge:\n$p")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS sem_idx_smj")
+      spark.sql("DROP TABLE IF EXISTS sem_idx_smj_meta")
+    }
+  }
+
   test("the stored quantizer width is frozen at build time — a bigger batch still buckets with it") {
     // build over a tiny history (width = minimum bits), then probe a
     // batch LARGER than the history: if probe re-derived width from
