@@ -354,6 +354,35 @@ object Soak {
   private[graft] def scaleEvents(e: DataFrame, k: Int): DataFrame =
     scaleShifted(e, k, "user_id", "event_id")
 
+  /** SPARK_GRAFT_SOAK_HOT_DOC=n appends ONE document of n DISTINCT
+    * synthetic tokens (~7n bytes — n=10M is a ~70 MB row, the
+    * "concatenated crawl dump nobody length-capped" hazard): the
+    * per-ROW memory/skew axis for the text-kernel family, orthogonal
+    * to HOT_PHRASE (which grows a shingle's df, not a document). Every
+    * per-doc kernel (tokens, n-grams, shingle sets, span windows,
+    * fingerprints) must build its whole array for this one row inside
+    * one task; a kernel whose per-doc state is superlinear — or a plan
+    * that ships the raw text through a shuffle — surfaces here long
+    * before the uniform ladder shows it. Distinct tokens by
+    * construction: the giant doc shares no shingle with the corpus, so
+    * pair-stage results stay unchanged and the axis isolates per-row
+    * cost. The text materializes in the EXECUTOR (sequence/transform
+    * expressions), never on the driver. */
+  private def hotDocTokens: Int =
+    sys.env.getOrElse("SPARK_GRAFT_SOAK_HOT_DOC", "0").toInt
+
+  private def appendHotDoc(docs: DataFrame): DataFrame =
+    if (hotDocTokens <= 0) docs
+    else docs.unionByName(
+      docs.sparkSession.range(1).select(
+        lit(888888888L).as("doc_id"),
+        expr(s"array_join(transform(sequence(1, $hotDocTokens), " +
+          "i -> concat('hd', CAST(i AS STRING))), ' ')").as("text"),
+        lit("xx").as("lang"),
+        lit("hotdoc").as("source"),
+        lit(7L * hotDocTokens).as("n_chars")),
+      allowMissingColumns = true)
+
   /** SPARK_GRAFT_SOAK_HOT_USER=n appends ONE synthetic user carrying n
     * events (out-of-domain id and type, far-future timestamps one
     * second apart) — the bot-user axis for the user-partitioned window
@@ -453,7 +482,7 @@ object Soak {
         // the per-token suffix rewrite is the most expensive transform —
         // written only when some probed query reads documents
         if (fams('d'))
-          scaleCopies(Tables.documents(spark, sfDir), k, sharedDen, historyOnly)
+          appendHotDoc(scaleCopies(Tables.documents(spark, sfDir), k, sharedDen, historyOnly))
             .write.mode("overwrite").parquet(s"$dir/documents.parquet")
         if (fams('f')) {
           appendHotOrder(scaleLineitem(Tables.lineitem(spark, sfDir), k))

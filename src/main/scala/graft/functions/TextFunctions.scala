@@ -88,12 +88,68 @@ object TextFunctions {
         sequence(lit(1), length(text) - (n - 1)),
         i => text.substr(i, lit(n))))
 
-  /** Word n-grams (shingles) from a token array. */
+  /** Word n-grams (shingles) from a token array.
+    *
+    * SCALE WARNING (r12 giant-doc probe): this is a higher-order
+    * expression whose lambda references `toks` per gram position. If a
+    * caller's token array is a COMPUTED column, the optimizer can
+    * substitute that computation back into every reference when it
+    * pushes an inferred filter below the materializing Project
+    * (InferFiltersFromGenerate + PushDownPredicates) — the lambda then
+    * re-tokenizes the document once PER GRAM, O(tokens²) per row in
+    * interpreted eval (a 2M-token doc ground one task for >15 min;
+    * normal docs never notice). Callers that explode the result over
+    * document-scale text must use [[wordGramsDistinct]] instead — a
+    * self-contained one-pass kernel that stays O(n) no matter how many
+    * times the planner copies it. This form remains for
+    * bounded-length inputs (names, titles) and as the semantic
+    * reference the UDF is spec-pinned against. */
   def wordNgrams(toks: Column, n: Int): Column =
     when(size(toks) < n, array().cast("array<string>"))
       .otherwise(transform(
         sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+
+  /** Distinct word-n-gram STRINGS of a text in one primitive pass —
+    * semantically identical to
+    * `array_distinct(wordNgrams(tokens(text), n))` (lowercase,
+    * whitespace-split, empties dropped, grams joined with one space,
+    * first-occurrence order) but immune to the quadratic
+    * pushdown-substitution class documented on [[wordNgrams]]: the
+    * whole pipeline is ONE deterministic UDF, so every copy the
+    * planner makes of it (pushed filters, duplicated projections)
+    * costs a single O(tokens) pass. The string-gram sibling of
+    * [[graft.functions.HashFunctions.wordShingleHashes]], for
+    * consumers whose oracle compares gram TEXT. */
+  def wordGramsDistinct(text: Column, n: Int): Column = {
+    val f = udf { (t: String) =>
+      if (t == null) Array.empty[String]
+      else {
+        val toks = t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        if (toks.length < n) Array.empty[String]
+        else {
+          val seen = new java.util.LinkedHashSet[String](toks.length * 2)
+          val sb = new java.lang.StringBuilder
+          var i = 0
+          while (i <= toks.length - n) {
+            sb.setLength(0)
+            var g = 0
+            while (g < n) {
+              if (g > 0) sb.append(' ')
+              sb.append(toks(i + g))
+              g += 1
+            }
+            seen.add(sb.toString)
+            i += 1
+          }
+          val arr = new Array[String](seen.size)
+          seen.toArray(arr)
+          arr
+        }
+      }
+    }
+    f(text)
+  }
 
   /** Stopword ratio against a small built-in english list. */
   private val stopwords =

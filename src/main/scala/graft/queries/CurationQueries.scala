@@ -47,15 +47,18 @@ object CurationQueries extends QueryPack {
     * xxhash64(gram) instead and accept a 2^-64 per-gram false-positive —
     * the plan shape is identical, only the key width changes. */
   private def docGrams(s: org.apache.spark.sql.SparkSession, d: String) =
+    // ONE-PASS kernel, not tokens() + wordNgrams(): the r12 giant-doc
+    // probe caught the optimizer pushing an explode-inferred filter
+    // below the token-materializing Project and substituting the
+    // tokenizer back into the gram lambda — the pushed predicate then
+    // re-split the document once PER GRAM, O(tokens²) per row (a
+    // 2M-token doc ground one task >15 min; see wordNgrams' scale
+    // warning). wordGramsDistinct is a self-contained O(tokens) UDF,
+    // so every planner copy of it stays linear. Empty-gs docs (under
+    // N tokens) filter out exactly as the old size(ts) >= N did.
     Tables.documents(s, d)
-      // materialize the token array BEFORE the n-gram lambda: wordNgrams
-      // references its input several times (and once per gram inside the
-      // transform), and Catalyst does not CSE through lambda bodies — an
-      // inline tokens(text) would re-split the document per gram (~10×
-      // measured on this query)
-      .select(col("doc_id"), tokens(col("text")).as("ts"))
-      .where(size(col("ts")) >= N)
-      .select(col("doc_id"), array_distinct(wordNgrams(col("ts"), N)).as("gs"))
+      .select(col("doc_id"), wordGramsDistinct(col("text"), N).as("gs"))
+      .where(size(col("gs")) > 0)
 
   /** Ubiquity guard for the leakage matrix: a gram present in more
     * than this many sources is boilerplate, not leakage signal — and
@@ -213,10 +216,8 @@ object CurationQueries extends QueryPack {
     "pipe_leakage_matrix" -> ((s, d) => {
       val sg = graft.CacheRegistry.persistTracked(
         Tables.documents(s, d)
-          .select(col("source"), tokens(col("text")).as("ts"))
-          .where(size(col("ts")) >= N)
-          .select(col("source"),
-            explode(array_distinct(wordNgrams(col("ts"), N))).as("g"))
+          // one-pass gram kernel (the docGrams O(tokens²)-pushdown fix)
+          .select(col("source"), explode(wordGramsDistinct(col("text"), N)).as("g"))
           .select(col("source"), graft.functions.PolyHash64Expr(col("g")).as("h"))
           .distinct())
       val ok = sg.join(

@@ -67,8 +67,8 @@ object StreamingGuards {
   private def distinctGrams(evalDocs: DataFrame, n: Int): (DataFrame, Long) = {
     val pinned = graft.CacheRegistry.persistTracked(
       evalDocs
-        .select(tokens(coalesce(col("text"), lit(""))).as("ts"))
-        .select(explode(array_distinct(wordNgrams(col("ts"), n))).as("s"))
+        // one-pass gram kernel (the docGrams O(tokens²)-pushdown fix)
+        .select(explode(wordGramsDistinct(coalesce(col("text"), lit("")), n)).as("s"))
         .distinct())
     (pinned, pinned.count())
   }
@@ -109,9 +109,8 @@ object StreamingGuards {
     docs.toDF()
       // null text is a data condition, not a crash (same rule as the
       // multimodal wrap): coalesce to empty -> zero grams -> clean.
-      // Tokens materialized pre-lambda, see CurationQueries.docGrams.
-      .withColumn("toks", tokens(coalesce(col("text"), lit(""))))
-      .withColumn("gs", array_distinct(wordNgrams(col("toks"), n)))
+      // One-pass gram kernel, see CurationQueries.docGrams.
+      .withColumn("gs", wordGramsDistinct(coalesce(col("text"), lit("")), n))
       .select(col("doc_id"), col("ts"),
         size(col("gs")).cast("long").as("n_grams"),
         hits(col("gs")).as("n_contaminated"))
@@ -135,10 +134,8 @@ object StreamingGuards {
     * the span-postings twin (StreamingDedup.streamingSpanPostings). */
   def streamingLeakagePostings(docs: DataFrame, n: Int = 5): DataFrame =
     docs
-      .select(col("source"), tokens(col("text")).as("t"))
-      .where(size(col("t")) >= n)
-      .select(col("source"),
-        explode(array_distinct(wordNgrams(col("t"), n))).as("g"))
+      // one-pass gram kernel (the docGrams O(tokens²)-pushdown fix)
+      .select(col("source"), explode(wordGramsDistinct(col("text"), n)).as("g"))
       .select(col("source"), graft.functions.PolyHash64Expr(col("g")).as("h"))
       .groupBy("source", "h")
       .agg(count(lit(1)).as("occurrences"))

@@ -13,6 +13,34 @@ class TextFunctionsSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
+  test("wordGramsDistinct equals array_distinct(wordNgrams(tokens(text))) — the declarative reference it replaced") {
+    import org.apache.spark.sql.functions._
+    // the one-pass kernel exists because the declarative chain goes
+    // O(tokens²) when pushdown substitutes the tokenizer into the gram
+    // lambda (r12 giant-doc finding); this pin keeps the two
+    // semantically identical: edge cases (null, empty, under-N tokens,
+    // runs of whitespace, mixed case, repeated grams) plus the real
+    // sf0.001 corpus, compared as SETS per doc and as exact arrays
+    val edge = Seq(
+      (1L, "a b c d e f g"), (2L, null.asInstanceOf[String]), (3L, ""),
+      (4L, "one two three four"), // under 5 tokens -> empty
+      (5L, "  A  b\tC   d E a b c d e  "),
+      (6L, "x x x x x x x x x x")) // repeated gram dedups
+      .toDF("doc_id", "text")
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    Seq(edge, real).foreach { df =>
+      val both = df.select(col("doc_id"),
+          wordGramsDistinct(col("text"), 5).as("fast"),
+          array_distinct(wordNgrams(tokens(coalesce(col("text"), lit(""))), 5)).as("ref"))
+        .as[(Long, Seq[String], Seq[String])].collect()
+      both.foreach { case (id, fast, ref) =>
+        assert(fast == ref, s"doc $id: kernel and declarative grams must be identical arrays")
+      }
+      assert(both.exists(_._2.nonEmpty), "anti-vacuity: some doc must produce grams")
+    }
+  }
+
   test("normalizeStr strips punctuation, trims, lowercases, nulls empties") {
     val got = Seq("  Hello, World! ", "???", "A-B c", "")
       .toDF("s").select(normalizeStr($"s").as("n")).as[String].collect()
