@@ -72,7 +72,11 @@ object Soak {
     "dedup_semantic_incremental",
     // r12: the two-tier cascade — stage 2 must stay proportional to
     // the PAIR set (two equi-joins against embeddings), not the corpus
-    "dedup_cascade")
+    "dedup_cascade",
+    // r13: the persisted-index probe — build is one bucketed write of
+    // the history slice, probe cost must track the batch like the
+    // query form's; the bucketBy layout is what's under soak here
+    "dedup_semantic_indexed")
 
   /** Scaled-table families each KNOWN soak query reads: 'd' =
     * documents, 'f' = the fact triple (lineitem/orders/part), 'e' =
@@ -142,7 +146,11 @@ object Soak {
     "q_events_sessions" -> Set('v'), "q_events_rolling" -> Set('v'),
     "q_events_ewma" -> Set('v'), "q_events_paths" -> Set('v'),
     "q_events_transitions" -> Set('v'), "q_events_retention" -> Set('v'),
-    "q_events_funnel" -> Set('v'), "q_events_hau" -> Set('v'))
+    "q_events_funnel" -> Set('v'), "q_events_hau" -> Set('v'),
+    // r13: the sketch twin shares q_events_hau's scan; the persisted
+    // index reads the embeddings family like its query form
+    "q_events_hau_approx" -> Set('v'),
+    "dedup_semantic_indexed" -> Set('e'))
 
   private[graft] def famsFor(queries: Seq[String]): Set[Char] =
     queries.map(q => SoakReads.getOrElse(q,
@@ -455,9 +463,21 @@ object Soak {
     // three rows read >2× per 2× and the fixed-partition explanation
     // was an argument, not a measurement — this knob makes it one).
     val shufScale = sys.env.getOrElse("SPARK_GRAFT_SOAK_SHUFFLE_SCALE", "0") == "1"
+    // SPARK_GRAFT_SOAK_SHUFFLE_PARTS=n: explicit HIGH initial shuffle
+    // partition count, left for AQE to coalesce down — the
+    // GraftSession.clusterBuilder profile (r12 VERDICT #1: the ×128
+    // jumps were attributed to fixed-32 per-partition state passing
+    // the spill envelope, but neither fixed-32 nor partitions-∝-factor
+    // is the configuration a real cluster runs; this knob is).
+    // Overrides both the fixed and the ∝-factor arms.
+    val shufParts = sys.env.get("SPARK_GRAFT_SOAK_SHUFFLE_PARTS").map(_.toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // explicit, not default-trusted: the cluster-profile arm's whole
+      // point is high-initial + runtime coalesce
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -468,7 +488,7 @@ object Soak {
     val workRoot = s"/tmp/graft_soak_${System.nanoTime()}"
     try {
       factors.foreach { k =>
-        val parts = if (shufScale) cpus.toInt * k else cpus.toInt
+        val parts = shufParts.getOrElse(if (shufScale) cpus.toInt * k else cpus.toInt)
         spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
         val dir = s"$workRoot/x$k"
         // which families to scale comes from the explicit per-query map

@@ -31,9 +31,24 @@ object TextFunctions {
       filter(transform(arr, normalizeStr _), x => x.isNotNull && length(x) <= 30))
 
   /** Whitespace tokenizer: lowercase, split on runs of whitespace,
-    * drop empties. */
-  def tokens(text: Column): Column =
-    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+    * drop empties. ONE primitive UDF, not the declarative
+    * `filter(split(lower(text)))` chain (bit-identical output,
+    * null-in/null-out included): the optimizer substitutes a computed
+    * token column's definition into every filter it pushes below the
+    * materializing Project (InferFiltersFromGenerate +
+    * PushDownPredicates), and the declarative form put an INTERPRETED
+    * higher-order lambda plus a second tokenize pass into eight
+    * queries' scan Filters (r13, found by PushdownQuadraticAuditSpec —
+    * the linear-cost cousins of the r12 O(tokens²) gram defect). As a
+    * ScalaUDF every planner copy is one O(tokens) pass and the
+    * enclosing stage keeps whole-stage codegen. */
+  val tokens: Column => Column = {
+    val f = udf { (t: String) =>
+      if (t == null) null
+      else t.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
+    }
+    (text: Column) => f(text)
+  }
 
   /** Strided fixed-width windows over a token-array column (by NAME, so
     * the generated SQL stays one codegen'd expression): windows start

@@ -132,7 +132,13 @@ object VectorKMeans {
       .withColumn("trn", row_number().over(byId))
     val tr = (if (trainCap <= 0) ranked else ranked.where(col("trn") <= trainCap))
       .select("vec_id", "bucket", "embedding")
-    var cents = ranked.where(col("trn") <= k)
+    // Seeds come from the TRAIN-CAPPED set (first k of tr by vec_id ==
+    // first min(k, cap) of the bucket ranking, since tr is a prefix of
+    // the same ordering) — the oracle seeds from tr, so seeding from
+    // the uncapped ranking silently diverged whenever 0 < cap < k
+    // (r12 ADVICE; VectorKMeansSpec plants that arm).
+    val seedCap = if (trainCap > 0 && trainCap < k) trainCap else k.toLong
+    var cents = ranked.where(col("trn") <= seedCap)
       .select(col("bucket"), col("vec_id").as("cluster"),
         transform(col("embedding"), x => x.cast("double")).as("cvec"))
     for (_ <- 1 to iters) {

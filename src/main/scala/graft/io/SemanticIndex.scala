@@ -31,6 +31,23 @@ import graft.queries.DedupQueries
   */
 object SemanticIndex {
 
+  /** Drop `table` AND its default warehouse location. `mode(overwrite)`
+    * alone is not crash-safe: a JVM that died mid-build leaves the
+    * location directory on disk with no entry in the next session's
+    * fresh in-memory catalog, and every later build then fails
+    * LOCATION_ALREADY_EXISTS (r13: an aborted Verify run poisoned the
+    * repo warehouse exactly this way). The default database maps to
+    * the warehouse root, so the managed location is <warehouse>/<name>. */
+  private def dropWithLocation(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"))
+    val loc = new org.apache.hadoop.fs.Path(wh,
+      table.toLowerCase(java.util.Locale.ROOT))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+  }
+
   /** Bucket `vecs` (vec_id, embedding) with the width the caps table
     * selects for THIS corpus size, and persist both. `fileBuckets` is
     * the physical bucketBy count — a layout choice sized to executor
@@ -38,6 +55,8 @@ object SemanticIndex {
   def build(spark: SparkSession, vecs: DataFrame, table: String,
       fileBuckets: Int = 16): Unit = {
     import spark.implicits._
+    dropWithLocation(spark, table)
+    dropWithLocation(spark, s"${table}_meta")
     val bits = DedupQueries.semBitsFor(vecs.count())
     vecs.select(col("vec_id"), col("embedding"),
         signBucket(col("embedding"), lit(bits), DedupQueries.semCoeffs,

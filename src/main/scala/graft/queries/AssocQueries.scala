@@ -31,7 +31,13 @@ object AssocQueries extends QueryPack {
     "assoc_brand_projection" -> ((s, d) => {
       val usage = Tables.part(s, d)
         .select(col("p_brand").as("author"),
-          split(col("p_name"), " ").getItem(0).as("keyword"))
+          // head token via substring_index, not split(..)[0]: identical
+          // result (everything before the first space; whole string
+          // when spaceless), but a plain codegen'd string expression —
+          // the self-join pushed split() array builds into both scan
+          // Filters (PushdownQuadraticAuditSpec's class; bounded here,
+          // but the clean form costs nothing)
+          substring_index(col("p_name"), " ", 1).as("keyword"))
         .groupBy("author", "keyword")
         .agg(count(lit(1)).as("usage"))
         .where(col("usage") > 3)

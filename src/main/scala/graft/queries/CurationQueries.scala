@@ -114,10 +114,15 @@ object CurationQueries extends QueryPack {
     * decision. Lifetime = session: source data is immutable under a
     * benchmark dir, and even a stale entry only flips broadcast vs
     * shuffle ROUTING — the two routes are row-identical by the gate's
-    * own spec, so correctness never depends on cache freshness. Keys
-    * are O(#distinct eval relations per session) — no eviction needed. */
+    * own spec, so correctness never depends on cache freshness. Keyed
+    * by the SESSION OBJECT in a WeakHashMap (not identityHashCode,
+    * which is reused after GC and let a later session inherit a dead
+    * session's decisions — r12 ADVICE): decisions die with their
+    * session, and per-session keys are O(#distinct eval relations) —
+    * no other eviction needed. */
   private val gateDecisions =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Long), java.lang.Boolean]()
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      java.util.concurrent.ConcurrentHashMap[(Int, Long), java.lang.Boolean]]()
 
   /** One gate decision (count ≤ gate, 0 disables) shared by every
     * decontamination pass — single-sourced so the gate semantics can
@@ -125,10 +130,19 @@ object CurationQueries extends QueryPack {
     * any broadcast is built; pin the relation first when it feeds
     * multiple consumers. */
   private[graft] def gateBroadcastable(df: org.apache.spark.sql.DataFrame, gate: Long): Boolean =
-    gate <= 0 || gateDecisions.computeIfAbsent(
-      (System.identityHashCode(df.sparkSession),
-        df.queryExecution.analyzed.semanticHash(), gate),
-      _ => df.count() <= gate)
+    gate <= 0 || {
+      val perSession = gateDecisions.synchronized {
+        var m = gateDecisions.get(df.sparkSession)
+        if (m == null) {
+          m = new java.util.concurrent.ConcurrentHashMap[(Int, Long), java.lang.Boolean]()
+          gateDecisions.put(df.sparkSession, m)
+        }
+        m
+      }
+      perSession.computeIfAbsent(
+        (df.queryExecution.analyzed.semanticHash(), gate),
+        _ => df.count() <= gate)
+    }
 
   /** Apply (or drop) the broadcast hint per the shared gate decision. */
   private[graft] def routeIf(broadcastable: Boolean)(

@@ -752,6 +752,36 @@ object DedupQueries extends QueryPack {
         .where(!isnan(col("sim")) && col("sim") >= CosineThreshold)
     }),
 
+    // The PERSISTED-INDEX path of the above, hash-graded end-to-end
+    // (r12 VERDICT #4: SemanticIndex's probe was spec-pinned equal to
+    // the query form but no CORRECTNESS row ever executed the stored
+    // table). Build writes the HISTORY slice (even vec_ids) as an
+    // SRP-sign bucketBy table + a 1-row meta relation freezing the
+    // quantizer width; probe buckets the arriving batch (odd vec_ids)
+    // with the FROZEN width and equi-joins per bucket — the stored
+    // corpus streams in its bucket layout and never exchanges
+    // (PlanInvariantsSpec pins the index side Exchange-free). Pair
+    // contract = dedup_semantic_incremental's against='history' slice:
+    // same cap (per bucket — the index holds one side), same
+    // NaN-guarded round-6 cosine, same threshold; the oracle is that
+    // history-slice SQL verbatim, so the STORAGE half (layout, frozen
+    // width, probe-time cap) is what the hash grades.
+    "dedup_semantic_indexed" -> ((s, d) => {
+      // no fanout: signBucket is cheap per row, and a repartition on
+      // the batch side would put the plan's ONLY Exchange into the
+      // graded probe (the zero-Exchange pin is the point of this row)
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"))
+      // table name per sf dir: two Verify runs in one JVM must not
+      // probe each other's history
+      val table = s"sem_idx_${java.lang.Integer.toHexString(d.hashCode)}"
+      graft.io.SemanticIndex.build(s,
+        emb.where(pmod(col("vec_id"), lit(2)) === 0), table)
+      graft.io.SemanticIndex.probe(s,
+          emb.where(pmod(col("vec_id"), lit(2)) === 1), table)
+        .select(col("new_id"), col("vec_id"), col("sim"))
+    }),
+
     // SemDeDup-style semantic dedup, bucket-local edition (r10 VERDICT
     // #1: the adaptive-K scheme assigned every vector against ALL
     // K = ceil(N/64) broadcast centroids — O(N²/64) work plus a
@@ -1222,6 +1252,42 @@ FROM sh LEFT JOIN cnt ON sh.doc_id = cnt.doc_id"""
          |    sqrt((${dotSql("x", "x")}) * (${dotSql("y", "y")})), 6) >= $CosineThreshold""".stripMargin
     },
 
+    // dedup_semantic_incremental's against='history' slice — the pair
+    // contract the persisted index must reproduce from its stored
+    // layout. The cap partitions by bucket alone (the index table IS
+    // the history side; probe applies it per bucket at read time).
+    "dedup_semantic_indexed" -> {
+      val histCte =
+        if (semIncrCap <= 0) "SELECT vec_id, bucket FROM b WHERE NOT is_new"
+        else
+          s"""SELECT vec_id, bucket FROM (
+             |    SELECT vec_id, bucket, row_number() OVER (
+             |      PARTITION BY bucket ORDER BY vec_id) AS hrn
+             |    FROM b WHERE NOT is_new)
+             |  WHERE hrn <= $semIncrCap""".stripMargin
+      s"""WITH caps(bb, cap) AS (VALUES $semCapsValues),
+         |bsel AS (
+         |  SELECT coalesce(min(bb), $SemMaxBits) AS bbits
+         |  FROM caps, (SELECT count(*) AS n FROM embeddings WHERE vec_id % 2 = 0)
+         |  WHERE cap >= n),
+         |b AS (
+         |  SELECT e.vec_id, CAST($semBucketSql AS BIGINT) AS bucket,
+         |    (e.vec_id % 2 = 1) AS is_new
+         |  FROM embeddings e CROSS JOIN bsel),
+         |hist AS (
+         |  $histCte)
+         |SELECT a.vec_id AS new_id, h.vec_id AS vec_id,
+         |  round((${dotSql("x", "y")}) /
+         |    sqrt((${dotSql("x", "x")}) * (${dotSql("y", "y")})), 6) AS sim
+         |FROM b a JOIN hist h ON a.bucket = h.bucket AND a.is_new
+         |JOIN embeddings x ON x.vec_id = a.vec_id
+         |JOIN embeddings y ON y.vec_id = h.vec_id
+         |WHERE NOT isnan(round((${dotSql("x", "y")}) /
+         |    sqrt((${dotSql("x", "x")}) * (${dotSql("y", "y")})), 6))
+         |  AND round((${dotSql("x", "y")}) /
+         |    sqrt((${dotSql("x", "x")}) * (${dotSql("y", "y")})), 6) >= $CosineThreshold""".stripMargin
+    },
+
     "dedup_semantic" -> {
       // cap disabled (soak A/B arm) → the pair stage reads a1 whole
       val cappedCte =
@@ -1311,8 +1377,13 @@ FROM sh LEFT JOIN cnt ON sh.doc_id = cnt.doc_id"""
          |        ORDER BY vec_id) AS crn FROM tr)
          |    WHERE crn <= $CentsPerBucket) sd
          |  JOIN embeddings e ON e.vec_id = sd.vec_id),
-         |${kmeansIterCtes(semKMeansIters)},
-         |av AS (
+         |${
+          // iters=0 (the documented seeds-only A/B arm) emits NO
+          // iteration CTEs — interpolating the empty chain plus the
+          // joining comma made the oracle a DuckDB syntax error
+          // (r12 ADVICE); downstream joins k0 directly in that arm.
+          if (semKMeansIters == 0) "" else kmeansIterCtes(semKMeansIters) + ",\n"
+        }av AS (
          |  SELECT b.vec_id, b.bucket, e.embedding
          |  FROM b JOIN embeddings e ON b.vec_id = e.vec_id),
          |afw AS (

@@ -211,11 +211,16 @@ object EventStreams {
   case class EwmaState(recent: List[Double])
   case class EwmaOut(user_id: Long, event_id: Long, ewma: Double)
 
-  /** (epoch-micros, decimal(18,6) unscaled value) entries still inside
-    * the trailing window — bounded by window occupancy, never by a
-    * user's lifetime traffic (the batch kernel's O(window) argument
-    * made durable across micro-batches). */
-  case class RollingState(entries: Seq[(Long, Long)])
+  /** (epoch-micros, RAW double value) entries still inside the
+    * trailing window — bounded by window occupancy, never by a user's
+    * lifetime traffic (the batch kernel's O(window) argument made
+    * durable across micro-batches). The double is stored untouched and
+    * converted decimal(18,6) at EMIT time: an unscaled-Long encoding
+    * threw longValueExact past |v|≈9.2e12 and its running Long sum
+    * could overflow on a dense window (r12 ADVICE) — raw doubles have
+    * no exactness to lose and the emit-time BigDecimal chain is the
+    * batch kernel's, bit-for-bit. */
+  case class RollingState(entries: Seq[(Long, Double)])
   case class RollingOut(user_id: Long, event_id: Long, us: Long,
       n_1h: Long, sum_1h: Double)
 
@@ -302,7 +307,7 @@ object EventStreams {
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
             val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
-            var entries: Vector[(Long, Long)] =
+            var entries: Vector[(Long, Double)] =
               state.getOption.map(_.entries.toVector).getOrElse(Vector.empty)
             var maxSeen = entries.lastOption.map(_._1).getOrElse(Long.MinValue)
             val out = Seq.newBuilder[RollingOut]
@@ -316,14 +321,20 @@ object EventStreams {
                 while (j < sorted.length && micros(sorted(j).ts) == us0) j += 1
                 entries = entries.dropWhile(_._1 < us0 - windowUs)
                 (i until j).foreach { k =>
-                  val unscaled = java.math.BigDecimal.valueOf(sorted(k).value)
-                    .setScale(6, java.math.RoundingMode.HALF_UP)
-                    .unscaledValue().longValueExact()
-                  entries = entries :+ ((us0, unscaled))
+                  entries = entries :+ ((us0, sorted(k).value))
                 }
                 val cnt = entries.length.toLong
-                val sumD = java.math.BigDecimal
-                  .valueOf(entries.iterator.map(_._2).sum, 6).doubleValue
+                // the batch kernel's exact chain, replayed over the live
+                // window: shortest-repr double → decimal(18,6) HALF_UP
+                // per entry, summed in BigDecimal (exact, associative —
+                // so add/evict history cannot matter), one final
+                // toDouble. Unbounded precision: nothing here throws or
+                // overflows whatever the values or window occupancy.
+                val sumD = entries.iterator
+                  .foldLeft(java.math.BigDecimal.ZERO) { (acc, e) =>
+                    acc.add(java.math.BigDecimal.valueOf(e._2)
+                      .setScale(6, java.math.RoundingMode.HALF_UP))
+                  }.doubleValue
                 (i until j).foreach(k =>
                   out += RollingOut(uid, sorted(k).event_id, us0, cnt, sumD))
                 maxSeen = us0

@@ -410,6 +410,46 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally stream.stop()
   }
 
+  test("streaming rolling survives huge values: no unscaled-Long throw, no sum overflow, batch-exact") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.EventStreams.{RollingOut, ValueEvent}
+    // r12 ADVICE: state stored decimal(18,6) UNSCALED longs —
+    // longValueExact threw past |v| ≈ 9.2e12 (killing the stream) and
+    // the running Long sum could overflow a dense window. Fixture:
+    // values around 1e15 plus a sign flip, split across micro-batches
+    // so the huge entries live in carried state; must equal the batch
+    // kernel (unbounded BigDecimal) bit-for-bit.
+    val evs = Seq(
+      ValueEvent(1L, ts(0), 1L, 9.3e12),
+      ValueEvent(1L, ts(10), 2L, 1.25e15),
+      ValueEvent(1L, ts(20), 3L, -8.5e14),
+      ValueEvent(1L, ts(30), 4L, 0.333333),
+      ValueEvent(1L, ts(3700), 5L, 2.0e15))
+    val mem = MemoryStream[ValueEvent]
+    val stream = EventStreams.streamingRolling(mem.toDS(), idleTimeout = None)
+      .writeStream.format("memory").queryName("rolling_huge")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(evs.take(2): _*); stream.processAllAvailable()
+      mem.addData(evs.drop(2): _*); stream.processAllAvailable()
+      val streamed = spark.table("rolling_huge").as[RollingOut].collect()
+        .map(o => o.event_id -> ((o.n_1h, o.sum_1h))).toMap
+      val dir = java.nio.file.Files.createTempDirectory("rolling_huge").toString
+      evs.map(e => (e.event_id, e.ts, e.user_id, "view", e.value, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val batch = SparkEntry.queries("q_events_rolling")(spark, dir)
+        .select("event_id", "n_1h", "sum_1h").as[(Long, Long, Double)].collect()
+        .map(t => t._1 -> ((t._2, t._3))).toMap
+      SparkEntry.releaseCaches()
+      assert(streamed == batch,
+        s"huge values must flow through state exactly as in batch:\n$streamed\nvs\n$batch")
+      assert(streamed(4L)._1 == 4L, "all four in-window entries present at ts 30")
+      assert(streamed(5L) == ((1L, 2.0e15)), "the expired window resets cleanly")
+    } finally stream.stop()
+  }
+
   test("streaming EWMA agrees with the batch q_events_ewma bit-for-bit across batch splits") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -252,4 +252,54 @@ class StreamingGuardsSpec extends AnyFunSuite {
       assert(r == ((1L, 4L, false)), s"Bloom tag missed the exact copy: $r")
     } finally q.stop()
   }
+
+  test("giant-document axis, micro-batch edition: a hot doc streams through the fuzzy tag and leakage postings") {
+    // r12 VERDICT #7: the batch gram sites are pushdown-proof (one-pass
+    // wordShingleHashes kernel) and the stream twins share the kernel,
+    // but no HOT_DOC probe had run in MICRO-BATCH mode — this is that
+    // axis, standing. Default 200k tokens keeps the suite fast;
+    // SPARK_GRAFT_HOT_DOC_TOKENS=2000000 reproduces the r12 batch
+    // probe scale (the quadratic regression this guards against ground
+    // a 2M-token doc for >15 min — linear is seconds).
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val n = sys.env.getOrElse("SPARK_GRAFT_HOT_DOC_TOKENS", "200000").toInt
+    val hot = {
+      val sb = new java.lang.StringBuilder(n * 9)
+      var i = 0
+      while (i < n) { sb.append("hottok").append(i).append(' '); i += 1 }
+      sb.toString
+    }
+    val idx = spark.sparkContext.broadcast(StreamingGuards.evalShingleIndex(
+      Seq(0L -> evalText).toDF("doc_id", "text")))
+    val mem = MemoryStream[Doc]
+    val q = StreamingGuards.fuzzyDecontTag(mem.toDS(), idx)
+      .writeStream.format("memory").queryName("fuzzy_hotdoc")
+      .outputMode(OutputMode.Append).start()
+    val t0 = System.nanoTime()
+    try {
+      mem.addData(Doc(1, ts(0), hot), Doc(2, ts(1), evalText))
+      q.processAllAvailable()
+      val wall = (System.nanoTime() - t0) / 1e9
+      info(f"fuzzyDecontTag hot-doc micro-batch: $n%d tokens in $wall%.2f s")
+      val got = spark.table("fuzzy_hotdoc")
+        .select("doc_id", "clean").as[(Long, Boolean)].collect().toMap
+      assert(got(1L), "the hot doc (distinct tokens) shares no eval shingle — must tag clean")
+      assert(!got(2L), "the exact eval copy must still flag in the same micro-batch")
+    } finally q.stop()
+    // same doc through the leakage-postings aggregate (noop sink: the
+    // posting-set convergence is pinned elsewhere; this arm is the
+    // kernel-under-state-store timing axis)
+    val mem2 = MemoryStream[(Long, String, String)]
+    val q2 = StreamingGuards.streamingLeakagePostings(
+        mem2.toDF().toDF("doc_id", "source", "text"))
+      .writeStream.format("noop")
+      .outputMode(OutputMode.Update).start()
+    val t1 = System.nanoTime()
+    try {
+      mem2.addData((1L, "web", hot))
+      q2.processAllAvailable()
+      info(f"streamingLeakagePostings hot-doc micro-batch: $n%d tokens in ${(System.nanoTime() - t1) / 1e9}%.2f s")
+    } finally q2.stop()
+  }
 }

@@ -72,6 +72,19 @@ class VectorKMeansSpec extends AnyFunSuite {
     assert(free == Seq(334.0, 334.0), s"cap off must train on all three, got $free")
   }
 
+  test("fitBucketed seeds from the TRAIN-CAPPED set when 0 < cap < k (the oracle's tr seeding)") {
+    // r12 ADVICE: seeds came from the uncapped bucket ranking while the
+    // DuckDB oracle seeds from tr (crn over the capped set) — silently
+    // divergent whenever cap < k. With cap=2 < k=4, the seed set must
+    // be exactly the two capped members, not four.
+    val v = (1L to 5L).map(i => (i, 0L, Array.tabulate(4)(d => (i * 10 + d).toFloat)))
+    val cents = VectorKMeans.fitBucketed(bucketedFixture(v), k = 4, iters = 0, trainCap = 2L)
+      .collect().map(r => (r.getLong(1), r.getSeq[Double](2).toSeq)).toMap
+    assert(cents.keySet == Set(1L, 2L),
+      s"seeds must be tr's first min(k, cap) members by vec_id, got ${cents.keySet}")
+    assert(cents(1L) == Seq(10.0, 11.0, 12.0, 13.0) && cents(2L) == Seq(20.0, 21.0, 22.0, 23.0))
+  }
+
   test("fitBucketed keeps an emptied cluster's previous center (duplicate seeds tie to the lower id)") {
     // seeds 1 and 2 are identical vectors: every member (including
     // seed 2 itself) ties at distance 0 to both and assigns to the

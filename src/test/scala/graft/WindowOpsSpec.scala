@@ -59,6 +59,49 @@ class WindowOpsSpec extends AnyFunSuite {
     assert(byId(7L) == ((1L, 3.5)), "second user starts from clean deque state")
   }
 
+  test("q_events_rolling: NULL values count in n_1h, skip sum_1h, and an all-null frame sums NULL") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // r12 ADVICE: the kernel's non-nullable decode THREW on a null
+    // value, where the RANGE frame it replaced counted the row in
+    // count(*) and skipped it in sum() — sum NULL when the frame holds
+    // no non-null value. Fixture: user 1 mixes null among values
+    // (count includes, sum skips), user 2 is ALL null (n_1h counts,
+    // sum_1h stays NULL), user 3's null expires out of a later frame.
+    val dir = java.nio.file.Files.createTempDirectory("winops_null").toString
+    Seq[(Long, java.sql.Timestamp, Long, String, java.lang.Double, String)](
+      (1L, ts(0), 1L, "view", 2.5, "{}"),
+      (2L, ts(100), 1L, "view", null, "{}"),
+      (3L, ts(200), 1L, "view", 4.0, "{}"),
+      (4L, ts(0), 2L, "view", null, "{}"),
+      (5L, ts(50), 2L, "view", null, "{}"),
+      (6L, ts(0), 3L, "view", null, "{}"),
+      (7L, ts(4000), 3L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("q_events_rolling")(spark, dir)
+      .as[(Long, Long, Long, Long, Option[Double])].collect()
+      .map(t => t._2 -> ((t._4, t._5))).toMap
+    SparkEntry.releaseCaches()
+    // the declarative frame is the null-semantics reference
+    val w = Window.partitionBy("user_id").orderBy(col("us"))
+      .rangeBetween(-3600000000L, 0)
+    val ref = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id"), col("event_id"), col("value"),
+        unix_micros(col("ts")).as("us"))
+      .select(col("event_id"),
+        count(lit(1)).over(w).as("n_1h"),
+        sum(col("value").cast("decimal(18,6)")).over(w)
+          .cast("double").as("sum_1h"))
+      .as[(Long, Long, Option[Double])].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(got == ref, s"kernel must reproduce SQL null semantics:\n$got\nvs\n$ref")
+    assert(got(2L) == ((2L, Some(2.5))), "null row counts, contributes nothing to the sum")
+    assert(got(3L) == ((3L, Some(6.5))), "later frame still counts the null row")
+    assert(got(5L) == ((2L, None)), "an all-null frame sums NULL, not 0")
+    assert(got(7L) == ((1L, Some(1.0))), "the expired null leaves both count and sum")
+  }
+
   test("q_events_rolling: kernel equals the declarative frame on the real sf0.01 table") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
