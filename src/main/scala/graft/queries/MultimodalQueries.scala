@@ -224,7 +224,7 @@ object MultimodalQueries extends QueryPack {
       """WITH m AS (
         |  SELECT doc_id AS media_id,
         |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-        |    length(text) AS n
+        |    coalesce(length(text), 0) AS n
         |  FROM documents)
         |SELECT kind, count(*) AS n,
         |  CAST(sum(64 + n % 192) AS BIGINT) AS sum_width,
@@ -251,10 +251,12 @@ object MultimodalQueries extends QueryPack {
         |  CAST(sum(CASE WHEN ch = 2 THEN v END) AS BIGINT) AS b_sum
         |FROM px GROUP BY 1""".stripMargin,
 
+    // coalesce: NULL text wraps an EMPTY data section (the
+    // mediaFromDocuments contract) — zero frames, zero sampled
     "mm_frame_sample" ->
       """SELECT doc_id AS media_id,
-        |  CAST(ceil(length(text) * 1.0 / 256) AS BIGINT) AS n_frames,
-        |  CAST(ceil(ceil(length(text) * 1.0 / 256) / 4.0) AS BIGINT) AS n_sampled
+        |  CAST(ceil(coalesce(length(text), 0) * 1.0 / 256) AS BIGINT) AS n_frames,
+        |  CAST(ceil(ceil(coalesce(length(text), 0) * 1.0 / 256) / 4.0) AS BIGINT) AS n_sampled
         |FROM documents""".stripMargin,
 
     // the fingerprint chain in integer SQL: clip formula → 50-sample

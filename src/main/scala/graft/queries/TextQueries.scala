@@ -589,10 +589,13 @@ object TextQueries extends QueryPack {
          |  length(text) AS n_chars_computed
          |FROM ${graft.functions.BpeMerges.oracleFinalRelation()}""".stripMargin,
 
+    // coalesce(text, ''): NULL text is an EMPTY document — all three
+    // ratios 0.0, the qualityCounters contract (r13 null axis: the
+    // unguarded form emitted NULL ratios where Spark emits 0.0)
     "text_quality" ->
       """WITH t AS (
-        |  SELECT doc_id, text,
-        |         list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0) AS toks
+        |  SELECT doc_id, coalesce(text, '') AS text,
+        |         list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'), x -> length(x) > 0) AS toks
         |  FROM documents)
         |SELECT doc_id,
         |  round(CASE WHEN length(text) = 0 THEN 0.0
@@ -618,9 +621,13 @@ object TextQueries extends QueryPack {
   /** Marker-count argmax as plain SQL. Tie-break order mirrors Spark's
     * array_max over (score, lang) structs: highest score, then the
     * lexicographically largest language code (zh > fr > es > en > de). */
+  // coalesce(text, ''): NULL text is an EMPTY document on both engines
+  // (the r13 null-injection axis caught the unguarded form scoring
+  // every len() NULL, falling through the CASE to 'de' while Spark
+  // tags 'und')
   private val langidOracle =
     """WITH t AS (
-      |  SELECT lang, list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0) AS toks
+      |  SELECT lang, list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'), x -> length(x) > 0) AS toks
       |  FROM documents),
       |s AS (
       |  SELECT lang,

@@ -361,7 +361,12 @@ object WindowQueries extends QueryPack {
     // user_id hash partitioning). Ties broken by event_id so bucket
     // assignment is deterministic on both engines.
     "q_events_value_ntile" -> ((s, d) => {
-      val w = Window.partitionBy("user_id").orderBy(col("value"), col("event_id"))
+      // null ordering PINNED on both sides (r13 null axis): Spark
+      // ascending defaults NULLS FIRST, DuckDB NULLS LAST — a null
+      // value silently rotates every quartile assignment for its user
+      // unless both engines state the same placement
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("value").asc_nulls_first, col("event_id"))
       Tables.events(s, d)
         .select(col("user_id"), col("event_id"), col("value"))
         .withColumn("quartile", ntile(4).over(w))
@@ -657,7 +662,7 @@ object WindowQueries extends QueryPack {
     "q_events_value_ntile" ->
       """WITH t AS (
         |  SELECT user_id, event_id, value,
-        |    ntile(4) OVER (PARTITION BY user_id ORDER BY value, event_id) AS quartile
+        |    ntile(4) OVER (PARTITION BY user_id ORDER BY value NULLS FIRST, event_id) AS quartile
         |  FROM events)
         |SELECT user_id, CAST(quartile AS INTEGER) AS quartile, count(*) AS n_events,
         |  min(value) AS min_value, max(value) AS max_value

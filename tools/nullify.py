@@ -1,0 +1,62 @@
+#!/usr/bin/env python3
+"""Null-injection correctness axis (r13).
+
+The driver testdata carries ZERO nulls in the hot columns, so every
+query's null behavior was spec-covered at best and never oracle-graded.
+But the gate's comparison is engine-vs-engine over the SAME parquet —
+so a null-injected copy of an sf dir is a legitimate new determinism
+axis: Spark and DuckDB both read the injected files, and any hash
+mismatch is a REAL cross-engine divergence (the NaN-ordering class's
+sibling: SQL three-valued logic vs Scala-kernel null handling).
+
+Injection is DETERMINISTIC (key-modulus, no RNG): documents.text NULL
+for doc_id % 53 == 0; events.value NULL for event_id % 47 == 0;
+events.event_type NULL for event_id % 59 == 0 (co-prime moduli so the
+combinations occur). Everything else copies through byte-identical.
+
+Usage: python3 tools/nullify.py <src_sf_dir> <dst_dir>
+Then:  sbt "runMain graft.Verify <dst_dir> <out>" && python3 tools/check.py <dst_dir> <out>
+"""
+import os
+import shutil
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def main(src: str, dst: str) -> None:
+    os.makedirs(dst, exist_ok=True)
+    con = duckdb.connect()
+    for t in TABLES:
+        sp = os.path.join(src, f"{t}.parquet")
+        dp = os.path.join(dst, f"{t}.parquet")
+        if t == "documents":
+            con.execute(f"""
+                COPY (SELECT doc_id,
+                             CASE WHEN doc_id % 53 = 0 THEN NULL ELSE text END AS text,
+                             lang, source, n_chars
+                      FROM read_parquet('{sp}')) TO '{dp}' (FORMAT PARQUET)""")
+        elif t == "events":
+            con.execute(f"""
+                COPY (SELECT event_id, ts, user_id,
+                             CASE WHEN event_id % 59 = 0 THEN NULL ELSE event_type END AS event_type,
+                             CASE WHEN event_id % 47 = 0 THEN NULL ELSE value END AS value,
+                             props
+                      FROM read_parquet('{sp}')) TO '{dp}' (FORMAT PARQUET)""")
+        else:
+            if os.path.isdir(sp):
+                shutil.copytree(sp, dp, dirs_exist_ok=True)
+            else:
+                shutil.copy2(sp, dp)
+    for t, col in [("documents", "text"), ("events", "value"), ("events", "event_type")]:
+        n, nn = con.execute(
+            f"SELECT count(*), count({col}) FROM read_parquet('{os.path.join(dst, t)}.parquet')"
+        ).fetchone()
+        print(f"{t}.{col}: {n - nn}/{n} nulls injected")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])
