@@ -347,12 +347,18 @@ object AlgebraQueries extends QueryPack {
         |INTERSECT
         |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996""".stripMargin,
 
+    // HAVING count(*) > 0 pins the observed-rows lattice: Spark's
+    // grouping sets emit NO rows on an empty table while ANSI/DuckDB
+    // emit the () grand-total row (count 0) — the clause is a no-op on
+    // any non-empty input (every lattice row aggregates >= 1 source
+    // row) and aligns the one divergent case (r13 empty-corpus axis)
     "q_cube_orders" ->
       """SELECT year(o_orderdate) AS o_year, o_orderstatus,
         |  count(*) AS n_orders,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         |FROM orders
-        |GROUP BY CUBE (year(o_orderdate), o_orderstatus)""".stripMargin,
+        |GROUP BY CUBE (year(o_orderdate), o_orderstatus)
+        |HAVING count(*) > 0""".stripMargin,
 
     // The oracle computes the long form directly, densified over the
     // full year × status grid so a status absent in some year still
@@ -446,7 +452,8 @@ object AlgebraQueries extends QueryPack {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
-        |  (o_orderstatus, o_orderpriority), ())""".stripMargin,
+        |  (o_orderstatus, o_orderpriority), ())
+        |HAVING count(*) > 0""".stripMargin,
 
     "q_semi_join" ->
       """SELECT o_orderstatus, count(*) AS cnt FROM orders

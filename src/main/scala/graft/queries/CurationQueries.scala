@@ -375,19 +375,23 @@ object CurationQueries extends QueryPack {
       val chars = en && col("n_chars") >= 100L
       val toks = chars && col("q.n_toks") >= 30
       val stop = toks && col("q.n_stop") > 0
+      // coalesce + zero-guard (r13 empty axis): empty-corpus sums are
+      // NULL and the retention ratio was an ANSI divide-by-zero — the
+      // funnel's contract is five stage rows of zeros, retention 0.0
       q.agg(
           count(lit(1)).as("s0"),
-          sum(en.cast("long")).as("s1"),
-          sum(chars.cast("long")).as("s2"),
-          sum(toks.cast("long")).as("s3"),
-          sum(stop.cast("long")).as("s4"))
+          coalesce(sum(en.cast("long")), lit(0L)).as("s1"),
+          coalesce(sum(chars.cast("long")), lit(0L)).as("s2"),
+          coalesce(sum(toks.cast("long")), lit(0L)).as("s3"),
+          coalesce(sum(stop.cast("long")), lit(0L)).as("s4"))
         .select(expr(
           "stack(5, 0, 'all', s0, 1, 'lang_en', s1, 2, 'min_chars', s2, " +
             "3, 'min_toks', s3, 4, 'has_stopwords', s4) AS (stage_idx, stage, n_docs)"))
         .select(col("stage_idx").cast("long").as("stage_idx"), col("stage"),
           col("n_docs"),
-          round(col("n_docs").cast("double") /
-            max(col("n_docs")).over(Window.partitionBy()), 6).as("retention"))
+          when(max(col("n_docs")).over(Window.partitionBy()) === 0, lit(0.0))
+            .otherwise(round(col("n_docs").cast("double") /
+              max(col("n_docs")).over(Window.partitionBy()), 6)).as("retention"))
     }),
 
     // Domain-mix accounting: per-source doc and token shares — the
@@ -779,10 +783,10 @@ object CurationQueries extends QueryPack {
          |  FROM documents),
          |a AS (
          |  SELECT count(*) AS s0,
-         |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS s1,
-         |    sum(CASE WHEN lang = 'en' AND n_chars >= 100 THEN 1 ELSE 0 END) AS s2,
-         |    sum(CASE WHEN lang = 'en' AND n_chars >= 100 AND n_toks >= 30 THEN 1 ELSE 0 END) AS s3,
-         |    sum(CASE WHEN lang = 'en' AND n_chars >= 100 AND n_toks >= 30 AND n_stop > 0 THEN 1 ELSE 0 END) AS s4
+         |    coalesce(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END), 0) AS s1,
+         |    coalesce(sum(CASE WHEN lang = 'en' AND n_chars >= 100 THEN 1 ELSE 0 END), 0) AS s2,
+         |    coalesce(sum(CASE WHEN lang = 'en' AND n_chars >= 100 AND n_toks >= 30 THEN 1 ELSE 0 END), 0) AS s3,
+         |    coalesce(sum(CASE WHEN lang = 'en' AND n_chars >= 100 AND n_toks >= 30 AND n_stop > 0 THEN 1 ELSE 0 END), 0) AS s4
          |  FROM q),
          |st AS (
          |  SELECT 0 AS stage_idx, 'all' AS stage, s0 AS n_docs FROM a
@@ -792,7 +796,8 @@ object CurationQueries extends QueryPack {
          |  UNION ALL SELECT 4, 'has_stopwords', s4 FROM a)
          |SELECT CAST(stage_idx AS BIGINT) AS stage_idx, stage,
          |  CAST(n_docs AS BIGINT) AS n_docs,
-         |  round(n_docs * 1.0 / max(n_docs) OVER (), 6) AS retention
+         |  CASE WHEN max(n_docs) OVER () = 0 THEN 0.0
+         |       ELSE round(n_docs * 1.0 / max(n_docs) OVER (), 6) END AS retention
          |FROM st""".stripMargin,
 
     "pipe_domain_mix" ->

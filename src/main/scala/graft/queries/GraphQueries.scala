@@ -150,7 +150,13 @@ object GraphQueries extends QueryPack {
         val rows = Seq(5, 10, 20).map { k =>
           val floor = math.ceil(0.8 * k).toLong
           val overlap = floatTop.take(k).toSet.intersect(exactTop.take(k).toSet).size
-          Row(k.toLong, floor, if (overlap >= floor) 1L else 0L)
+          // a graph with fewer than k vertices can only overlap on what
+          // exists — the certificate tests agreement over the AVAILABLE
+          // board (vacuously met on an empty graph, the r13 empty-corpus
+          // axis); the reported floor column stays the documented
+          // ceil(0.8k) so the row schema never varies with graph size
+          val eff = math.min(floor, exactTop.length.toLong)
+          Row(k.toLong, floor, if (overlap >= eff) 1L else 0L)
         }
         s.createDataFrame(
           s.sparkContext.parallelize(rows, 1),
@@ -188,10 +194,12 @@ object GraphQueries extends QueryPack {
       val e = graft.CacheRegistry.persistTracked(
         cooccurEdges(s, d).select("src", "dst"))
       val seedRow = e.agg(least(min("src"), min("dst"))).head
-      require(!seedRow.isNullAt(0),
-        "graph_part_ppr_exact: empty co-occurrence edge set — no seed vertex " +
-          "(corpus has no multi-part order); cannot personalize")
-      val seed = seedRow.getLong(0)
+      // empty co-occurrence edge set (corpus has no multi-part order):
+      // nothing to personalize — emit the empty ranking, the oracle's
+      // shape (its seed CTE is empty so its walk emits zero rows).
+      // Answer, don't crash (r13 empty-corpus axis): an empty source
+      // partition is a data condition at 100 TB, not a pipeline error.
+      val seed = if (seedRow.isNullAt(0)) 0L else seedRow.getLong(0)
       graft.graph.ExactPageRank.personalizedRun(e, seed, iters = 10)
         .orderBy(col("rank_scaled").desc, col("v").asc)
         .limit(20)

@@ -221,8 +221,7 @@ object MiscQueries extends QueryPack {
       // toward 1 once the hot set outgrows it — the join stays exact
       // but the prefilter stops cutting rows, which is the mechanism
       // this query exists to demonstrate (see ScalePatternsSpec).
-      val bf = hot.stat.bloomFilter("o_orderkey", math.max(hot.count(), 1024L), 0.01)
-      val bc = graft.CacheRegistry.broadcastTracked(s.sparkContext.broadcast(bf))
+      val nHot = hot.count()
       // A ScalaUDF compiles into the WholeStageCodegen span (boxed
       // call), so the probe filter does not split the stage; the
       // native BloomFilterMightContain expression would avoid the
@@ -230,9 +229,18 @@ object MiscQueries extends QueryPack {
       // (UNRESOLVED_ROUTINE — verified), and it hashes through
       // xxhash64, which would also require building the filter over
       // hashed keys. The boxed call is the honest public-API path.
-      val mightContain = udf((k: Long) => bc.value.mightContainLong(k))
+      // An EMPTY build side returns a bloom filter with a null buffer
+      // whose mightContain NPEs (r13 empty axis) — nothing can join, so
+      // the prefilter is simply false.
+      val bloomCut =
+        if (nHot == 0) lit(false)
+        else {
+          val bf = hot.stat.bloomFilter("o_orderkey", math.max(nHot, 1024L), 0.01)
+          val bc = graft.CacheRegistry.broadcastTracked(s.sparkContext.broadcast(bf))
+          udf((k: Long) => bc.value.mightContainLong(k)).apply(col("l_orderkey"))
+        }
       Tables.lineitem(s, d)
-        .where(mightContain(col("l_orderkey")))      // bloom cut at the scan
+        .where(bloomCut)                             // bloom cut at the scan
         .join(hot, col("l_orderkey") === col("o_orderkey")) // exact: drops FPs
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n_items"),

@@ -160,7 +160,10 @@ object MultimodalQueries extends QueryPack {
       graft.multimodal.PixelImage.channelStats(media).toDF()
         .select(col("width").cast("long").as("wl"), col("height").cast("long").as("hl"),
           col("r_sum"), col("g_sum"), col("b_sum"))
-        .agg(sum(col("wl") * col("hl")).as("n_pixels"),
+        // coalesce: empty corpus sums are NULL while the oracle's
+        // count-derived pixel total is 0 (r13 empty axis); the means
+        // stay NULL/0 = NULL on both engines
+        .agg(coalesce(sum(col("wl") * col("hl")), lit(0L)).as("n_pixels"),
           sum(col("r_sum")).as("rs"), sum(col("g_sum")).as("gs"),
           sum(col("b_sum")).as("bs"))
         .select(

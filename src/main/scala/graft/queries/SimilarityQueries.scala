@@ -374,12 +374,20 @@ object SimilarityQueries extends QueryPack {
       val matched = bruteTopK(s, d).select(col("qid"), col("vec_id"))
         .join(srpTopK(s, d).select(col("qid"), col("vec_id")),
           Seq("qid", "vec_id"), "left_semi")
+      // n_queries is the OBSERVED query count (the oracle counts it too;
+      // the old literal NQueries diverged the moment the corpus had
+      // fewer vectors — r13 empty axis), and zero queries bound nothing:
+      // the recall certificate is vacuously met
+      val nq = Tables.embeddings(s, d).where(col("vec_id") < NQueries)
+        .agg(count(lit(1)).as("n_queries"))
       matched.agg(count(lit(1)).as("n_matched"))
+        .crossJoin(nq)
         .select(
-          lit(NQueries).cast("long").as("n_queries"),
+          col("n_queries"),
           lit(SrpRecallFloor).as("recall_floor"),
-          (col("n_matched").cast("double") / (NQueries * K) >= SrpRecallFloor)
-            .cast("long").as("floor_met"))
+          when(col("n_queries") === 0, 1L).otherwise(
+            (col("n_matched").cast("double") / (col("n_queries") * K) >= SrpRecallFloor)
+              .cast("long")).as("floor_met"))
     }),
 
     // int8-quantized candidate scan + exact re-rank. Candidates = top

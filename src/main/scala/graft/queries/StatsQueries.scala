@@ -654,15 +654,23 @@ object StatsQueries extends QueryPack {
         percentile(col("f"), lit(0.5)).as("f2"),
         percentile(col("f"), lit(0.75)).as("f3")))
       val n = withR.count()
-      val ms = exactQuantilesDouble(withR, "m", Seq(0.25, 0.5, 0.75), n)
-      val (m1, m2, m3) = (ms(0.25), ms(0.5), ms(0.75))
-      def bucket(v: Column, q1: Column, q2: Column, q3: Column): Column =
-        lit(1L) + (v > q1).cast("long") + (v > q2).cast("long") + (v > q3).cast("long")
-      withR.crossJoin(cuts)
-        .select((bucket(col("r"), col("r1"), col("r2"), col("r3")) * 100 +
-          bucket(col("f"), col("f1"), col("f2"), col("f3")) * 10 +
-          bucket(col("m"), lit(m1), lit(m2), lit(m3))).as("segment"))
-        .groupBy("segment").agg(count(lit(1)).as("n_customers"))
+      if (n == 0) {
+        // no orders → no customers to segment: the oracle's GROUP BY
+        // yields zero rows, and the exact selection has no order
+        // statistics to fetch. Answer, don't crash (r13 empty axis).
+        withR.select(lit(1L).as("segment"), lit(1L).as("n_customers"))
+          .where(lit(false))
+      } else {
+        val ms = exactQuantilesDouble(withR, "m", Seq(0.25, 0.5, 0.75), n)
+        val (m1, m2, m3) = (ms(0.25), ms(0.5), ms(0.75))
+        def bucket(v: Column, q1: Column, q2: Column, q3: Column): Column =
+          lit(1L) + (v > q1).cast("long") + (v > q2).cast("long") + (v > q3).cast("long")
+        withR.crossJoin(cuts)
+          .select((bucket(col("r"), col("r1"), col("r2"), col("r3")) * 100 +
+            bucket(col("f"), col("f1"), col("f2"), col("f3")) * 10 +
+            bucket(col("m"), lit(m1), lit(m2), lit(m3))).as("segment"))
+          .groupBy("segment").agg(count(lit(1)).as("n_customers"))
+      }
     }),
 
     // Approximate-quantile CERTIFICATE — percentile_approx (a mergeable
@@ -871,8 +879,11 @@ object StatsQueries extends QueryPack {
         val p = if (small) broadcast(p0) else p0
         child.select(col(ckey).as("k"))
           .join(p, Seq("k"), "left")
+          // coalesce: an empty child table has zero orphans, not a NULL
+          // sum (the oracle counts — r13 empty axis)
           .agg(count(lit(1)).as("child_rows"),
-            sum(when(col("hit").isNull, 1L).otherwise(0L)).as("orphans"))
+            coalesce(sum(when(col("hit").isNull, 1L).otherwise(0L)), lit(0L))
+              .as("orphans"))
           .select(lit(name).as("fk"), col("child_rows"), col("orphans"))
       }
       val li = Tables.lineitem(s, d); val o = Tables.orders(s, d)
@@ -895,8 +906,8 @@ object StatsQueries extends QueryPack {
          |  SELECT revd, np,
          |    row_number() OVER (ORDER BY revd DESC, l_partkey) AS rn
          |  FROM rev, np)
-         |SELECT CAST(max(np) AS BIGINT) AS n_parts,
-         |  CAST(sum(CASE WHEN rn <= (np + 3) // 4 THEN 1 ELSE 0 END) AS BIGINT) AS top_parts,
+         |SELECT CAST((SELECT np FROM np) AS BIGINT) AS n_parts,
+         |  CAST(coalesce(sum(CASE WHEN rn <= (np + 3) // 4 THEN 1 ELSE 0 END), 0) AS BIGINT) AS top_parts,
          |  ${TpchMoney.shipSql("sum(CASE WHEN rn <= (np + 3) // 4 THEN revd END)")}
          |    / ${TpchMoney.shipSql("sum(revd)")} AS top_share
          |FROM rk""".stripMargin,

@@ -522,10 +522,15 @@ object WindowQueries extends QueryPack {
           percentile(col("n_tokens"), lit(0.92)).as("hi90"),
           count(lit(1)).as("n"))
         .select(col("n"),
-          (col("a50") >= col("lo50") && col("a50") <= col("hi50"))
-            .cast("long").as("p50_within_bound"),
-          (col("a90") >= col("lo90") && col("a90") <= col("hi90"))
-            .cast("long").as("p90_within_bound"))),
+          // n = 0: there is nothing to bound — the certificate is
+          // vacuously true (the oracle's constant-1 flags; r13 empty
+          // axis caught the NULL comparisons reading as unbounded)
+          when(col("n") === 0, 1L).otherwise(
+            (col("a50") >= col("lo50") && col("a50") <= col("hi50"))
+              .cast("long")).as("p50_within_bound"),
+          when(col("n") === 0, 1L).otherwise(
+            (col("a90") >= col("lo90") && col("a90") <= col("hi90"))
+              .cast("long")).as("p90_within_bound"))),
 
     // Rollup: revenue per (region, year) with region and grand totals.
     "q_rollup_revenue" -> ((s, d) => {
@@ -766,5 +771,6 @@ object WindowQueries extends QueryPack {
         |  JOIN customer ON o_custkey = c_custkey
         |  JOIN nation ON c_nationkey = n_nationkey
         |  JOIN region ON n_regionkey = r_regionkey)
-        |GROUP BY ROLLUP (r_name, o_year)""".stripMargin)
+        |GROUP BY ROLLUP (r_name, o_year)
+        |HAVING count(*) > 0""".stripMargin)
 }
