@@ -52,7 +52,7 @@ object HashFunctions {
     val f = udf { (t: String) =>
       if (t == null) Array.empty[Long]
       else {
-        val toks = t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        val toks = UnicodeText.simpleLower(t).split("\\s+").filter(_.nonEmpty)
         if (toks.length < n) Array.empty[Long]
         else {
           val out = new java.util.HashSet[java.lang.Long](toks.length * 2)
@@ -61,8 +61,15 @@ object HashFunctions {
             var h = 1125899906842597L
             var g = 0
             while (g < n) {
+              // code-point fold (not charAt): the oracle's ord() replay
+              // and PolyHash64Expr.compute both walk code points — the
+              // r13 unicode axis contract
               val w = toks(i + g); var c = 0
-              while (c < w.length) { h = h * 31 + w.charAt(c); c += 1 }
+              while (c < w.length) {
+                val cp = w.codePointAt(c)
+                h = h * 31 + cp
+                c += Character.charCount(cp)
+              }
               h = h * 31 + ' '
               g += 1
             }

@@ -41,13 +41,22 @@ object PolyHash64Expr {
   def apply(c: Column): Column =
     GraftColumnBridge.column(PolyHash64Expr(GraftColumnBridge.expression(c)))
 
-  /** Static kernel the generated code calls: h = h*31 + char, wrapping.
-    * For pure-ASCII input this equals the byte-wise hash mod 2^64 that
-    * the DuckDB oracle computes in HUGEINT. */
+  /** Static kernel the generated code calls: h = h*31 + codePoint,
+    * wrapping. Iterates CODE POINTS, not UTF-16 chars: the DuckDB
+    * oracle folds `ord(substr(s, i, 1))` over `length(s)` positions,
+    * and both of those are code-point-based — a charAt loop diverges
+    * on any astral-plane character (emoji, math alphanumerics), which
+    * is exactly what the r13 unicode-injection axis caught. For ASCII
+    * (and all BMP) input the two loops are identical, so committed
+    * hash values are unchanged. */
   def compute(s: String): Long = {
     var h = Seed
     var i = 0
-    while (i < s.length) { h = h * 31 + s.charAt(i); i += 1 }
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = h * 31 + cp
+      i += Character.charCount(cp)
+    }
     h
   }
 }

@@ -45,7 +45,7 @@ object TextFunctions {
   val tokens: Column => Column = {
     val f = udf { (t: String) =>
       if (t == null) null
-      else t.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
+      else UnicodeText.simpleLower(t).split("\\s+").filter(_.nonEmpty)
     }
     (text: Column) => f(text)
   }
@@ -140,7 +140,7 @@ object TextFunctions {
     val f = udf { (t: String) =>
       if (t == null) Array.empty[String]
       else {
-        val toks = t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        val toks = UnicodeText.simpleLower(t).split("\\s+").filter(_.nonEmpty)
         if (toks.length < n) Array.empty[String]
         else {
           val seen = new java.util.LinkedHashSet[String](toks.length * 2)
@@ -260,8 +260,10 @@ object TextFunctions {
     * queries derive punct/stopword/mean-token-len from these five ints
     * with the division+round done in SQL, so results stay bit-identical
     * to the pure-column formulation while replacing four interpreted
-    * array traversals per row. ASCII-equivalent to the column fns
-    * (Java String length == Spark char length for ASCII corpora). */
+    * array traversals per row. Char counts are CODE POINTS (what
+    * `length()` means on both engines — a UTF-16 `String.length` counts
+    * an emoji as 2 where the oracle counts 1; r13 unicode axis), and
+    * casing is the [[UnicodeText.simpleLower]] contract. */
   def qualityCounters(text: Column): Column = {
     val stop = stopwords.toSet
     val f = udf { (t: String) =>
@@ -277,11 +279,13 @@ object TextFunctions {
             c == '\u000B' || c == '\f' || c == '\r') kept += 1
           i += 1
         }
-        val toks = t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        val toks = UnicodeText.simpleLower(t).split("\\s+").filter(_.nonEmpty)
         var sumLen = 0L
         var nStop = 0
-        toks.foreach { w => sumLen += w.length; if (stop(w)) nStop += 1 }
-        (t.length, kept, toks.length, nStop, sumLen)
+        toks.foreach { w =>
+          sumLen += UnicodeText.codePoints(w); if (stop(w)) nStop += 1
+        }
+        (UnicodeText.codePoints(t), kept, toks.length, nStop, sumLen)
       }
     }
     f(text).cast("struct<n_chars:int,n_kept:int,n_toks:int,n_stop:int,sum_tok_len:bigint>")

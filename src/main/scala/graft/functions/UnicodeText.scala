@@ -1,0 +1,99 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftColumnBridge}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The repo-wide unicode text contract (r13 unicode-injection axis).
+  *
+  * Lowercasing is the Unicode SIMPLE (per-code-point) mapping —
+  * `Character.toLowerCase(int)` — NOT `String.toLowerCase`, and string
+  * iteration is by CODE POINT, not UTF-16 char. Three reasons:
+  *
+  *   1. **Oracle parity.** DuckDB (utf8proc) lowercases per code point
+  *      and `ord`/`length`/`substr` count code points. Java's
+  *      String.toLowerCase applies SpecialCasing — context-sensitive
+  *      final sigma (ΑΣ → ας vs utf8proc's ασ) and one-to-many İ →
+  *      i+U+0307 (utf8proc: i) — so any kernel using it silently
+  *      diverges from its oracle the moment real multilingual text
+  *      arrives (the unicode axis caught exactly this).
+  *   2. **Determinism at scale.** Simple mapping is context-free and
+  *      locale-free: a token's fingerprint never depends on what
+  *      follows it or on executor JVM locale — the property a 100 TB
+  *      dedup/fingerprint tier actually needs. (Bare
+  *      `String.toLowerCase()` is locale-sensitive: a tr_TR executor
+  *      would map I → ı and split fleet hashes.)
+  *   3. **Stock-corpus compatibility.** For ASCII the simple and full
+  *      mappings coincide and code point == UTF-16 char, so every
+  *      committed hash/token value is unchanged.
+  */
+object UnicodeText {
+
+  /** Unicode simple lowercase: per-code-point Character.toLowerCase.
+    * ASCII fast path returns the interned-style single-pass copy. */
+  def simpleLower(s: String): String = {
+    var i = 0
+    var ascii = true
+    while (ascii && i < s.length) { if (s.charAt(i) >= 0x80) ascii = false; i += 1 }
+    if (ascii) {
+      // ASCII-only: branchless A-Z fold, no codepoint walk
+      var j = 0
+      var dirty = false
+      while (!dirty && j < s.length) {
+        val c = s.charAt(j); if (c >= 'A' && c <= 'Z') dirty = true; j += 1
+      }
+      if (!dirty) s
+      else {
+        val out = new Array[Char](s.length)
+        var k = 0
+        while (k < s.length) {
+          val c = s.charAt(k)
+          out(k) = if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+          k += 1
+        }
+        new String(out)
+      }
+    } else {
+      val sb = new java.lang.StringBuilder(s.length)
+      var k = 0
+      while (k < s.length) {
+        val cp = s.codePointAt(k)
+        sb.appendCodePoint(Character.toLowerCase(cp))
+        k += Character.charCount(cp)
+      }
+      sb.toString
+    }
+  }
+
+  /** Code-point count (what `length()` means on BOTH engines). */
+  def codePoints(s: String): Int = s.codePointCount(0, s.length)
+
+  /** Static kernel for the codegen'd expression below. */
+  def simpleLowerUtf8(s: UTF8String): UTF8String =
+    UTF8String.fromString(simpleLower(s.toString))
+
+  /** Column entry point: codegen'd simple-lowercase (the PolyHash64Expr
+    * pattern — a static call inlined into whole-stage codegen), for the
+    * few query sites that need oracle-parity casing on a raw column
+    * without paying a ScalaUDF boundary. */
+  def simpleLowerCol(c: Column): Column =
+    GraftColumnBridge.column(SimpleLowerExpr(GraftColumnBridge.expression(c)))
+}
+
+/** `lower()` under the Unicode simple mapping — see [[UnicodeText]]. */
+case class SimpleLowerExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "simple_lower"
+
+  override def nullSafeEval(s: Any): Any =
+    UnicodeText.simpleLowerUtf8(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.UnicodeText.simpleLowerUtf8($s)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -222,12 +222,15 @@ object MultimodalQueries extends QueryPack {
          |  CAST(sum(CASE WHEN i % $WindowSize <> 0 AND pv * v < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_crossings
          |FROM p GROUP BY 1, 2""".stripMargin
     },
-    // UTF-8 length == char length here (ascii word-salad corpus).
+    // strlen (UTF-8 BYTES), not length (code points): the payload's
+    // data section is text.getBytes("UTF-8"), so the dimension formulas
+    // run on byte counts — on multibyte text length() undercounts (the
+    // r13 unicode axis caught the split; é is 2 bytes, an emoji 4).
     "mm_decode_stats" ->
       """WITH m AS (
         |  SELECT doc_id AS media_id,
         |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-        |    coalesce(length(text), 0) AS n
+        |    coalesce(strlen(text), 0) AS n
         |  FROM documents)
         |SELECT kind, count(*) AS n,
         |  CAST(sum(64 + n % 192) AS BIGINT) AS sum_width,
@@ -255,11 +258,12 @@ object MultimodalQueries extends QueryPack {
         |FROM px GROUP BY 1""".stripMargin,
 
     // coalesce: NULL text wraps an EMPTY data section (the
-    // mediaFromDocuments contract) — zero frames, zero sampled
+    // mediaFromDocuments contract) — zero frames, zero sampled.
+    // strlen = UTF-8 bytes, the unit the payload's frames are cut in.
     "mm_frame_sample" ->
       """SELECT doc_id AS media_id,
-        |  CAST(ceil(coalesce(length(text), 0) * 1.0 / 256) AS BIGINT) AS n_frames,
-        |  CAST(ceil(ceil(coalesce(length(text), 0) * 1.0 / 256) / 4.0) AS BIGINT) AS n_sampled
+        |  CAST(ceil(coalesce(strlen(text), 0) * 1.0 / 256) AS BIGINT) AS n_frames,
+        |  CAST(ceil(ceil(coalesce(strlen(text), 0) * 1.0 / 256) / 4.0) AS BIGINT) AS n_sampled
         |FROM documents""".stripMargin,
 
     // the fingerprint chain in integer SQL: clip formula → 50-sample
@@ -323,19 +327,25 @@ object MultimodalQueries extends QueryPack {
          |  min(id) AS min_media
          |FROM hp GROUP BY 1, 2""".stripMargin,
 
-    // frame intensities replayed from text bytes; lag() finds the
-    // cuts; zero-frame (null/empty text) media report (0, 0).
+    // frame intensities replayed from the text's UTF-8 BYTES via its
+    // hex encoding (hex() of a VARCHAR is its UTF-8 byte hex; each byte
+    // is two nibbles decoded with strpos) — NOT ord() over code points:
+    // the kernel walks payload bytes, and on multibyte text the two
+    // units disagree in both frame boundaries and values (r13 unicode
+    // axis). lag() finds the cuts; zero-frame media report (0, 0).
     "mm_scene_cuts" ->
       """WITH v AS (
-        |  SELECT doc_id AS media_id, text, coalesce(length(text), 0) AS n
+        |  SELECT doc_id AS media_id, hex(coalesce(text, '')) AS hx,
+        |    coalesce(strlen(text), 0) AS n
         |  FROM documents WHERE doc_id % 3 = 2),
         |fr AS (
-        |  SELECT media_id, text, n, unnest(range((n + 255) // 256)) AS f
+        |  SELECT media_id, hx, n, unnest(range((n + 255) // 256)) AS f
         |  FROM v WHERE n > 0),
         |it AS (
         |  SELECT media_id, f,
-        |    list_sum(list_transform(range(f * 256 + 1, least((f + 1) * 256, n) + 1),
-        |      i -> ord(substr(text, CAST(i AS INT), 1)))) AS inten
+        |    list_sum(list_transform(range(f * 256, least((f + 1) * 256, n)),
+        |      i -> (strpos('0123456789ABCDEF', substr(hx, CAST(i * 2 + 1 AS INT), 1)) - 1) * 16
+        |         + strpos('0123456789ABCDEF', substr(hx, CAST(i * 2 + 2 AS INT), 1)) - 1)) AS inten
         |  FROM fr),
         |d AS (
         |  SELECT media_id, inten,

@@ -152,9 +152,16 @@ object PipelineQueries extends QueryPack {
     // map-side pair explosion, one map-combining aggregate, top-20 via
     // TakeOrdered with a pair tie-break). Iteration 0 shown; later
     // iterations re-run the same plan over the merged symbol table.
+    // simple_lower, not builtin lower(): Spark's lower is Java full
+    // casing (İ → i+U+0307, so İSTANBUL yields tokens "i","stanbul")
+    // while DuckDB's is utf8proc simple (İ → i, one token "istanbul") —
+    // the r13 unicode axis caught the split. The codegen'd
+    // SimpleLowerExpr pins the per-code-point contract on this side.
     "pipe_bpe_pair_counts" -> ((s, d) =>
       Tables.documents(s, d)
-        .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
+        .select(explode(regexp_extract_all(
+          graft.functions.UnicodeText.simpleLowerCol(col("text")),
+          lit("[a-z]+"), lit(0))).as("w"))
         .where(length(col("w")) >= 2)
         .select(explode(expr(
           "transform(sequence(1, length(w)-1), i -> substring(w, i, 2))")).as("pair"))

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{HashFunctions, PolyHash64Expr, UnicodeText}
+import graft.functions.TextFunctions
+
+/** Pins the repo-wide unicode text contract the r13 unicode-injection
+  * axis established: lowercase = Unicode SIMPLE per-code-point mapping
+  * (what DuckDB/utf8proc does), string iteration/counting = CODE
+  * POINTS (what `length()`/`ord()` mean on both engines). The expected
+  * strings below were read off DuckDB's `lower()` directly, so these
+  * tests are the oracle-parity evidence without needing DuckDB in the
+  * JVM suite.
+  */
+class UnicodeTextSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("simpleLower matches DuckDB lower() on the divergence probes") {
+    // (input, DuckDB lower(input)) — verified against duckdb directly
+    val cases = Seq(
+      "ΑΣ ΚΟΣΜΟΣ" -> "ασ κοσμοσ", // final-sigma context: Java full gives ας
+      "İSTANBUL" -> "istanbul", // Java full gives i+U+0307+stanbul (9 cps)
+      "ışık" -> "ışık",
+      "STRAẞE" -> "straße",
+      "ß" -> "ß",
+      "ＦＵＬＬ" -> "ｆｕｌｌ",
+      "𝕊𝕡" -> "𝕊𝕡", // astral, no case mapping
+      "MiXeD AsCiI 42!" -> "mixed ascii 42!")
+    cases.foreach { case (in, want) =>
+      assert(UnicodeText.simpleLower(in) == want, s"simpleLower($in)")
+    }
+  }
+
+  test("the divergence is real: Java FULL casing splits from the simple mapping") {
+    // the planted canary — if these ever start agreeing, the special
+    // cases vanished from the JDK and the helper can be re-evaluated
+    assert("ΑΣ".toLowerCase(java.util.Locale.ROOT) == "ας") // final sigma ς
+    assert(UnicodeText.simpleLower("ΑΣ") == "ασ") // per-code-point σ
+    assert("İ".toLowerCase(java.util.Locale.ROOT).length == 2) // i + U+0307
+    assert(UnicodeText.simpleLower("İ") == "i")
+  }
+
+  test("PolyHash64.compute folds CODE POINTS (oracle's ord() unit), not UTF-16 chars") {
+    val emoji = "😀" // U+1F600, one code point, two chars
+    assert(PolyHash64Expr.compute(emoji) ==
+      PolyHash64Expr.Seed * 31 + 0x1F600L)
+    val charAtFold = PolyHash64Expr.Seed * 31 * 31 +
+      0xd83dL * 31 + 0xde00L
+    assert(PolyHash64Expr.compute(emoji) != charAtFold,
+      "astral input must not hash as a surrogate pair")
+    // ASCII/BMP unchanged vs the historical charAt fold — committed
+    // hash values (classifier features, fingerprints) are stable
+    assert(PolyHash64Expr.compute("abc") ==
+      ((PolyHash64Expr.Seed * 31 + 'a') * 31 + 'b') * 31 + 'c')
+  }
+
+  test("SimpleLowerExpr (codegen'd) equals the static helper through a real plan") {
+    val got = Seq("ΑΣ ΚΟΣΜΟΣ", "İSTANBUL", "Ab😀C", null)
+      .toDF("s")
+      .select(UnicodeText.simpleLowerCol(col("s")).as("l"))
+      .as[String].collect().toSeq
+    assert(got == Seq("ασ κοσμοσ", "istanbul", "ab😀c", null))
+  }
+
+  test("tokens / wordGramsDistinct / qualityCounters follow the contract") {
+    val toks = Seq("ΑΣ İSTANBUL x")
+      .toDF("s").select(TextFunctions.tokens(col("s")).as("t"))
+      .as[Seq[String]].collect().head
+    assert(toks == Seq("ασ", "istanbul", "x"))
+
+    // qualityCounters: n_chars and sum_tok_len are code points — an
+    // astral emoji counts 1 (length() parity), not 2 (String.length)
+    val q = Seq("a 😀😀 b")
+      .toDF("s").select(TextFunctions.qualityCounters(col("s")).as("q"))
+      .selectExpr("q.n_chars", "q.n_toks", "q.sum_tok_len")
+      .as[(Int, Int, Long)].collect().head
+    assert(q == ((6, 3, 4L)), s"got $q") // cps: a,sp,😀,😀,sp,b; tok lens 1+2+1
+  }
+
+  test("wordShingleHashes folds gram code points like the oracle's ord() replay") {
+    val hs = Seq("😀 b c")
+      .toDF("s").select(HashFunctions.wordShingleHashes(col("s"), 3).as("h"))
+      .as[Seq[Long]].collect().head
+    var h = 1125899906842597L
+    h = h * 31 + 0x1F600L; h = h * 31 + ' '
+    h = h * 31 + 'b'; h = h * 31 + ' '
+    h = h * 31 + 'c'; h = h * 31 + ' '
+    assert(hs == Seq(HashFunctions.splitmix64(h)))
+  }
+}
