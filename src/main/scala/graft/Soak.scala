@@ -96,6 +96,7 @@ object Soak {
     "dedup_survivors" -> Set('d'), "dedup_incremental" -> Set('d'),
     "dedup_semantic" -> Set('d', 'e'), "dedup_embedding_cosine" -> Set('e'),
     "text_fingerprint" -> Set('d'), "text_quality" -> Set('d'),
+    "text_script_mix" -> Set('d'), "pipe_domain_mixture" -> Set('d'),
     "text_tfidf_terms" -> Set('d'), "pipe_decontaminate" -> Set('d'),
     "graph_part_communities" -> Set('f'), "graph_part_components" -> Set('f'),
     "graph_part_communities_exact" -> Set('f'),

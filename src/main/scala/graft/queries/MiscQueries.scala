@@ -124,12 +124,25 @@ object MiscQueries extends QueryPack {
     // a within_bound certificate — |approx−exact|/exact ≤ 3·rsd — that
     // the oracle asserts TRUE. The sketch is deterministic for a given
     // dataset, so the flag is stable, and a broken sketch flips it red.
+    //
+    // NEVER fuse countDistinct with the sketch in one aggregate: that
+    // fusion plans the distinct-rewrite Expand and threads the 16 KB
+    // rsd=0.01 HLL buffer through every intermediate (type, user)
+    // group — the q_events_hau_approx defect (r13 §4b, 16–27×). HLL
+    // registers are multiplicity-insensitive, so BOTH the exact count
+    // and the sketch run over one pre-distincted (event_type, user_id)
+    // projection: identical estimate, identical exact count, and the
+    // sketch buffers exist only in the final event_type-cardinality
+    // aggregate. The isNotNull filter preserves countDistinct's
+    // null-exclusion semantics through the count(*) rewrite.
     "q_approx_distinct_users" -> ((s, d) =>
       Tables.events(s, d)
+        .where(col("user_id").isNotNull)
+        .select(col("event_type"), col("user_id")).distinct()
         .groupBy("event_type")
         .agg(
-          approx_count_distinct(col("user_id"), rsd = 0.01).as("approx"),
-          countDistinct(col("user_id")).as("n_users_exact"))
+          count(lit(1)).as("n_users_exact"),
+          approx_count_distinct(col("user_id"), rsd = 0.01).as("approx"))
         .select(col("event_type"), col("n_users_exact"),
           (abs(col("approx") - col("n_users_exact")).cast("double") /
             col("n_users_exact") <= 0.03).cast("long").as("within_bound"))),

@@ -198,7 +198,50 @@ object PipelineQueries extends QueryPack {
         .withColumn("bin", expr("(cum - bytes) div target"))
         .groupBy("bin")
         .agg(count(lit(1)).as("n_shards"), sum(col("bytes")).as("bin_bytes"))
+    }),
+
+    // Domain-mixture re-weighting — the data-mixing pass a training
+    // corpus gets before anything else: head domains are √-suppressed
+    // (keep rate min(1, √(pivot/n_s)), so a domain's sampled share
+    // grows like √n_s instead of n_s — the WebText/CC-mix shape),
+    // tail domains (n_s ≤ pivot) keep everything. Selection is the
+    // repo's deterministic LCG on doc_id (pipe_global_shuffle's
+    // constants — no rand(), replayable in integer SQL), compared
+    // against a per-domain integer threshold floor(rate·1e6): one
+    // float op chain (divide, sqrt, multiply, floor) identical on both
+    // engines, everything after it pure integers. Per-domain rates
+    // depend only on that domain's count — deliberately NO
+    // normalizing Σ over domains, which would put a cross-engine
+    // float SUM (partition-order-sensitive) into the rate. Shape: one
+    // tiny source-cardinality aggregate (persisted: it feeds the
+    // thresholds AND the final report), broadcast back over one scan,
+    // one map-combining count — two corpus-width passes, no wide
+    // shuffle, linear to any corpus size.
+    "pipe_domain_mixture" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val rates = graft.CacheRegistry.persistTracked(
+        docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+          .withColumn("rate",
+            least(lit(1.0), sqrt(lit(MixPivot) / col("n_docs"))))
+          .withColumn("thr",
+            floor(col("rate") * 1000000.0).cast("long")))
+      val sampled = docs.select(col("doc_id"), col("source"))
+        .withColumn("h", expr(s"((doc_id % $ShufP) * $ShufA + $ShufB) % $ShufP"))
+        .join(broadcast(rates.select(col("source"), col("thr"))), Seq("source"))
+        .groupBy("source")
+        .agg(sum(when(col("h") % 1000000L < col("thr"), 1L).otherwise(0L))
+          .as("n_sampled"))
+      rates.join(sampled, Seq("source"))
+        .select(col("source"), col("n_docs"),
+          round(col("rate"), 6).as("rate"), col("n_sampled"),
+          round(col("n_sampled").cast("double") / col("n_docs"), 6)
+            .as("eff_rate"))
     }))
+
+  /** pipe_domain_mixture's suppression pivot: domains with ≤ this many
+    * docs keep everything; larger domains keep √(pivot/n). ONE constant
+    * feeding the Spark expression and the oracle (Bm25 discipline). */
+  private val MixPivot = 64.0
 
   private val SeqLen = 2048
   private val PackShards = 32
@@ -254,6 +297,26 @@ object PipelineQueries extends QueryPack {
         |SELECT split, CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
         |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS total_tokens
         |FROM sp GROUP BY 1""".stripMargin,
+
+    // same float op chain as the Spark side (divide, sqrt, ×1e6,
+    // floor), then pure integers: the LCG select and both counts
+    // replay exactly; round(…, 6) on the two report doubles.
+    "pipe_domain_mixture" ->
+      s"""WITH per AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+         |r AS (
+         |  SELECT source, n_docs,
+         |    least(1.0, sqrt($MixPivot / n_docs)) AS rate,
+         |    CAST(floor(least(1.0, sqrt($MixPivot / n_docs)) * 1000000) AS BIGINT) AS thr
+         |  FROM per),
+         |sel AS (
+         |  SELECT d.source,
+         |    CASE WHEN (((d.doc_id % $ShufP) * $ShufA + $ShufB) % $ShufP) % 1000000 < r.thr
+         |      THEN 1 ELSE 0 END AS s
+         |  FROM documents d JOIN r ON d.source = r.source),
+         |agg AS (SELECT source, CAST(sum(s) AS BIGINT) AS n_sampled FROM sel GROUP BY 1)
+         |SELECT r.source, r.n_docs, round(r.rate, 6) AS rate, agg.n_sampled,
+         |  round(agg.n_sampled * 1.0 / r.n_docs, 6) AS eff_rate
+         |FROM r JOIN agg ON r.source = agg.source""".stripMargin,
 
     "pipe_weighted_sample" ->
       """WITH tot AS (SELECT sum(n_chars) AS tw FROM documents)

@@ -174,6 +174,36 @@ object TextQueries extends QueryPack {
         .groupBy("lang", "pred")
         .agg(count(lit(1)).as("cnt"))),
 
+    // Script-composition profile — the mixed-script spam/injection
+    // detector a multilingual curation pipeline runs per document:
+    // every code point classified into a closed range table
+    // ([[ScriptRanges]], ONE Scala constant feeding the kernel AND the
+    // oracle's lambda predicates — the Bm25-constants discipline), with
+    // a flag for documents mixing two or more letter scripts (latin +
+    // CJK/greek/cyrillic — the classic homoglyph-spam signature). One
+    // code-point pass per doc, pure integers, zero shuffle: a per-doc
+    // projection that scales with input splits at any corpus size. On
+    // the ASCII driver corpus the non-latin counts are zeros; the
+    // unicode-injection axis (tools/unicodify.py) is where this row's
+    // classification logic is actually exercised cross-engine.
+    "text_script_mix" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), scriptCounts(col("text")).as("c"))
+        .select(col("doc_id"),
+          col("c")(0).as("n_cp"), col("c")(1).as("n_latin"),
+          col("c")(2).as("n_digit"), col("c")(3).as("n_space"),
+          col("c")(4).as("n_cjk"), col("c")(5).as("n_greek"),
+          col("c")(6).as("n_cyrillic"))
+        .withColumn("n_other",
+          col("n_cp") - col("n_latin") - col("n_digit") - col("n_space") -
+            col("n_cjk") - col("n_greek") - col("n_cyrillic"))
+        .withColumn("is_mixed",
+          (when(col("n_latin") > 0, 1).otherwise(0) +
+            when(col("n_cjk") > 0, 1).otherwise(0) +
+            when(col("n_greek") > 0, 1).otherwise(0) +
+            when(col("n_cyrillic") > 0, 1).otherwise(0) >= 2)
+            .cast("long"))),
+
     // Bigram-coverage quality score — a deterministic stand-in for the
     // LM-perplexity filter real curation pipelines run: the share of a
     // document's distinct word bigrams that are corpus-common
@@ -705,6 +735,95 @@ object TextQueries extends QueryPack {
       |    THEN h - CAST('18446744073709551616' AS HUGEINT) ELSE h END AS BIGINT) AS cleaned_fp
       |FROM hashed""".stripMargin
 
+  /** Code-point range table for text_script_mix — ONE definition feeds
+    * the Spark kernel's range checks AND the oracle's list_filter
+    * predicates, so the classification can never drift between
+    * engines. Classes are disjoint and checked in this order; a code
+    * point matching none is "other". Ranges are inclusive. */
+  private val ScriptRanges: Seq[(String, Seq[(Int, Int)])] = Seq(
+    "latin" -> Seq(('A'.toInt, 'Z'.toInt), ('a'.toInt, 'z'.toInt)),
+    "digit" -> Seq(('0'.toInt, '9'.toInt)),
+    // exactly Java-regex \s (the tokenizer's whitespace set)
+    "space" -> Seq((0x09, 0x0D), (0x20, 0x20)),
+    // CJK punct + kana, unified ideographs, halfwidth/fullwidth forms
+    "cjk" -> Seq((0x3000, 0x30FF), (0x4E00, 0x9FFF), (0xFF00, 0xFFEF)),
+    "greek" -> Seq((0x0370, 0x03FF)),
+    "cyrillic" -> Seq((0x0400, 0x04FF)))
+
+  /** One code-point pass per document: [n_cp, per-class counts…] in
+    * [[ScriptRanges]] order. Null text is the empty document (all
+    * zeros) — the repo-wide null-text contract. A UDF for the same
+    * reason as qualityCounters: one primitive pass instead of
+    * len(ScriptRanges)+1 interpreted array traversals. */
+  private val scriptCounts = {
+    val ranges = ScriptRanges.map(_._2.toArray).toArray
+    udf { (t: String) =>
+      val out = new Array[Long](ranges.length + 1)
+      if (t != null) {
+        var i = 0
+        while (i < t.length) {
+          val cp = t.codePointAt(i)
+          out(0) += 1
+          var k = 0
+          var hit = false
+          while (!hit && k < ranges.length) {
+            val rs = ranges(k)
+            var r = 0
+            while (!hit && r < rs.length) {
+              if (cp >= rs(r)._1 && cp <= rs(r)._2) { hit = true; out(k + 1) += 1 }
+              r += 1
+            }
+            k += 1
+          }
+          i += Character.charCount(cp)
+        }
+      }
+      out
+    }
+  }
+
+  /** [[ScriptRanges]] as DuckDB lambda predicates. */
+  private def scriptPred(cls: String): String =
+    ScriptRanges.toMap.apply(cls)
+      .map { case (lo, hi) =>
+        if (lo == hi) s"c = $lo" else s"(c BETWEEN $lo AND $hi)"
+      }
+      .mkString(" OR ")
+
+  /** Per-code-point classification replayed with ord(substr(…)) —
+    * code-point exact on both engines, astral included. */
+  private val scriptMixOracle: String =
+    s"""WITH cps AS (
+       |  SELECT doc_id,
+       |    list_transform(range(1, length(coalesce(text, '')) + 1),
+       |      i -> ord(substr(coalesce(text, ''), CAST(i AS INT), 1))) AS cs
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id,
+       |    len(cs) AS n_cp,
+       |    len(list_filter(cs, c -> ${scriptPred("latin")})) AS n_latin,
+       |    len(list_filter(cs, c -> ${scriptPred("digit")})) AS n_digit,
+       |    len(list_filter(cs, c -> ${scriptPred("space")})) AS n_space,
+       |    len(list_filter(cs, c -> ${scriptPred("cjk")})) AS n_cjk,
+       |    len(list_filter(cs, c -> ${scriptPred("greek")})) AS n_greek,
+       |    len(list_filter(cs, c -> ${scriptPred("cyrillic")})) AS n_cyrillic
+       |  FROM cps)
+       |SELECT doc_id, CAST(n_cp AS BIGINT) AS n_cp,
+       |  CAST(n_latin AS BIGINT) AS n_latin,
+       |  CAST(n_digit AS BIGINT) AS n_digit,
+       |  CAST(n_space AS BIGINT) AS n_space,
+       |  CAST(n_cjk AS BIGINT) AS n_cjk,
+       |  CAST(n_greek AS BIGINT) AS n_greek,
+       |  CAST(n_cyrillic AS BIGINT) AS n_cyrillic,
+       |  CAST(n_cp - n_latin - n_digit - n_space - n_cjk - n_greek - n_cyrillic
+       |    AS BIGINT) AS n_other,
+       |  CAST(CASE WHEN (CASE WHEN n_latin > 0 THEN 1 ELSE 0 END
+       |      + CASE WHEN n_cjk > 0 THEN 1 ELSE 0 END
+       |      + CASE WHEN n_greek > 0 THEN 1 ELSE 0 END
+       |      + CASE WHEN n_cyrillic > 0 THEN 1 ELSE 0 END) >= 2
+       |    THEN 1 ELSE 0 END AS BIGINT) AS is_mixed
+       |FROM c""".stripMargin
+
   /** Margin thresholds for the classifier keep-rate sweep — ONE Scala
     * definition feeds both the Spark explode axis and the oracle's
     * VALUES table (the Bm25 constants discipline). */
@@ -848,6 +967,7 @@ ORDER BY score DESC, doc_id LIMIT 20"""
   override def oracles: Map[String, String] =
     oraclesBase + ("text_repetition" -> repetitionOracle) +
       ("text_langid" -> langidOracle) +
+      ("text_script_mix" -> scriptMixOracle) +
       ("text_fingerprint" -> fingerprintOracle) +
       ("text_line_dedup" -> lineDedupOracle) +
       ("text_classifier_score" -> classifierOracle) +

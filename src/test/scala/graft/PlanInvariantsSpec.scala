@@ -978,4 +978,25 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert("(?s)HashAggregate.*Exchange.*HashAggregate".r.findFirstIn(p).isDefined,
       s"no map-side partial aggregate:\n$p")
   }
+
+  test("text_script_mix: pure per-doc projection — zero Exchange, one scan") {
+    // the script profile is a map over the corpus; any shuffle here
+    // would be a plan regression (there is no aggregation or join)
+    val p = planOf("text_script_mix")
+    assert(exchangeCount(p) == 0, s"per-doc projection must not shuffle:\n$p")
+    assert(scanIds(p).size == 1, s"documents must scan once:\n$p")
+  }
+
+  test("pipe_domain_mixture: rate table broadcasts back; the corpus is never join-shuffled") {
+    // the √-suppression rates are source-cardinality — they must come
+    // back to the scan as a BroadcastHashJoin; a sort-merge join here
+    // would shuffle the whole corpus on `source` (skew: one domain =
+    // one partition) at 100 TB
+    val p = planOf("pipe_domain_mixture")
+    assert(p.contains("BroadcastHashJoin"),
+      s"rate table must broadcast onto the doc scan:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus must never shuffle for the rate join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
 }

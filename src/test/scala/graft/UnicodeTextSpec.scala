@@ -79,6 +79,34 @@ class UnicodeTextSpec extends AnyFunSuite {
     assert(q == ((6, 3, 4L)), s"got $q") // cps: a,sp,😀,😀,sp,b; tok lens 1+2+1
   }
 
+  test("text_script_mix flags the homoglyph-spam shape (planted fixture)") {
+    // "pаypal" with a CYRILLIC а (U+0430) — visually identical to the
+    // latin word, the classic phishing/spam signature this query's
+    // is_mixed flag exists for; plus pure-latin and pure-CJK controls
+    // that must NOT flag
+    val df = Seq(
+      (1L, "pаypal login"), // latin + cyrillic -> mixed
+      (2L, "plain ascii text 42"), // latin only
+      (3L, "你好 世界"), // cjk only
+      (4L, null.asInstanceOf[String])) // empty-doc contract: all zeros
+      .toDF("doc_id", "text")
+      .createOrReplaceTempView("documents_fixture")
+    val q = graft.queries.TextQueries.queries("text_script_mix")
+    // run the registered query against a temp snapshot of the fixture
+    val dir = java.nio.file.Files.createTempDirectory("scriptmix").toString
+    spark.sql("select * from documents_fixture")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = q(spark, dir)
+      .select("doc_id", "n_cp", "n_latin", "n_cjk", "n_cyrillic", "is_mixed")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out(0) == ((1L, 12L, 10L, 0L, 1L, 1L)), s"homoglyph doc: ${out(0)}")
+    assert(out(1)._6 == 0L && out(1)._2 == 19L, s"latin-only control: ${out(1)}")
+    assert(out(2) == ((3L, 5L, 0L, 4L, 0L, 0L)), s"cjk-only control: ${out(2)}")
+    assert(out(3) == ((4L, 0L, 0L, 0L, 0L, 0L)), s"null text is the empty doc: ${out(3)}")
+  }
+
   test("wordShingleHashes folds gram code points like the oracle's ord() replay") {
     val hs = Seq("😀 b c")
       .toDF("s").select(HashFunctions.wordShingleHashes(col("s"), 3).as("h"))
