@@ -80,16 +80,26 @@ object TextFunctions {
   /** Σ over letter runs of their BPE unit count. A UDF: the 200-rule
     * merge loop has no Catalyst-expression form (a 200-deep replace
     * chain falls out of codegen); the kernel is a tight per-run array
-    * pass, the same justified-kernel tier as the shingle hasher. */
+    * pass, the same justified-kernel tier as the shingle hasher.
+    *
+    * Runs are [a-z]+ over the SIMPLE-LOWERED text — the oracle's exact
+    * order of operations (`lower(col)` then `[^a-z]+` → space in
+    * BpeMerges.oracleCtes). Extracting [a-zA-Z]+ runs from the RAW text
+    * and lowering each run afterward is NOT equivalent on unicode: a
+    * code point whose simple lowercase is an ASCII letter (İ → i)
+    * joins the oracle's run but splits the raw-text run ('İTHACA':
+    * oracle run "ithaca", raw-run form "thaca" — different merge
+    * counts). Identical on ASCII, where casing commutes with the run
+    * boundary. */
   private val bpeLetterUnits = {
-    val runPattern = java.util.regex.Pattern.compile("[a-zA-Z]+")
+    val runPattern = java.util.regex.Pattern.compile("[a-z]+")
     udf { (t: String) =>
       if (t == null) null.asInstanceOf[java.lang.Integer]
       else {
         var n = 0
-        val m = runPattern.matcher(t)
+        val m = runPattern.matcher(UnicodeText.simpleLower(t))
         while (m.find())
-          n += BpeMerges.countSubwords(m.group.toLowerCase(java.util.Locale.ROOT))
+          n += BpeMerges.countSubwords(m.group)
         Integer.valueOf(n)
       }
     }

@@ -32,32 +32,44 @@ import org.apache.spark.unsafe.types.UTF8String
 object UnicodeText {
 
   /** Unicode simple lowercase: per-code-point Character.toLowerCase.
-    * ASCII fast path returns the interned-style single-pass copy. */
+    * This sits on the repo's hottest per-row paths (tokens, shingle
+    * hashing, qualityCounters, the codegen'd SimpleLowerExpr), so the
+    * dominant case — already-lowercase ASCII — is ONE scan returning
+    * `s` unchanged; work begins only at the first char that needs any
+    * (an uppercase ASCII letter or a non-ASCII code point). */
   def simpleLower(s: String): String = {
     var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c >= 0x80 || (c >= 'A' && c <= 'Z')) return lowerFrom(s, i)
+      i += 1
+    }
+    s
+  }
+
+  /** Slow half: chars before `start` are verbatim; decide once whether
+    * the remainder is pure ASCII (char-array fold) or needs the
+    * code-point walk. */
+  private def lowerFrom(s: String, start: Int): String = {
+    var j = start
     var ascii = true
-    while (ascii && i < s.length) { if (s.charAt(i) >= 0x80) ascii = false; i += 1 }
+    while (ascii && j < s.length) {
+      if (s.charAt(j) >= 0x80) ascii = false
+      j += 1
+    }
     if (ascii) {
-      // ASCII-only: branchless A-Z fold, no codepoint walk
-      var j = 0
-      var dirty = false
-      while (!dirty && j < s.length) {
-        val c = s.charAt(j); if (c >= 'A' && c <= 'Z') dirty = true; j += 1
+      val out = s.toCharArray
+      var k = start
+      while (k < s.length) {
+        val c = out(k)
+        if (c >= 'A' && c <= 'Z') out(k) = (c + 32).toChar
+        k += 1
       }
-      if (!dirty) s
-      else {
-        val out = new Array[Char](s.length)
-        var k = 0
-        while (k < s.length) {
-          val c = s.charAt(k)
-          out(k) = if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
-          k += 1
-        }
-        new String(out)
-      }
+      new String(out)
     } else {
       val sb = new java.lang.StringBuilder(s.length)
-      var k = 0
+      sb.append(s, 0, start)
+      var k = start
       while (k < s.length) {
         val cp = s.codePointAt(k)
         sb.appendCodePoint(Character.toLowerCase(cp))

@@ -358,10 +358,16 @@ object MiscQueries extends QueryPack {
 
     // The oracle asserts the certificate: exact value matches AND the
     // HLL estimate landed within its documented 3·rsd envelope.
+    // WHERE user_id IS NOT NULL: the Spark side pre-filters before its
+    // distinct projection, which also removes GROUPS whose every
+    // user_id is NULL — without the mirror filter the oracle would
+    // still emit such a group as (etype, 0, 1) and the row counts
+    // would split the first time a null user_id ships. (Per-group
+    // counts were already aligned: count(DISTINCT) skips nulls.)
     "q_approx_distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users_exact,
         |  CAST(1 AS BIGINT) AS within_bound
-        |FROM events GROUP BY 1""".stripMargin,
+        |FROM events WHERE user_id IS NOT NULL GROUP BY 1""".stripMargin,
 
     // Top-10 exact heavy hitters + the CMS overcount guarantee as a
     // certificate column the oracle asserts TRUE.

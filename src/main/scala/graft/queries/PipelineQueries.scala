@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -109,7 +110,7 @@ object PipelineQueries extends QueryPack {
         // modulus so priorities equidistribute — with a small A every
         // priority in a small-id corpus is near zero and the quota
         // filter degenerates to keep-everything
-        .withColumn("pri", expr("((doc_id % 2147483647) * 1103515245 + 12345) % 2147483647"))
+        .withColumn("pri", lcgHash(col("doc_id")))
         .where(expr("CAST(pri AS DECIMAL(38,0)) * tw < CAST(2147483647 AS DECIMAL(38,0)) * 100 * n_chars"))
         .select(col("doc_id"), col("n_chars"))
     }),
@@ -118,7 +119,7 @@ object PipelineQueries extends QueryPack {
       val w = Window.partitionBy("shard").orderBy("h", "doc_id")
       Tables.documents(s, d)
         .select(col("doc_id"))
-        .withColumn("h", (pmod(col("doc_id"), lit(ShufP)) * ShufA + ShufB) % ShufP)
+        .withColumn("h", lcgHash(col("doc_id")))
         .withColumn("shard", pmod(col("h"), lit(ShuffleShards)))
         .withColumn("pos", row_number().over(w).cast("long"))
         .select(col("doc_id"), col("shard"), col("pos"))
@@ -226,7 +227,7 @@ object PipelineQueries extends QueryPack {
           .withColumn("thr",
             floor(col("rate") * 1000000.0).cast("long")))
       val sampled = docs.select(col("doc_id"), col("source"))
-        .withColumn("h", expr(s"((doc_id % $ShufP) * $ShufA + $ShufB) % $ShufP"))
+        .withColumn("h", lcgHash(col("doc_id")))
         .join(broadcast(rates.select(col("source"), col("thr"))), Seq("source"))
         .groupBy("source")
         .agg(sum(when(col("h") % 1000000L < col("thr"), 1L).otherwise(0L))
@@ -249,6 +250,17 @@ object PipelineQueries extends QueryPack {
   private val ShufA = 1103515245L
   private val ShufB = 12345L
   private val ShuffleShards = 64L
+
+  /** The repo's deterministic selection hash, ((id mod P)·A + B) mod P
+    * — ONE definition for every site that uses "pipe_global_shuffle's
+    * constants" (global shuffle, weighted sampling, domain mixture),
+    * so the formula cannot drift per site (r13 review: two hand-copied
+    * instances had already diverged pmod-vs-% — identical on the
+    * schema's non-negative ids, but a silent fork). pmod first, so a
+    * hypothetical negative id still yields a non-negative hash; the
+    * outer plain % is exact because the operand is already ≥ 0. */
+  private def lcgHash(id: Column): Column =
+    (pmod(id, lit(ShufP)) * ShufA + ShufB) % ShufP
 
   override def oracles: Map[String, String] = Map(
     "pipe_compaction_plan" ->

@@ -79,6 +79,24 @@ class UnicodeTextSpec extends AnyFunSuite {
     assert(q == ((6, 3, 4L)), s"got $q") // cps: a,sp,😀,😀,sp,b; tok lens 1+2+1
   }
 
+  test("bpeLetterUnits runs are [a-z]+ over the SIMPLE-LOWERED text (oracle order)") {
+    import graft.functions.BpeMerges
+    // 'İNGEST': the oracle lowercases FIRST, so its letter run is
+    // "ingest" (2 merge units); extracting [a-zA-Z]+ from the raw
+    // text gives "NGEST" → "ngest" (3 units) — the order of
+    // operations is observable under the committed merge table (the
+    // r13 review's catch; the unicodify snippet 'İSTANBUL' passes by
+    // coincidence — equal counts both ways — which is why the axis
+    // run stayed green over the live defect)
+    val anti = BpeMerges.countSubwords("ingest") != BpeMerges.countSubwords("ngest")
+    assert(anti, "fixture became vacuous: pick a word whose İ-run diverges")
+    val got = Seq("İNGEST").toDF("s")
+      .select(TextFunctions.subwordCount(col("s")).as("n"))
+      .as[Int].collect().head
+    // letters as ONE lowered run + İ itself counted by the punct term
+    assert(got == BpeMerges.countSubwords("ingest") + 1, s"got $got")
+  }
+
   test("text_script_mix flags the homoglyph-spam shape (planted fixture)") {
     // "pаypal" with a CYRILLIC а (U+0430) — visually identical to the
     // latin word, the classic phishing/spam signature this query's

@@ -10,8 +10,10 @@ oracle-graded on sparse-duplicate data. This axis writes a copy where
 copies of a group anchor:
 
   * documents: text := text of anchor (doc_id - doc_id % 7), LEFT
-    JOIN + coalesce so groups whose anchor id is absent keep their own
-    text (deterministic, no RNG);
+    JOIN + coalesce, so a doc keeps its OWN text when the anchor id is
+    absent OR the anchor's text is NULL (deterministic, no RNG — note
+    the NULL case means composing this axis on top of a null-injected
+    copy delivers less duplicate pressure than the headline ~6/7);
   * embeddings: embedding := embedding of anchor (vec_id - vec_id % 5),
     same fallback. label/vec_id untouched.
 

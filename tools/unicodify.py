@@ -22,7 +22,10 @@ Divergence classes each snippet targets:
     (ΑΣ -> ασ).
   * doc_id % 59: Turkish İ (U+0130) + combining acute vs precomposed —
     Java full lowercase of İ is 2 code points (i + U+0307),
-    utf8proc's simple mapping is 1.
+    utf8proc's simple mapping is 1. İNGEST is chosen so the
+    lowered-run-vs-raw-run BPE segmentation also diverges (ingest = 2
+    merge units, ngest = 3) — İSTANBUL alone passes that by
+    coincidence.
   * doc_id % 61: German ß / ẞ — no simple uppercase mapping for ß,
     full mapping is SS; lowercase of ẞ differs by mapping table.
   * doc_id % 67: NBSP + ideographic space INSIDE words — both Java and
@@ -51,7 +54,7 @@ SNIPPETS = [
     (41, " 你好　世界 日本語テスト ＦＵＬＬ"),
     (43, " \U0001f600\U0001f680\U0001f525 \U0001d54a\U0001d561\U0001d552\U0001d563\U0001d55c"),
     (47, " ΑΣ ΚΟΣΜΟΣ ΟΔΟΣ"),
-    (59, " İSTANBUL ışık café café"),
+    (59, " İSTANBUL İNGEST ışık café café"),
     (61, " straße STRAẞE GROSS ß"),
     (67, " x y　z"),
 ]
