@@ -48,7 +48,15 @@ object AsofJoin {
     val pStructType = org.apache.spark.sql.types.StructType(payload.map(p => right.schema(p)))
     val l = left.withColumn("__t", col(leftTime)).withColumn("__side", lit(1))
       .withColumn("__p", lit(null).cast(pStructType))
-    val r = right.select(
+    // SQL equi-key semantics: a NULL key matches NOTHING (DuckDB's
+    // `ASOF ... ON l.k = r.k AND ...` — the oracle form). The window
+    // below would instead put all null-key rows in ONE partition and
+    // leak a null-key right row into null-key left rows. Dropping
+    // null-key RIGHT rows restores the contract: they can match no
+    // left row, and null-key left rows then ride a partition with no
+    // right row ever preceding them → null payload, exactly the
+    // unmatched-left outcome. (r13 null-user axis catch.)
+    val r = right.where(col(key).isNotNull).select(
       col(key), col(rightTime).as("__t"), lit(0).as("__side"),
       struct(payload.map(col): _*).as("__p"))
     val rAligned = leftCols.filterNot(c => c == key).foldLeft(r)((df, c) =>

@@ -107,6 +107,12 @@ object AlgebraQueries extends QueryPack {
         .select(col("event_id"), col("user_id"), col("us"))
       graft.functions.AsofJoin.asof(buys, changes, key = "user_id",
           leftTime = "us", rightTime = "cus", payload = Seq("state", "cus"))
+        // the oracle is an INNER asof — unmatched purchases (a NULL
+        // user_id can match no change row) must drop. The matched
+        // flag is cus, NOT state: a matched state can be legitimately
+        // NULL (the null-event_type axis arm), but cus is non-null
+        // for every real match. (r13 null-user axis catch.)
+        .where(col("cus").isNotNull)
         .select(col("event_id"), col("user_id"), col("state"),
           (col("us") - col("cus")).as("state_age_us"))
     }),

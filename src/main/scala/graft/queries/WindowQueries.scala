@@ -71,13 +71,18 @@ object WindowQueries extends QueryPack {
           unix_micros(col("ts")).as("us"))
         .repartition(col("user_id"))
         .sortWithinPartitions("user_id", "us", "event_id")
-        .as[(Long, Long, java.lang.Double, Long)]
+        .as[(java.lang.Long, Long, java.lang.Double, Long)]
         .mapPartitions { rows =>
           val in = rows.buffered
-          new Iterator[(Long, Long, Long, Long, java.lang.Double)] {
-            private var pending: Iterator[(Long, Long, Long, Long, java.lang.Double)] =
+          new Iterator[(java.lang.Long, Long, Long, Long, java.lang.Double)] {
+            private var pending: Iterator[(java.lang.Long, Long, Long, Long, java.lang.Double)] =
               Iterator.empty
-            private var curUser = 0L
+            // user_id is NULLABLE: both engines' PARTITION BY treats
+            // the null users as ONE partition, so the kernel must
+            // process them as a group, not throw on decode (r13
+            // null-user axis catch) — hence boxed key + null-safe
+            // group comparison.
+            private var curUser: java.lang.Long = null
             private var started = false
             // value is NULLABLE (a null dq entry): the RANGE frame this
             // kernel replaces counted a null-value row in count(*) but
@@ -89,16 +94,17 @@ object WindowQueries extends QueryPack {
             private var sum = java.math.BigDecimal.ZERO
             private var nn = 0L
             def hasNext: Boolean = pending.hasNext || in.hasNext
-            def next(): (Long, Long, Long, Long, java.lang.Double) = {
+            def next(): (java.lang.Long, Long, Long, Long, java.lang.Double) = {
               if (!pending.hasNext) {
                 val (u, _, _, us0) = in.head
-                if (!started || u != curUser) {
+                if (!started || !java.util.Objects.equals(u, curUser)) {
                   curUser = u; started = true
                   dq.clear(); sum = java.math.BigDecimal.ZERO; nn = 0L
                 }
                 val group = scala.collection.mutable.ArrayBuffer
-                  .empty[(Long, Long, java.lang.Double, Long)]
-                while (in.hasNext && in.head._1 == u && in.head._4 == us0)
+                  .empty[(java.lang.Long, Long, java.lang.Double, Long)]
+                while (in.hasNext && java.util.Objects.equals(in.head._1, u) &&
+                    in.head._4 == us0)
                   group += in.next()
                 val lower = us0 - 3600000000L // trailing hour, microseconds
                 while (dq.nonEmpty && dq.head._1 < lower) {
@@ -443,8 +449,13 @@ object WindowQueries extends QueryPack {
     // days, and map-side combine dedups before the exchange), the cohort
     // day is just array_min of it, and the final day_offset histogram is
     // a ~30-key aggregate.
+    // user_id IS NOT NULL on BOTH engines: a cohort is a USER — and
+    // without the filter the engines silently disagree (Spark's
+    // groupBy keeps a null-user group, the oracle's JOIN USING drops
+    // it; r13 null-user axis catch).
     "q_events_retention" -> ((s, d) =>
       Tables.events(s, d)
+        .where(col("user_id").isNotNull)
         .select(col("user_id"), to_date(col("ts")).as("day"))
         .groupBy("user_id").agg(collect_set("day").as("days"))
         .select(explode(col("days")).as("day"), array_min(col("days")).as("d0"))
@@ -719,7 +730,8 @@ object WindowQueries extends QueryPack {
         |WHERE c.event_type = 'click' AND v.event_type = 'view'""".stripMargin,
 
     "q_events_retention" ->
-      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |            FROM events WHERE user_id IS NOT NULL),
         |c AS (SELECT user_id, min(day) AS d0 FROM ud GROUP BY 1)
         |SELECT CAST(date_diff('day', d0, day) AS BIGINT) AS day_offset,
         |  count(*) AS n_users

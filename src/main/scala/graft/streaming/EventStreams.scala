@@ -207,7 +207,12 @@ object EventStreams {
       .agg(count(lit(1)).as("hau"))
       .select(col("window.start").as("hour"), col("hau"))
 
-  case class ValueEvent(user_id: Long, ts: Timestamp, event_id: Long, value: Double)
+  // user_id/value are BOXED (nullable): the batch queries these
+  // streams twin treat a null user as one window partition and a null
+  // value as count-not-sum (the r13 null-user axis contract); a
+  // primitive decode would kill the stream on the first such event.
+  case class ValueEvent(user_id: java.lang.Long, ts: Timestamp, event_id: Long,
+      value: java.lang.Double)
   case class EwmaState(recent: List[Double])
   case class EwmaOut(user_id: Long, event_id: Long, ewma: Double)
 
@@ -220,9 +225,9 @@ object EventStreams {
     * could overflow on a dense window (r12 ADVICE) — raw doubles have
     * no exactness to lose and the emit-time BigDecimal chain is the
     * batch kernel's, bit-for-bit. */
-  case class RollingState(entries: Seq[(Long, Double)])
-  case class RollingOut(user_id: Long, event_id: Long, us: Long,
-      n_1h: Long, sum_1h: Double)
+  case class RollingState(entries: Seq[(Long, java.lang.Double)])
+  case class RollingOut(user_id: java.lang.Long, event_id: Long, us: Long,
+      n_1h: Long, sum_1h: java.lang.Double)
 
   /** Streaming EWMA — the stateful twin of batch `q_events_ewma`
     * (α = 1/2 truncated at `depth`, renormalized): state per user is
@@ -243,18 +248,27 @@ object EventStreams {
     val timeoutConf =
       if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
       else GroupStateTimeout.NoTimeout
+    // The EWMA recurrence needs an identified user and a numeric
+    // contribution — null-user / null-value events are dropped at the
+    // door (stateful smoothing for an unidentified user is
+    // meaningless, and a null contribution has no defined weight in
+    // the truncated recurrence). This is a DOCUMENTED divergence from
+    // the batch lag-window form, which emits rows whose null lag
+    // contributions null out the score; EventStreamsSpec's parity
+    // fixtures are non-null.
     events
+      .filter(e => (e.user_id ne null) && (e.value ne null))
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[EwmaState, EwmaOut](
         OutputMode.Append, timeoutConf) {
-        (uid: Long, rows: Iterator[ValueEvent], state: GroupState[EwmaState]) =>
+        (uid: java.lang.Long, rows: Iterator[ValueEvent], state: GroupState[EwmaState]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
             val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
             var recent = state.getOption.map(_.recent).getOrElse(Nil)
             val out = Seq.newBuilder[EwmaOut]
             sorted.foreach { e =>
-              recent = (recent :+ e.value).takeRight(depth)
+              recent = (recent :+ e.value.doubleValue).takeRight(depth)
               val m = recent.length
               // BigDecimal.decimal = valueOf(double) — the same
               // shortest-representation reading Spark's double →
@@ -303,11 +317,11 @@ object EventStreams {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[RollingState, RollingOut](
         OutputMode.Append, timeoutConf) {
-        (uid: Long, rows: Iterator[ValueEvent], state: GroupState[RollingState]) =>
+        (uid: java.lang.Long, rows: Iterator[ValueEvent], state: GroupState[RollingState]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
             val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
-            var entries: Vector[(Long, Double)] =
+            var entries: Vector[(Long, java.lang.Double)] =
               state.getOption.map(_.entries.toVector).getOrElse(Vector.empty)
             var maxSeen = entries.lastOption.map(_._1).getOrElse(Long.MinValue)
             val out = Seq.newBuilder[RollingOut]
@@ -330,11 +344,22 @@ object EventStreams {
                 // so add/evict history cannot matter), one final
                 // toDouble. Unbounded precision: nothing here throws or
                 // overflows whatever the values or window occupancy.
-                val sumD = entries.iterator
+                // Null values count toward n_1h but not the sum; sum is
+                // NULL when the window holds no non-null value (the
+                // batch kernel's count(*)/sum() contract).
+                var anyNonNull = false
+                val sumBD = entries.iterator
                   .foldLeft(java.math.BigDecimal.ZERO) { (acc, e) =>
-                    acc.add(java.math.BigDecimal.valueOf(e._2)
-                      .setScale(6, java.math.RoundingMode.HALF_UP))
-                  }.doubleValue
+                    if (e._2 eq null) acc
+                    else {
+                      anyNonNull = true
+                      acc.add(java.math.BigDecimal.valueOf(e._2.doubleValue)
+                        .setScale(6, java.math.RoundingMode.HALF_UP))
+                    }
+                  }
+                val sumD: java.lang.Double =
+                  if (!anyNonNull) null
+                  else java.lang.Double.valueOf(sumBD.doubleValue)
                 (i until j).foreach(k =>
                   out += RollingOut(uid, sorted(k).event_id, us0, cnt, sumD))
                 maxSeen = us0

@@ -410,6 +410,48 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally stream.stop()
   }
 
+  test("streaming rolling: null users form one stream group, null values count-not-sum (batch parity)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.EventStreams.{RollingOut, ValueEvent}
+    // the r13 null-user axis contract: both engines' PARTITION BY puts
+    // all null-user rows in ONE partition (so must the state store —
+    // across micro-batches), and a null value counts toward n_1h but
+    // not sum_1h, with sum NULL while the frame holds no non-null
+    val evs = Seq(
+      ValueEvent(null, ts(0), 1L, null),
+      ValueEvent(null, ts(10), 2L, 5.5),
+      ValueEvent(1L, ts(0), 3L, null),
+      ValueEvent(1L, ts(5), 4L, 2.0),
+      ValueEvent(null, ts(20), 5L, null))
+    val mem = MemoryStream[ValueEvent]
+    val stream = EventStreams.streamingRolling(mem.toDS(), idleTimeout = None)
+      .writeStream.format("memory").queryName("rolling_null_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(evs.take(2): _*); stream.processAllAvailable()
+      mem.addData(evs.drop(2): _*); stream.processAllAvailable()
+      val streamed = spark.table("rolling_null_stream").as[RollingOut].collect()
+        .map(o => o.event_id ->
+          ((o.us, o.n_1h, Option(o.sum_1h).map(_.doubleValue)))).toMap
+      val dir = java.nio.file.Files.createTempDirectory("rolling_null_batch").toString
+      evs.map(e => (e.event_id, e.ts, e.user_id, "view", e.value, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val batch = SparkEntry.queries("q_events_rolling")(spark, dir)
+        .select("event_id", "us", "n_1h", "sum_1h")
+        .as[(Long, Long, Long, Option[Double])].collect()
+        .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+      SparkEntry.releaseCaches()
+      assert(streamed == batch,
+        s"null contract must be batch-exact across micro-batches:\n$streamed\nvs\n$batch")
+      // null-user frame at ts(10) holds {null, 5.5}: counted 2, summed 5.5
+      assert(streamed(2L)._2 == 2L && streamed(2L)._3 == Some(5.5))
+      // a frame holding only a null value: n=1, sum NULL
+      assert(streamed(1L)._2 == 1L && streamed(1L)._3.isEmpty)
+    } finally stream.stop()
+  }
+
   test("streaming rolling survives huge values: no unscaled-Long throw, no sum overflow, batch-exact") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

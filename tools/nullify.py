@@ -11,8 +11,11 @@ sibling: SQL three-valued logic vs Scala-kernel null handling).
 
 Injection is DETERMINISTIC (key-modulus, no RNG): documents.text NULL
 for doc_id % 53 == 0; events.value NULL for event_id % 47 == 0;
-events.event_type NULL for event_id % 59 == 0 (co-prime moduli so the
-combinations occur). Everything else copies through byte-identical.
+events.event_type NULL for event_id % 59 == 0; events.user_id NULL
+for event_id % 61 == 0 (r13b — the per-user battery: sessions,
+rolling windows, paths, HAU, stickiness had never been graded with
+null users; all moduli co-prime so the combinations occur).
+Everything else copies through byte-identical.
 
 Usage: python3 tools/nullify.py <src_sf_dir> <dst_dir>
 Then:  sbt "runMain graft.Verify <dst_dir> <out>" && python3 tools/check.py <dst_dir> <out>
@@ -41,7 +44,8 @@ def main(src: str, dst: str) -> None:
                       FROM read_parquet('{sp}')) TO '{dp}' (FORMAT PARQUET)""")
         elif t == "events":
             con.execute(f"""
-                COPY (SELECT event_id, ts, user_id,
+                COPY (SELECT event_id, ts,
+                             CASE WHEN event_id % 61 = 0 THEN NULL ELSE user_id END AS user_id,
                              CASE WHEN event_id % 59 = 0 THEN NULL ELSE event_type END AS event_type,
                              CASE WHEN event_id % 47 = 0 THEN NULL ELSE value END AS value,
                              props
@@ -51,7 +55,8 @@ def main(src: str, dst: str) -> None:
                 shutil.copytree(sp, dp, dirs_exist_ok=True)
             else:
                 shutil.copy2(sp, dp)
-    for t, col in [("documents", "text"), ("events", "value"), ("events", "event_type")]:
+    for t, col in [("documents", "text"), ("events", "value"),
+                   ("events", "event_type"), ("events", "user_id")]:
         n, nn = con.execute(
             f"SELECT count(*), count({col}) FROM read_parquet('{os.path.join(dst, t)}.parquet')"
         ).fetchone()
