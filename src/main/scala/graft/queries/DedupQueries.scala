@@ -973,48 +973,68 @@ FROM sh LEFT JOIN cnt ON sh.doc_id = cnt.doc_id"""
       .mkString(" + ")
 
   /** [[VectorFunctions.cosineLoopD]]'s three accumulators, unrolled:
-    * float×double dot, float norm, double centroid norm. */
-  private def dotEcSql(a: String): String =
-    (1 to Dim).map(i => s"CAST($a.embedding[$i] AS DOUBLE) * $a.cv[$i]").mkString(" + ")
-  private def normESql(a: String): String =
+    * float×double dot, float norm, double centroid norm. Two aliases
+    * (embedding side / centroid side) so the cosine can be computed
+    * AFTER the skinny argmin window, joining the vectors back only for
+    * the winning (vec, center) rows — the r13 `afw` CTE threaded both
+    * 64-wide vectors through the window sort for every candidate row,
+    * which dominated the oracle's peak memory (the r13 driver-gate
+    * DuckDB OOM). */
+  private def dotEcSql(e: String, c: String): String =
+    (1 to Dim).map(i => s"CAST($e.embedding[$i] AS DOUBLE) * $c.cv[$i]").mkString(" + ")
+  private def normESql(e: String): String =
     (1 to Dim).map(i =>
-      s"CAST($a.embedding[$i] AS DOUBLE) * CAST($a.embedding[$i] AS DOUBLE)").mkString(" + ")
-  private def normCSql(a: String): String =
-    (1 to Dim).map(i => s"$a.cv[$i] * $a.cv[$i]").mkString(" + ")
+      s"CAST($e.embedding[$i] AS DOUBLE) * CAST($e.embedding[$i] AS DOUBLE)").mkString(" + ")
+  private def normCSql(c: String): String =
+    (1 to Dim).map(i => s"$c.cv[$i] * $c.cv[$i]").mkString(" + ")
 
-  /** One Lloyd-update mean per coordinate: members summed in vec_id
-    * order left-to-right from +0.0 (list_prepend emulates the Spark
-    * aggregate's 0.0 initial value), divided once in double — the
-    * exact op sequence of fitBucketed's sorted-collect aggregate. */
+  /** Per-coordinate Lloyd-update mean over ONE ordered member-vector
+    * list: coordinate j summed left-to-right from +0.0 in vec_id order
+    * (list_prepend emulates the Spark aggregate's 0.0 initial value),
+    * divided once in double — the exact op sequence of fitBucketed's
+    * sorted-collect aggregate. Bit-identical to the r13 form (64
+    * separate `list(e.embedding[j] ORDER BY vec_id)` aggregates):
+    * extracting v[j] from the vec_id-ordered list of cast vectors
+    * yields the same double sequence per coordinate, summed in the
+    * same order. The single-list shape exists for memory: one ordered
+    * aggregate's sort state per group instead of 64. */
   private def kmeansMeanColsSql: String =
-    (1 to Dim).map(i =>
+    (1 to Dim).map(j =>
       s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
-        s"list(CAST(e.embedding[$i] AS DOUBLE) ORDER BY a.vec_id)), (x, y) -> x + y) " +
-        s"/ CAST(count(*) AS DOUBLE) AS p$i")
-      .mkString(",\n    ")
+        s"list_transform(s.vs, v -> v[$j])), (x, y) -> x + y) " +
+        s"/ CAST(s.n AS DOUBLE)")
+      .mkString(", ")
 
   /** The bucket-local Lloyd iterations as a generated CTE chain —
     * produced from the SAME semKMeansIters the Spark loop runs, so
-    * refinement depth can never diverge between engines. */
+    * refinement depth can never diverge between engines. The argmin
+    * window sorts SKINNY rows (vec_id, bucket, cluster, d) — the
+    * squared distance is computed in the join projection, never
+    * carrying the vectors into the window sort. */
   private def kmeansIterCtes(iters: Int): String =
     (1 to iters).map { i =>
       val prev = s"k${i - 1}"
       s"""a$i AS (
          |  SELECT vec_id, bucket, cluster FROM (
-         |    SELECT t.vec_id, t.bucket, c.cluster,
-         |      row_number() OVER (PARTITION BY t.vec_id
-         |        ORDER BY (${sqDistSql("t", "c")}) ASC, c.cluster ASC) AS rn
-         |    FROM tv t JOIN $prev c ON t.bucket = c.bucket)
+         |    SELECT vec_id, bucket, cluster,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY d ASC, cluster ASC) AS rn
+         |    FROM (
+         |      SELECT t.vec_id, t.bucket, c.cluster,
+         |        (${sqDistSql("t", "c")}) AS d
+         |      FROM tv t JOIN $prev c ON t.bucket = c.bucket))
          |  WHERE rn = 1),
          |s$i AS (
          |  SELECT a.bucket, a.cluster,
-         |    $kmeansMeanColsSql
+         |    list(list_transform(e.embedding, x -> CAST(x AS DOUBLE))
+         |      ORDER BY a.vec_id) AS vs,
+         |    count(*) AS n
          |  FROM a$i a JOIN embeddings e ON a.vec_id = e.vec_id
          |  GROUP BY 1, 2),
          |k$i AS (
          |  SELECT c.bucket, c.cluster,
          |    CASE WHEN s.cluster IS NULL THEN c.cv
-         |         ELSE [${(1 to Dim).map(j => s"s.p$j").mkString(", ")}] END AS cv
+         |         ELSE [$kmeansMeanColsSql] END AS cv
          |  FROM $prev c LEFT JOIN s$i s
          |    ON c.bucket = s.bucket AND c.cluster = s.cluster)""".stripMargin
     }.mkString(",\n")
@@ -1040,6 +1060,23 @@ FROM sh LEFT JOIN cnt ON sh.doc_id = cnt.doc_id"""
         .mkString(" + ")
       s"(CASE WHEN bsel.bbits > $p AND ($proj) > 0 THEN ${1L << p} ELSE 0 END)"
     }.mkString(" + ")
+
+  /** Force `AS MATERIALIZED` on every top-level CTE of an oracle.
+    * DuckDB 1.0 INLINES each CTE reference — in the semantic-dedup
+    * oracles the Lloyd-iteration chain (k0→kN, each a window + an
+    * ordered-list aggregate over the bucket/train subtrees) is
+    * re-instantiated at EVERY downstream reference (asn, af, capped×2,
+    * dups), an exponential operator-tree blowup that held ~190 MiB of
+    * 256 KiB operator blocks live at once on a 500-row corpus and
+    * OOM'd the r13 driver gate's memory-starved checker. Materializing
+    * runs each CTE once (all are ≤corpus-size here); results are
+    * identical — only the execution shape changes. CTE headers in the
+    * generated SQL always sit at line start (stripMargin), so the
+    * rewrite is anchored and cannot touch `CAST(x AS T)` or window
+    * `OVER (` text. */
+  private def materializedCtes(sql: String): String =
+    sql.replaceAll("(?m)^((?:[A-Za-z0-9_]+)(?:\\([^)]*\\))?) AS \\(", "$1 AS MATERIALIZED (")
+      .replaceAll("(?m)^WITH ((?:[A-Za-z0-9_]+)(?:\\([^)]*\\))?) AS \\(", "WITH $1 AS MATERIALIZED (")
 
   private val jaccardCtes =
     s"""toks AS (
@@ -1219,7 +1256,7 @@ FROM sh LEFT JOIN cnt ON sh.doc_id = cnt.doc_id"""
     // Quantizer width from the HISTORY count only (the index policy),
     // build side capped per (bucket, side) by the interpolated cap,
     // probe side uncapped, NaN-guarded round-6 cosine threshold.
-    "dedup_semantic_incremental" -> {
+    "dedup_semantic_incremental" -> materializedCtes {
       val buildCte =
         if (semIncrCap <= 0) "SELECT vec_id, bucket, is_new FROM b"
         else
@@ -1238,25 +1275,23 @@ FROM sh LEFT JOIN cnt ON sh.doc_id = cnt.doc_id"""
          |  FROM embeddings e CROSS JOIN bsel),
          |build AS (
          |  $buildCte)
-         |SELECT a.vec_id AS i, b2.vec_id AS j,
-         |  CASE WHEN b2.is_new THEN 'batch' ELSE 'history' END AS against,
-         |  round((${dotSql("x", "y")}) /
-         |    sqrt((${dotSql("x", "x")}) * (${dotSql("y", "y")})), 6) AS sim
-         |FROM b a JOIN build b2 ON a.bucket = b2.bucket AND a.is_new
-         |  AND (NOT b2.is_new OR b2.vec_id < a.vec_id)
-         |JOIN embeddings x ON x.vec_id = a.vec_id
-         |JOIN embeddings y ON y.vec_id = b2.vec_id
-         |WHERE NOT isnan(round((${dotSql("x", "y")}) /
-         |    sqrt((${dotSql("x", "x")}) * (${dotSql("y", "y")})), 6))
-         |  AND round((${dotSql("x", "y")}) /
-         |    sqrt((${dotSql("x", "x")}) * (${dotSql("y", "y")})), 6) >= $CosineThreshold""".stripMargin
+         |SELECT i, j, against, sim FROM (
+         |  SELECT a.vec_id AS i, b2.vec_id AS j,
+         |    CASE WHEN b2.is_new THEN 'batch' ELSE 'history' END AS against,
+         |    round((${dotSql("x", "y")}) /
+         |      sqrt((${dotSql("x", "x")}) * (${dotSql("y", "y")})), 6) AS sim
+         |  FROM b a JOIN build b2 ON a.bucket = b2.bucket AND a.is_new
+         |    AND (NOT b2.is_new OR b2.vec_id < a.vec_id)
+         |  JOIN embeddings x ON x.vec_id = a.vec_id
+         |  JOIN embeddings y ON y.vec_id = b2.vec_id)
+         |WHERE NOT isnan(sim) AND sim >= $CosineThreshold""".stripMargin
     },
 
     // dedup_semantic_incremental's against='history' slice — the pair
     // contract the persisted index must reproduce from its stored
     // layout. The cap partitions by bucket alone (the index table IS
     // the history side; probe applies it per bucket at read time).
-    "dedup_semantic_indexed" -> {
+    "dedup_semantic_indexed" -> materializedCtes {
       val histCte =
         if (semIncrCap <= 0) "SELECT vec_id, bucket FROM b WHERE NOT is_new"
         else
@@ -1276,19 +1311,17 @@ FROM sh LEFT JOIN cnt ON sh.doc_id = cnt.doc_id"""
          |  FROM embeddings e CROSS JOIN bsel),
          |hist AS (
          |  $histCte)
-         |SELECT a.vec_id AS new_id, h.vec_id AS vec_id,
-         |  round((${dotSql("x", "y")}) /
-         |    sqrt((${dotSql("x", "x")}) * (${dotSql("y", "y")})), 6) AS sim
-         |FROM b a JOIN hist h ON a.bucket = h.bucket AND a.is_new
-         |JOIN embeddings x ON x.vec_id = a.vec_id
-         |JOIN embeddings y ON y.vec_id = h.vec_id
-         |WHERE NOT isnan(round((${dotSql("x", "y")}) /
-         |    sqrt((${dotSql("x", "x")}) * (${dotSql("y", "y")})), 6))
-         |  AND round((${dotSql("x", "y")}) /
-         |    sqrt((${dotSql("x", "x")}) * (${dotSql("y", "y")})), 6) >= $CosineThreshold""".stripMargin
+         |SELECT new_id, vec_id, sim FROM (
+         |  SELECT a.vec_id AS new_id, h.vec_id AS vec_id,
+         |    round((${dotSql("x", "y")}) /
+         |      sqrt((${dotSql("x", "x")}) * (${dotSql("y", "y")})), 6) AS sim
+         |  FROM b a JOIN hist h ON a.bucket = h.bucket AND a.is_new
+         |  JOIN embeddings x ON x.vec_id = a.vec_id
+         |  JOIN embeddings y ON y.vec_id = h.vec_id)
+         |WHERE NOT isnan(sim) AND sim >= $CosineThreshold""".stripMargin
     },
 
-    "dedup_semantic" -> {
+    "dedup_semantic" -> materializedCtes {
       // cap disabled (soak A/B arm) → the pair stage reads a1 whole
       val cappedCte =
         if (semClusterCap <= 0) "SELECT vec_id, cluster FROM a1"
@@ -1323,14 +1356,14 @@ FROM sh LEFT JOIN cnt ON sh.doc_id = cnt.doc_id"""
          |capped AS (
          |  $cappedCte),
          |dups AS (
-         |  SELECT DISTINCT b2.vec_id
-         |  FROM capped a JOIN capped b2 ON a.cluster = b2.cluster AND a.vec_id < b2.vec_id
-         |  JOIN embeddings x ON x.vec_id = a.vec_id
-         |  JOIN embeddings y ON y.vec_id = b2.vec_id
-         |  WHERE NOT isnan(round((${dotSql("x", "y")}) /
-         |    sqrt((${dotSql("x", "x")}) * (${dotSql("y", "y")})), 6))
-         |    AND round((${dotSql("x", "y")}) /
-         |    sqrt((${dotSql("x", "x")}) * (${dotSql("y", "y")})), 6) >= $CosineThreshold)
+         |  SELECT DISTINCT vec_id FROM (
+         |    SELECT b2.vec_id,
+         |      round((${dotSql("x", "y")}) /
+         |        sqrt((${dotSql("x", "x")}) * (${dotSql("y", "y")})), 6) AS psim
+         |    FROM capped a JOIN capped b2 ON a.cluster = b2.cluster AND a.vec_id < b2.vec_id
+         |    JOIN embeddings x ON x.vec_id = a.vec_id
+         |    JOIN embeddings y ON y.vec_id = b2.vec_id)
+         |  WHERE NOT isnan(psim) AND psim >= $CosineThreshold)
          |SELECT a1.vec_id, a1.cluster, a1.sim,
          |  CAST(CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_dup
          |FROM a1 LEFT JOIN dups d ON a1.vec_id = d.vec_id""".stripMargin
@@ -1341,7 +1374,7 @@ FROM sh LEFT JOIN cnt ON sh.doc_id = cnt.doc_id"""
     // (assign, sums, centers) CTE triple with vec_id-ordered
     // list_reduce sums, then the final L2 argmin, centroid cosine, and
     // the NaN-guarded capped pair stage.
-    "dedup_semantic_kmeans" -> {
+    "dedup_semantic_kmeans" -> materializedCtes {
       val trCte =
         if (semTrainCap <= 0) "SELECT vec_id, bucket FROM b"
         else
@@ -1386,29 +1419,35 @@ FROM sh LEFT JOIN cnt ON sh.doc_id = cnt.doc_id"""
         }av AS (
          |  SELECT b.vec_id, b.bucket, e.embedding
          |  FROM b JOIN embeddings e ON b.vec_id = e.vec_id),
-         |afw AS (
-         |  SELECT vec_id, cluster, embedding, cv FROM (
-         |    SELECT t.vec_id, c.cluster, t.embedding, c.cv,
-         |      row_number() OVER (PARTITION BY t.vec_id
-         |        ORDER BY (${sqDistSql("t", "c")}) ASC, c.cluster ASC) AS rn
-         |    FROM av t JOIN k$semKMeansIters c ON t.bucket = c.bucket)
+         |asn AS (
+         |  SELECT vec_id, bucket, cluster FROM (
+         |    SELECT vec_id, bucket, cluster,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY d ASC, cluster ASC) AS rn
+         |    FROM (
+         |      SELECT t.vec_id, t.bucket, c.cluster,
+         |        (${sqDistSql("t", "c")}) AS d
+         |      FROM av t JOIN k$semKMeansIters c ON t.bucket = c.bucket))
          |  WHERE rn = 1),
          |af AS (
-         |  SELECT vec_id, cluster,
-         |    round((${dotEcSql("afw")}) /
-         |      sqrt((${normESql("afw")}) * (${normCSql("afw")})), 6) AS sim
-         |  FROM afw),
+         |  SELECT a.vec_id, a.cluster,
+         |    round((${dotEcSql("e", "c")}) /
+         |      sqrt((${normESql("e")}) * (${normCSql("c")})), 6) AS sim
+         |  FROM asn a
+         |  JOIN embeddings e ON e.vec_id = a.vec_id
+         |  JOIN k$semKMeansIters c
+         |    ON c.bucket = a.bucket AND c.cluster = a.cluster),
          |capped AS (
          |  $cappedCte),
          |dups AS (
-         |  SELECT DISTINCT b2.vec_id
-         |  FROM capped a JOIN capped b2 ON a.cluster = b2.cluster AND a.vec_id < b2.vec_id
-         |  JOIN embeddings x ON x.vec_id = a.vec_id
-         |  JOIN embeddings y ON y.vec_id = b2.vec_id
-         |  WHERE NOT isnan(round((${dotSql("x", "y")}) /
-         |    sqrt((${dotSql("x", "x")}) * (${dotSql("y", "y")})), 6))
-         |    AND round((${dotSql("x", "y")}) /
-         |    sqrt((${dotSql("x", "x")}) * (${dotSql("y", "y")})), 6) >= $CosineThreshold)
+         |  SELECT DISTINCT vec_id FROM (
+         |    SELECT b2.vec_id,
+         |      round((${dotSql("x", "y")}) /
+         |        sqrt((${dotSql("x", "x")}) * (${dotSql("y", "y")})), 6) AS psim
+         |    FROM capped a JOIN capped b2 ON a.cluster = b2.cluster AND a.vec_id < b2.vec_id
+         |    JOIN embeddings x ON x.vec_id = a.vec_id
+         |    JOIN embeddings y ON y.vec_id = b2.vec_id)
+         |  WHERE NOT isnan(psim) AND psim >= $CosineThreshold)
          |SELECT af.vec_id, af.cluster, af.sim,
          |  CAST(CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_dup
          |FROM af LEFT JOIN dups d ON af.vec_id = d.vec_id""".stripMargin
@@ -1418,7 +1457,7 @@ FROM sh LEFT JOIN cnt ON sh.doc_id = cnt.doc_id"""
     // semBucketSql interpolation, masks from the SAME Scala table the
     // Spark plan expands, in-range filter against the adaptive-B
     // scalar, then exact cosine on bucket-equi candidates.
-    "pipe_decontaminate_semantic" ->
+    "pipe_decontaminate_semantic" -> materializedCtes(
       s"""WITH caps(bb, cap) AS (VALUES $semCapsValues),
          |bsel AS (
          |  SELECT coalesce(min(bb), $SemMaxBits) AS bbits
@@ -1435,13 +1474,11 @@ FROM sh LEFT JOIN cnt ON sh.doc_id = cnt.doc_id"""
          |  SELECT p.eval_id, bt.vec_id AS train_id
          |  FROM probe p JOIN b bt ON bt.bucket = p.pbucket
          |  WHERE bt.vec_id % 50 <> 0)
-         |SELECT c.eval_id, c.train_id,
-         |  round((${dotSql("x", "y")}) /
-         |    sqrt((${dotSql("x", "x")}) * (${dotSql("y", "y")})), 6) AS sim
-         |FROM cand c JOIN embeddings x ON x.vec_id = c.eval_id
-         |     JOIN embeddings y ON y.vec_id = c.train_id
-         |WHERE NOT isnan(round((${dotSql("x", "y")}) /
-         |    sqrt((${dotSql("x", "x")}) * (${dotSql("y", "y")})), 6))
-         |  AND round((${dotSql("x", "y")}) /
-         |    sqrt((${dotSql("x", "x")}) * (${dotSql("y", "y")})), 6) >= $CosineThreshold""".stripMargin)
+         |SELECT eval_id, train_id, sim FROM (
+         |  SELECT c.eval_id, c.train_id,
+         |    round((${dotSql("x", "y")}) /
+         |      sqrt((${dotSql("x", "x")}) * (${dotSql("y", "y")})), 6) AS sim
+         |  FROM cand c JOIN embeddings x ON x.vec_id = c.eval_id
+         |       JOIN embeddings y ON y.vec_id = c.train_id)
+         |WHERE NOT isnan(sim) AND sim >= $CosineThreshold""".stripMargin))
 }
