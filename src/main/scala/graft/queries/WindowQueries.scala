@@ -205,8 +205,15 @@ object WindowQueries extends QueryPack {
         .agg(approx_count_distinct(col("user_id"), rsd = 0.01).as("approx"))
       exact.join(approx, Seq("hour"))
         .select(col("hour"), col("hau_exact"),
-          (abs(col("approx") - col("hau_exact")).cast("double") /
-            col("hau_exact") <= 0.03).cast("long").as("within_bound"))
+          // hau_exact = 0 (an hour whose every user_id is NULL —
+          // countDistinct skips nulls but the hour group still exists):
+          // there is nothing to bound, so the certificate is vacuously
+          // true — matching the oracle's constant-1 flag instead of the
+          // unguarded 0/0 (the q_approx_percentiles n=0 convention;
+          // nullify.py's all-null-hour arm grades this)
+          when(col("hau_exact") === 0, 1L).otherwise(
+            (abs(col("approx") - col("hau_exact")).cast("double") /
+              col("hau_exact") <= 0.03).cast("long")).as("within_bound"))
     }),
 
     // DAU/MAU stickiness per month — the engagement-ratio KPI (what
@@ -228,8 +235,13 @@ object WindowQueries extends QueryPack {
         .agg(countDistinct(col("user_id")).as("mau"))
       byDay.join(byMonth, Seq("month"))
         .select(col("month"), col("n_days"), col("sum_dau"), col("mau"),
-          (col("sum_dau").cast("double") / (col("n_days") * col("mau")))
-            .as("stickiness"))
+          // mau = 0 (a month whose every user_id is NULL): the ratio is
+          // 0/0 — pinned to NULL EXPLICITLY on both engines (the oracle
+          // mirrors with CASE WHEN mau = 0 THEN NULL) rather than
+          // trusting either engine's divide-by-zero convention
+          when(col("mau") === 0, lit(null).cast("double"))
+            .otherwise(col("sum_dau").cast("double") /
+              (col("n_days") * col("mau"))).as("stickiness"))
     }),
 
     // New-vs-returning split per day: an event is "new" iff it is its
@@ -633,7 +645,8 @@ object WindowQueries extends QueryPack {
         |  FROM dau GROUP BY 1),
         |mau AS (SELECT month, count(DISTINCT user_id) AS mau FROM ev GROUP BY 1)
         |SELECT month, n_days, sum_dau, mau,
-        |  CAST(sum_dau AS DOUBLE) / (n_days * mau) AS stickiness
+        |  CASE WHEN mau = 0 THEN NULL
+        |       ELSE CAST(sum_dau AS DOUBLE) / (n_days * mau) END AS stickiness
         |FROM md JOIN mau USING (month)""".stripMargin,
 
     "q_new_vs_returning" ->

@@ -203,8 +203,12 @@ object EventStreams {
       .withColumn("hour", date_trunc("hour", col("ts")))
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark(Seq("user_id", "hour"))
+      // count(user_id), NOT count(*): the batch twin's countDistinct
+      // EXCLUDES null users, and a null user survives the dedup as one
+      // row per hour — count(col) skips it while the hour group still
+      // exists (an all-null hour answers hau=0, matching batch)
       .groupBy(window(col("ts"), "1 hour"))
-      .agg(count(lit(1)).as("hau"))
+      .agg(count(col("user_id")).as("hau"))
       .select(col("window.start").as("hour"), col("hau"))
 
   // user_id/value are BOXED (nullable): the batch queries these
@@ -563,8 +567,10 @@ object EventStreams {
       .withColumn("day", date_trunc("day", col("ts")))
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark(Seq("user_id", "day"))
+      // count(user_id) for the same null-exclusion reason as
+      // [[streamingHourlyActive]] — batch dau is a countDistinct
       .groupBy(window(col("ts"), "1 day"))
-      .agg(count(lit(1)).as("dau"))
+      .agg(count(col("user_id")).as("dau"))
       .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"), col("dau"))
 
   /** Per-month distinct actives — the MAU half of the stickiness twin:
@@ -579,8 +585,11 @@ object EventStreams {
       .withColumn("month", date_format(date_trunc("month", col("ts")), "yyyy-MM"))
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark(Seq("user_id", "month"))
+      // count(user_id): an all-null month keeps its row with mau=0
+      // (the batch countDistinct shape) instead of counting the null
+      // dedup survivor as an active user
       .groupBy("month")
-      .agg(count(lit(1)).as("mau"))
+      .agg(count(col("user_id")).as("mau"))
 
   case class TypedIdEvent(user_id: Long, event_id: Long, ts: Timestamp, event_type: String)
   case class PitState(state: String, cus: Long)
@@ -655,6 +664,9 @@ object EventStreams {
       .agg(count(lit(1)).as("n_days"), sum(col("dau")).as("sum_dau"))
       .join(byMonth, Seq("month"))
       .select(col("month"), col("n_days"), col("sum_dau"), col("mau"),
-        (col("sum_dau").cast("double") / (col("n_days") * col("mau")))
-          .as("stickiness"))
+        // mau = 0 (all-null month) → NULL, the batch query's pinned
+        // contract — an unguarded 0/0 THROWS under ANSI mode
+        when(col("mau") === 0, lit(null).cast("double"))
+          .otherwise(col("sum_dau").cast("double") /
+            (col("n_days") * col("mau"))).as("stickiness"))
 }

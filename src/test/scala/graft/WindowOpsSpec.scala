@@ -146,4 +146,98 @@ class WindowOpsSpec extends AnyFunSuite {
     assert(got(16L) == 1000.0 / 65535)
     assert(got(17L) == 0.0)
   }
+
+  test("zero-denominator certificates: all-null hour (hau_approx) and all-null month (stickiness)") {
+    // The r13 VERDICT #2 class: a group that EXISTS but whose every
+    // user_id is NULL makes a distinct-count denominator zero, and the
+    // unguarded 0/0 THROWS under ANSI mode (the pre-fix Verify dump on
+    // the all-null-hour corpus died, not merely NULL-diverged).
+    // nullify.py's first-hour arm grades the hau case on the driver
+    // corpus; the all-null MONTH cannot be injected there (the corpus
+    // spans one month), so this fixture pins it: January has real
+    // users, February's are all NULL.
+    def t(day: Int, month: Int, hour: Int): java.sql.Timestamp =
+      java.sql.Timestamp.valueOf(f"2024-$month%02d-$day%02d $hour%02d:00:00")
+    val dir = java.nio.file.Files.createTempDirectory("winops_nullgrp").toString
+    Seq[(Long, java.sql.Timestamp, java.lang.Long, String, java.lang.Double, String)](
+      // Jan: two real users + one null user spread over two days
+      (1L, t(1, 1, 0), 10L, "view", 1.0, "{}"),
+      (2L, t(1, 1, 0), 11L, "view", 1.0, "{}"),
+      (3L, t(2, 1, 5), 10L, "view", 1.0, "{}"),
+      (4L, t(2, 1, 6), null, "view", 1.0, "{}"),
+      // Feb: every user NULL, two days, two hours
+      (5L, t(1, 2, 0), null, "view", 1.0, "{}"),
+      (6L, t(1, 2, 3), null, "view", 1.0, "{}"),
+      (7L, t(2, 2, 0), null, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val hau = SparkEntry.queries("q_events_hau_approx")(spark, dir)
+      .select("hour", "hau_exact", "within_bound")
+      .as[(String, Long, Long)].collect()
+      .map { case (h, e, w) => h -> ((e, w)) }.toMap
+    SparkEntry.releaseCaches()
+    assert(hau("2024-02-01 00:00:00") == ((0L, 1L)),
+      "an all-null hour answers hau_exact=0 with a vacuously-true certificate")
+    assert(hau("2024-01-01 00:00:00") == ((2L, 1L)))
+    assert(hau.size == 6, s"every hour group exists, null-only ones included: $hau")
+
+    val st = SparkEntry.queries("q_events_stickiness")(spark, dir)
+      .select("month", "n_days", "sum_dau", "mau", "stickiness")
+      .as[(String, Long, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    SparkEntry.releaseCaches()
+    // Jan: day1 dau 2, day2 dau 1 (null user uncounted) -> 3/(2*2)
+    assert(st("2024-01") == ((2L, 3L, 2L, Some(0.75))))
+    // Feb exists, mau=0, stickiness pinned NULL (not 0/0)
+    assert(st("2024-02") == ((2L, 0L, 0L, None)),
+      s"an all-null month answers mau=0 with NULL stickiness: $st")
+
+    // the streaming twins must agree on the same corpus: a null user
+    // survives the (user, window) dedup as one row, and count(*) was
+    // counting it as an active user where batch countDistinct excludes
+    // it — count(user_id) skips the null while keeping the group
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import org.apache.spark.sql.functions.{col, date_format, max}
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Option[Long], java.sql.Timestamp)]
+    val src = mem.toDF().toDF("user_id", "ts")
+    val es = graft.streaming.EventStreams
+    val hourQ = es.streamingHourlyActive(src, lateness = "60 days")
+      .writeStream.format("memory").queryName("ndg_hour")
+      .outputMode(OutputMode.Append).start()
+    val dayQ = es.streamingDailyActive(src, lateness = "60 days")
+      .writeStream.format("memory").queryName("ndg_day")
+      .outputMode(OutputMode.Append).start()
+    val monQ = es.streamingMonthlyActive(src, lateness = "60 days")
+      .writeStream.format("memory").queryName("ndg_month")
+      .outputMode(OutputMode.Update).start()
+    try {
+      val evs: Seq[(Option[Long], java.sql.Timestamp)] = Seq(
+        (Some(10L), t(1, 1, 0)), (Some(11L), t(1, 1, 0)), (Some(10L), t(2, 1, 5)),
+        (None, t(2, 1, 6)), (None, t(1, 2, 0)), (None, t(1, 2, 3)), (None, t(2, 2, 0)))
+      // sentinel advances the watermark past February so append-mode
+      // hour/day windows finalize
+      val sentinel: (Option[Long], java.sql.Timestamp) =
+        (Some(99L), java.sql.Timestamp.valueOf("2024-06-01 00:00:00"))
+      mem.addData(evs.take(4): _*)
+      Seq(hourQ, dayQ, monQ).foreach(_.processAllAvailable())
+      mem.addData(evs.drop(4) :+ sentinel: _*)
+      Seq(hourQ, dayQ, monQ).foreach(_.processAllAvailable())
+      val hourStream = spark.table("ndg_hour")
+        .select(date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("h"), col("hau"))
+        .where(col("h") < "2024-03").as[(String, Long)].collect().toMap
+      assert(hourStream == hau.map { case (h, (e, _)) => h -> e },
+        s"streaming HAU must match batch countDistinct null exclusion: $hourStream")
+      val byMonth = spark.table("ndg_month")
+        .groupBy("month").agg(max("mau").as("mau"))
+      val streamed = es.stickinessFrom(spark.table("ndg_day"), byMonth)
+        .where(col("month") < "2024-03")
+        .select("month", "n_days", "sum_dau", "mau", "stickiness")
+        .as[(String, Long, Long, Long, Option[Double])].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+      assert(streamed == st, s"streaming stickiness twin diverged:\n$streamed\nvs\n$st")
+    } finally { hourQ.stop(); dayQ.stop(); monQ.stop() }
+  }
 }

@@ -15,6 +15,14 @@ events.event_type NULL for event_id % 59 == 0; events.user_id NULL
 for event_id % 61 == 0 (r13b — the per-user battery: sessions,
 rolling windows, paths, HAU, stickiness had never been graded with
 null users; all moduli co-prime so the combinations occur).
+r14: additionally user_id NULL for EVERY event in the corpus's first
+hour — a modulus can never construct a group whose every member is
+null, and that is exactly the shape that makes distinct-count
+denominators zero (q_events_hau_approx's within_bound 0/0 — the r13
+VERDICT #2 class). The sibling all-null MONTH (q_events_stickiness's
+mau=0) cannot be injected here — the driver corpus spans exactly one
+month at every SF, so the arm would null the entire column; that
+contract is pinned by WindowQueriesSpec's two-month fixture instead.
 Everything else copies through byte-identical.
 
 Usage: python3 tools/nullify.py <src_sf_dir> <dst_dir>
@@ -45,7 +53,10 @@ def main(src: str, dst: str) -> None:
         elif t == "events":
             con.execute(f"""
                 COPY (SELECT event_id, ts,
-                             CASE WHEN event_id % 61 = 0 THEN NULL ELSE user_id END AS user_id,
+                             CASE WHEN event_id % 61 = 0
+                                    OR date_trunc('hour', ts) =
+                                       (SELECT min(date_trunc('hour', ts)) FROM read_parquet('{sp}'))
+                                  THEN NULL ELSE user_id END AS user_id,
                              CASE WHEN event_id % 59 = 0 THEN NULL ELSE event_type END AS event_type,
                              CASE WHEN event_id % 47 = 0 THEN NULL ELSE value END AS value,
                              props
