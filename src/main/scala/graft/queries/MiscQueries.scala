@@ -28,6 +28,44 @@ object MiscQueries extends QueryPack {
   private[graft] def blockCap: Int =
     sys.env.get("SPARK_GRAFT_BLOCK_CAP").map(_.toInt).getOrElse(10000)
 
+  /** Code-point Levenshtein in DuckDB SQL. DuckDB's built-in
+    * levenshtein() is BYTE-based (levenshtein('café','cafe') = 2,
+    * 'a😀b' vs 'ab' = 4) while Spark's is code-point-based — the
+    * engine contract this library pins (edit operations on characters,
+    * not encoding units; the UnicodeText.scala discipline). ASCII
+    * strings take the built-in fast path (strlen = length ⟺ every
+    * code point is one byte, where the two semantics coincide — the
+    * stock corpus never pays the DP); multibyte pairs run a
+    * Wagner-Fischer fold over string_split(s,'') (code-point units):
+    * the DP row is the fold state, and the row recurrence's
+    * left-to-right dependency is replayed as new[j] = j +
+    * min_{k≤j}(t[k] − k) (t = the substitution/deletion candidates),
+    * the prefix-min reformulation that avoids a sequential inner fold
+    * — O(n³) per pair but only on injected multibyte names inside
+    * capped blocks. Verified against kitten/sitting=3, flaw/lawn=2,
+    * saturday/sunday=3, intention/execution=5, empty-string edges,
+    * and the multibyte cases above. */
+  private def cpLevSql(a: String, b: String): String = {
+    val ca = s"string_split($a, '')"
+    val cb = s"string_split($b, '')"
+    val n = s"length($a)"
+    s"""CASE WHEN $a = $b THEN 0
+       |  WHEN strlen($a) = length($a) AND strlen($b) = length($b)
+       |    THEN levenshtein($a, $b)
+       |  ELSE list_reduce(
+       |    list_prepend(list_transform(range(0, $n + 1), v -> CAST(v AS BIGINT)),
+       |                 list_transform(range(1, length($b) + 1), i -> [CAST(i AS BIGINT)])),
+       |    (acc, el) -> list_transform(range(0, $n + 1), j ->
+       |      CASE WHEN j = 0 THEN acc[1] + 1
+       |      ELSE least(
+       |        acc[1] + 1 + j,
+       |        j + list_min(list_transform(range(1, j + 1), k ->
+       |          least(acc[k + 1] + 1, acc[k] +
+       |            CASE WHEN $ca[CAST(k AS INTEGER)] = $cb[CAST(el[1] AS INTEGER)]
+       |                 THEN 0 ELSE 1 END) - k)))
+       |      END))[$n + 1] END""".stripMargin
+  }
+
   /** SQL fragment applying the same cap to an oracle's block CTE `b0`
     * (columns ... , blk): selects the surviving rows. */
   private def cappedBlockSql(cap: Int): String =
@@ -403,10 +441,11 @@ object MiscQueries extends QueryPack {
       s"""WITH n AS (SELECT DISTINCT p_name FROM part),
         |b0 AS (SELECT p_name, string_split(p_name, ' ')[1] AS blk FROM n),
         |b AS (${cappedBlockSql(blockCap)})
-        |SELECT a.p_name AS name_a, c.p_name AS name_b,
-        |  CAST(levenshtein(a.p_name, c.p_name) AS BIGINT) AS edit_dist
-        |FROM b a JOIN b c ON a.blk = c.blk AND a.p_name < c.p_name
-        |WHERE levenshtein(a.p_name, c.p_name) <= 4""".stripMargin,
+        |SELECT name_a, name_b, edit_dist FROM (
+        |  SELECT a.p_name AS name_a, c.p_name AS name_b,
+        |    CAST((${cpLevSql("a.p_name", "c.p_name")}) AS BIGINT) AS edit_dist
+        |  FROM b a JOIN b c ON a.blk = c.blk AND a.p_name < c.p_name)
+        |WHERE edit_dist <= 4""".stripMargin,
 
     // min-label transitive closure replayed as a recursive CTE (the
     // dedup_clusters oracle pattern) over the same blocked
@@ -418,9 +457,11 @@ object MiscQueries extends QueryPack {
         |b0 AS (SELECT p_name, nid, string_split(p_name, ' ')[1] AS blk FROM n),
         |b AS (${cappedBlockSql(blockCap)}),
         |p AS (
-        |  SELECT least(a.nid, c.nid) AS i, greatest(a.nid, c.nid) AS j
-        |  FROM b a JOIN b c ON a.blk = c.blk AND a.p_name < c.p_name
-        |  WHERE levenshtein(a.p_name, c.p_name) <= 4),
+        |  SELECT i, j FROM (
+        |    SELECT least(a.nid, c.nid) AS i, greatest(a.nid, c.nid) AS j,
+        |      (${cpLevSql("a.p_name", "c.p_name")}) AS ed
+        |    FROM b a JOIN b c ON a.blk = c.blk AND a.p_name < c.p_name)
+        |  WHERE ed <= 4),
         |dedges AS (SELECT i AS a, j AS b FROM p UNION ALL SELECT j, i FROM p),
         |dnodes AS (SELECT DISTINCT a AS v FROM dedges),
         |cc(v, lbl) AS (

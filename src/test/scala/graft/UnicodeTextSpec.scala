@@ -135,4 +135,20 @@ class UnicodeTextSpec extends AnyFunSuite {
     h = h * 31 + 'c'; h = h * 31 + ' '
     assert(hs == Seq(HashFunctions.splitmix64(h)))
   }
+
+  test("Spark levenshtein is code-point based — the edit-distance contract the oracles replay") {
+    // DuckDB's builtin levenshtein is BYTE-based (café/cafe = 2,
+    // a😀b/ab = 4); the library pins CODE-POINT semantics (edits on
+    // characters, not encoding units) and the q_fuzzy_name_pairs /
+    // q_entity_resolution oracles replay a code-point DP
+    // (MiscQueries.cpLevSql) instead. This pins the Spark half; the
+    // unicodify.py p_name arm (pairs at cp-distance ≤4 but byte
+    // distance >4) grades the composition end-to-end.
+    val got = Seq(("café", "cafe"), ("你好", "你坏"), ("a😀b", "ab"),
+      ("kitten", "sitting"), ("", "ab"), ("İ", "i"))
+      .toDF("a", "b")
+      .select(levenshtein(col("a"), col("b"))).as[Int].collect().toSeq
+    assert(got == Seq(1, 1, 1, 3, 2, 1),
+      s"levenshtein must count code-point edits: $got")
+  }
 }

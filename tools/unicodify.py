@@ -32,6 +32,26 @@ Divergence classes each snippet targets:
     RE2 define \\s as ASCII-only, so these must NOT split tokens on
     either engine (a parity check, expected green).
 
+r14 (VERDICT #3): the axis now reaches beyond documents.text — string
+kernels also consume part.p_name (levenshtein blocking in
+q_fuzzy_name_pairs / q_entity_resolution, first-token block keys,
+substring_index keywords, min() collation) and events.event_type
+(grouping/sort/concat keys), and none were ever graded on multibyte:
+  * p_partkey % 31: APPEND 'é你' (2 code points, 5 UTF-8 bytes) to the
+    row's name. Other rows keep the unmodified name, so the distinct-
+    name table holds near-duplicate pairs at code-point distance 2 but
+    BYTE distance 5 — inside the ≤4 match cutoff under the pinned
+    code-point contract, outside it under byte semantics. A byte-based
+    levenshtein on either side (DuckDB's builtin is one) flips the
+    pair set and the gate goes red — this arm found the oracle's
+    builtin-levenshtein byte semantics on its first run.
+  * p_partkey % 37: PREPEND '你好 ' so the BLOCK key itself (first
+    space-token) is multibyte — grades split/groupBy/join on
+    multibyte keys.
+  * event_id % 71: append '✓𝒳' (BMP + astral) to event_type — new
+    groups through every per-type aggregate, sort, transition pair,
+    and path concat.
+
 Injection is deterministic (key-modulus, no RNG); snippets are
 APPENDED so documents stay realistic mixed-script text. Everything
 else copies through byte-identical. n_chars is left at its original
@@ -74,6 +94,22 @@ def main(src: str, dst: str) -> None:
             con.execute(f"""
                 COPY (SELECT doc_id, {case} AS text, lang, source, n_chars
                       FROM read_parquet('{sp}')) TO '{dp}' (FORMAT PARQUET)""")
+        elif t == "part":
+            con.execute(f"""
+                COPY (SELECT p_partkey,
+                             CASE WHEN p_partkey % 31 = 0 THEN p_name || 'é你'
+                                  WHEN p_partkey % 37 = 0 THEN '你好 ' || p_name
+                                  ELSE p_name END AS p_name,
+                             p_brand, p_type, p_size, p_retailprice
+                      FROM read_parquet('{sp}')) TO '{dp}' (FORMAT PARQUET)""")
+        elif t == "events":
+            con.execute(f"""
+                COPY (SELECT event_id, ts, user_id,
+                             CASE WHEN event_id % 71 = 0
+                                  THEN event_type || '✓\U0001d4b3'
+                                  ELSE event_type END AS event_type,
+                             value, props
+                      FROM read_parquet('{sp}')) TO '{dp}' (FORMAT PARQUET)""")
         else:
             if os.path.isdir(sp):
                 shutil.copytree(sp, dp, dirs_exist_ok=True)
@@ -84,6 +120,11 @@ def main(src: str, dst: str) -> None:
             SELECT count(*), count(*) FILTER (doc_id % {mod} = 0)
             FROM read_parquet('{os.path.join(dst, "documents.parquet")}')""").fetchone()
         print(f"mod {mod}: {hit}/{n} docs injected")
+    for t, c in [("part", "p_name"), ("events", "event_type")]:
+        n, hit = con.execute(f"""
+            SELECT count(*), count(*) FILTER (strlen({c}) <> length({c}))
+            FROM read_parquet('{os.path.join(dst, t)}.parquet')""").fetchone()
+        print(f"{t}.{c}: {hit}/{n} rows multibyte")
 
 
 if __name__ == "__main__":
