@@ -309,7 +309,7 @@ object Soak {
         base
           .withColumn("doc_id", col("doc_id") + lit(c.toLong * KeyShift))
           .withColumn("text",
-            concat_ws(" ", transform(split(col("text"), "\\s+"), suffix)))
+            concat_ws(" ", transform(split(col("text"), graft.functions.UnicodeText.WsPlus), suffix)))
       }
     }
     // hot phrase appends AFTER suffixing, so the stopword shingle is

@@ -22,7 +22,8 @@ object TextFunctions {
     * property spec). */
   def normalizeStr(c: Column): Column =
     nullif(lower(regexp_replace(
-      regexp_replace(c, "[^a-zA-Z0-9\\s]", ""), "^\\s+|\\s+$", "")), lit(""))
+      regexp_replace(c, s"[^a-zA-Z0-9${UnicodeText.WsClass}]", ""),
+      s"^${UnicodeText.WsPlus}|${UnicodeText.WsPlus}$$", "")), lit(""))
 
   /** validateTopics (ScipiStream.java:233-257): per-element normalize,
     * drop nulls and elements longer than 30 chars, dedup. */
@@ -45,7 +46,7 @@ object TextFunctions {
   val tokens: Column => Column = {
     val f = udf { (t: String) =>
       if (t == null) null
-      else UnicodeText.simpleLower(t).split("\\s+").filter(_.nonEmpty)
+      else UnicodeText.simpleLower(t).split(UnicodeText.WsPlus).filter(_.nonEmpty)
     }
     (text: Column) => f(text)
   }
@@ -75,7 +76,7 @@ object TextFunctions {
   def subwordCount(text: Column): Column =
     bpeLetterUnits(text) +
       size(regexp_extract_all(text, lit("[0-9]+"), lit(0))) +
-      length(regexp_replace(text, "[a-zA-Z0-9\\s]", ""))
+      length(regexp_replace(text, s"[a-zA-Z0-9${UnicodeText.WsClass}]", ""))
 
   /** Σ over letter runs of their BPE unit count. A UDF: the 200-rule
     * merge loop has no Catalyst-expression form (a 200-deep replace
@@ -150,7 +151,7 @@ object TextFunctions {
     val f = udf { (t: String) =>
       if (t == null) Array.empty[String]
       else {
-        val toks = UnicodeText.simpleLower(t).split("\\s+").filter(_.nonEmpty)
+        val toks = UnicodeText.simpleLower(t).split(UnicodeText.WsPlus).filter(_.nonEmpty)
         if (toks.length < n) Array.empty[String]
         else {
           val seen = new java.util.LinkedHashSet[String](toks.length * 2)
@@ -197,7 +198,7 @@ object TextFunctions {
   /** Punctuation-to-character ratio. */
   def punctRatio(text: Column): Column =
     when(length(text) === 0, 0.0).otherwise(
-      (length(text) - length(regexp_replace(text, "[^a-zA-Z0-9\\s]", "")))
+      (length(text) - length(regexp_replace(text, s"[^a-zA-Z0-9${UnicodeText.WsClass}]", "")))
         .cast("double") / length(text))
 
   /** Mean token length — long-token gibberish shows up here. */
@@ -283,13 +284,14 @@ object TextFunctions {
         var i = 0
         while (i < t.length) {
           val c = t.charAt(i)
-          // exactly Java-regex \s, to mirror regexp_replace([^a-zA-Z0-9\s])
+          // exactly the [[UnicodeText.WsClass]] contract (RE2's \s) —
+          // NOT Java-regex \s, whose extra U+000B membership diverged
+          // from every oracle's regexp_replace([^a-zA-Z0-9\s])
           if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
-            (c >= '0' && c <= '9') || c == ' ' || c == '\t' || c == '\n' ||
-            c == '\u000B' || c == '\f' || c == '\r') kept += 1
+            (c >= '0' && c <= '9') || UnicodeText.isWs(c)) kept += 1
           i += 1
         }
-        val toks = UnicodeText.simpleLower(t).split("\\s+").filter(_.nonEmpty)
+        val toks = UnicodeText.simpleLower(t).split(UnicodeText.WsPlus).filter(_.nonEmpty)
         var sumLen = 0L
         var nStop = 0
         toks.foreach { w =>

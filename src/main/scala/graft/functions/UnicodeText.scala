@@ -82,6 +82,24 @@ object UnicodeText {
   /** Code-point count (what `length()` means on BOTH engines). */
   def codePoints(s: String): Int = s.codePointCount(0, s.length)
 
+  /** The repo-wide WHITESPACE contract: RE2's `\s` = [\t\n\f\r ] —
+    * what every DuckDB-oracle regex means by whitespace. Java's regex
+    * `\s` ALSO matches U+000B (vertical tab), so a bare "\\s" in a
+    * Spark-side regex silently diverges from its oracle on the first
+    * document containing one (r13 ADVICE); every Spark-side
+    * tokenizer/counter spells this class out instead. (Both engines'
+    * `\s` is ASCII-only — NBSP/ideographic space never split — so the
+    * ONLY divergent code point was U+000B.) unicodify.py's \x0B
+    * snippet grades the contract. */
+  val WsClass = " \\t\\n\\f\\r"
+
+  /** `\s+` under the contract — the token-split regex. */
+  val WsPlus = s"[$WsClass]+"
+
+  /** Is `c` contract whitespace? (The char-kernel twin of [[WsClass]].) */
+  @inline def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r'
+
   /** Static kernel for the codegen'd expression below. */
   def simpleLowerUtf8(s: UTF8String): UTF8String =
     UTF8String.fromString(simpleLower(s.toString))

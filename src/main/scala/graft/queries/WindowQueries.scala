@@ -516,7 +516,7 @@ object WindowQueries extends QueryPack {
     // domain, not the documents; r9 percentile audit).
     "q_token_percentiles" -> ((s, d) =>
       Tables.documents(s, d)
-        .select(size(split(trim(col("text")), "\\s+")).as("n_tokens"))
+        .select(size(split(trim(col("text")), graft.functions.UnicodeText.WsPlus)).as("n_tokens"))
         .agg(
           round(percentile(col("n_tokens"), lit(0.5)), 6).as("p50"),
           round(percentile(col("n_tokens"), lit(0.9)), 6).as("p90"),
@@ -535,7 +535,7 @@ object WindowQueries extends QueryPack {
     // broken sketch flips the row red.
     "q_approx_percentiles" -> ((s, d) =>
       Tables.documents(s, d)
-        .select(size(split(trim(col("text")), "\\s+")).as("n_tokens"))
+        .select(size(split(trim(col("text")), graft.functions.UnicodeText.WsPlus)).as("n_tokens"))
         .agg(
           percentile_approx(col("n_tokens"), lit(0.5), lit(100)).as("a50"),
           percentile_approx(col("n_tokens"), lit(0.9), lit(100)).as("a90"),

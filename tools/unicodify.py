@@ -71,6 +71,11 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 SNIPPETS = [
+    # r14 (ADVICE): U+000B vertical tab — Java regex \s matches it,
+    # RE2/DuckDB \s does NOT; the pinned contract is RE2's class
+    # (UnicodeText.WsClass), so 'a\x0Bb' is ONE token of 3 chars on
+    # both engines and \x0B counts as a symbol char, never whitespace
+    (73, " a\x0bb \x0b"),
     (41, " 你好　世界 日本語テスト ＦＵＬＬ"),
     (43, " \U0001f600\U0001f680\U0001f525 \U0001d54a\U0001d561\U0001d552\U0001d563\U0001d55c"),
     (47, " ΑΣ ΚΟΣΜΟΣ ΟΔΟΣ"),
