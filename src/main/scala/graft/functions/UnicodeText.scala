@@ -47,6 +47,26 @@ object UnicodeText {
     s
   }
 
+  /** The per-code-point lowercase mapping the ORACLE computes —
+    * `Character.toLowerCase` with three pinned exceptions. An
+    * exhaustive sweep of every code point (this session: DuckDB 1.0
+    * `lower(chr(cp))` vs JDK 17) found the two engines' simple
+    * mappings disagree at exactly U+A7C7, U+A7C9, U+A7F5: Unicode 13
+    * gave them lowercase forms, the JDK's tables have them, DuckDB's
+    * utf8proc (older Unicode) maps them to themselves. Oracle parity
+    * pins identity. UnicodeTextSpec replays the WHOLE sweep against a
+    * committed checksum of the DuckDB table, so a JDK upgrade that
+    * shifts ANY of the 1,112,063 mappings fails loudly instead of
+    * splitting engines silently (r13 ADVICE). */
+  @inline def lowerCp(cp: Int): Int =
+    if (cp == 0xA7C7 || cp == 0xA7C9 || cp == 0xA7F5) cp
+    else Character.toLowerCase(cp)
+
+  /** Fold of (cp, lowerCp(cp)) over every non-surrogate code point
+    * 1..0x10FFFF ascending, h ← h·31 + v — must equal the committed
+    * checksum of DuckDB's lower() table. */
+  val LowerMapChecksum: Long = -7970205441607196691L
+
   /** Slow half: chars before `start` are verbatim; decide once whether
     * the remainder is pure ASCII (char-array fold) or needs the
     * code-point walk. */
@@ -72,7 +92,7 @@ object UnicodeText {
       var k = start
       while (k < s.length) {
         val cp = s.codePointAt(k)
-        sb.appendCodePoint(Character.toLowerCase(cp))
+        sb.appendCodePoint(lowerCp(cp))
         k += Character.charCount(cp)
       }
       sb.toString

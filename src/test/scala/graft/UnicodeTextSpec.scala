@@ -151,4 +151,35 @@ class UnicodeTextSpec extends AnyFunSuite {
     assert(got == Seq(1, 1, 1, 3, 2, 1),
       s"levenshtein must count code-point edits: $got")
   }
+
+  test("lowerCp equals DuckDB lower() on EVERY code point (committed-checksum sweep)") {
+    // The committed constant is the fold of DuckDB 1.0's
+    // lower(chr(cp)) table over all 1,112,063 non-surrogate code
+    // points (generated by an exhaustive cross-engine sweep; see
+    // UnicodeText.lowerCp). Recomputing it from the JVM side proves
+    // the kernel's mapping — Character.toLowerCase plus the three
+    // pinned utf8proc identity exceptions — agrees with the oracle
+    // everywhere, and turns a silent JDK Unicode-table upgrade into a
+    // loud failure.
+    var h = 1125899906842597L
+    var n = 0
+    var cp = 1
+    while (cp <= 0x10FFFF) {
+      if (cp < 0xD800 || cp > 0xDFFF) {
+        h = h * 31 + cp
+        h = h * 31 + UnicodeText.lowerCp(cp)
+        n += 1
+      }
+      cp += 1
+    }
+    assert(n == 1112063)
+    assert(h == UnicodeText.LowerMapChecksum,
+      s"per-code-point lowercase mapping drifted from the committed DuckDB table: $h")
+    // the three pinned exceptions: Unicode 13 lowercase forms the JDK
+    // knows but utf8proc doesn't — parity pins identity
+    for (e <- Seq(0xA7C7, 0xA7C9, 0xA7F5)) {
+      assert(UnicodeText.lowerCp(e) == e)
+      assert(Character.toLowerCase(e) == e + 1, "JDK drift: exception no longer needed?")
+    }
+  }
 }

@@ -28,6 +28,10 @@ Divergence classes each snippet targets:
     coincidence.
   * doc_id % 61: German ß / ẞ — no simple uppercase mapping for ß,
     full mapping is SS; lowercase of ẞ differs by mapping table.
+    r14: + U+A7C7/U+A7C9/U+A7F5, the ONLY code points where JDK 17 and
+    DuckDB 1.0 utf8proc simple-lowercase disagree (exhaustive sweep;
+    Unicode-13 additions utf8proc lacks) — UnicodeText.lowerCp pins
+    identity, this grades the pin end-to-end.
   * doc_id % 67: NBSP + ideographic space INSIDE words — both Java and
     RE2 define \\s as ASCII-only, so these must NOT split tokens on
     either engine (a parity check, expected green).
@@ -80,7 +84,7 @@ SNIPPETS = [
     (43, " \U0001f600\U0001f680\U0001f525 \U0001d54a\U0001d561\U0001d552\U0001d563\U0001d55c"),
     (47, " ΑΣ ΚΟΣΜΟΣ ΟΔΟΣ"),
     (59, " İSTANBUL İNGEST ışık café café"),
-    (61, " straße STRAẞE GROSS ß"),
+    (61, " straße STRAẞE GROSS ß ꟇꟉꟵ"),
     (67, " x y　z"),
 ]
 
