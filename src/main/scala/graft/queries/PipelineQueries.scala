@@ -111,7 +111,7 @@ object PipelineQueries extends QueryPack {
         // priority in a small-id corpus is near zero and the quota
         // filter degenerates to keep-everything
         .withColumn("pri", lcgHash(col("doc_id")))
-        .where(expr("CAST(pri AS DECIMAL(38,0)) * tw < CAST(2147483647 AS DECIMAL(38,0)) * 100 * n_chars"))
+        .where(expr(s"CAST(pri AS DECIMAL(38,0)) * tw < CAST($ShufP AS DECIMAL(38,0)) * 100 * n_chars"))
         .select(col("doc_id"), col("n_chars"))
     }),
 
@@ -330,12 +330,16 @@ object PipelineQueries extends QueryPack {
          |  round(agg.n_sampled * 1.0 / r.n_docs, 6) AS eff_rate
          |FROM r JOIN agg ON r.source = agg.source""".stripMargin,
 
+    // LCG constants interpolated from the SAME ShufP/ShufA/ShufB the
+    // Spark lcgHash uses (r13 ADVICE: this was the one remaining
+    // hand-copied instance of the formula — a constant change could
+    // fork the engines silently)
     "pipe_weighted_sample" ->
-      """WITH tot AS (SELECT sum(n_chars) AS tw FROM documents)
+      s"""WITH tot AS (SELECT sum(n_chars) AS tw FROM documents)
         |SELECT doc_id, n_chars
         |FROM documents, tot
-        |WHERE CAST(((doc_id % 2147483647) * 1103515245 + 12345) % 2147483647 AS HUGEINT) * tw
-        |    < CAST(2147483647 AS HUGEINT) * 100 * n_chars""".stripMargin,
+        |WHERE CAST(((doc_id % $ShufP) * $ShufA + $ShufB) % $ShufP AS HUGEINT) * tw
+        |    < CAST($ShufP AS HUGEINT) * 100 * n_chars""".stripMargin,
 
     "pipe_global_shuffle" ->
       s"""WITH h AS (
