@@ -48,9 +48,13 @@ object EventStreams {
   case class SessionState(start: Long, last: Long, n: Long, sum: Double)
   case class Session(user_id: Long, n_events: Long, duration_us: Long, sum_value: Double)
 
-  case class TypedEvent(user_id: Long, ts: Timestamp, event_type: String)
+  // user_id BOXED (the r13 ValueEvent discipline, extended r14): the
+  // batch twins' PARTITION BY / groupBy put all null-user rows in ONE
+  // group, so the streaming state key must too — a primitive decode
+  // killed transitions/debounce/funnel on the first null user.
+  case class TypedEvent(user_id: java.lang.Long, ts: Timestamp, event_type: String)
   case class FunnelState(stage: Int, stageTs: Long)
-  case class FunnelAdvance(user_id: Long, stage_idx: Long, stage: String, ts: Timestamp)
+  case class FunnelAdvance(user_id: java.lang.Long, stage_idx: Long, stage: String, ts: Timestamp)
 
   /** Streaming conversion funnel: per-user stage machine over an
     * ordered `stages` chain, the streaming twin of `q_events_funnel`.
@@ -86,7 +90,7 @@ object EventStreams {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[FunnelState, FunnelAdvance](
         OutputMode.Append, timeoutConf) {
-        (user: Long, rows: Iterator[TypedEvent], state: GroupState[FunnelState]) =>
+        (user: java.lang.Long, rows: Iterator[TypedEvent], state: GroupState[FunnelState]) =>
           if (state.hasTimedOut) {
             // stalled mid-funnel past idleTimeout: most users never
             // convert, and without this the state store grows with
@@ -123,7 +127,7 @@ object EventStreams {
   case class DebounceState(lastKeptUs: Long)
 
   case class TransState(lastType: String)
-  case class Transition(user_id: Long, from_type: String, to_type: String)
+  case class Transition(user_id: java.lang.Long, from_type: String, to_type: String)
 
   /** Streaming twin of the batch `q_events_transitions` lag window:
     * per-user state is the LAST event's type — one string per key — so
@@ -157,7 +161,7 @@ object EventStreams {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[TransState, Transition](
         OutputMode.Append, timeoutConf) {
-        (uid: Long, rows: Iterator[TypedEvent], state: GroupState[TransState]) =>
+        (uid: java.lang.Long, rows: Iterator[TypedEvent], state: GroupState[TransState]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
             val sorted = rows.toSeq.sortBy(e =>
@@ -405,7 +409,7 @@ object EventStreams {
       .groupByKey(e => (e.user_id, e.event_type))
       .flatMapGroupsWithState[DebounceState, TypedEvent](
         OutputMode.Append, timeoutConf) {
-        (_: (Long, String), rows: Iterator[TypedEvent], state: GroupState[DebounceState]) =>
+        (_: (java.lang.Long, String), rows: Iterator[TypedEvent], state: GroupState[DebounceState]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
             val sorted = rows.toSeq.sortBy(e => micros(e.ts))
