@@ -196,10 +196,22 @@ object MiscQueries extends QueryPack {
 
     // Semi-structured JSON column: extract a field, bucket, aggregate
     // (the engine's schema-on-read path for the events props payload).
+    // DIRTY-DATA contract (r14 props axis): a 100 TB props column
+    // carries NULLs, malformed JSON, and non-integer k values, and the
+    // two engines' native paths disagree on every one of them —
+    // DuckDB's ->> ERRORS on malformed JSON where get_json_object is
+    // lenient, Spark's ANSI cast THROWS on 'notanum' where the oracle
+    // needs a value, and DuckDB's TRY_CAST('3.7' AS INTEGER) ROUNDS
+    // to 4 where Spark's try_cast is NULL. Pinned: lenient extraction
+    // (malformed/missing → NULL) + Spark try_cast string→int
+    // semantics (integer-shaped text only, trimAll whitespace; floats
+    // and garbage → NULL) — the oracle replays that with a
+    // json_valid guard plus a full-match [\x00-\x20]*[+-]?digits
+    // regex before its TRY_CAST.
     "q_events_props" -> ((s, d) =>
       Tables.events(s, d)
         .select(col("event_type"),
-          get_json_object(col("props"), "$.k").cast("int").as("k"))
+          expr("try_cast(get_json_object(props, '$.k') AS int)").as("k"))
         // floor division, not `div` (truncation): for negative k the two
         // bucket negatives differently and DuckDB's // floors.
         .groupBy(col("event_type"), floor(col("k") / lit(10.0)).cast("long").as("k_decile"))
@@ -423,12 +435,26 @@ object MiscQueries extends QueryPack {
         |FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
         |GROUP BY 1, 2, 3""".stripMargin,
 
+    // json_valid guards ->> (DuckDB errors on malformed JSON; Spark's
+    // get_json_object yields NULL); the full-match regex + extract
+    // replays Spark's try_cast string→int exactly — integer-shaped
+    // text with trimAll ([\x00-\x20]) padding only, never DuckDB's
+    // rounding TRY_CAST('3.7') = 4
     "q_events_props" ->
-      """SELECT event_type,
-        |  CAST(floor(CAST(props->>'k' AS INTEGER) / 10.0) AS BIGINT) AS k_decile,
+      """WITH kx AS (
+        |  SELECT event_type,
+        |    CASE WHEN json_valid(props) THEN props->>'k' END AS kt
+        |  FROM events),
+        |kv AS (
+        |  SELECT event_type,
+        |    CASE WHEN regexp_matches(kt, '^[\x00-\x20]*[+-]?[0-9]+[\x00-\x20]*$')
+        |         THEN TRY_CAST(regexp_extract(kt, '[+-]?[0-9]+') AS INTEGER) END AS k
+        |  FROM kx)
+        |SELECT event_type,
+        |  CAST(floor(k / 10.0) AS BIGINT) AS k_decile,
         |  count(*) AS cnt,
-        |  CAST(sum(CAST(props->>'k' AS INTEGER)) AS BIGINT) AS sum_k
-        |FROM events GROUP BY 1, 2""".stripMargin,
+        |  CAST(sum(k) AS BIGINT) AS sum_k
+        |FROM kv GROUP BY 1, 2""".stripMargin,
 
     "q_bloom_prefilter" ->
       """SELECT l_returnflag, count(*) AS n_items,

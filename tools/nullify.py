@@ -22,7 +22,19 @@ denominators zero (q_events_hau_approx's within_bound 0/0 — the r13
 VERDICT #2 class). The sibling all-null MONTH (q_events_stickiness's
 mau=0) cannot be injected here — the driver corpus spans exactly one
 month at every SF, so the arm would null the entire column; that
-contract is pinned by WindowQueriesSpec's two-month fixture instead.
+contract is pinned by WindowOpsSpec's two-month fixture instead.
+
+r14b: events.props DIRTY-JSON arms — the schema-on-read column had
+never been graded on anything but clean '{"k": N}' payloads, and the
+engines' native paths disagree on every dirty form (DuckDB ->>
+ERRORS on malformed JSON, Spark ANSI CAST throws on non-numeric,
+DuckDB TRY_CAST('3.7') ROUNDS where Spark try_cast is NULL):
+  %37 -> '{broken'            (malformed: lenient NULL, never an error)
+  %43 -> NULL                 (null propagates)
+  %53 -> '{"k": "37"}'        (string-typed int: parses on both)
+  %29 -> '{"k": 3.7}'         (float: NULL on both -- never rounded)
+  %31 -> '{"k": " 42 "}'      (padded string: Spark trimAll semantics)
+  %23 -> '{"k": 99999999999}' (int32 overflow: NULL on both)
 Everything else copies through byte-identical.
 
 Usage: python3 tools/nullify.py <src_sf_dir> <dst_dir>
@@ -59,7 +71,13 @@ def main(src: str, dst: str) -> None:
                                   THEN NULL ELSE user_id END AS user_id,
                              CASE WHEN event_id % 59 = 0 THEN NULL ELSE event_type END AS event_type,
                              CASE WHEN event_id % 47 = 0 THEN NULL ELSE value END AS value,
-                             props
+                             CASE WHEN event_id % 37 = 0 THEN '{{broken'
+                                  WHEN event_id % 43 = 0 THEN NULL
+                                  WHEN event_id % 53 = 0 THEN '{{"k": "37"}}'
+                                  WHEN event_id % 29 = 0 THEN '{{"k": 3.7}}'
+                                  WHEN event_id % 31 = 0 THEN '{{"k": " 42 "}}'
+                                  WHEN event_id % 23 = 0 THEN '{{"k": 99999999999}}'
+                                  ELSE props END AS props
                       FROM read_parquet('{sp}')) TO '{dp}' (FORMAT PARQUET)""")
         else:
             if os.path.isdir(sp):
