@@ -43,12 +43,41 @@ object Tables {
     // NTZ-annotated timestamps as UTC instants. That is the intended
     // engine-wide semantic — timestamps are instants everywhere.
     s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    val df = table(s, d, "events")
-    if (df.schema("ts").dataType == LongType)
-      // integer `div`, not `/`: epoch nanos exceed 2^53, so double
-      // division loses the low microsecond bit.
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    val df0 = table(s, d, "events")
+    val df =
+      if (df0.schema("ts").dataType == LongType)
+        // integer `div`, not `/`: epoch nanos exceed 2^53, so double
+        // division loses the low microsecond bit.
+        df0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else df0
+    // NaN/±Inf telemetry values ≡ NULL at the READ boundary (r14 nan
+    // axis): sensor garbage must hit the already-pinned null-value
+    // contract (count-not-sum) instead of crashing ANSI decimal casts,
+    // the rolling kernel's BigDecimal decode, or silently diverging
+    // the ntile/percentile orderings. One codegen'd projection; pure
+    // pass-through on a clean corpus. Oracles mirror via
+    // [[eventsValueSanCte]].
+    df.withColumn("value",
+      when(isnan(col("value")) || abs(col("value")) === Double.PositiveInfinity,
+        lit(null).cast("double")).otherwise(col("value")))
+  }
+
+  /** The oracle-side mirror of the events `value` sanitization: a CTE
+    * shadowing the `events` view (inside a non-recursive CTE body the
+    * name still resolves to the base view). Apply to every oracle that
+    * reads `value`. */
+  def eventsValueSanCte(sql: String): String = {
+    // main.events: DuckDB refuses a CTE that references a same-named
+    // view unqualified ("circular reference"); the checker registers
+    // every table as a view in the default `main` schema
+    val cte = "events AS (SELECT event_id, ts, user_id, event_type, " +
+      "CASE WHEN isnan(value) OR isinf(value) THEN NULL ELSE value END AS value, " +
+      "props FROM main.events)"
+    if (sql.startsWith("WITH RECURSIVE "))
+      "WITH RECURSIVE " + cte + ", " + sql.stripPrefix("WITH RECURSIVE ")
+    else if (sql.startsWith("WITH "))
+      "WITH " + cte + ",\n" + sql.stripPrefix("WITH ")
+    else "WITH " + cte + "\n" + sql
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -35,6 +35,13 @@ DuckDB TRY_CAST('3.7') ROUNDS where Spark try_cast is NULL):
   %29 -> '{"k": 3.7}'         (float: NULL on both -- never rounded)
   %31 -> '{"k": " 42 "}'      (padded string: Spark trimAll semantics)
   %23 -> '{"k": 99999999999}' (int32 overflow: NULL on both)
+
+r14c: events.value NaN/±Inf arms (%41 NaN, %67 +inf, %73 -inf) — the
+READ-boundary contract (Tables.events): garbage floats ≡ NULL value,
+inheriting the pinned null-value semantics (count-not-sum) instead of
+crashing ANSI decimal casts / the rolling kernel's BigDecimal decode
+or silently rotating ntile orderings; the 8 value-reading oracles
+mirror via Tables.eventsValueSanCte.
 Everything else copies through byte-identical.
 
 Usage: python3 tools/nullify.py <src_sf_dir> <dst_dir>
@@ -70,7 +77,11 @@ def main(src: str, dst: str) -> None:
                                        (SELECT min(date_trunc('hour', ts)) FROM read_parquet('{sp}'))
                                   THEN NULL ELSE user_id END AS user_id,
                              CASE WHEN event_id % 59 = 0 THEN NULL ELSE event_type END AS event_type,
-                             CASE WHEN event_id % 47 = 0 THEN NULL ELSE value END AS value,
+                             CASE WHEN event_id % 47 = 0 THEN NULL
+                                  WHEN event_id % 41 = 0 THEN CAST('nan' AS DOUBLE)
+                                  WHEN event_id % 67 = 0 THEN CAST('inf' AS DOUBLE)
+                                  WHEN event_id % 73 = 0 THEN CAST('-inf' AS DOUBLE)
+                                  ELSE value END AS value,
                              CASE WHEN event_id % 37 = 0 THEN '{{broken'
                                   WHEN event_id % 43 = 0 THEN NULL
                                   WHEN event_id % 53 = 0 THEN '{{"k": "37"}}'
