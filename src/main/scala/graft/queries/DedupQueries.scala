@@ -1058,7 +1058,13 @@ FROM sh LEFT JOIN cnt ON sh.doc_id = cnt.doc_id"""
       val proj = row.zipWithIndex
         .map { case (c, i) => s"$c * CAST(e.embedding[${i + 1}] AS DOUBLE)" }
         .mkString(" + ")
-      s"(CASE WHEN bsel.bbits > $p AND ($proj) > 0 THEN ${1L << p} ELSE 0 END)"
+      // NOT isnan: a NaN embedding component makes the projection NaN,
+      // and DuckDB comparisons treat NaN as GREATER than everything
+      // (NaN > 0 is TRUE) where the Spark kernel's IEEE `proj > 0` is
+      // false — unguarded, a corrupt vector buckets differently on the
+      // two engines (r14 embeddings axis caught this live)
+      s"(CASE WHEN bsel.bbits > $p AND NOT isnan($proj) AND ($proj) > 0" +
+        s" THEN ${1L << p} ELSE 0 END)"
     }.mkString(" + ")
 
   /** Force `AS MATERIALIZED` on every top-level CTE of an oracle.

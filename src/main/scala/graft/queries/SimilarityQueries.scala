@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -54,11 +55,11 @@ object SimilarityQueries extends QueryPack {
     val q = e.where(col("vec_id") < NQueries)
       .select(col("vec_id").as("qid"), col("label").as("qlabel"),
         col("embedding").as("qvec"), col("nsq").as("qnsq"))
-    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id").asc)
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc_nulls_last, col("vec_id").asc)
     broadcast(q).join(e, col("qlabel") =!= col("label"))
       .select(col("qid"), col("vec_id"),
-        round(dotExpr(col("qvec"), col("embedding"), Dim) /
-          sqrt(col("qnsq") * col("nsq")), 6).as("sim"))
+        guardedSim(dotExpr(col("qvec"), col("embedding"), Dim),
+          col("qnsq"), col("nsq")).as("sim"))
       .where(col("sim") < HardNegCeil)
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= K)
@@ -72,11 +73,11 @@ object SimilarityQueries extends QueryPack {
         normSqExpr(col("embedding"), Dim).as("nsq"))
     val q = e.where(col("vec_id") < NQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"), col("nsq").as("qnsq"))
-    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id").asc)
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc_nulls_last, col("vec_id").asc)
     broadcast(q).join(e, col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id"),
-        round(dotExpr(col("qvec"), col("embedding"), Dim) /
-          sqrt(col("qnsq") * col("nsq")), 6).as("sim"))
+        guardedSim(dotExpr(col("qvec"), col("embedding"), Dim),
+          col("qnsq"), col("nsq")).as("sim"))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= K)
   }
@@ -99,13 +100,13 @@ object SimilarityQueries extends QueryPack {
         col("bucket").as("qbucket"))
       .withColumn("probe", col("qbucket").bitwiseXOR(col("mask")))
       .withColumnRenamed("table", "qtable")
-    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id").asc)
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc_nulls_last, col("vec_id").asc)
     broadcast(q).join(e,
         col("qtable") === col("table") && col("probe") === col("bucket") &&
           col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id"),
-        round(dotExpr(col("qvec"), col("embedding"), Dim) /
-          sqrt(col("qnsq") * col("nsq")), 6).as("sim"))
+        guardedSim(dotExpr(col("qvec"), col("embedding"), Dim),
+          col("qnsq"), col("nsq")).as("sim"))
       .distinct()
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= K)
@@ -268,7 +269,7 @@ object SimilarityQueries extends QueryPack {
         .where(col("qid") =!= col("doc_id"))
         .groupBy("qid", "doc_id")
         .agg(sum(ld(col("qs")) * ld(col("s"))).as("dot"))
-      val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id").asc)
+      val w = Window.partitionBy("qid").orderBy(col("sim").desc_nulls_last, col("vec_id").asc)
       dots
         .join(nsq, Seq("doc_id"))
         .join(broadcast(nsq.select(col("doc_id").as("qid"), col("nsq").as("qnsq"))),
@@ -340,11 +341,11 @@ object SimilarityQueries extends QueryPack {
       val q = e.where(col("vec_id") < NQueries)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
           col("label").as("qlabel"), col("nsq").as("qnsq"))
-      val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id").asc)
+      val w = Window.partitionBy("qid").orderBy(col("sim").desc_nulls_last, col("vec_id").asc)
       broadcast(q).join(e, col("qlabel") === col("label") && col("qid") =!= col("vec_id"))
         .select(col("qid"), col("vec_id"),
-          round(dotExpr(col("qvec"), col("embedding"), Dim) /
-            sqrt(col("qnsq") * col("nsq")), 6).as("sim"))
+          guardedSim(dotExpr(col("qvec"), col("embedding"), Dim),
+            col("qnsq"), col("nsq")).as("sim"))
         .withColumn("rank", row_number().over(w))
         .where(col("rank") <= K)
     }),
@@ -409,34 +410,56 @@ object SimilarityQueries extends QueryPack {
           col("qv").as("qqv"), col("qs").as("qqs"))
       val wCand = Window.partitionBy("qid")
         .orderBy(col("approx").desc, col("vec_id").asc)
-      val wExact = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id").asc)
+      val wExact = Window.partitionBy("qid").orderBy(col("sim").desc_nulls_last, col("vec_id").asc)
       broadcast(q).join(e, col("qid") =!= col("vec_id"))
         .withColumn("approx",
           intDotExpr(col("qqv"), col("qv"), Dim).cast("double") * col("qqs") * col("qs"))
         .withColumn("crank", row_number().over(wCand))
         .where(col("crank") <= Candidates)
         .select(col("qid"), col("vec_id"),
-          round(dotExpr(col("qvec"), col("embedding"), Dim) /
-            sqrt(normSqExpr(col("qvec"), Dim) * normSqExpr(col("embedding"), Dim)), 6)
-            .as("sim"))
+          guardedSim(dotExpr(col("qvec"), col("embedding"), Dim),
+            normSqExpr(col("qvec"), Dim), normSqExpr(col("embedding"), Dim)).as("sim"))
         .withColumn("rank", row_number().over(wExact))
         .where(col("rank") <= K)
     }))
+
+
+  /** Exact rounded cosine with the NON-FINITE contract (r14 embeddings
+    * NaN/zero-vector axis): a zero-norm side divides by zero (ANSI
+    * THROWS), a NaN component poisons the dot — both pin to NULL, and
+    * every ranking window orders sim DESC NULLS LAST, so garbage
+    * vectors never win a top-k slot yet still fill ranks
+    * deterministically (tie-break vec_id) when nothing finite remains.
+    * The oracles mirror via the guarded [[simSql]] + NULLS LAST
+    * (DuckDB's 0/0 is NULL but its bare NaN sorts GREATEST — above
+    * every real sim — so leaving NaN unguarded flips top-k on the
+    * first corrupt vector). */
+  private def guardedSim(dot: Column, nsqA: Column, nsqB: Column): Column = {
+    val x = round(try_divide(dot, sqrt(nsqA * nsqB)), 6)
+    when(isnan(x) || abs(x) === Double.PositiveInfinity, lit(null).cast("double"))
+      .otherwise(x)
+  }
 
   private def dotSql(a: String, b: String): String =
     (1 to Dim).map(i => s"CAST($a.embedding[$i] AS DOUBLE) * CAST($b.embedding[$i] AS DOUBLE)")
       .mkString(" + ")
 
   private def simSql(a: String, b: String): String =
-    s"round((${dotSql(a, b)}) / sqrt((${dotSql(a, a)}) * (${dotSql(b, b)})), 6)"
+    s"""CASE WHEN isnan(round((${dotSql(a, b)}) /
+       |    sqrt((${dotSql(a, a)}) * (${dotSql(b, b)})), 6))
+       |  THEN NULL
+       |  ELSE round((${dotSql(a, b)}) /
+       |    sqrt((${dotSql(a, a)}) * (${dotSql(b, b)})), 6) END""".stripMargin
 
   private val bruteForceSql =
     s"""SELECT qid, vec_id, sim, rank FROM (
-       |  SELECT a.vec_id AS qid, b.vec_id AS vec_id, ${simSql("a", "b")} AS sim,
-       |    row_number() OVER (PARTITION BY a.vec_id
-       |      ORDER BY ${simSql("a", "b")} DESC, b.vec_id ASC) AS rank
-       |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
-       |  WHERE a.vec_id < $NQueries)
+       |  SELECT qid, vec_id, sim,
+       |    row_number() OVER (PARTITION BY qid
+       |      ORDER BY sim DESC NULLS LAST, vec_id ASC) AS rank
+       |  FROM (
+       |    SELECT a.vec_id AS qid, b.vec_id AS vec_id, ${simSql("a", "b")} AS sim
+       |    FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+       |    WHERE a.vec_id < $NQueries))
        |WHERE rank <= $K""".stripMargin
 
   /** The adaptive-bucketing constants as SQL VALUES rows — generated
@@ -485,12 +508,14 @@ object SimilarityQueries extends QueryPack {
 
     "sim_hard_negatives" ->
       s"""SELECT qid, vec_id, sim, rank FROM (
-         |  SELECT a.vec_id AS qid, b.vec_id AS vec_id, ${simSql("a", "b")} AS sim,
-         |    row_number() OVER (PARTITION BY a.vec_id
-         |      ORDER BY ${simSql("a", "b")} DESC, b.vec_id ASC) AS rank
-         |  FROM embeddings a JOIN embeddings b
-         |    ON a.label <> b.label AND ${simSql("a", "b")} < $HardNegCeil
-         |  WHERE a.vec_id < $NQueries)
+         |  SELECT qid, vec_id, sim,
+         |    row_number() OVER (PARTITION BY qid
+         |      ORDER BY sim DESC NULLS LAST, vec_id ASC) AS rank
+         |  FROM (
+         |    SELECT a.vec_id AS qid, b.vec_id AS vec_id, ${simSql("a", "b")} AS sim
+         |    FROM embeddings a JOIN embeddings b ON a.label <> b.label
+         |    WHERE a.vec_id < $NQueries)
+         |  WHERE sim < $HardNegCeil)
          |WHERE rank <= $K""".stripMargin,
 
     "sim_topk_learned" ->
@@ -558,12 +583,14 @@ object SimilarityQueries extends QueryPack {
 
     "sim_topk_ivf" ->
       s"""SELECT qid, vec_id, sim, rank FROM (
-         |  SELECT a.vec_id AS qid, b.vec_id AS vec_id, ${simSql("a", "b")} AS sim,
-         |    row_number() OVER (PARTITION BY a.vec_id
-         |      ORDER BY ${simSql("a", "b")} DESC, b.vec_id ASC) AS rank
-         |  FROM embeddings a JOIN embeddings b
-         |    ON a.label = b.label AND a.vec_id <> b.vec_id
-         |  WHERE a.vec_id < $NQueries)
+         |  SELECT qid, vec_id, sim,
+         |    row_number() OVER (PARTITION BY qid
+         |      ORDER BY sim DESC NULLS LAST, vec_id ASC) AS rank
+         |  FROM (
+         |    SELECT a.vec_id AS qid, b.vec_id AS vec_id, ${simSql("a", "b")} AS sim
+         |    FROM embeddings a JOIN embeddings b
+         |      ON a.label = b.label AND a.vec_id <> b.vec_id
+         |    WHERE a.vec_id < $NQueries))
          |WHERE rank <= $K""".stripMargin,
 
     // The oracle asserts the SRP recall certificate: query count from

@@ -42,6 +42,12 @@ inheriting the pinned null-value semantics (count-not-sum) instead of
 crashing ANSI decimal casts / the rolling kernel's BigDecimal decode
 or silently rotating ntile orderings; the 8 value-reading oracles
 mirror via Tables.eventsValueSanCte.
+
+r14d: embeddings arms — vec_id %89 gets a NaN first component, %97
+becomes the all-zero vector. The NaN-cosine / zero-norm guards
+(NOT-isnan pair filters, the NaN-ranks-first assignment contract,
+signBucket's NaN>0=false plane) were fixture-pinned since r11 but
+never corpus-graded through the whole semantic/ANN battery at once.
 Everything else copies through byte-identical.
 
 Usage: python3 tools/nullify.py <src_sf_dir> <dst_dir>
@@ -89,6 +95,17 @@ def main(src: str, dst: str) -> None:
                                   WHEN event_id % 31 = 0 THEN '{{"k": " 42 "}}'
                                   WHEN event_id % 23 = 0 THEN '{{"k": 99999999999}}'
                                   ELSE props END AS props
+                      FROM read_parquet('{sp}')) TO '{dp}' (FORMAT PARQUET)""")
+        elif t == "embeddings":
+            con.execute(f"""
+                COPY (SELECT vec_id,
+                             CASE WHEN vec_id % 89 = 0
+                                    THEN list_transform(embedding,
+                                         (x, i) -> CASE WHEN i = 1 THEN 'nan'::FLOAT ELSE x END)
+                                  WHEN vec_id % 97 = 0
+                                    THEN list_transform(embedding, x -> 0.0::FLOAT)
+                                  ELSE embedding END AS embedding,
+                             label
                       FROM read_parquet('{sp}')) TO '{dp}' (FORMAT PARQUET)""")
         else:
             if os.path.isdir(sp):
