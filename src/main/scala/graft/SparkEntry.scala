@@ -37,9 +37,16 @@ object SparkEntry {
     packs.flatMap(_.queries).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+    * the same parquet tables. Omitted for non-SQL-expressible ops.
+    * Every oracle that mentions the events table gets the READ-BOUNDARY
+    * shadow CTE ([[Tables.eventsBoundaryCte]]) so the two engines
+    * consume the identically sanitized relation — applied HERE, once,
+    * so no individual oracle can forget it. */
   def oracleSql: Map[String, String] =
-    packs.flatMap(_.oracles).toMap
+    packs.flatMap(_.oracles).toMap.map { case (k, v) =>
+      k -> (if ("\\bevents\\b".r.findFirstIn(v).isDefined)
+        Tables.eventsBoundaryCte(v) else v)
+    }
 
   /** Release every intermediate a query pinned with `persist()` (the
     * sketch/signature tables). Call after consuming a query's result —

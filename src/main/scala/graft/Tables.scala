@@ -50,29 +50,35 @@ object Tables {
         // division loses the low microsecond bit.
         df0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       else df0
-    // NaN/±Inf telemetry values ≡ NULL at the READ boundary (r14 nan
-    // axis): sensor garbage must hit the already-pinned null-value
-    // contract (count-not-sum) instead of crashing ANSI decimal casts,
-    // the rolling kernel's BigDecimal decode, or silently diverging
-    // the ntile/percentile orderings. One codegen'd projection; pure
-    // pass-through on a clean corpus. Oracles mirror via
-    // [[eventsValueSanCte]].
-    df.withColumn("value",
-      when(isnan(col("value")) || abs(col("value")) === Double.PositiveInfinity,
-        lit(null).cast("double")).otherwise(col("value")))
+    // The events READ BOUNDARY (r14 dirty-data axes) — one projection,
+    // pass-through on a clean corpus, mirrored verbatim in every
+    // events-reading oracle by [[eventsBoundaryCte]]:
+    //  * NULL ts rows DROP: an event without a time cannot enter any
+    //    event-time analysis, and keeping it would force a null-
+    //    placement pin into every per-user window on both engines
+    //    (Spark ASC is NULLS FIRST, DuckDB NULLS LAST — 15+ oracles).
+    //  * NaN/±Inf values ≡ NULL: sensor garbage hits the pinned
+    //    null-value contract (count-not-sum) instead of crashing ANSI
+    //    decimal casts / the rolling kernel's BigDecimal decode, or
+    //    silently engaging each engine's own NaN ordering.
+    df.where(col("ts").isNotNull)
+      .withColumn("value",
+        when(isnan(col("value")) || abs(col("value")) === Double.PositiveInfinity,
+          lit(null).cast("double")).otherwise(col("value")))
   }
 
-  /** The oracle-side mirror of the events `value` sanitization: a CTE
-    * shadowing the `events` view (inside a non-recursive CTE body the
-    * name still resolves to the base view). Apply to every oracle that
-    * reads `value`. */
-  def eventsValueSanCte(sql: String): String = {
+  /** The oracle-side mirror of the events read boundary: a CTE
+    * shadowing the `events` view (every reference in the oracle then
+    * reads the sanitized relation). [[SparkEntry.oracleSql]] applies
+    * it to EVERY oracle that mentions the events table — an unused
+    * shadow CTE is harmless, so the match can over-approximate. */
+  def eventsBoundaryCte(sql: String): String = {
     // main.events: DuckDB refuses a CTE that references a same-named
     // view unqualified ("circular reference"); the checker registers
     // every table as a view in the default `main` schema
     val cte = "events AS (SELECT event_id, ts, user_id, event_type, " +
       "CASE WHEN isnan(value) OR isinf(value) THEN NULL ELSE value END AS value, " +
-      "props FROM main.events)"
+      "props FROM main.events WHERE ts IS NOT NULL)"
     if (sql.startsWith("WITH RECURSIVE "))
       "WITH RECURSIVE " + cte + ", " + sql.stripPrefix("WITH RECURSIVE ")
     else if (sql.startsWith("WITH "))

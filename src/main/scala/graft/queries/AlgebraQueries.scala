@@ -381,10 +381,10 @@ object AlgebraQueries extends QueryPack {
 
     // One-pass recompute: the merge above must equal this exactly.
     "pipe_incremental_agg" ->
-      graft.Tables.eventsValueSanCte("""SELECT user_id, count(*) AS n_events,
+      """SELECT user_id, count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
         |  min(epoch_us(ts)) AS first_us, max(epoch_us(ts)) AS last_us
-        |FROM events GROUP BY 1""".stripMargin),
+        |FROM events GROUP BY 1""".stripMargin,
 
     "q_snapshot_diff" ->
       """WITH old AS (

@@ -417,11 +417,11 @@ object RelationalQueries extends QueryPack {
         |GROUP BY 1""".stripMargin,
 
     "q_events_hourly" ->
-      graft.Tables.eventsValueSanCte("""SELECT event_type,
+      """SELECT event_type,
         |  strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
         |  count(*) AS cnt,
         |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_value
-        |FROM events GROUP BY 1, 2""".stripMargin),
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     "q_interval_overlap" ->
       """WITH iv AS (

@@ -1090,7 +1090,7 @@ object StatsQueries extends QueryPack {
         |FROM f""".stripMargin,
 
     "q_events_histogram" ->
-      graft.Tables.eventsValueSanCte("""WITH ev AS (
+      """WITH ev AS (
         |  SELECT event_type,
         |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
         |  FROM events)
@@ -1098,7 +1098,7 @@ object StatsQueries extends QueryPack {
         |  CAST(CASE WHEN cents < 0 THEN -1 ELSE cents // 2000 END AS BIGINT) AS bucket,
         |  count(*) AS cnt
         |FROM ev
-        |GROUP BY 1, 2""".stripMargin),
+        |GROUP BY 1, 2""".stripMargin,
 
     "q_events_transitions" ->
       """WITH e AS (
@@ -1126,7 +1126,7 @@ object StatsQueries extends QueryPack {
         |WHERE rnk <= 2""".stripMargin,
 
     "q_events_outliers" ->
-      graft.Tables.eventsValueSanCte("""WITH ev AS (
+      """WITH ev AS (
         |  SELECT event_type,
         |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
         |  FROM events),
@@ -1141,7 +1141,7 @@ object StatsQueries extends QueryPack {
         |                     CAST(s.sx AS HUGEINT) * s.sx)
         |           THEN 1 ELSE 0 END) AS BIGINT) AS outliers
         |FROM ev e JOIN st s ON e.event_type = s.event_type
-        |GROUP BY 1""".stripMargin),
+        |GROUP BY 1""".stripMargin,
 
     "q_pk_integrity" ->
       """SELECT 'lineitem' AS tbl, count(*) AS rows,

@@ -573,7 +573,7 @@ object WindowQueries extends QueryPack {
 
   override def oracles: Map[String, String] = Map(
     "q_events_sessions" ->
-      graft.Tables.eventsValueSanCte(s"""WITH e AS (
+      s"""WITH e AS (
          |  SELECT user_id, event_id, value, epoch_us(ts) AS us,
          |    CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY ts, event_id)
          |              > $GapUs THEN 1 ELSE 0 END AS new_session
@@ -586,15 +586,15 @@ object WindowQueries extends QueryPack {
          |SELECT user_id, session_id, count(*) AS n_events,
          |  max(us) - min(us) AS duration_us,
          |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
-         |FROM s GROUP BY 1, 2""".stripMargin),
+         |FROM s GROUP BY 1, 2""".stripMargin,
 
     "q_events_rolling" ->
-      graft.Tables.eventsValueSanCte("""SELECT user_id, event_id, epoch_us(ts) AS us,
+      """SELECT user_id, event_id, epoch_us(ts) AS us,
         |  count(*) OVER w AS n_1h,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_1h
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
-        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin),
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
 
     "q_events_paths" ->
       """WITH p AS (
@@ -659,7 +659,7 @@ object WindowQueries extends QueryPack {
         |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_returning_events
         |FROM e GROUP BY 1""".stripMargin,
 
-    "q_events_ewma" -> graft.Tables.eventsValueSanCte({
+    "q_events_ewma" -> {
       val depth = 16
       val lags = (0 until depth)
         .map(j => s"lag(value, $j) OVER w AS v$j").mkString(",\n         |    ")
@@ -677,7 +677,7 @@ object WindowQueries extends QueryPack {
          |  CAST(($terms) AS DOUBLE)
          |    / ((1::BIGINT << least($depth, rn)) - 1) AS ewma
          |FROM e""".stripMargin
-    }),
+    },
 
     "q_events_debounce" ->
       s"""WITH e AS (
@@ -689,13 +689,13 @@ object WindowQueries extends QueryPack {
          |FROM e GROUP BY 1, 2""".stripMargin,
 
     "q_events_value_ntile" ->
-      graft.Tables.eventsValueSanCte("""WITH t AS (
+      """WITH t AS (
         |  SELECT user_id, event_id, value,
         |    ntile(4) OVER (PARTITION BY user_id ORDER BY value NULLS FIRST, event_id) AS quartile
         |  FROM events)
         |SELECT user_id, CAST(quartile AS INTEGER) AS quartile, count(*) AS n_events,
         |  min(value) AS min_value, max(value) AS max_value
-        |FROM t GROUP BY 1, 2""".stripMargin),
+        |FROM t GROUP BY 1, 2""".stripMargin,
 
     "q_events_anomaly" ->
       """WITH daily AS (

@@ -43,6 +43,13 @@ crashing ANSI decimal casts / the rolling kernel's BigDecimal decode
 or silently rotating ntile orderings; the 8 value-reading oracles
 mirror via Tables.eventsValueSanCte.
 
+r14e: events.ts NULL for event_id %83 — the READ-boundary contract
+(Tables.events) DROPS timeless events: an event without a time cannot
+enter event-time analysis, and keeping it would force a null-placement
+pin into every per-user window on both engines (Spark ASC NULLS FIRST
+vs DuckDB NULLS LAST). Every events-reading oracle consumes the same
+boundary through the shadow CTE SparkEntry applies centrally.
+
 r14d: embeddings arms — vec_id %89 gets a NaN first component, %97
 becomes the all-zero vector. The NaN-cosine / zero-norm guards
 (NOT-isnan pair filters, the NaN-ranks-first assignment contract,
@@ -77,7 +84,8 @@ def main(src: str, dst: str) -> None:
                       FROM read_parquet('{sp}')) TO '{dp}' (FORMAT PARQUET)""")
         elif t == "events":
             con.execute(f"""
-                COPY (SELECT event_id, ts,
+                COPY (SELECT event_id,
+                             CASE WHEN event_id % 83 = 0 THEN NULL ELSE ts END AS ts,
                              CASE WHEN event_id % 61 = 0
                                     OR date_trunc('hour', ts) =
                                        (SELECT min(date_trunc('hour', ts)) FROM read_parquet('{sp}'))
