@@ -434,11 +434,18 @@ object SimilarityQueries extends QueryPack {
     * (DuckDB's 0/0 is NULL but its bare NaN sorts GREATEST — above
     * every real sim — so leaving NaN unguarded flips top-k on the
     * first corrupt vector). */
-  private def guardedSim(dot: Column, nsqA: Column, nsqB: Column): Column = {
-    val x = round(try_divide(dot, sqrt(nsqA * nsqB)), 6)
-    when(isnan(x) || abs(x) === Double.PositiveInfinity, lit(null).cast("double"))
-      .otherwise(x)
-  }
+  private def guardedSim(dot: Column, nsqA: Column, nsqB: Column): Column =
+    // guard the NORMS, not the quotient: a NaN component makes its
+    // side's nsq NaN and a zero vector makes it 0, while two finite
+    // nonzero-norm vectors can never produce a non-finite quotient
+    // (float components bound the double dot far below overflow) — so
+    // the per-PAIR cost is one scalar branch, not a second 64-term
+    // expression (the first guarded form re-ran the quotient inside
+    // its isnan check and showed up as 1.6–1.8× on the broadcast×N
+    // scans' bench rows)
+    when(isnan(nsqA) || nsqA === 0 || isnan(nsqB) || nsqB === 0,
+      lit(null).cast("double"))
+      .otherwise(round(dot / sqrt(nsqA * nsqB), 6))
 
   private def dotSql(a: String, b: String): String =
     (1 to Dim).map(i => s"CAST($a.embedding[$i] AS DOUBLE) * CAST($b.embedding[$i] AS DOUBLE)")

@@ -32,16 +32,24 @@ class InjectedStreamReplaySpec extends AnyFunSuite {
 
   /** tools/nullify.py's events arms, replayed in-plan: user_id NULL
     * for event_id%61==0 and for EVERY event of the corpus's first hour
-    * (the all-null-group arm); event_type NULL for %59; value for %47. */
+    * (the all-null-group arm); event_type NULL for %59; value NULL for
+    * %47, NaN %41, ±Inf %67/%73; ts NULL for %83 (the r14 read-boundary
+    * arms — both the batch queries and the stream input read through
+    * Tables.events, so the boundary drops/sanitizes identically). */
   private def nullArm(ev: DataFrame): DataFrame = {
     val h0 = ev.agg(min(date_trunc("hour", col("ts")))).head.getTimestamp(0)
-    ev.select(col("event_id"), col("ts"),
+    ev.select(col("event_id"),
+      when(col("event_id") % 83 === 0, lit(null).cast("timestamp"))
+        .otherwise(col("ts")).as("ts"),
       when(col("event_id") % 61 === 0 ||
         date_trunc("hour", col("ts")) === lit(h0), lit(null))
         .otherwise(col("user_id")).as("user_id"),
       when(col("event_id") % 59 === 0, lit(null))
         .otherwise(col("event_type")).as("event_type"),
       when(col("event_id") % 47 === 0, lit(null))
+        .when(col("event_id") % 41 === 0, lit(Double.NaN))
+        .when(col("event_id") % 67 === 0, lit(Double.PositiveInfinity))
+        .when(col("event_id") % 73 === 0, lit(Double.NegativeInfinity))
         .otherwise(col("value")).as("value"),
       col("props"))
   }
@@ -63,11 +71,12 @@ class InjectedStreamReplaySpec extends AnyFunSuite {
     // breaking unix_micros in every batch twin
     inject(Tables.events(spark, sf))
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
-    val injected = spark.read.parquet(s"$dir/events.parquet")
 
     // in-order replay: global (ts, event_id) order implies per-user
-    // order; four splits exercise state carried across batch bounds
-    val ordered = injected.orderBy("ts", "event_id")
+    // order; four splits exercise state carried across batch bounds.
+    // Read through Tables.events — the stream consumes the SAME read
+    // boundary (null-ts drop, NaN-value sanitize) as the batch twins
+    val ordered = Tables.events(spark, dir).orderBy("ts", "event_id")
     val vRows = ordered.select("user_id", "ts", "event_id", "value")
       .as[ValueEvent].collect().toSeq
     val tRows = ordered.select("user_id", "ts", "event_type")
