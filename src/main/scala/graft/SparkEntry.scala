@@ -38,14 +38,13 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
-    * Every oracle that mentions the events table gets the READ-BOUNDARY
-    * shadow CTE ([[Tables.eventsBoundaryCte]]) so the two engines
-    * consume the identically sanitized relation — applied HERE, once,
-    * so no individual oracle can forget it. */
+    * Every oracle gets the READ-BOUNDARY shadow CTEs of the tables it
+    * mentions ([[Tables.readBoundarySql]]) so the two engines consume
+    * identically sanitized relations — applied HERE, once, so no
+    * individual oracle can forget a boundary. */
   def oracleSql: Map[String, String] =
     packs.flatMap(_.oracles).toMap.map { case (k, v) =>
-      k -> (if ("\\bevents\\b".r.findFirstIn(v).isDefined)
-        Tables.eventsBoundaryCte(v) else v)
+      k -> Tables.readBoundarySql(v)
     }
 
   /** Release every intermediate a query pinned with `persist()` (the

@@ -15,13 +15,52 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Measure/money DOUBLE columns per table, sanitized at the read
+    * boundary (NaN/±Inf ≡ NULL — the events-value contract, r14): a
+    * garbage float must hit the ordinary SQL null semantics both
+    * engines share (sums/avgs skip, filters drop, windows place NULLS
+    * LAST under DESC on both) instead of crashing an ANSI decimal
+    * cast or silently engaging each engine's own NaN ordering. Also
+    * drives the oracle shadow CTEs ([[readBoundarySql]]). */
+  private[graft] val measureCols: Map[String, Seq[String]] = Map(
+    "lineitem" -> Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+    "orders" -> Seq("o_totalprice"),
+    "part" -> Seq("p_retailprice"),
+    "customer" -> Seq("c_acctbal"),
+    "supplier" -> Seq("s_acctbal"))
+
+  /** Full column lists for the shadow CTEs (projection order must
+    * match the parquet schema so `SELECT *` consumers see the same
+    * shape). */
+  private val tableCols: Map[String, Seq[String]] = Map(
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+      "l_returnflag", "l_linestatus", "l_shipdate"),
+    "orders" -> Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority"),
+    "part" -> Seq("p_partkey", "p_name", "p_brand", "p_type", "p_size",
+      "p_retailprice"),
+    "customer" -> Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+      "c_mktsegment"),
+    "supplier" -> Seq("s_suppkey", "s_name", "s_nationkey", "s_acctbal"))
+
+  private def sanMeasures(df: DataFrame, cols: Seq[String]): DataFrame =
+    cols.foldLeft(df) { (d, c) =>
+      d.withColumn(c,
+        when(isnan(col(c)) || abs(col(c)) === Double.PositiveInfinity,
+          lit(null).cast("double")).otherwise(col(c)))
+    }
+
+  private def measureTable(s: SparkSession, d: String, name: String): DataFrame =
+    sanMeasures(table(s, d, name), measureCols(name))
+
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
-  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
-  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
-  def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
-  def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
-  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  def customer(s: SparkSession, d: String): DataFrame = measureTable(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = measureTable(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = measureTable(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame = measureTable(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = measureTable(s, d, "lineitem")
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
     * reader rejects; read nanos as long and downcast to micros (the
     * engine's native resolution — sub-microsecond is beyond every query
@@ -67,23 +106,43 @@ object Tables {
           lit(null).cast("double")).otherwise(col("value")))
   }
 
-  /** The oracle-side mirror of the events read boundary: a CTE
-    * shadowing the `events` view (every reference in the oracle then
-    * reads the sanitized relation). [[SparkEntry.oracleSql]] applies
-    * it to EVERY oracle that mentions the events table — an unused
-    * shadow CTE is harmless, so the match can over-approximate. */
-  def eventsBoundaryCte(sql: String): String = {
-    // main.events: DuckDB refuses a CTE that references a same-named
-    // view unqualified ("circular reference"); the checker registers
-    // every table as a view in the default `main` schema
-    val cte = "events AS (SELECT event_id, ts, user_id, event_type, " +
-      "CASE WHEN isnan(value) OR isinf(value) THEN NULL ELSE value END AS value, " +
-      "props FROM main.events WHERE ts IS NOT NULL)"
-    if (sql.startsWith("WITH RECURSIVE "))
-      "WITH RECURSIVE " + cte + ", " + sql.stripPrefix("WITH RECURSIVE ")
-    else if (sql.startsWith("WITH "))
-      "WITH " + cte + ",\n" + sql.stripPrefix("WITH ")
-    else "WITH " + cte + "\n" + sql
+  /** The oracle-side mirrors of every read boundary: per-table CTEs
+    * shadowing the base views (every reference in the oracle then
+    * reads the sanitized relation). main.<t>: DuckDB refuses a CTE
+    * that references a same-named view unqualified ("circular
+    * reference"); the checker registers every table as a view in the
+    * default `main` schema. */
+  private def sanSql(c: String) =
+    s"CASE WHEN isnan($c) OR isinf($c) THEN NULL ELSE $c END AS $c"
+  private val boundaryCtes: Seq[(String, String)] =
+    ("events",
+      "events AS (SELECT event_id, ts, user_id, event_type, " +
+        "CASE WHEN isnan(value) OR isinf(value) THEN NULL ELSE value END AS value, " +
+        "props FROM main.events WHERE ts IS NOT NULL)") +:
+      measureCols.toSeq.sortBy(_._1).map { case (t, mcols) =>
+        val proj = tableCols(t)
+          .map(c => if (mcols.contains(c)) sanSql(c) else c)
+          .mkString(", ")
+        t -> s"$t AS (SELECT $proj FROM main.$t)"
+      }
+
+  /** Prefix `sql` with the shadow CTEs of every boundary table it
+    * mentions. [[SparkEntry.oracleSql]] applies this to EVERY oracle —
+    * an unused shadow CTE is harmless, so the word-boundary match can
+    * over-approximate. */
+  def readBoundarySql(sql: String): String = {
+    val needed = boundaryCtes.collect {
+      case (t, cte) if s"\\b$t\\b".r.findFirstIn(sql).isDefined => cte
+    }
+    if (needed.isEmpty) sql
+    else {
+      val chain = needed.mkString(",\n")
+      if (sql.startsWith("WITH RECURSIVE "))
+        "WITH RECURSIVE " + chain + ", " + sql.stripPrefix("WITH RECURSIVE ")
+      else if (sql.startsWith("WITH "))
+        "WITH " + chain + ",\n" + sql.stripPrefix("WITH ")
+      else "WITH " + chain + "\n" + sql
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -393,7 +393,13 @@ object StatsQueries extends QueryPack {
     // Lower median: the smallest value whose cumulative count reaches
     // ceil(n/2) = (n+1) div 2 — integer arithmetic end to end.
     "q_median_qty" -> ((s, d) => {
+      // median over NON-NULL quantities (r14 money axis): the null
+      // qty group cumulates FIRST under Spark's ASC NULLS FIRST but
+      // LAST under DuckDB's NULLS LAST, shifting the threshold row —
+      // and a median of garbage is meaningless anyway; n = non-null
+      // count, mirrored in the oracle's WHERE
       val hist = Tables.lineitem(s, d)
+        .where(col("l_quantity").isNotNull)
         .groupBy(col("l_returnflag"), col("l_quantity").cast("long").as("qty"))
         .agg(count(lit(1)).as("c"))
       val cum = Window.partitionBy("l_returnflag").orderBy("qty")
@@ -523,12 +529,21 @@ object StatsQueries extends QueryPack {
         .rangeBetween(-89, Window.currentRow)
       daily
         .withColumn("r90", sum(col("revd")).over(w).cast("decimal(38,4)"))
+        // a day whose every item lost its price to the read boundary
+        // has revd NULL, and a NULL struct field sorts FIRST in
+        // Spark's min() where the oracle's r90 DESC ranks it LAST —
+        // the nf flag replays DESC NULLS LAST exactly (ties by day)
         .groupBy("l_suppkey")
         .agg(count(lit(1)).as("n_active_days"),
-          min(struct((-col("r90")).as("negr"), col("day_i").as("dy"))).as("mx"))
+          min(struct(
+            col("r90").isNull.cast("int").as("nf"),
+            coalesce(-col("r90"), lit(0).cast("decimal(38,4)")).as("negr"),
+            col("day_i").as("dy"))).as("mx"))
         .select(col("l_suppkey"), col("n_active_days"),
           col("mx.dy").cast("long").as("peak_day"),
-          (-col("mx.negr")).cast("decimal(38,4)").cast("double").as("peak_rev90"))
+          when(col("mx.nf") === 1, lit(null).cast("double"))
+            .otherwise((-col("mx.negr")).cast("decimal(38,4)").cast("double"))
+            .as("peak_rev90"))
     }),
 
     // Pearson correlation per group — the `corr()` aggregate rebuilt on
@@ -685,8 +700,12 @@ object StatsQueries extends QueryPack {
     // at scale ships the sketch alone. Same thresholded-certificate
     // pattern as the SRP recall and PageRank agreement tiers.
     "q_quantiles_cert" -> ((s, d) => {
+      // non-null values only: percentile_approx SKIPS nulls while the
+      // exact rank index counted their NULLS-FIRST positions, shifting
+      // e50/e90 off the approx's domain (r14 money axis)
       val li = Tables.lineitem(s, d).select(col("l_returnflag").as("flag"),
         col("l_extendedprice").cast("double").as("v"))
+        .where(col("v").isNotNull)
       val approx = li.groupBy("flag")
         .agg(percentile_approx(col("v"), array(lit(0.5), lit(0.9)), lit(10000)).as("ap"))
         .select(col("flag"), col("ap")(0).as("a50"), col("ap")(1).as("a90"))
@@ -1036,7 +1055,7 @@ object StatsQueries extends QueryPack {
       """WITH h AS (
         |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
         |         count(*) AS c
-        |  FROM lineitem GROUP BY 1, 2),
+        |  FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1, 2),
         |w AS (
         |  SELECT l_returnflag, qty, c,
         |         sum(c) OVER (PARTITION BY l_returnflag ORDER BY qty) AS cum,

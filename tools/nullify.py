@@ -50,6 +50,15 @@ pin into every per-user window on both engines (Spark ASC NULLS FIRST
 vs DuckDB NULLS LAST). Every events-reading oracle consumes the same
 boundary through the shadow CTE SparkEntry applies centrally.
 
+r14f: money/measure arms — the TPC-H-shape DOUBLE columns had never
+been injected, and a NaN there crashes every ANSI decimal cast:
+lineitem l_quantity NaN (l_orderkey %101), l_extendedprice +inf
+(%103); orders o_totalprice NaN (o_orderkey %107); part p_retailprice
+-inf (p_partkey %43); customer c_acctbal NaN (c_custkey %29);
+supplier s_acctbal +inf (s_suppkey %13). The read boundary
+(Tables.measureCols) pins garbage floats to NULL, mirrored per table
+by the central shadow CTEs.
+
 r14d: embeddings arms — vec_id %89 gets a NaN first component, %97
 becomes the all-zero vector. The NaN-cosine / zero-norm guards
 (NOT-isnan pair filters, the NaN-ranks-first assignment contract,
@@ -103,6 +112,41 @@ def main(src: str, dst: str) -> None:
                                   WHEN event_id % 31 = 0 THEN '{{"k": " 42 "}}'
                                   WHEN event_id % 23 = 0 THEN '{{"k": 99999999999}}'
                                   ELSE props END AS props
+                      FROM read_parquet('{sp}')) TO '{dp}' (FORMAT PARQUET)""")
+        elif t == "lineitem":
+            con.execute(f"""
+                COPY (SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+                             CASE WHEN l_orderkey % 101 = 0 THEN CAST('nan' AS DOUBLE)
+                                  ELSE l_quantity END AS l_quantity,
+                             CASE WHEN l_orderkey % 103 = 0 THEN CAST('inf' AS DOUBLE)
+                                  ELSE l_extendedprice END AS l_extendedprice,
+                             l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate
+                      FROM read_parquet('{sp}')) TO '{dp}' (FORMAT PARQUET)""")
+        elif t == "orders":
+            con.execute(f"""
+                COPY (SELECT o_orderkey, o_custkey, o_orderstatus,
+                             CASE WHEN o_orderkey % 107 = 0 THEN CAST('nan' AS DOUBLE)
+                                  ELSE o_totalprice END AS o_totalprice,
+                             o_orderdate, o_orderpriority
+                      FROM read_parquet('{sp}')) TO '{dp}' (FORMAT PARQUET)""")
+        elif t == "part":
+            con.execute(f"""
+                COPY (SELECT p_partkey, p_name, p_brand, p_type, p_size,
+                             CASE WHEN p_partkey % 43 = 0 THEN CAST('-inf' AS DOUBLE)
+                                  ELSE p_retailprice END AS p_retailprice
+                      FROM read_parquet('{sp}')) TO '{dp}' (FORMAT PARQUET)""")
+        elif t == "customer":
+            con.execute(f"""
+                COPY (SELECT c_custkey, c_name, c_nationkey,
+                             CASE WHEN c_custkey % 29 = 0 THEN CAST('nan' AS DOUBLE)
+                                  ELSE c_acctbal END AS c_acctbal,
+                             c_mktsegment
+                      FROM read_parquet('{sp}')) TO '{dp}' (FORMAT PARQUET)""")
+        elif t == "supplier":
+            con.execute(f"""
+                COPY (SELECT s_suppkey, s_name, s_nationkey,
+                             CASE WHEN s_suppkey % 13 = 0 THEN CAST('inf' AS DOUBLE)
+                                  ELSE s_acctbal END AS s_acctbal
                       FROM read_parquet('{sp}')) TO '{dp}' (FORMAT PARQUET)""")
         elif t == "embeddings":
             con.execute(f"""
