@@ -19,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.shingleCosine)
     ext.injectFunction(GraftExtensions.polyHash64)
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinBandRule)
+    ext.injectOptimizerRule(_ => graft.plans.SanitizedMeasurePushdown)
   }
 }
 
@@ -50,8 +51,11 @@ object GraftExtensions {
     }
     // post-hoc optimizer injection for an already-built session (the
     // builder path uses injectOptimizerRule instead); idempotent
-    if (!spark.experimental.extraOptimizations.contains(graft.plans.LevenshteinBandRule))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ graft.plans.LevenshteinBandRule
+    Seq(graft.plans.LevenshteinBandRule, graft.plans.SanitizedMeasurePushdown)
+      .foreach { rule =>
+        if (!spark.experimental.extraOptimizations.contains(rule))
+          spark.experimental.extraOptimizations =
+            spark.experimental.extraOptimizations :+ rule
+      }
   }
 }

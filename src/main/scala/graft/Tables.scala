@@ -44,12 +44,21 @@ object Tables {
       "c_mktsegment"),
     "supplier" -> Seq("s_suppkey", "s_name", "s_nationkey", "s_acctbal"))
 
-  private def sanMeasures(df: DataFrame, cols: Seq[String]): DataFrame =
-    cols.foldLeft(df) { (d, c) =>
+  /** Schema-aware (r14 VERDICT #1a): sanitize only columns the file
+    * actually carries — narrow fixtures and pruned/projected datasets
+    * are legitimate inputs, and an unconditional reference crashed
+    * `Tables.lineitem` with UNRESOLVED_COLUMN on any parquet missing a
+    * measure column. The implied raw-column predicates that keep these
+    * CASEs pushdown-friendly are inferred by
+    * [[graft.plans.SanitizedMeasurePushdown]]. */
+  private def sanMeasures(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val present = df.schema.fieldNames.toSet
+    cols.filter(present.contains).foldLeft(df) { (d, c) =>
       d.withColumn(c,
         when(isnan(col(c)) || abs(col(c)) === Double.PositiveInfinity,
           lit(null).cast("double")).otherwise(col(c)))
     }
+  }
 
   private def measureTable(s: SparkSession, d: String, name: String): DataFrame =
     sanMeasures(table(s, d, name), measureCols(name))
@@ -126,13 +135,26 @@ object Tables {
         t -> s"$t AS (SELECT $proj FROM main.$t)"
       }
 
+  /** True when `sql` references `t` as a RELATION: the name in
+    * FROM/JOIN position or as a comma-join list element — not any word
+    * occurrence (r14 VERDICT #1c: the bare `\bt\b` match fired on the
+    * strings 'customer'/'part' inside a vocab VALUES literal,
+    * prepending an isnan-bearing shadow CTE to an oracle that reads
+    * neither table and tripping NanOrderingAuditSpec's redundancy
+    * check). Quoted occurrences never match: the `\s*` between the
+    * FROM/JOIN/comma token and the name has no room for the opening
+    * quote/paren. Still over-approximates on unquoted `, name` in a
+    * SELECT/GROUP BY list — harmless, such a query references the
+    * relation anyway or the unused CTE is inert. */
+  private def referencesTable(sql: String, t: String): Boolean =
+    s"(?is)(?:\\bfrom|\\bjoin|,)\\s*(?:main\\.)?$t\\b".r.findFirstIn(sql).isDefined
+
   /** Prefix `sql` with the shadow CTEs of every boundary table it
-    * mentions. [[SparkEntry.oracleSql]] applies this to EVERY oracle —
-    * an unused shadow CTE is harmless, so the word-boundary match can
-    * over-approximate. */
+    * references. [[SparkEntry.oracleSql]] applies this to EVERY
+    * oracle. */
   def readBoundarySql(sql: String): String = {
     val needed = boundaryCtes.collect {
-      case (t, cte) if s"\\b$t\\b".r.findFirstIn(sql).isDefined => cte
+      case (t, cte) if referencesTable(sql, t) => cte
     }
     if (needed.isEmpty) sql
     else {
@@ -155,7 +177,14 @@ object Tables {
     * lineitem JOIN orders ...")). */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
     names.foreach { n =>
-      val df = if (n == "events") events(spark, sfDir) else table(spark, sfDir, n)
+      // route through the boundary loaders so ad-hoc SQL sees the same
+      // sanitized relations every DataFrame query (and every oracle
+      // shadow CTE) sees — a raw temp view would silently diverge from
+      // the oracle on a dirty corpus
+      val df =
+        if (n == "events") events(spark, sfDir)
+        else if (measureCols.contains(n)) measureTable(spark, sfDir, n)
+        else table(spark, sfDir, n)
       df.createOrReplaceTempView(n)
     }
 

@@ -443,7 +443,15 @@ object SimilarityQueries extends QueryPack {
     // expression (the first guarded form re-ran the quotient inside
     // its isnan check and showed up as 1.6–1.8× on the broadcast×N
     // scans' bench rows)
-    when(isnan(nsqA) || nsqA === 0 || isnan(nsqB) || nsqB === 0,
+    // nsq = +Inf (an ±Inf COMPONENT — r15 arm: the one non-finite input
+    // the NaN/zero guards don't reach) must also pin to NULL: the
+    // quotient under an Inf norm is NaN (dot is ±Inf or NaN — an Inf
+    // component times a zero partner is NaN, times anything else ±Inf)
+    // and raw NaN sorts FIRST under Spark's desc while the oracle's
+    // isnan(...)→NULL ranks it LAST. nsq is a sum of squares, so +Inf
+    // is the only non-finite sign to guard beyond NaN.
+    when(isnan(nsqA) || nsqA === 0 || nsqA === Double.PositiveInfinity ||
+      isnan(nsqB) || nsqB === 0 || nsqB === Double.PositiveInfinity,
       lit(null).cast("double"))
       .otherwise(round(dot / sqrt(nsqA * nsqB), 6))
 

@@ -34,6 +34,29 @@ class PlanInvariantsSpec extends AnyFunSuite {
       s"no partial aggregation before the exchange:\n$p")
   }
 
+  test("q6_forecast_revenue: full measure envelope pushed THROUGH the read boundary") {
+    // r14 regression class: the measure-sanitizing CASE at the read
+    // boundary made every measure predicate source-untranslatable; the
+    // SanitizedMeasurePushdown rule must put the implied raw-column
+    // conjuncts back on the scan. All eight filters, by name.
+    val p = planOf("q6_forecast_revenue")
+    Seq("IsNotNull(l_shipdate)", "GreaterThanOrEqual(l_shipdate",
+      "LessThan(l_shipdate", "GreaterThanOrEqual(l_discount,0.03)",
+      "LessThanOrEqual(l_discount,0.07)", "IsNotNull(l_discount)",
+      "LessThan(l_quantity,24.0)", "IsNotNull(l_quantity)").foreach { f =>
+      assert(p.contains(f), s"pushed filter $f missing from the lineitem scan:\n$p")
+    }
+  }
+
+  test("q22_inactive_customers: acctbal predicates reach both customer scans") {
+    val p = planOf("q22_inactive_customers")
+    assert(p.contains("PushedFilters: [GreaterThan(c_acctbal,0.0), IsNotNull(c_acctbal)]") ||
+      p.contains("PushedFilters: [IsNotNull(c_acctbal), GreaterThan(c_acctbal,0.0)]"),
+      s"cutoff branch lost its acctbal pushdown:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(c_acctbal)]"),
+      s"main branch lost its acctbal IsNotNull pushdown:\n$p")
+  }
+
   test("q1_pricing_summary: scan reads only the referenced columns") {
     val p = planOf("q1_pricing_summary")
     val readSchema = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).map(_.group(1)).getOrElse("")

@@ -59,6 +59,14 @@ supplier s_acctbal +inf (s_suppkey %13). The read boundary
 (Tables.measureCols) pins garbage floats to NULL, mirrored per table
 by the central shadow CTEs.
 
+r15a: embeddings ±Inf-component arms — vec_id %101 gets a +Inf third
+component, %103 a -Inf seventh. The one non-finite input the r14
+NaN/zero guards never reached: an Inf component drives nsq to +Inf,
+which PASSED guardedSim's isnan/zero check, and the resulting raw-NaN
+quotient sorts FIRST under Spark's desc while the oracle's
+isnan(...)→NULL ranks it LAST (r14 VERDICT #3). guardedSim now pins
+nsq = +Inf to NULL too.
+
 r14d: embeddings arms — vec_id %89 gets a NaN first component, %97
 becomes the all-zero vector. The NaN-cosine / zero-norm guards
 (NOT-isnan pair filters, the NaN-ranks-first assignment contract,
@@ -156,6 +164,12 @@ def main(src: str, dst: str) -> None:
                                          (x, i) -> CASE WHEN i = 1 THEN 'nan'::FLOAT ELSE x END)
                                   WHEN vec_id % 97 = 0
                                     THEN list_transform(embedding, x -> 0.0::FLOAT)
+                                  WHEN vec_id % 101 = 0
+                                    THEN list_transform(embedding,
+                                         (x, i) -> CASE WHEN i = 3 THEN 'inf'::FLOAT ELSE x END)
+                                  WHEN vec_id % 103 = 0
+                                    THEN list_transform(embedding,
+                                         (x, i) -> CASE WHEN i = 7 THEN '-inf'::FLOAT ELSE x END)
                                   ELSE embedding END AS embedding,
                              label
                       FROM read_parquet('{sp}')) TO '{dp}' (FORMAT PARQUET)""")
