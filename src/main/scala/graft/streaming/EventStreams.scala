@@ -44,9 +44,17 @@ object EventStreams {
       case None => events.dropDuplicates(keys)
     }
 
-  case class Event(user_id: Long, ts: Timestamp, value: Double)
-  case class SessionState(start: Long, last: Long, n: Long, sum: Double)
-  case class Session(user_id: Long, n_events: Long, duration_us: Long, sum_value: Double)
+  // user_id/value BOXED (the ValueEvent discipline, extended to the
+  // session twin r15): the batch q_events_sessions groups null users
+  // into ONE partition and sums values with SQL skip-null semantics —
+  // a primitive decode killed the stream on the first null-user or
+  // boundary-nulled-value event. `sum` rides the state as the decimal
+  // string (scale-6 BigDecimal, the batch cast's exact accumulator);
+  // null = no non-null value yet.
+  case class Event(user_id: java.lang.Long, ts: Timestamp, value: java.lang.Double)
+  case class SessionState(start: Long, last: Long, n: Long, sum: String)
+  case class Session(user_id: java.lang.Long, n_events: Long, duration_us: Long,
+      sum_value: java.lang.Double)
 
   // user_id BOXED (the r13 ValueEvent discipline, extended r14): the
   // batch twins' PARTITION BY / groupBy put all null-user rows in ONE
@@ -97,15 +105,38 @@ object EventStreams {
             // lifetime distinct users, not active ones
             state.remove()
             Iterator.empty
+          } else if (user eq null) {
+            // the batch q_events_funnel contract for the null-user
+            // group: groupBy counts it at stage 0 (any view → one v
+            // row), but every later stage rides an INNER join on
+            // user_id, which a null key never matches — so the
+            // anonymous bucket reaches stage 0 exactly once and never
+            // advances (r15 injected-replay pass; treating null as an
+            // ordinary key marched unrelated anonymous events through
+            // the funnel as if they were one person)
+            val out = Seq.newBuilder[FunnelAdvance]
+            if (!state.exists) {
+              rows.toSeq.filter(_.event_type == stages.head)
+                .sortBy(e => micros(e.ts)).headOption.foreach { e =>
+                  state.update(FunnelState(0, micros(e.ts)))
+                  idleTimeout.foreach(state.setTimeoutDuration)
+                  out += FunnelAdvance(user, 0L, stages.head, e.ts)
+                }
+            }
+            out.result().iterator
           } else {
-            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            // micros, not getTime: the corpus carries sub-millisecond
+            // timestamps and the batch join compares full-precision
+            // ts — an ms-truncated strict-> would admit same-ms
+            // later-us advances the batch rejects
+            val sorted = rows.toSeq.sortBy(e => micros(e.ts))
             var st = state.getOption.getOrElse(FunnelState(-1, Long.MinValue))
             val out = Seq.newBuilder[FunnelAdvance]
             sorted.foreach { e =>
               val next = st.stage + 1
               if (next < stages.length && e.event_type == stages(next) &&
-                  (st.stage < 0 || e.ts.getTime > st.stageTs)) {
-                st = FunnelState(next, e.ts.getTime)
+                  (st.stage < 0 || micros(e.ts) > st.stageTs)) {
+                st = FunnelState(next, micros(e.ts))
                 out += FunnelAdvance(user, next.toLong, stages(next), e.ts)
                 // completion resets IN the loop, so a later first-stage
                 // event in the SAME batch starts the next conversion
@@ -476,21 +507,41 @@ object EventStreams {
       events: Dataset[Event],
       gapUs: Long = 6L * 3600 * 1000000): Dataset[Session] = {
     import events.sparkSession.implicits._
+    // sum discipline = the rolling kernel's exact chain: per value
+    // shortest-repr double → decimal(18,6) HALF_UP, added in BigDecimal
+    // (exact, associative — micro-batch splits cannot matter), ONE
+    // final toDouble at emit; null values count toward n_events but
+    // not the sum, and an all-null session emits a NULL sum — the
+    // batch count(*)/sum(cast decimal) contract. Event time is
+    // micros(ts): the corpus carries sub-millisecond timestamps, and a
+    // getTime-truncated gap check would close sessions the batch
+    // unix_micros math keeps open (r15 replay-spec design pass).
+    def addV(sum: String, v: java.lang.Double): String =
+      if (v eq null) sum
+      else {
+        val d = java.math.BigDecimal.valueOf(v.doubleValue)
+          .setScale(6, java.math.RoundingMode.HALF_UP)
+        if (sum == null) d.toPlainString
+        else new java.math.BigDecimal(sum).add(d).toPlainString
+      }
+    def emitSum(sum: String): java.lang.Double =
+      if (sum == null) null
+      else java.lang.Double.valueOf(new java.math.BigDecimal(sum).doubleValue)
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, Session](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (user: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
-          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.value))
+        (user: java.lang.Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          val sorted = rows.toSeq.sortBy(e => micros(e.ts))
           var st = state.getOption.orNull
           val closed = Seq.newBuilder[Session]
           sorted.foreach { e =>
-            val us = e.ts.getTime * 1000
-            if (st == null) st = SessionState(us, us, 1, e.value)
+            val us = micros(e.ts)
+            if (st == null) st = SessionState(us, us, 1, addV(null, e.value))
             else if (us - st.last > gapUs) {
-              closed += Session(user, st.n, st.last - st.start, st.sum)
-              st = SessionState(us, us, 1, e.value)
-            } else st = SessionState(st.start, us, st.n + 1, st.sum + e.value)
+              closed += Session(user, st.n, st.last - st.start, emitSum(st.sum))
+              st = SessionState(us, us, 1, addV(null, e.value))
+            } else st = SessionState(st.start, us, st.n + 1, addV(st.sum, e.value))
           }
           if (st != null) state.update(st)
           closed.result().iterator
@@ -595,8 +646,22 @@ object EventStreams {
       .groupBy("month")
       .agg(count(col("user_id")).as("mau"))
 
-  case class TypedIdEvent(user_id: Long, event_id: Long, ts: Timestamp, event_type: String)
-  case class PitState(state: String, cus: Long)
+  // user_id BOXED (the TypedEvent discipline): the batch twin's as-of
+  // join is INNER on user_id — a null key matches no change row, so
+  // null-user purchases DROP; the stream mirrors by consuming the null
+  // group silently (a primitive decode would kill the query instead).
+  // `prev` carries the last EVENT's type, not the last change's state:
+  // the batch change detector is a lag filter (`prev IS NULL OR
+  // prev <> type`), and lag artifacts are part of the contract — a
+  // null-type event is itself invisible as a change (prev <> NULL is
+  // never true) but RESETS the chain so the NEXT event is always a
+  // change, and two consecutive null types DO produce a null-state
+  // change (prev IS NULL fires). Tracking only the change state
+  // diverged from batch on exactly those sequences (r15 injected
+  // replay pass).
+  case class TypedIdEvent(user_id: java.lang.Long, event_id: Long, ts: Timestamp,
+      event_type: String)
+  case class PitState(state: String, cus: Long, prev: String)
   case class PitOut(event_id: Long, user_id: Long, state: String, state_age_us: Long)
 
   /** Streaming point-in-time enrichment — the stateful twin of batch
@@ -624,8 +689,9 @@ object EventStreams {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[PitState, PitOut](
         OutputMode.Append, timeoutConf) {
-        (uid: Long, rows: Iterator[TypedIdEvent], state: GroupState[PitState]) =>
+        (uid: java.lang.Long, rows: Iterator[TypedIdEvent], state: GroupState[PitState]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else if (uid eq null) Iterator.empty // batch inner as-of: null users drop
           else {
             val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
             var st = state.getOption.orNull
@@ -635,12 +701,19 @@ object EventStreams {
             // (id order) first, then the instant's purchases decorate
             // with the instant's FINAL state — the batch side collapses
             // same-instant change rows to the last one before the
-            // inclusive as-of, which is exactly this
+            // inclusive as-of, which is exactly this. Change detection
+            // replays the batch lag filter verbatim: prev (last EVENT
+            // type) null → change; else a non-null differing type →
+            // change; a null type is never itself `<>` prev.
             sorted.groupBy(e => micros(e.ts)).toSeq.sortBy(_._1)
               .foreach { case (us, evs) =>
                 evs.foreach { e =>
-                  if (st == null || st.state != e.event_type)
-                    st = PitState(e.event_type, us)
+                  val prev = if (st == null) null else st.prev
+                  val isChange = prev == null ||
+                    (e.event_type != null && e.event_type != prev)
+                  st =
+                    if (isChange) PitState(e.event_type, us, e.event_type)
+                    else PitState(st.state, st.cus, e.event_type)
                 }
                 evs.foreach { e =>
                   if (e.event_type == "purchase")
