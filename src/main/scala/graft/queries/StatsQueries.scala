@@ -586,20 +586,36 @@ object StatsQueries extends QueryPack {
     // explodes as days·orders) — the fact tables contribute exactly
     // one delta row pair per order, produced in one Expand pass over
     // the order/close join (no double execution of the join).
+    // Day axis ships as an INTEGER day index (days since 1992-01-01,
+    // the q_supplier_peak90 idiom) and NULL days drop from the series
+    // (r15 date axis): a delta without a day cannot be placed on the
+    // time axis — keeping it would pin the whole cumulative series to
+    // each engine's null-ordering (Spark NULLS FIRST vs DuckDB LAST
+    // shifted every backlog level by the null-day net delta) — and an
+    // out-of-ns-range timestamp output (far-future close + 1 day =
+    // 10000-01-01) breaks the gate's asymmetric float64/ns readers
+    // even when both engines agree; integer day math is exact and
+    // unbounded on both. An order with a NULL side keeps its other
+    // delta: unknown close = still in flight, unknown open = the
+    // close still retires it from the level.
     "q_orders_backlog" -> ((s, d) => {
       val close = Tables.lineitem(s, d).groupBy("l_orderkey")
         .agg(max(date_trunc("day", col("l_shipdate"))).as("close_day"))
       val iv = Tables.orders(s, d)
         .select(col("o_orderkey"), date_trunc("day", col("o_orderdate")).as("open_day"))
         .join(close, col("o_orderkey") === col("l_orderkey"))
+      val epoch = lit("1992-01-01").cast("date")
       val deltas = iv.select(explode(array(
-          struct(col("open_day").as("day"), lit(1L).as("o"), lit(0L).as("c")),
-          struct((col("close_day") + expr("INTERVAL 1 DAY")).as("day"),
+          struct(datediff(col("open_day"), epoch).cast("long").as("day_i"),
+            lit(1L).as("o"), lit(0L).as("c")),
+          struct(datediff(col("close_day") + expr("INTERVAL 1 DAY"), epoch)
+            .cast("long").as("day_i"),
             lit(0L).as("o"), lit(1L).as("c")))).as("e"))
-        .select(col("e.day").as("day"), col("e.o").as("o"), col("e.c").as("c"))
-        .groupBy("day")
+        .select(col("e.day_i").as("day_i"), col("e.o").as("o"), col("e.c").as("c"))
+        .where(col("day_i").isNotNull)
+        .groupBy("day_i")
         .agg(sum(col("o")).as("n_opened"), sum(col("c")).as("n_closed"))
-      val w = Window.orderBy("day")
+      val w = Window.orderBy("day_i")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       deltas.withColumn("backlog",
         sum(col("n_opened") - col("n_closed")).over(w))
@@ -962,14 +978,17 @@ object StatsQueries extends QueryPack {
         |  SELECT date_trunc('day', o_orderdate) AS open_day, close_day
         |  FROM orders JOIN close ON o_orderkey = l_orderkey),
         |deltas AS (
-        |  SELECT day, CAST(sum(o) AS BIGINT) AS n_opened,
+        |  SELECT day_i, CAST(sum(o) AS BIGINT) AS n_opened,
         |         CAST(sum(c) AS BIGINT) AS n_closed
-        |  FROM (SELECT open_day AS day, 1 AS o, 0 AS c FROM iv
+        |  FROM (SELECT date_diff('day', DATE '1992-01-01', CAST(open_day AS DATE)) AS day_i,
+        |               1 AS o, 0 AS c FROM iv
         |        UNION ALL
-        |        SELECT close_day + INTERVAL 1 DAY, 0, 1 FROM iv)
+        |        SELECT date_diff('day', DATE '1992-01-01',
+        |                         CAST(close_day + INTERVAL 1 DAY AS DATE)), 0, 1 FROM iv)
+        |  WHERE day_i IS NOT NULL
         |  GROUP BY 1)
-        |SELECT day, n_opened, n_closed,
-        |  CAST(sum(n_opened - n_closed) OVER (ORDER BY day
+        |SELECT day_i, n_opened, n_closed,
+        |  CAST(sum(n_opened - n_closed) OVER (ORDER BY day_i
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS backlog
         |FROM deltas""".stripMargin,
 

@@ -564,7 +564,9 @@ class EventStreamsSpec extends AnyFunSuite {
         .toDF("l_orderkey", "l_shipdate")
         .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
       val batchRows = SparkEntry.queries("q_orders_backlog")(spark, dir)
-        .select(datediff(col("day"), lit("1970-01-01")).cast("long").as("d"),
+        // batch day_i is days since 1992-01-01; the twin's day axis is epoch days
+        .select((col("day_i") + lit(java.time.LocalDate.of(1992, 1, 1).toEpochDay))
+          .cast("long").as("d"),
           col("n_opened"), col("n_closed"), col("backlog"))
         .as[(Long, Long, Long, Long)].collect()
       assert(batchRows.map(r => (r._1, r._2, r._3)).toSet == streamed,

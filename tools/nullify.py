@@ -59,6 +59,19 @@ supplier s_acctbal +inf (s_suppkey %13). The read boundary
 (Tables.measureCols) pins garbage floats to NULL, mirrored per table
 by the central shadow CTEs.
 
+r15b: DATE arms — the last never-dirtied surface (r14 VERDICT #6).
+lineitem l_shipdate: NULL (l_orderkey %109), far-future
+'9999-12-31 23:59:59.999999' (%127), proleptic deep past '0001-01-01'
+(%131); orders o_orderdate: NULL (o_orderkey %113), epoch zero
+'1970-01-01' (%137). CONTRACT: dates are NOT sanitized at the read
+boundary — unlike measures, a row with an unknown date still carries
+valid quantities for every non-temporal aggregate, so dropping or
+nulling would corrupt q1-class sums; NULL dates ride ordinary SQL
+three-valued semantics (filters drop them, groupBy forms a NULL
+group identically on both engines) and extreme epochs are legal
+instants under proleptic-Gregorian micros on both engines. Any
+divergence the arms surface is pinned per-query, not boundary-wide.
+
 r15a: embeddings ±Inf-component arms — vec_id %101 gets a +Inf third
 component, %103 a -Inf seventh. The one non-finite input the r14
 NaN/zero guards never reached: an Inf component drives nsq to +Inf,
@@ -128,14 +141,21 @@ def main(src: str, dst: str) -> None:
                                   ELSE l_quantity END AS l_quantity,
                              CASE WHEN l_orderkey % 103 = 0 THEN CAST('inf' AS DOUBLE)
                                   ELSE l_extendedprice END AS l_extendedprice,
-                             l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate
+                             l_discount, l_tax, l_returnflag, l_linestatus,
+                             CASE WHEN l_orderkey % 109 = 0 THEN CAST(NULL AS TIMESTAMP)
+                                  WHEN l_orderkey % 127 = 0 THEN TIMESTAMP '9999-12-31 23:59:59.999999'
+                                  WHEN l_orderkey % 131 = 0 THEN TIMESTAMP '0001-01-01 00:00:00'
+                                  ELSE l_shipdate END AS l_shipdate
                       FROM read_parquet('{sp}')) TO '{dp}' (FORMAT PARQUET)""")
         elif t == "orders":
             con.execute(f"""
                 COPY (SELECT o_orderkey, o_custkey, o_orderstatus,
                              CASE WHEN o_orderkey % 107 = 0 THEN CAST('nan' AS DOUBLE)
                                   ELSE o_totalprice END AS o_totalprice,
-                             o_orderdate, o_orderpriority
+                             CASE WHEN o_orderkey % 113 = 0 THEN CAST(NULL AS TIMESTAMP)
+                                  WHEN o_orderkey % 137 = 0 THEN TIMESTAMP '1970-01-01 00:00:00'
+                                  ELSE o_orderdate END AS o_orderdate,
+                             o_orderpriority
                       FROM read_parquet('{sp}')) TO '{dp}' (FORMAT PARQUET)""")
         elif t == "part":
             con.execute(f"""
