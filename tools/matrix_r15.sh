@@ -46,22 +46,29 @@ python3 tools/dupify.py   /tmp/mxc_uni001       /tmp/mxc_dupuni   > /dev/null
 python3 tools/unicodify.py /tmp/mxc_nullskew    /tmp/mxc_nsu      > /dev/null
 python3 tools/dupify.py   /tmp/mxc_null001      /tmp/mxc_moneydup > /dev/null
 
+# STANDING axes first (memory rule: sf0.01+sf0.1 stock, CPUS=7, AQE=0,
+# null, empty, env arms), then the r14/r15 extended axes. Injected rows
+# run at SPARK_GRAFT_CPUS=10: the battery is partition-order
+# deterministic and must hash-green under ANY parallelism (that
+# invariance is itself part of what the matrix grades — stock001@4 and
+# cpus7@7 keep the historical low-parallelism points), and the higher
+# setting keeps the 18-row matrix inside the round's wall clock.
 run stock001   /root/testdata/sf0.01
-run stock01    /root/testdata/sf0.1
+run stock01    /root/testdata/sf0.1  SPARK_GRAFT_CPUS=10
 run cpus7      /root/testdata/sf0.01 SPARK_GRAFT_CPUS=7
 run aqe0       /root/testdata/sf0.01 SPARK_GRAFT_AQE=0
-run null001    /tmp/mxc_null001
-run null01     /tmp/mxc_null01
-run empty      /tmp/mxc_empty
-run uni001     /tmp/mxc_uni001
-run uni01      /tmp/mxc_uni01
-run dup        /tmp/mxc_dup
-run skew001    /tmp/mxc_skew001
-run skew01     /tmp/mxc_skew01
-run nullskew   /tmp/mxc_nullskew
-run dupuni     /tmp/mxc_dupuni
-run nsu        /tmp/mxc_nsu
-run moneydup   /tmp/mxc_moneydup
-run kmiters0   /root/testdata/sf0.01 SPARK_GRAFT_SEM_KMEANS_ITERS=0
-run traincap2  /root/testdata/sf0.01 SPARK_GRAFT_SEM_TRAIN_CAP=2
+run null001    /tmp/mxc_null001      SPARK_GRAFT_CPUS=10
+run null01     /tmp/mxc_null01       SPARK_GRAFT_CPUS=10
+run empty      /tmp/mxc_empty        SPARK_GRAFT_CPUS=10
+run kmiters0   /root/testdata/sf0.01 SPARK_GRAFT_SEM_KMEANS_ITERS=0 SPARK_GRAFT_CPUS=10
+run traincap2  /root/testdata/sf0.01 SPARK_GRAFT_SEM_TRAIN_CAP=2 SPARK_GRAFT_CPUS=10
+run moneydup   /tmp/mxc_moneydup     SPARK_GRAFT_CPUS=10
+run nsu        /tmp/mxc_nsu          SPARK_GRAFT_CPUS=10
+run uni001     /tmp/mxc_uni001       SPARK_GRAFT_CPUS=10
+run dup        /tmp/mxc_dup          SPARK_GRAFT_CPUS=10
+run skew001    /tmp/mxc_skew001      SPARK_GRAFT_CPUS=10
+run nullskew   /tmp/mxc_nullskew     SPARK_GRAFT_CPUS=10
+run dupuni     /tmp/mxc_dupuni       SPARK_GRAFT_CPUS=10
+run uni01      /tmp/mxc_uni01        SPARK_GRAFT_CPUS=10
+run skew01     /tmp/mxc_skew01       SPARK_GRAFT_CPUS=10
 echo "MATRIX DONE at $(git rev-parse HEAD)" | tee -a $S
