@@ -66,12 +66,22 @@ object VectorIndex {
       .select(col("qid"), col("qvec"), col("cluster"))
     val idx = spark.table(table)
     val bySim = org.apache.spark.sql.expressions.Window
-      .partitionBy("qid").orderBy(col("sim").desc, col("vec_id").asc)
+      .partitionBy("qid").orderBy(col("sim").desc_nulls_last, col("vec_id").asc)
+    // the non-finite contract (r16 ranking-plane sweep): a zero-norm
+    // side would THROW under ANSI's 0/0 and a NaN/±Inf component would
+    // make sim NaN — which sorts ABOVE every finite sim under Spark's
+    // NaN-greatest desc, handing garbage index rows the top-k (the
+    // sim_topk_int8 candidate-flood class). Guard the norms to NULL and
+    // rank NULLS LAST, mirroring SimilarityQueries.guardedSim.
+    val qn = normSqExpr(col("qvec"), dim)
+    val en = normSqExpr(col("embedding"), dim)
     broadcast(probes).join(idx, "cluster")
       .where(col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id"),
-        round(dotExpr(col("qvec"), col("embedding"), dim) /
-          sqrt(normSqExpr(col("qvec"), dim) * normSqExpr(col("embedding"), dim)), 6)
+        when(isnan(qn) || qn === 0 || qn === Double.PositiveInfinity ||
+          isnan(en) || en === 0 || en === Double.PositiveInfinity,
+          lit(null).cast("double"))
+          .otherwise(round(dotExpr(col("qvec"), col("embedding"), dim) / sqrt(qn * en), 6))
           .as("sim"))
       .withColumn("rank", row_number().over(bySim))
       .where(col("rank") <= k)

@@ -402,14 +402,28 @@ object SimilarityQueries extends QueryPack {
       val e = Tables.fanout(Tables.embeddings(s, d))
         .select(col("vec_id"), col("embedding"))
         .withColumn("ma", maxAbsExpr(col("embedding"), Dim))
+        // The non-finite contract on the CANDIDATE plane (r15 known-red
+        // null01: a ±Inf/NaN component makes ma non-finite, qs = ma/127
+        // non-finite, approx NaN — and NaN sorts FIRST under Spark's
+        // NaN-greatest desc, so once the corpus mints more garbage
+        // vectors than the candidate margin, candidacy floods and the
+        // exact re-rank sees only garbage). Guard at the SOURCE, per
+        // vector, not per pair: qs := NULL when ma is non-finite
+        // (ma < +Inf is false for both +Inf and NaN under Spark's
+        // NaN-greatest comparisons; ma ≥ 1e-30 otherwise by the
+        // maxAbsExpr floor), so approx = intdot·qqs·qs is NULL for every
+        // pair touching a garbage vector and desc_nulls_last drops it
+        // from candidacy. This is COMPLETE: intdot is a bounded integer
+        // (≤127²·64) and two finite float-derived scales (≤2²⁵⁶/127 each)
+        // cannot overflow a double, so no other non-finite approx exists.
         .select(col("vec_id"), col("embedding"),
           int8QuantExpr(col("embedding"), Dim, col("ma")).as("qv"),
-          (col("ma") / 127.0).as("qs"))
+          when(col("ma") < Double.PositiveInfinity, col("ma") / 127.0).as("qs"))
       val q = e.where(col("vec_id") < NQueries)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
           col("qv").as("qqv"), col("qs").as("qqs"))
       val wCand = Window.partitionBy("qid")
-        .orderBy(col("approx").desc, col("vec_id").asc)
+        .orderBy(col("approx").desc_nulls_last, col("vec_id").asc)
       val wExact = Window.partitionBy("qid").orderBy(col("sim").desc_nulls_last, col("vec_id").asc)
       broadcast(q).join(e, col("qid") =!= col("vec_id"))
         .withColumn("approx",

@@ -40,6 +40,40 @@ class SimilaritySpec extends AnyFunSuite {
     assert(topkSet("sim_topk_int8") == topkSet("sim_topk_bruteforce"))
   }
 
+  test("int8 candidate plane survives a garbage flood wider than the candidate margin") {
+    // r15 null01 known-red, reproduced as a fixture: more non-finite
+    // vectors than Candidates(=50). Pre-fix, every garbage vector's
+    // approx was NaN, NaN sorted FIRST under desc, candidacy flooded,
+    // and the exact re-rank emitted all-NULL top-k. Post-fix the
+    // garbage scale pins to NULL and desc_nulls_last evicts it from
+    // candidacy, so the output equals brute force with finite sims.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = s"/tmp/graft_int8flood_${suiteName.hashCode}"
+    def v(seed: Int): Array[Float] =
+      Array.tabulate(64)(i => ((seed * 31 + i * 7) % 13 - 6).toFloat)
+    val real = (0L until 16L).map(id => (id, 0, v(id.toInt)))
+    val garbage = (16L until 77L).map { id => // 61 > Candidates = 50
+      val g = v(id.toInt)
+      g(3) = (id % 3) match {
+        case 0 => Float.PositiveInfinity
+        case 1 => Float.NegativeInfinity
+        case _ => Float.NaN
+      }
+      (id, 1, g)
+    }
+    (real ++ garbage).toDF("vec_id", "label", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val int8 = SparkEntry.queries("sim_topk_int8")(spark, dir).collect()
+    val brute = SparkEntry.queries("sim_topk_bruteforce")(spark, dir).collect()
+    SparkEntry.releaseCaches()
+    assert(int8.forall(!_.isNullAt(2)), "garbage vectors re-entered the top-k")
+    assert(
+      int8.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+        brute.map(r => (r.getLong(0), r.getLong(1))).toSet,
+      "int8 top-k diverged from brute force under candidate flood")
+  }
+
   test("IVF tier returns exact top-k within the probed cluster") {
     // every IVF hit must also rank in that cluster's brute-force order:
     // validated structurally — results are oracle-checked; here assert
