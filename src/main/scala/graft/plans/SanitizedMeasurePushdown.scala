@@ -34,6 +34,11 @@ import org.apache.spark.sql.types.DoubleType
   *   IsNotNull(sanitized(c)) ==> add `IsNotNull(c)`
   *   sanitized(c) IN (lits)  ==> add `c IN (lits)` and `IsNotNull(c)`
   *
+  * and, since the implication is monotone, whole And/Or predicate
+  * TREES over those leaf shapes get a raw image too ([[rawImage]] —
+  * q19's branch disjunction over sanitized quantity is the motivating
+  * case; r15's leaf-only rule restored the hull but lost the Or atom).
+  *
   * Soundness: the added conjuncts are implied by the originals, so the
   * AND keeps exactly the original row set — rows the original predicate
   * keeps satisfy `sanitized(c) = c` (the CASE fell through to the else
@@ -80,18 +85,22 @@ object SanitizedMeasurePushdown extends Rule[LogicalPlan] with PredicateHelper {
     }
   }
 
+  /** The boundary's guard condition over a single attribute:
+    * isnan(a) OR abs(a) = Inf (either operand order). */
+  private[plans] object SanitizeGuard {
+    def unapply(e: Expression): Option[Attribute] = e match {
+      case Or(IsNaN(x: Attribute), InfAbs(y)) if x.semanticEquals(y) => Some(x)
+      case Or(InfAbs(y), IsNaN(x: Attribute)) if x.semanticEquals(y) => Some(x)
+      case _ => None
+    }
+  }
+
   /** The read boundary's sanitize shape over a single attribute:
     * CASE WHEN isnan(a) OR abs(a) = Inf THEN NULL ELSE a END. */
   private[plans] object Sanitized {
     def unapply(e: Expression): Option[Attribute] = e match {
-      case CaseWhen(Seq((cond, nl)), Some(a: Attribute)) if NullLit.unapply(nl) =>
-        cond match {
-          case Or(IsNaN(x: Attribute), InfAbs(y))
-            if x.semanticEquals(a) && y.semanticEquals(a) => Some(a)
-          case Or(InfAbs(y), IsNaN(x: Attribute))
-            if x.semanticEquals(a) && y.semanticEquals(a) => Some(a)
-          case _ => None
-        }
+      case CaseWhen(Seq((SanitizeGuard(g), nl)), Some(a: Attribute))
+        if NullLit.unapply(nl) && g.semanticEquals(a) => Some(a)
       case _ => None
     }
   }
@@ -129,7 +138,13 @@ object SanitizedMeasurePushdown extends Rule[LogicalPlan] with PredicateHelper {
   private def implied(c: Expression): Seq[Expression] = c match {
     case CaseWhen(branches, Some(e))
       if branches.nonEmpty && branches.forall(b => isFalseOrNull(b._2)) &&
+        branches.forall(b => SanitizeGuard.unapply(b._1).isDefined) &&
         e.deterministic =>
+      // the guard restriction keeps the lift honest: the boundary's
+      // guard protects nothing (its else is a bare comparison), but a
+      // FUTURE query could use this CASE shape to guard a THROWING
+      // else (ANSI division, overflowing cast) — lifting that out
+      // would evaluate it on the very rows the guard excluded
       e +: notNulls(e)
     case IsNotNull(Sanitized(a)) => Seq(IsNotNull(a))
     case _: EqualNullSafe => Nil // NULL <=> sanitized(NaN) is TRUE; unsound
@@ -151,12 +166,52 @@ object SanitizedMeasurePushdown extends Rule[LogicalPlan] with PredicateHelper {
     case _ => Nil
   }
 
+  private def hasCaseWhen(e: Expression): Boolean =
+    e.exists(_.isInstanceOf[CaseWhen])
+
+  /** Raw image of a predicate TREE (r15 found the leaf-only rule loses
+    * disjunctions: q19's branch Or over sanitized quantity arrived as
+    * one conjunct and no leaf matched). The implication is monotone,
+    * so an implied raw predicate exists compositionally:
+    *
+    *   rawImage(Or(a, b))  = Or(rawImage(a), rawImage(b))   both required
+    *   rawImage(And(a, b)) = And of whichever sides have an image
+    *   rawImage(leaf with a sanitize CASE) = the [[implied]] atoms
+    *   rawImage(CaseWhen-free leaf) = the leaf itself (deterministic,
+    *     subquery-free — trivially implied by itself)
+    *
+    * Soundness by induction: any row satisfying the original tree
+    * satisfies its image (a true Or side implies its image, so the
+    * image-Or holds; a true And implies every side, so any subset of
+    * images holds; leaf images are implied per [[implied]]'s argument;
+    * a CaseWhen-bearing leaf with no implied atoms — e.g.
+    * EqualNullSafe — yields None and poisons any enclosing Or, never
+    * an unsound image). */
+  private def rawImage(e: Expression): Option[Expression] = e match {
+    case And(l, r) => (rawImage(l), rawImage(r)) match {
+      case (Some(a), Some(b)) => Some(And(a, b))
+      case (a, b) => a.orElse(b)
+    }
+    case Or(l, r) => for (a <- rawImage(l); b <- rawImage(r)) yield Or(a, b)
+    case leaf =>
+      val atoms = implied(leaf)
+      if (atoms.nonEmpty) Some(atoms.reduce(And))
+      else if (!hasCaseWhen(leaf) && leaf.deterministic &&
+        !SubqueryExpression.hasSubquery(leaf)) Some(leaf)
+      else None
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, child) =>
       val conjuncts = splitConjunctivePredicates(cond)
       val existing = ExpressionSet(conjuncts)
-      val extra = ExpressionSet(conjuncts.flatMap(implied)
-          .filter(_.references.subsetOf(child.outputSet)))
+      val extra = ExpressionSet(conjuncts.flatMap {
+          // an Or tree gets ONE image conjunct — and only when it
+          // actually contains a sanitize CASE, so a plain disjunction
+          // never re-adds itself
+          case t: Or if hasCaseWhen(t) => rawImage(t).toSeq
+          case c => implied(c)
+        }.filter(_.references.subsetOf(child.outputSet)))
         .filterNot(existing.contains).toSeq
       if (extra.isEmpty) f
       else f.copy(condition = (conjuncts ++ extra).reduce(And))

@@ -527,6 +527,14 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert(p.contains("GreaterThanOrEqual(l_quantity,1.0)") &&
       p.contains("LessThanOrEqual(l_quantity,30.0)"),
       s"stated quantity envelope must reach the scan:\n$p")
+    // r16: the branch disjunction Catalyst extracts through the join
+    // must survive the read boundary as a pushed Or atom (the r15
+    // leaf-only rule restored the hull but lost this page-level
+    // refinement — rawImage over predicate trees restores it)
+    assert(("(?s)PushedFilters: \\[[^\\]]*Or\\([^\\]]*" +
+      "LessThanOrEqual\\(l_quantity,11\\.0\\)[^\\]]*" +
+      "GreaterThanOrEqual\\(l_quantity,20\\.0\\)").r.findFirstIn(p).isDefined,
+      s"branch disjunction lost from the lineitem scan's PushedFilters:\n$p")
     assert("\\(\\d+\\) SortMergeJoin".r.findFirstIn(p).isEmpty,
       s"the brand-filtered part join must broadcast:\n$p")
   }
