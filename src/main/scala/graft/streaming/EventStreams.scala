@@ -119,7 +119,11 @@ object EventStreams {
               rows.toSeq.filter(_.event_type == stages.head)
                 .sortBy(e => micros(e.ts)).headOption.foreach { e =>
                   state.update(FunnelState(0, micros(e.ts)))
-                  idleTimeout.foreach(state.setTimeoutDuration)
+                  // NO idle timeout for the anonymous group: its state
+                  // is a single bounded entry (eviction buys nothing),
+                  // and evicting it would let a later anonymous view
+                  // re-emit stage 0 — double-counting the null bucket
+                  // vs the batch contract's exactly-once
                   out += FunnelAdvance(user, 0L, stages.head, e.ts)
                 }
             }

@@ -40,6 +40,25 @@ class CoverageConsistencySpec extends AnyFunSuite {
     assert(orphans.isEmpty, s"oracle SQL for undeclared queries: ${orphans.toSeq.sorted}")
   }
 
+  test("no oracle references a boundary table by a QUOTED relation name") {
+    // Tables.referencesTable deliberately never matches quoted names
+    // (a bare word match fired on 'customer'/'part' inside VALUES
+    // string literals — r14). The flip side: an oracle written as
+    // FROM "lineitem" would silently skip the sanitize shadow CTE and
+    // read the raw table, diverging only on dirty corpora. Pin the
+    // convention instead of loosening the regex: relation positions in
+    // oracle SQL are always unquoted.
+    val boundary = (Tables.measureCols.keySet + "events").toSeq.sorted
+    val offenders = SparkEntry.oracleSql.flatMap { case (name, sql) =>
+      boundary.filter { t =>
+        s"""(?is)(?:\\bfrom|\\bjoin|,)\\s*"(?:main\\.)?$t"""".r
+          .findFirstIn(sql).isDefined
+      }.map(t => s"$name quotes $t")
+    }
+    assert(offenders.isEmpty,
+      s"quoted boundary-table relations bypass the shadow CTEs: $offenders")
+  }
+
   test("driver contract: entry() produces rows on sf0.001") {
     // the driver smoke-checks rows > 0 — pin it here so a regression
     // surfaces in the suite, not at driver time
