@@ -234,10 +234,19 @@ object EventStreams {
     * exact-distinct answer while the hour is hot, where the unbounded
     * alternative (approx_count_distinct) would be the fallback only if
     * per-user state were too large. Works on batch frames too
-    * (watermark and dedup state are no-ops there). */
+    * (watermark and dedup state are no-ops there).
+    *
+    * `lateness` doubles as the dedup-state retention:
+    * dropDuplicatesWithinWatermark only guarantees dedup of repeats
+    * arriving within the watermark delay of the FIRST occurrence, so
+    * matching the batch countDistinct needs delay ≥ bucket width +
+    * allowed out-of-order lateness — a 30-minute delay let a user
+    * repeat within one hour once the watermark passed the first
+    * event's expiry, double-counting vs batch (the r16 injected
+    * replay caught the same class on the monthly tier, at 4×). */
   def streamingHourlyActive(
       events: DataFrame,
-      lateness: String = "30 minutes"): DataFrame =
+      lateness: String = "90 minutes"): DataFrame =
     events
       .withColumn("hour", date_trunc("hour", col("ts")))
       .withWatermark("ts", lateness)
@@ -618,10 +627,12 @@ object EventStreams {
     * (batch `q_events_stickiness`): watermarked (user, day) dedup
     * bounds state, then a 1-day tumbling window counts survivors in
     * append mode once the watermark closes the day. Same shape as
-    * [[streamingHourlyActive]] on the day axis. */
+    * [[streamingHourlyActive]] on the day axis — and the same
+    * retention rule: the dedup delay must cover bucket width plus
+    * allowed lateness, hence two days. */
   def streamingDailyActive(
       events: DataFrame,
-      lateness: String = "1 day"): DataFrame =
+      lateness: String = "2 days"): DataFrame =
     events
       .withColumn("day", date_trunc("day", col("ts")))
       .withWatermark("ts", lateness)
@@ -636,10 +647,18 @@ object EventStreams {
     * (user, month) dedup, then an update-mode count keyed on the
     * month string (months aren't fixed-width, so no window() frame —
     * the sink's latest row per month is the census; month state is
-    * bounded by the month axis). */
+    * bounded by the month axis).
+    *
+    * Default delay covers the WHOLE month plus lateness (35 days): a
+    * 1-day delay evicted each (user, month) dedup entry a day after
+    * its event, so every return visit re-counted — the r16 injected
+    * replay measured MAU at 4× the batch census (the hand fixture
+    * had masked the default by passing 60 days explicitly). Exact
+    * monthly distincts cost month-long dedup state by nature; the
+    * HLL tier is the fallback when that state is too large. */
   def streamingMonthlyActive(
       events: DataFrame,
-      lateness: String = "1 day"): DataFrame =
+      lateness: String = "35 days"): DataFrame =
     events
       .withColumn("month", date_format(date_trunc("month", col("ts")), "yyyy-MM"))
       .withWatermark("ts", lateness)

@@ -6,8 +6,8 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 import graft.streaming.EventStreams
-import graft.streaming.EventStreams.{Event, FunnelAdvance, PitOut, RollingOut, Session,
-  Transition, TypedEvent, TypedIdEvent, ValueEvent}
+import graft.streaming.EventStreams.{BacklogDelta, Event, EwmaOut, FunnelAdvance, PitOut,
+  RollingOut, Session, ShipEvent, Transition, TypedEvent, TypedIdEvent, ValueEvent}
 
 /** r13 VERDICT #5: the batch battery is graded on injected corpora
   * (tools/nullify.py, skewify.py), but no STATEFUL stream twin had
@@ -266,5 +266,261 @@ class InjectedStreamReplaySpec extends AnyFunSuite {
 
   test("funnel/PIT/sessions twins equal batch over the SKEW-injected corpus in 4 splits") {
     replayStateful("skew", skewArm)
+  }
+
+  /** r15 VERDICT #4: the last five twins (EWMA, hourly-active,
+    * stickiness, backlog deltas, span postings) rode hand fixtures
+    * only. This method replays the three EVENTS-based ones over the
+    * injected corpus in 4 splits; backlog (orders/lineitem, date arms)
+    * and span postings (documents, null∘dup arms) get their own
+    * replays below. */
+  private def replayWindowed(arm: String, inject: DataFrame => DataFrame): Unit = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory(s"inj3_$arm").toString
+    inject(Tables.events(spark, sf))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val ordered = Tables.events(spark, dir).orderBy("ts", "event_id")
+    val vRows = ordered.select("user_id", "ts", "event_id", "value")
+      .as[ValueEvent].collect().toSeq
+    val tRows = ordered.select("user_id", "ts", "event_type")
+      .as[TypedEvent].collect().toSeq
+    def splits[T](xs: Seq[T]): Seq[Seq[T]] = xs.grouped((xs.size + 3) / 4).toSeq
+    // far-future sentinel: advances the event-time watermark past every
+    // corpus window so the append-mode HAU/DAU rows finalize; its own
+    // window rows are excluded from every comparison below
+    val maxTs = tRows.map(e => micros(e.ts)).max
+    val sentinel = TypedEvent(999999L,
+      new java.sql.Timestamp(maxTs / 1000L + 90L * 24 * 3600 * 1000), "view")
+
+    val vMem = MemoryStream[ValueEvent]
+    val tMem = MemoryStream[TypedEvent]
+    val ewmaQ = EventStreams.streamingEwma(vMem.toDS(), idleTimeout = None)
+      .writeStream.format("memory").queryName(s"rep3_ewma_$arm")
+      .outputMode(OutputMode.Append).start()
+    val hauQ = EventStreams.streamingHourlyActive(tMem.toDF())
+      .writeStream.format("memory").queryName(s"rep3_hau_$arm")
+      .outputMode(OutputMode.Append).start()
+    val dayQ = EventStreams.streamingDailyActive(tMem.toDF())
+      .writeStream.format("memory").queryName(s"rep3_day_$arm")
+      .outputMode(OutputMode.Append).start()
+    val monQ = EventStreams.streamingMonthlyActive(tMem.toDF())
+      .writeStream.format("memory").queryName(s"rep3_mon_$arm")
+      .outputMode(OutputMode.Update).start()
+    try {
+      splits(vRows).foreach { b => vMem.addData(b: _*); ewmaQ.processAllAvailable() }
+      def drain(): Unit = Seq(hauQ, dayQ, monQ).foreach(_.processAllAvailable())
+      splits(tRows).foreach { b => tMem.addData(b: _*); drain() }
+      tMem.addData(sentinel); drain()
+
+      // EWMA: the twin's DOCUMENTED door contract drops null-user /
+      // null-value events (incl. boundary-sanitized NaN/±Inf), so the
+      // batch reference is q_events_ewma over the null-FILTERED copy —
+      // asserting the contract rather than papering over it
+      val ewmaStream = spark.table(s"rep3_ewma_$arm").as[EwmaOut].collect()
+        .map(o => o.event_id -> o.ewma).toMap
+      val fdir = java.nio.file.Files.createTempDirectory(s"inj3f_$arm").toString
+      Tables.events(spark, dir)
+        .where(col("user_id").isNotNull && col("value").isNotNull)
+        .write.mode("overwrite").parquet(s"$fdir/events.parquet")
+      val ewmaBatch = SparkEntry.queries("q_events_ewma")(spark, fdir)
+        .select("event_id", "ewma").as[(Long, Double)].collect().toMap
+      SparkEntry.releaseCaches()
+      assert(ewmaStream.keySet == ewmaBatch.keySet,
+        s"$arm: EWMA row sets diverged (${ewmaStream.size}/${ewmaBatch.size})")
+      ewmaStream.foreach { case (id, v) =>
+        assert(v == ewmaBatch(id), s"$arm: event $id stream $v vs batch ${ewmaBatch(id)}")
+      }
+
+      // hourly-active: exact per-hour distincts, null users excluded
+      val sentinelHour = new java.sql.Timestamp(
+        micros(sentinel.ts) / 3600000000L * 3600000000L / 1000L)
+      val hauStream = spark.table(s"rep3_hau_$arm")
+        .where(col("hour") =!= lit(sentinelHour))
+        .select(date_format(col("hour"), "yyyy-MM-dd HH:mm:ss"), col("hau"))
+        .as[(String, Long)].collect().toMap
+      val hauBatch = SparkEntry.queries("q_events_hau")(spark, dir)
+        .select("hour", "hau").as[(String, Long)].collect().toMap
+      SparkEntry.releaseCaches()
+      assert(hauStream == hauBatch,
+        s"$arm: streaming HAU diverged from batch (sizes ${hauStream.size}/${hauBatch.size}):\n" +
+          s"stream-only=${(hauStream.toSet -- hauBatch.toSet).take(3)} " +
+          s"batch-only=${(hauBatch.toSet -- hauStream.toSet).take(3)}")
+
+      // stickiness: compose the streamed DAU/MAU tiers through the
+      // shared presentation math and compare month rows bit-for-bit
+      val byDay = spark.table(s"rep3_day_$arm")
+      val byMonth = spark.table(s"rep3_mon_$arm")
+        .groupBy("month").agg(max("mau").as("mau")) // update sink: counts only grow
+      val stickBatch = SparkEntry.queries("q_events_stickiness")(spark, dir)
+        .as[(String, Long, Long, Long, Double)].collect().toSet
+      SparkEntry.releaseCaches()
+      val batchMonths = stickBatch.map(_._1)
+      val stickStream = EventStreams.stickinessFrom(byDay, byMonth)
+        .as[(String, Long, Long, Long, Double)].collect().toSet
+      val sentinelMonth = sentinel.ts.toString.substring(0, 7)
+      assert(stickStream.map(_._1) -- batchMonths subsetOf Set(sentinelMonth),
+        s"$arm: streamed stickiness months beyond batch+sentinel: " +
+          s"${stickStream.map(_._1) -- batchMonths}")
+      assert(stickStream.filter(_._1 != sentinelMonth) == stickBatch,
+        s"$arm: stickiness diverged:\nstream=${stickStream.toSeq.sortBy(_._1)}\n" +
+          s"batch=${stickBatch.toSeq.sortBy(_._1)}")
+    } finally Seq(ewmaQ, hauQ, dayQ, monQ).foreach(_.stop())
+  }
+
+  private def micros(t: java.sql.Timestamp): Long =
+    math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  test("EWMA/hourly-active/stickiness twins equal batch over the NULL-injected corpus in 4 splits") {
+    replayWindowed("null", nullArm)
+  }
+
+  test("EWMA/hourly-active/stickiness twins equal batch over the SKEW-injected corpus in 4 splits") {
+    replayWindowed("skew", skewArm)
+  }
+
+  test("backlog-deltas twin equals batch over date-armed and hot-order-armed orders/lineitem in 4 splits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // tools/nullify.py's r15b date arms, in-plan: l_shipdate NULL %109,
+    // far-future 9999-12-31 %127, far-past 0001-01-01 %131; o_orderdate
+    // NULL %113, epoch 1970-01-01 %137. The skew analogue for THIS twin
+    // is a hot ORDER (its state key), not skewify's hot user: half of
+    // all even-numbered lineitems collapse onto the smallest orderkey,
+    // so one state entry absorbs a correction-heavy shipment flood.
+    val rawO = Tables.orders(spark, sf).select("o_orderkey", "o_orderdate")
+    val rawL = Tables.lineitem(spark, sf).select("l_orderkey", "l_linenumber", "l_shipdate")
+    val hot = rawO.agg(min("o_orderkey")).head.getLong(0)
+    def armO(df: DataFrame) = df.select(col("o_orderkey"),
+      when(col("o_orderkey") % 113 === 0, lit(null).cast("date"))
+        .when(col("o_orderkey") % 137 === 0, lit("1970-01-01").cast("date"))
+        .otherwise(col("o_orderdate")).as("o_orderdate"))
+    def armL(df: DataFrame) = df.select(
+      when(col("l_orderkey") % 2 === 0 && col("l_linenumber") % 2 === 0, lit(hot))
+        .otherwise(col("l_orderkey")).as("l_orderkey"),
+      when(col("l_orderkey") % 109 === 0, lit(null).cast("date"))
+        .when(col("l_orderkey") % 127 === 0, lit("9999-12-31").cast("date"))
+        .when(col("l_orderkey") % 131 === 0, lit("0001-01-01").cast("date"))
+        .otherwise(col("l_shipdate")).as("l_shipdate"))
+    val dir = java.nio.file.Files.createTempDirectory("inj3_backlog").toString
+    armO(rawO).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    armL(rawL).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+
+    // the twin's input domain is shipments with KNOWN days (ShipEvent
+    // carries primitive longs) — the batch reference runs on the same
+    // restriction; q_orders_backlog's one-sided-interval rows (null
+    // open keeps the close delta and vice versa) are the documented
+    // remainder outside the stream's door
+    val epoch = lit("1992-01-01").cast("date")
+    val shipRows = Tables.orders(spark, dir).where(col("o_orderdate").isNotNull)
+      .select(col("o_orderkey"),
+        datediff(date_trunc("day", col("o_orderdate")), epoch).cast("long").as("open_day"))
+      .join(Tables.lineitem(spark, dir).where(col("l_shipdate").isNotNull)
+          .select(col("l_orderkey"),
+            datediff(date_trunc("day", col("l_shipdate")), epoch).cast("long").as("ship_day")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderkey").as("order_id"), col("open_day"), col("ship_day"))
+      .orderBy("ship_day", "order_id") // ascending ship days: every
+      // later shipment of an order EXTENDS its close → maximal
+      // correction-pair traffic through the state machine
+      .as[ShipEvent].collect().toSeq
+    val fdir = java.nio.file.Files.createTempDirectory("inj3f_backlog").toString
+    Tables.orders(spark, dir).where(col("o_orderdate").isNotNull)
+      .select("o_orderkey", "o_orderdate")
+      .write.mode("overwrite").parquet(s"$fdir/orders.parquet")
+    Tables.lineitem(spark, dir).where(col("l_shipdate").isNotNull)
+      .select("l_orderkey", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$fdir/lineitem.parquet")
+
+    val mem = MemoryStream[ShipEvent]
+    val q = EventStreams.streamingBacklogDeltas(mem.toDS(), idleTimeout = None)
+      .writeStream.format("memory").queryName("rep3_backlog")
+      .outputMode(OutputMode.Append).start()
+    try {
+      shipRows.grouped((shipRows.size + 3) / 4).foreach { b =>
+        mem.addData(b: _*); q.processAllAvailable()
+      }
+      val streamed = spark.table("rep3_backlog").as[BacklogDelta]
+        .groupBy("day")
+        .agg(sum("d_opened").as("n_opened"), sum("d_closed").as("n_closed"))
+        .where(col("n_opened") =!= 0 || col("n_closed") =!= 0)
+        .as[(Long, Long, Long)].collect().toSet
+      val batch = SparkEntry.queries("q_orders_backlog")(spark, fdir)
+        .select("day_i", "n_opened", "n_closed", "backlog")
+        .as[(Long, Long, Long, Long)].collect()
+      SparkEntry.releaseCaches()
+      assert(batch.map(r => (r._1, r._2, r._3)).toSet == streamed,
+        s"delta mismatch (sizes ${batch.length}/${streamed.size}):\n" +
+          s"batch-only=${(batch.map(r => (r._1, r._2, r._3)).toSet -- streamed).take(5)}\n" +
+          s"stream-only=${(streamed -- batch.map(r => (r._1, r._2, r._3)).toSet).take(5)}")
+      val cum = streamed.toSeq.sortBy(_._1)
+        .scanLeft((0L, 0L, 0L, 0L)) { case ((_, _, _, lvl), (d, o, c)) => (d, o, c, lvl + o - c) }
+        .drop(1)
+      assert(cum.toSet == batch.toSet, "cumulative backlog diverged from the streamed deltas")
+      assert(streamed.nonEmpty, "fixture produced no deltas — arms degenerate")
+    } finally q.stop()
+  }
+
+  test("span-postings twin converges to the batch index over a null-and-dup-injected documents corpus in 4 splits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // tools/nullify.py's documents arm (text NULL %53) composed with
+    // tools/dupify.py's anchor copy (text := anchor's, anchor = doc_id
+    // − doc_id%7, own text kept when the anchor's is NULL) — the heavy
+    // axis for a postings index is exactly massive duplication plus
+    // null texts (skewify arms documents.source, which postings never
+    // read)
+    val d0 = Tables.documents(spark, sf).select("doc_id", "text")
+    val nulled = d0.select(col("doc_id"),
+      when(col("doc_id") % 53 === 0, lit(null)).otherwise(col("text")).as("text"))
+    val armed = nulled.as("d")
+      .join(nulled.select(col("doc_id").as("aid"), col("text").as("atext")).as("a"),
+        col("d.doc_id") - col("d.doc_id") % 7 === col("aid"), "left")
+      .select(col("d.doc_id").as("doc_id"),
+        coalesce(col("atext"), col("d.text")).as("text"))
+    val dir = java.nio.file.Files.createTempDirectory("inj3_span").toString
+    armed.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val docRows = Tables.documents(spark, dir).select("doc_id", "text")
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingDedup.streamingSpanPostings(
+        mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("rep3_span")
+      .outputMode(OutputMode.Update).start()
+    try {
+      docRows.grouped((docRows.size + 3) / 4).foreach { b =>
+        mem.addData(b: _*); q.processAllAvailable()
+      }
+      val streamedPostings = spark.table("rep3_span")
+        .groupBy("h").agg(max("docs_with").as("docs_with")) // counts only grow
+      val docSpans = Tables.documents(spark, dir)
+        .select(col("doc_id"), graft.functions.TextFunctions.tokens(col("text")).as("t"))
+        .where(size(col("t")) >= 8)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(t)-8), i -> array_join(slice(t, i+1, 8), chr(1)))")).as("sp"))
+        .select(col("doc_id"), graft.functions.PolyHash64Expr(col("sp")).as("h"))
+        .distinct().persist()
+      val batchPostings = docSpans.groupBy("h").agg(count(lit(1)).as("docs_with"))
+      assert(streamedPostings.as[(Long, Long)].collect().toMap ==
+        batchPostings.as[(Long, Long)].collect().toMap,
+        "postings index diverged on the injected corpus")
+      // re-scoring the corpus against the STREAMED index reproduces the
+      // production dup_fraction query on the same injected table
+      val rescored = docSpans.join(streamedPostings, Seq("h"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_spans"),
+          sum(when(col("docs_with") >= 2, 1L).otherwise(0L)).as("n_shared"))
+        .select(col("doc_id"), col("n_spans"), col("n_shared"),
+          round(col("n_shared").cast("double") / col("n_spans"), 6).as("dup_fraction"))
+        .as[(Long, Long, Long, Double)].collect().toSet
+      val batch = SparkEntry.queries("dedup_span_fraction")(spark, dir)
+        .as[(Long, Long, Long, Double)].collect().toSet
+      docSpans.unpersist()
+      SparkEntry.releaseCaches()
+      assert(batch == rescored,
+        s"dup_fraction mismatch (sizes ${batch.size}/${rescored.size})")
+      assert(rescored.exists(_._3 > 0), "no shared spans — dup arm degenerate")
+    } finally q.stop()
   }
 }
