@@ -161,6 +161,36 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("leakage matrix: a gram in more sources than LeakDfCap is boilerplate, never a pair") {
+    // r16 knob audit: LeakDfCap = 32 but the corpus max source-df is
+    // 3-4 at both graded SFs (and the testdata has far fewer than 33
+    // sources), so the cap's binding side was ungraded. 40 sources
+    // share one boilerplate phrase (df 40 > cap — C(40,2) = 780 pair
+    // rows if the cap ever leaks); two sources share a genuine gram
+    // (df 2). The board must contain exactly the genuine pair.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = fixtureDir()
+    val boiler = "all rights reserved contact us today"
+    val genuine = "the quick brown fox jumps high"
+    val rows =
+      (0 until 40).map { i =>
+        (i.toLong, s"filler${i}a filler${i}b $boiler", s"src$i")
+      } ++ Seq(
+        (100L, s"gen1fill $genuine", "gen1"),
+        (101L, s"gen2fill $genuine", "gen2"))
+    rows.toDF("doc_id", "text", "source")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        col("source"), length(col("text")).cast("long").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val board = SparkEntry.queries("pipe_leakage_matrix")(spark, dir)
+      .as[(String, String, Long)].collect().toSeq
+    SparkEntry.releaseCaches()
+    assert(board == Seq(("gen1", "gen2", 2L)),
+      s"board must be exactly the sub-cap pair (both 6-token phrases " +
+        s"yield two 5-grams): $board")
+  }
+
   test("token fertility: hand-computed sums and ratios per source") {
     val dir = fixtureDir()
     // digits/punctuation only — subword counts are closed-form without

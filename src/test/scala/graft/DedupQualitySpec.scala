@@ -292,4 +292,27 @@ class DedupQualitySpec extends AnyFunSuite {
     assert(bc == sh, "gate routing must never change the row set")
     assert(bc.nonEmpty, "anti-vacuity: sf0.01 must contain semantic contamination pairs")
   }
+
+  test("dedup_clusters member list slices at MemberCap; cluster_size stays exact above it") {
+    // r16 knob audit: MemberCap = 64 but no corpus/arm mints a cluster
+    // that large (dupify's groups are 7 docs), so the presentation
+    // slice's binding side was ungraded. 70 identical docs form one
+    // cluster: the size must stay the exact 70 while the member list
+    // carries exactly the 64 smallest ids — the degenerate corpus-wide
+    // cluster must never build a row as big as itself.
+    import spark.implicits._
+    val text = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val dir = s"/tmp/graft_membercap_${suiteName.hashCode}"
+    (1 to 70).map(i => (i.toLong, text)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("dedup_clusters")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    SparkEntry.releaseCaches()
+    assert(rows.length == 1, s"one cluster expected: ${rows.toSeq}")
+    val (survivor, size, members) = rows.head
+    assert(survivor == 1L && size == 70L,
+      s"size must stay exact above the cap: ($survivor, $size)")
+    assert(members.split('|').toSeq == (1 to 64).map(_.toString),
+      s"member list must be the 64 smallest ids, got ${members.split('|').length}")
+  }
 }

@@ -86,4 +86,29 @@ class StreamingDedupSpec extends AnyFunSuite {
       assert(streamPairs == batchPairs)
     } finally q.stop()
   }
+
+  test("maxPerBucket binds above threshold: a 68-doc identical flood keeps only the 64 newest bucket-mates") {
+    // r16 knob audit: no corpus/arm at either graded SF ever exceeds
+    // the 64-signature bucket cap, so its above-threshold behavior was
+    // ungraded. 68 identical docs share every band bucket; newest-win
+    // retention means doc 68 must pair against exactly docs 4..67 —
+    // the 3 oldest have been evicted, bounding per-bucket state (and
+    // the skew ceiling) at 64 regardless of flood size.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Doc]
+    val q = StreamingDedup.nearDupPairs(mem.toDS(), bands = 1, threshold = 0.7)
+      .writeStream.format("memory").queryName("near_dups_cap")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val docs = (1 to 68).map(i => Doc(i.toLong, ts(i), baseText))
+      mem.addData(docs.take(40): _*); q.processAllAvailable()
+      mem.addData(docs.drop(40): _*); q.processAllAvailable()
+      val last = spark.table("near_dups_cap").as[NearDup].collect()
+        .filter(_.doc_id == 68L).map(_.dup_of).toSet
+      assert(last == (4L to 67L).toSet,
+        s"doc 68 must see exactly the 64 newest mates, got ${last.size}: " +
+          s"missing=${(4L to 67L).toSet -- last} extra=${last -- (4L to 67L).toSet}")
+    } finally q.stop()
+  }
 }
