@@ -55,4 +55,40 @@ class VectorIndexSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS vec_idx_test_centroids")
     }
   }
+
+  test("probe non-finite contract: garbage index rows never rank, zero vectors never throw") {
+    // r16 ranking-plane sweep evidence (this plane is spec-only — no
+    // oracle, so NanOrderingAuditSpec's oracle-driven family scan
+    // cannot see it): an unguarded probe ranked a NaN cosine ABOVE
+    // every real neighbor (NaN-greatest desc) and THREW under ANSI's
+    // 0/0 on a zero vector. The guarded probe pins both to NULL and
+    // ranks them last.
+    val base = (0L until 30L).map { id =>
+      (id, Array.tabulate(64)(i => ((id * 31 + i * 7) % 13 - 6).toFloat))
+    }
+    val garbage = (30L until 40L).map { id =>
+      val g = Array.tabulate(64)(i => ((id * 31 + i * 7) % 13 - 6).toFloat)
+      g(5) = if (id % 2 == 0) Float.NaN else Float.PositiveInfinity
+      (id, g)
+    }
+    val zero = Seq((40L, Array.fill(64)(0.0f)))
+    val vecs = (base ++ garbage ++ zero).toDF("vec_id", "embedding")
+    VectorIndex.build(spark, vecs, "vec_idx_nf_test", k = 2, dim = 64, iters = 1)
+    try {
+      val queries = vecs.where(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      // nprobe = 2 of 2 cells: the FULL index scans, so every garbage
+      // row is a candidate — the guard alone keeps it out of the top-k
+      val got = VectorIndex.probe(spark, queries, "vec_idx_nf_test", k = 5, nprobe = 2)
+        .select("qid", "vec_id", "sim")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.isNullAt(2)))
+      assert(got.nonEmpty && got.forall(!_._3),
+        s"non-finite rows must rank below every finite sim: ${got.filter(_._3).toSeq}")
+      assert(got.forall(r => r._2 < 30L),
+        s"garbage/zero vectors entered the top-k: ${got.filter(_._2 >= 30L).toSeq}")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS vec_idx_nf_test")
+      spark.sql("DROP TABLE IF EXISTS vec_idx_nf_test_centroids")
+    }
+  }
 }
