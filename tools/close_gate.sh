@@ -6,13 +6,15 @@
 # bench, PLANS.md) must be produced at the EXACT commit that ends the
 # round; any later src/ change reopens the gate.
 #
-# Usage: tools/close_gate.sh <gate-commit>
+# Usage: tools/close_gate.sh <gate-commit> [matrix-summary]
 #   <gate-commit> = the commit the gate artifacts were produced at.
+#   [matrix-summary] = the round's matrix summary file
+#                      (default /tmp/matrix_r16_summary.txt).
 # Passes iff HEAD's product surface is identical to the gate commit's
 # and the working tree carries no further product changes.
 set -euo pipefail
 cd /root/repo
-GATE=${1:?usage: close_gate.sh <gate-commit>}
+GATE=${1:?usage: close_gate.sh <gate-commit> [matrix-summary]}
 
 if ! git diff --quiet "$GATE" HEAD -- src/ build.sbt; then
   echo "FAIL: product code changed between gate commit $GATE and HEAD — regate:" >&2
@@ -24,7 +26,7 @@ if ! git diff --quiet -- src/ build.sbt || ! git diff --cached --quiet -- src/ b
   git status --short -- src/ build.sbt >&2
   exit 1
 fi
-S=/tmp/matrix_r15_summary.txt
+S=${2:-/tmp/matrix_r16_summary.txt}
 if [ -f "$S" ]; then
   if ! grep -q "MATRIX DONE at $(git rev-parse "$GATE")" "$S"; then
     echo "FAIL: matrix summary $S was not produced at gate commit $GATE" >&2
@@ -32,7 +34,7 @@ if [ -f "$S" ]; then
     exit 1
   fi
 else
-  echo "WARN: no matrix summary at $S — run tools/matrix_r15.sh before closing" >&2
+  echo "WARN: no matrix summary at $S — run the round's matrix script before closing" >&2
   exit 1
 fi
 echo "GATE OK: HEAD product surface matches gate commit $GATE and the matrix ran there"
