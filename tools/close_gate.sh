@@ -6,15 +6,16 @@
 # bench, PLANS.md) must be produced at the EXACT commit that ends the
 # round; any later src/ change reopens the gate.
 #
-# Usage: tools/close_gate.sh <gate-commit> [matrix-summary]
+# Usage: tools/close_gate.sh <gate-commit> <matrix-summary>
 #   <gate-commit> = the commit the gate artifacts were produced at.
-#   [matrix-summary] = the round's matrix summary file
-#                      (default /tmp/matrix_r16_summary.txt).
+#   <matrix-summary> = the round's matrix summary file. REQUIRED —
+#     a round-pinned default here silently greps a stale summary
+#     next round (fails closed, but forces per-round churn).
 # Passes iff HEAD's product surface is identical to the gate commit's
 # and the working tree carries no further product changes.
 set -euo pipefail
 cd /root/repo
-GATE=${1:?usage: close_gate.sh <gate-commit> [matrix-summary]}
+GATE=${1:?usage: close_gate.sh <gate-commit> <matrix-summary>}
 
 if ! git diff --quiet "$GATE" HEAD -- src/ build.sbt; then
   echo "FAIL: product code changed between gate commit $GATE and HEAD — regate:" >&2
@@ -26,7 +27,7 @@ if ! git diff --quiet -- src/ build.sbt || ! git diff --cached --quiet -- src/ b
   git status --short -- src/ build.sbt >&2
   exit 1
 fi
-S=${2:-/tmp/matrix_r16_summary.txt}
+S=${2:?usage: close_gate.sh <gate-commit> <matrix-summary>}
 if [ -f "$S" ]; then
   if ! grep -q "MATRIX DONE at $(git rev-parse "$GATE")" "$S"; then
     echo "FAIL: matrix summary $S was not produced at gate commit $GATE" >&2
