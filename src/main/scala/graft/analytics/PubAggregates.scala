@@ -93,10 +93,18 @@ object PubAggregates {
     counts.orderBy(col(countCol).desc).limit(n)
 
   /** A14: community strength — Σ(count²)/Σcount/100 over a label
-    * histogram (visualisations.py:658-666). */
-  def communityStrength(histogram: DataFrame, countCol: String = "cnt"): DataFrame =
+    * histogram (visualisations.py:658-666). count² widens to
+    * DECIMAL(38,0) INSIDE the sum (each operand before the multiply —
+    * the q_correlation discipline): a raw int64 Σcnt² wraps once any
+    * label exceeds ≈ 3.04e9 members, inside the 100 TB envelope, and
+    * the decimal sums exit through the same correctly-rounded
+    * cast-to-double the raw-long version took implicitly. */
+  def communityStrength(histogram: DataFrame, countCol: String = "cnt"): DataFrame = {
+    def d38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
     histogram.agg(
-      (sum(col(countCol) * col(countCol)) / sum(col(countCol)) / 100.0).as("strength"))
+      (sum(d38(col(countCol)) * d38(col(countCol))).cast("double") /
+        sum(col(countCol)).cast("double") / 100.0).as("strength"))
+  }
 
   /** A15: collaborator adjacency table — per author the pipe-joined
     * sorted neighbor list + degree (visualisations.py:813-820). */

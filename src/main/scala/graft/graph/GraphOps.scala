@@ -114,8 +114,13 @@ object GraphOps {
     dd.agg(
         count(lit(1)).as("n"),
         sum(col("dj")).as("sj"),
-        sum((col("dj") * col("dk")).cast("decimal(38,0)")).as("sjk"),
-        sum((col("dj") * col("dj")).cast("decimal(38,0)")).as("sjj"))
+        // each operand widens to DECIMAL(38,0) BEFORE the multiply
+        // (q_correlation discipline): casting the long×long product
+        // would wrap first and widen the wreckage — two ~3e9-degree
+        // hubs meeting on one edge is inside the 100 TB envelope,
+        // and the HUGEINT oracle stays exact where the long wraps
+        sum(col("dj").cast("decimal(38,0)") * col("dk").cast("decimal(38,0)")).as("sjk"),
+        sum(col("dj").cast("decimal(38,0)") * col("dj").cast("decimal(38,0)")).as("sjj"))
       .select(col("n"), col("sj"),
         (col("n").cast("decimal(38,0)") * col("sjk")
           - col("sj").cast("decimal(38,0)") * col("sj").cast("decimal(38,0)")).as("num"),

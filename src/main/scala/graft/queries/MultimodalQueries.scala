@@ -162,7 +162,15 @@ object MultimodalQueries extends QueryPack {
           col("r_sum"), col("g_sum"), col("b_sum"))
         // coalesce: empty corpus sums are NULL while the oracle's
         // count-derived pixel total is 0 (r13 empty axis); the means
-        // stay NULL/0 = NULL on both engines
+        // stay NULL/0 = NULL on both engines.
+        // int64-envelope certification (r17 raw-sum(int-product)
+        // audit): per-row wl·hl is one image's pixel count (< 1e10
+        // even at absurd dimensions); the corpus total at 100 TB of
+        // PNG-compressed pixels is ≈ 50× the stored bytes ≈ 1.7e15
+        // px, and the channel sums ≤ 255× that ≈ 4e17 — both > 20×
+        // inside int64. n_pixels is also the BIGINT output contract,
+        // so widening here would only move the wrap to the output
+        // cast. No wrap at 100 TB.
         .agg(coalesce(sum(col("wl") * col("hl")), lit(0L)).as("n_pixels"),
           sum(col("r_sum")).as("rs"), sum(col("g_sum")).as("gs"),
           sum(col("b_sum")).as("bs"))

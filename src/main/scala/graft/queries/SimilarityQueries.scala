@@ -131,6 +131,11 @@ object SimilarityQueries extends QueryPack {
       .groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
       .join(broadcast(vocab), Seq("token"))
       .groupBy("doc_id", "dim")
+      // int64-envelope certification (r17 raw-sum(int-product) audit):
+      // this group is per (doc, dim), so the sum is bounded by DOCUMENT
+      // size, not corpus size — Σc·|w| ≤ doc_tokens × Scale(1e6) ≈ 1e13
+      // even for a 10M-token document; corpus growth adds groups, not
+      // magnitude. Per-row c·w ≤ 1e6 × ~1e6 = 1e12. No wrap at 100 TB.
       .agg(sum(col("c") * col("w")).as("s"))
   }
 

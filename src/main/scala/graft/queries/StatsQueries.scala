@@ -743,13 +743,18 @@ object StatsQueries extends QueryPack {
     // hash it: x = quantity (integer-valued), y = price in cents
     // (double → DECIMAL(18,2) is the same correctly-rounded cast on
     // both engines, then exact ×100). The five sufficient statistics
-    // (n, Σx, Σy, Σxy, Σx²) are int64 sums from ONE map-combined
-    // aggregate; slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) is formed in
-    // DECIMAL(38,0) (n·Σxy ≈ 1e20 overflows int64 at sf0.1 and grows
-    // with SF) and shipped as an integer in millionths via truncating
-    // division on sign-split absolutes — `div` truncates toward zero
-    // in Spark while DuckDB's `//` floors, so the sign split is what
-    // makes the two agree on a negative numerator.
+    // (n, Σx, Σy, Σxy, Σx²) come from ONE map-combined aggregate, the
+    // product sums widened to DECIMAL(38,0) INSIDE the sum — the
+    // q_correlation discipline: a raw int64 Σxy wraps ≈ sf 3,000
+    // (inside the 100 TB design envelope, and a single extreme row can
+    // wrap the per-row x·y product long before that) while DuckDB sums
+    // integers into HUGEINT and stays exact, so the raw-long version
+    // is a silent cross-engine divergence at scale; slope =
+    // (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) stays in DECIMAL(38,0) and ships
+    // as an integer in millionths via truncating division on
+    // sign-split absolutes — `div` truncates toward zero in Spark
+    // while DuckDB's `//` floors, so the sign split is what makes the
+    // two agree on a negative numerator.
     "q_regr_slope" -> ((s, d) => {
       val stats = Tables.lineitem(s, d)
         .select(col("l_returnflag"),
@@ -757,7 +762,8 @@ object StatsQueries extends QueryPack {
           (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long").as("y"))
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
-          sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+          sum(d38(col("x")) * d38(col("y"))).as("sxy"),
+          sum(d38(col("x")) * d38(col("x"))).as("sxx"))
       stats
         .withColumn("sy38", d38(col("sy")))
         .withColumn("sx38", d38(col("sx")))
@@ -844,10 +850,15 @@ object StatsQueries extends QueryPack {
     // comparison (n·x − Σx)² > 9·(n·Σx² − (Σx)²), with x = event value
     // in cents (double → DECIMAL(18,2) is the same correctly-rounded
     // cast on both engines). Per-type sufficient statistics are ONE
-    // map-combined aggregate; the handful of type rows broadcast back
-    // onto the stream for the per-row test, so the fact table is
-    // scanned twice but never shuffled. Output is the per-type outlier
-    // census — the data-quality monitor shape.
+    // map-combined aggregate, Σx² widened to DECIMAL(38,0) INSIDE the
+    // sum (the q_correlation discipline — a raw int64 Σx² wraps at
+    // ≈ 9e8 events of this magnitude, inside the 100 TB envelope, and
+    // one extreme row wraps the per-row x² product alone, while the
+    // HUGEINT oracle stays exact; a wrapped Σx² turns varn negative
+    // and flags EVERY row an outlier); the handful of type rows
+    // broadcast back onto the stream for the per-row test, so the fact
+    // table is scanned twice but never shuffled. Output is the
+    // per-type outlier census — the data-quality monitor shape.
     "q_events_outliers" -> ((s, d) => {
       def d38(c: Column): Column = c.cast("decimal(38,0)")
       val ev = Tables.events(s, d)
@@ -855,7 +866,7 @@ object StatsQueries extends QueryPack {
           (col("value").cast("decimal(18,2)") * 100).cast("long").as("x"))
       val stats = ev.groupBy("event_type")
         .agg(count(lit(1)).as("n"), sum("x").as("sx"),
-          sum(col("x") * col("x")).as("sxx"))
+          sum(d38(col("x")) * d38(col("x"))).as("sxx"))
       ev.join(broadcast(stats), Seq("event_type"))
         .withColumn("dev", d38(col("n")) * d38(col("x")) - d38(col("sx")))
         .withColumn("varn",
