@@ -120,6 +120,34 @@ object SanitizedMeasurePushdown extends Rule[LogicalPlan] with PredicateHelper {
     case _ => Nil
   }
 
+  private def atomic(e: Expression): Boolean = e match {
+    case _: Attribute => true
+    case _: Literal => true
+    case _ => false
+  }
+
+  /** Predicate shapes that cannot raise on ANY row: And/Or/Not trees
+    * over comparisons, In, and null/NaN tests whose operands are bare
+    * attributes or literals — no casts, no arithmetic, no function
+    * calls (under ANSI those THROW on the very rows a guard excludes:
+    * `cast(a AS INT)` on NaN, division by zero, abs(Int.MinValue)).
+    * The CaseWhen lift may only hoist an else of this shape past its
+    * guard; r16 shipped the lift protected merely by conjunct ORDER —
+    * originals-first in `(conjuncts ++ extra).reduce(And)` plus And
+    * short-circuit — which a later optimizer pass or a pushdown
+    * translator is free to undo. Safe by construction instead. */
+  private def nonThrowing(e: Expression): Boolean = e match {
+    case And(l, r) => nonThrowing(l) && nonThrowing(r)
+    case Or(l, r) => nonThrowing(l) && nonThrowing(r)
+    case Not(c) => nonThrowing(c)
+    case IsNotNull(c) => atomic(c)
+    case IsNull(c) => atomic(c)
+    case IsNaN(c) => atomic(c)
+    case cmp: BinaryComparison => cmp.children.forall(atomic)
+    case In(v, list) => atomic(v) && list.forall(atomic)
+    case _ => false
+  }
+
   /** Raw-column conjuncts implied by one original conjunct. Two shapes
     * arrive at the scan, depending on whether the comparison's other
     * side folded:
@@ -139,12 +167,12 @@ object SanitizedMeasurePushdown extends Rule[LogicalPlan] with PredicateHelper {
     case CaseWhen(branches, Some(e))
       if branches.nonEmpty && branches.forall(b => isFalseOrNull(b._2)) &&
         branches.forall(b => SanitizeGuard.unapply(b._1).isDefined) &&
-        e.deterministic =>
-      // the guard restriction keeps the lift honest: the boundary's
-      // guard protects nothing (its else is a bare comparison), but a
-      // FUTURE query could use this CASE shape to guard a THROWING
-      // else (ANSI division, overflowing cast) — lifting that out
-      // would evaluate it on the very rows the guard excluded
+        nonThrowing(e) =>
+      // both restrictions keep the lift honest: only the boundary's
+      // own guard shape lifts (r16), and only a provably non-throwing
+      // else lifts past it (r17) — a sanitize-guarded CASE protecting
+      // an ANSI cast/division keeps its guard, because the lifted
+      // conjunct is evaluated on the very rows the guard excluded
       e +: notNulls(e)
     case IsNotNull(Sanitized(a)) => Seq(IsNotNull(a))
     case _: EqualNullSafe => Nil // NULL <=> sanitized(NaN) is TRUE; unsound

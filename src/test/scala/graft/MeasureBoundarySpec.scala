@@ -80,6 +80,40 @@ class MeasureBoundarySpec extends AnyFunSuite {
       "cutoff comparison drops NaN/Inf/null rows on both branches")
   }
 
+  test("sanitize-guarded CASE with a THROWING else keeps its guard (lift safe by construction)") {
+    import org.apache.spark.sql.catalyst.expressions.{And, CaseWhen, Cast, Expression}
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+    val d = dirtyLineitem()
+    // The exact false-branch CASE shape the lift matches, but the else
+    // is an ANSI-throwing expression (double→int cast: NaN throws).
+    // r16's rule lifted ANY deterministic else past the guard — safe
+    // only because originals-first + And short-circuit happened to
+    // evaluate the guard first, an ordering later passes are free to
+    // undo. r17 requires a provably non-throwing else: this CASE must
+    // arrive at the filter intact, with NO bare cast conjunct beside it.
+    // read the parquet RAW so the guard sits over the bare scan
+    // attribute — through Tables.lineitem the guard would wrap the
+    // boundary CASE alias and SanitizeGuard (attribute-only) never
+    // matches, which would make this fixture vacuously green
+    val q = spark.read.parquet(s"$d/lineitem.parquet")
+      .where(when(isnan(col("l_quantity")) ||
+          abs(col("l_quantity")) === Double.PositiveInfinity, lit(false))
+        .otherwise(col("l_quantity").cast("int") === 5))
+    def conj(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conj(l) ++ conj(r)
+      case x => Seq(x)
+    }
+    val conjuncts = q.queryExecution.optimizedPlan
+      .collect { case f: LFilter => f }.flatMap(f => conj(f.condition))
+    val liftedCasts = conjuncts.filter(c =>
+      c.exists(_.isInstanceOf[Cast]) && !c.exists(_.isInstanceOf[CaseWhen]))
+    assert(liftedCasts.isEmpty,
+      s"throwing else lifted past its sanitize guard: $liftedCasts")
+    // the guard still does its job: garbage rows drop, no ANSI throw
+    assert(q.select("l_orderkey").as[Long].collect().toSeq == Seq(1L),
+      "guarded throwing else evaluates only on finite rows")
+  }
+
   test("dirty measures: aggregates skip the sanitized garbage like SQL NULLs") {
     val d = dirtyLineitem()
     val r = Tables.lineitem(spark, d)
