@@ -29,6 +29,42 @@ object VectorFunctions {
   def cosineExpr(a: Column, b: Column, dim: Int): Column =
     dotExpr(a, b, dim) / sqrt(normSqExpr(a, dim) * normSqExpr(b, dim))
 
+  /** Exact rounded cosine with the NON-FINITE contract (r14 embeddings
+    * NaN/zero-vector axis): a zero-norm side divides by zero (ANSI
+    * THROWS), a NaN component poisons the dot — both pin to NULL, and
+    * every ranking window orders sim DESC NULLS LAST, so garbage
+    * vectors never win a top-k slot. Query-plane callers keep the
+    * fill-ranks contract (NULL sims still take ranks when nothing
+    * finite remains — their oracles mirror it); serving paths filter
+    * sims to non-null ([[graft.io.VectorIndex.probe]]). ONE definition
+    * for both planes (r17 — probe carried an inline copy, the exact
+    * query-vs-serving drift class the r16 ranking-plane sweep hunted).
+    *
+    * DuckDB mirrors guard NaN via `isnan(...) THEN NULL` (its 0/0 is
+    * already NULL, but its bare NaN sorts GREATEST — above every real
+    * sim — so an unguarded NaN flips top-k on the first corrupt
+    * vector). */
+  def guardedSim(dot: Column, nsqA: Column, nsqB: Column): Column =
+    // guard the NORMS, not the quotient: a NaN component makes its
+    // side's nsq NaN and a zero vector makes it 0, while two finite
+    // nonzero-norm vectors can never produce a non-finite quotient
+    // (float components bound the double dot far below overflow) — so
+    // the per-PAIR cost is one scalar branch, not a second 64-term
+    // expression (the first guarded form re-ran the quotient inside
+    // its isnan check and showed up as 1.6–1.8× on the broadcast×N
+    // scans' bench rows)
+    // nsq = +Inf (an ±Inf COMPONENT — r15 arm: the one non-finite input
+    // the NaN/zero guards don't reach) must also pin to NULL: the
+    // quotient under an Inf norm is NaN (dot is ±Inf or NaN — an Inf
+    // component times a zero partner is NaN, times anything else ±Inf)
+    // and raw NaN sorts FIRST under Spark's desc while the oracle's
+    // isnan(...)→NULL ranks it LAST. nsq is a sum of squares, so +Inf
+    // is the only non-finite sign to guard beyond NaN.
+    when(isnan(nsqA) || nsqA === 0 || nsqA === Double.PositiveInfinity ||
+      isnan(nsqB) || nsqB === 0 || nsqB === Double.PositiveInfinity,
+      lit(null).cast("double"))
+      .otherwise(round(dot / sqrt(nsqA * nsqB), 6))
+
   /** Cosine similarity as a primitive loop — bit-identical to
     * [[cosineExpr]] (same index order, accumulators start at +0.0 and
     * x + 0.0 == x, the signBucket argument), for call sites where the

@@ -71,18 +71,27 @@ object VectorIndex {
     // side would THROW under ANSI's 0/0 and a NaN/±Inf component would
     // make sim NaN — which sorts ABOVE every finite sim under Spark's
     // NaN-greatest desc, handing garbage index rows the top-k (the
-    // sim_topk_int8 candidate-flood class). Guard the norms to NULL and
-    // rank NULLS LAST, mirroring SimilarityQueries.guardedSim.
-    val qn = normSqExpr(col("qvec"), dim)
-    val en = normSqExpr(col("embedding"), dim)
+    // sim_topk_int8 candidate-flood class). guardedSim (ONE definition
+    // with the query plane, r17) pins both to NULL; the norms are
+    // projected as NAMED columns first so the guard's four references
+    // each reuse one 64-term tree instead of inlining it four times —
+    // the duplication class that pushed a fused stage past janino's
+    // 64 KB method limit on the query plane.
     broadcast(probes).join(idx, "cluster")
       .where(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"), col("qvec"), col("embedding"),
+        normSqExpr(col("qvec"), dim).as("qn"),
+        normSqExpr(col("embedding"), dim).as("en"))
       .select(col("qid"), col("vec_id"),
-        when(isnan(qn) || qn === 0 || qn === Double.PositiveInfinity ||
-          isnan(en) || en === 0 || en === Double.PositiveInfinity,
-          lit(null).cast("double"))
-          .otherwise(round(dotExpr(col("qvec"), col("embedding"), dim) / sqrt(qn * en), 6))
-          .as("sim"))
+        guardedSim(dotExpr(col("qvec"), col("embedding"), dim),
+          col("qn"), col("en")).as("sim"))
+      // SERVING contract (r16 ADVICE): probe returns candidates only —
+      // when a probed cell holds fewer than k finite vectors the
+      // result is SHORT, never padded with guarded-NULL garbage ids
+      // (the query plane keeps the opposite fill-ranks contract, which
+      // its oracles mirror; a serving caller must never receive a
+      // vec_id whose sim the guard voided)
+      .where(col("sim").isNotNull)
       .withColumn("rank", row_number().over(bySim))
       .where(col("rank") <= k)
       .drop("rank")

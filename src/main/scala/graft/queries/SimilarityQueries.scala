@@ -443,36 +443,12 @@ object SimilarityQueries extends QueryPack {
     }))
 
 
-  /** Exact rounded cosine with the NON-FINITE contract (r14 embeddings
-    * NaN/zero-vector axis): a zero-norm side divides by zero (ANSI
-    * THROWS), a NaN component poisons the dot — both pin to NULL, and
-    * every ranking window orders sim DESC NULLS LAST, so garbage
-    * vectors never win a top-k slot yet still fill ranks
-    * deterministically (tie-break vec_id) when nothing finite remains.
-    * The oracles mirror via the guarded [[simSql]] + NULLS LAST
-    * (DuckDB's 0/0 is NULL but its bare NaN sorts GREATEST — above
-    * every real sim — so leaving NaN unguarded flips top-k on the
-    * first corrupt vector). */
-  private def guardedSim(dot: Column, nsqA: Column, nsqB: Column): Column =
-    // guard the NORMS, not the quotient: a NaN component makes its
-    // side's nsq NaN and a zero vector makes it 0, while two finite
-    // nonzero-norm vectors can never produce a non-finite quotient
-    // (float components bound the double dot far below overflow) — so
-    // the per-PAIR cost is one scalar branch, not a second 64-term
-    // expression (the first guarded form re-ran the quotient inside
-    // its isnan check and showed up as 1.6–1.8× on the broadcast×N
-    // scans' bench rows)
-    // nsq = +Inf (an ±Inf COMPONENT — r15 arm: the one non-finite input
-    // the NaN/zero guards don't reach) must also pin to NULL: the
-    // quotient under an Inf norm is NaN (dot is ±Inf or NaN — an Inf
-    // component times a zero partner is NaN, times anything else ±Inf)
-    // and raw NaN sorts FIRST under Spark's desc while the oracle's
-    // isnan(...)→NULL ranks it LAST. nsq is a sum of squares, so +Inf
-    // is the only non-finite sign to guard beyond NaN.
-    when(isnan(nsqA) || nsqA === 0 || nsqA === Double.PositiveInfinity ||
-      isnan(nsqB) || nsqB === 0 || nsqB === Double.PositiveInfinity,
-      lit(null).cast("double"))
-      .otherwise(round(dot / sqrt(nsqA * nsqB), 6))
+  // guardedSim — the exact rounded cosine with the non-finite
+  // contract — now lives in [[graft.functions.VectorFunctions]] (r17:
+  // VectorIndex.probe carried an inline copy of it, the exact
+  // query-plane-vs-serving-path drift class the r16 sweep hunted; one
+  // definition serves both). The oracles mirror via the guarded
+  // [[simSql]] + NULLS LAST.
 
   private def dotSql(a: String, b: String): String =
     (1 to Dim).map(i => s"CAST($a.embedding[$i] AS DOUBLE) * CAST($b.embedding[$i] AS DOUBLE)")

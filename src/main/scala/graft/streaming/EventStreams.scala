@@ -220,8 +220,11 @@ object EventStreams {
 
   /** Event time at full microsecond resolution — `getTime` truncates
     * to ms; `getNanos` carries the sub-second part. The batch twin
-    * measures gaps in `unix_micros`, so the streaming form must too. */
-  private def micros(t: Timestamp): Long =
+    * measures gaps in `unix_micros`, so the streaming form must too.
+    * private[graft] (r17): InjectedStreamReplaySpec's replay harness
+    * must decode timestamps with the SAME kernel it audits, not a
+    * byte-identical copy that can drift. */
+  private[graft] def micros(t: Timestamp): Long =
     math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
 
   /** Streaming hourly-active-users — the stateful twin of the batch

@@ -51,7 +51,11 @@ class CoverageConsistencySpec extends AnyFunSuite {
     val boundary = (Tables.measureCols.keySet + "events").toSeq.sorted
     val offenders = SparkEntry.oracleSql.flatMap { case (name, sql) =>
       boundary.filter { t =>
-        s"""(?is)(?:\\bfrom|\\bjoin|,)\\s*"(?:main\\.)?$t"""".r
+        // the schema prefix may sit outside OR inside the quotes
+        // (FROM main."lineitem" / FROM "main.lineitem" — r16 ADVICE:
+        // the prefix-inside-only pattern let main."lineitem" bypass
+        // the shadow CTEs undetected)
+        s"""(?is)(?:\\bfrom|\\bjoin|,)\\s*(?:main\\.)?"(?:main\\.)?$t"""".r
           .findFirstIn(sql).isDefined
       }.map(t => s"$name quotes $t")
     }

@@ -358,7 +358,13 @@ class InjectedStreamReplaySpec extends AnyFunSuite {
       val batchMonths = stickBatch.map(_._1)
       val stickStream = EventStreams.stickinessFrom(byDay, byMonth)
         .as[(String, Long, Long, Long, Double)].collect().toSet
-      val sentinelMonth = sentinel.ts.toString.substring(0, 7)
+      // UTC-pinned month (r16 ADVICE): Timestamp.toString renders in
+      // the JVM default timezone while the streamed/batch month
+      // strings are session-TZ UTC — near a month boundary a non-UTC
+      // JVM would exclude the wrong month from the assertions
+      val sentinelMonth = java.time.Instant.ofEpochMilli(sentinel.ts.getTime)
+        .atZone(java.time.ZoneOffset.UTC)
+        .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM"))
       assert(stickStream.map(_._1) -- batchMonths subsetOf Set(sentinelMonth),
         s"$arm: streamed stickiness months beyond batch+sentinel: " +
           s"${stickStream.map(_._1) -- batchMonths}")
@@ -368,8 +374,10 @@ class InjectedStreamReplaySpec extends AnyFunSuite {
     } finally Seq(ewmaQ, hauQ, dayQ, monQ).foreach(_.stop())
   }
 
+  // the replay harness decodes timestamps with the SAME kernel it
+  // audits (r17 — this held a byte-identical private copy before)
   private def micros(t: java.sql.Timestamp): Long =
-    math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    graft.streaming.EventStreams.micros(t)
 
   test("EWMA/hourly-active/stickiness twins equal batch over the NULL-injected corpus in 4 splits") {
     replayWindowed("null", nullArm)

@@ -91,4 +91,40 @@ class VectorIndexSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS vec_idx_nf_test_centroids")
     }
   }
+
+  test("probe with fewer than k finite candidates returns SHORT, never NULL-sim padding") {
+    // r16 ADVICE: with < k finite vectors in the probed cells,
+    // rank <= k over desc_nulls_last still assigned ranks to
+    // guarded-NULL garbage, so a serving caller could receive garbage
+    // vec_ids with NULL sim. The serving contract is candidates-only:
+    // 3 finite vectors, k = 5 → each query gets exactly the 2 other
+    // finite neighbors and nothing else.
+    val finite = (0L until 3L).map { id =>
+      (id, Array.tabulate(64)(i => ((id * 31 + i * 7) % 13 - 6).toFloat))
+    }
+    val garbage = (3L until 13L).map { id =>
+      val g = Array.tabulate(64)(i => ((id * 31 + i * 7) % 13 - 6).toFloat)
+      g(5) = if (id % 2 == 0) Float.NaN else Float.PositiveInfinity
+      (id, g)
+    }
+    val zero = Seq((13L, Array.fill(64)(0.0f)))
+    val vecs = (finite ++ garbage ++ zero).toDF("vec_id", "embedding")
+    VectorIndex.build(spark, vecs, "vec_idx_short_test", k = 2, dim = 64, iters = 1)
+    try {
+      val queries = vecs.where(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val got = VectorIndex.probe(spark, queries, "vec_idx_short_test", k = 5, nprobe = 2)
+        .select("qid", "vec_id", "sim")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.isNullAt(2)))
+      assert(got.forall(!_._3), s"NULL-sim rows served: ${got.filter(_._3).toSeq}")
+      assert(got.forall(_._2 < 3L),
+        s"non-candidate ids served: ${got.filter(_._2 >= 3L).toSeq}")
+      val perQuery = got.groupBy(_._1).view.mapValues(_.length).toMap
+      assert(perQuery == Map(0L -> 2, 1L -> 2, 2L -> 2),
+        s"each query must get exactly the other finite vectors: $perQuery")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS vec_idx_short_test")
+      spark.sql("DROP TABLE IF EXISTS vec_idx_short_test_centroids")
+    }
+  }
 }
