@@ -27,6 +27,30 @@ if ! git diff --quiet -- src/ build.sbt || ! git diff --cached --quiet -- src/ b
   git status --short -- src/ build.sbt >&2
   exit 1
 fi
+# Anti-pattern count ratchet (r16 VERDICT #4): the judge audits every
+# .collect()/crossJoin/mapPartitions site as bounded by hand each
+# round — pin the counts so a NEW unbounded site can't ride in
+# silently. On drift, the round's NOTES file must carry a line
+#   ANTIPATTERN <collect>/<crossJoin>/<mapPartitions>: <named new site + bound argument>
+# acknowledging the new counts and naming the site. Notes file =
+# $3 if given, else the newest NOTES_r*.md.
+PIN_COLLECT=20 PIN_CROSSJOIN=29 PIN_MAPPART=20
+N_COLLECT=$(grep -rno '\.collect()' src/main/scala | wc -l)
+N_CROSSJOIN=$(grep -rno 'crossJoin' src/main/scala | wc -l)
+N_MAPPART=$(grep -rno 'mapPartitions' src/main/scala | wc -l)
+if [ "$N_COLLECT/$N_CROSSJOIN/$N_MAPPART" != "$PIN_COLLECT/$PIN_CROSSJOIN/$PIN_MAPPART" ]; then
+  NOTES=${3:-$(ls -1 NOTES_r*.md 2>/dev/null | sort -V | tail -1)}
+  MARK="ANTIPATTERN $N_COLLECT/$N_CROSSJOIN/$N_MAPPART:"
+  if [ -z "$NOTES" ] || ! grep -qF "$MARK" "$NOTES"; then
+    echo "FAIL: anti-pattern counts drifted from pinned" \
+      "$PIN_COLLECT/$PIN_CROSSJOIN/$PIN_MAPPART to" \
+      "$N_COLLECT/$N_CROSSJOIN/$N_MAPPART (collect/crossJoin/mapPartitions)" >&2
+    echo "  add '$MARK <named site + bound argument>' to ${NOTES:-the round NOTES}" \
+      "after auditing the new site, and update the pins here" >&2
+    exit 1
+  fi
+  echo "NOTE: anti-pattern counts $N_COLLECT/$N_CROSSJOIN/$N_MAPPART justified in $NOTES"
+fi
 S=${2:?usage: close_gate.sh <gate-commit> <matrix-summary>}
 if [ -f "$S" ]; then
   if ! grep -q "MATRIX DONE at $(git rev-parse "$GATE")" "$S"; then
