@@ -77,6 +77,25 @@ class PlanInvariantsSpec extends AnyFunSuite {
       s"top-k must not globally sort the aggregate output:\n$p")
   }
 
+  test("graph_part_pagerank_exact: rank board is limit-k bounded, no global sort anywhere") {
+    // r16 VERDICT #5: the graph ladder's 2.77× top rung was argued
+    // "expected linear-in-edges asymptote with top-20-bounded state" —
+    // this pin turns the bounded-state half of that argument into a
+    // contract. The final hub board must be TakeOrderedAndProject
+    // (per-partition top-k, then a k-row merge on the driver — state
+    // bounded by k, not V), and NO operator in the ten iterations may
+    // globally sort: the only admissible Sorts are the LOCAL
+    // (per-partition) join-key sorts under SortMergeJoin. A global
+    // rank sort would materialize and order all V vertices every run —
+    // the exact shape that stops scaling at 1e9 vertices.
+    val p = planOf("graph_part_pagerank_exact")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"hub board must be TakeOrdered, not sort+limit:\n$p")
+    // formatted-explain Sort details carry `Arguments: [orders...], <global>, 0`
+    val globalSorts = "Arguments: \\[[^\\]]*\\], true, 0".r.findAllIn(p).toSeq
+    assert(globalSorts.isEmpty, s"global sort in the iteration plan: $globalSorts\n$p")
+  }
+
   test("q_part_cooccur and dedup_minhash_lsh: no cartesian / nested-loop pair blowup") {
     for (q <- Seq("q_part_cooccur", "dedup_minhash_lsh")) {
       val p = planOf(q)
