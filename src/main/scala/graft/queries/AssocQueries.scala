@@ -58,15 +58,23 @@ object AssocQueries extends QueryPack {
     // pairs < 2^63) and the ratio is ONE double division of exact
     // integers. Top-20 via TakeOrdered with full-tuple tie-break.
     "assoc_basket_lift" -> ((s, d) => {
-      val op = graft.CacheRegistry.persistTracked(
+      // ONE okey aggregation feeds all three consumers (r17):
+      // collect_set dedups (okey, pkey) in-aggregate, so the old
+      // persisted `op.distinct()` (a second lineitem-scale exchange)
+      // and the separate two-stage countDistinct(okey) pass both
+      // collapse into this cached basket table — n is its row count,
+      // per-part supports explode back out of it, pair candidates read
+      // it directly. Output identical: the basket SETS are what every
+      // downstream count is defined on.
+      val ps = graft.CacheRegistry.persistTracked(
         Tables.lineitem(s, d)
           .select(col("l_orderkey").as("okey"), col("l_partkey").as("pkey"))
-          .distinct())
-      val n = broadcast(op.agg(countDistinct(col("okey")).as("n")))
+          .groupBy(col("okey")).agg(collect_set(col("pkey")).as("ps")))
+      val n = broadcast(ps.agg(count(lit(1)).as("n")))
       val ca = graft.CacheRegistry.persistTracked(
-        op.groupBy("pkey").agg(count(lit(1)).as("c")))
-      val pairs = op
-        .groupBy(col("okey")).agg(collect_set(col("pkey")).as("ps"))
+        ps.select(explode(col("ps")).as("pkey"))
+          .groupBy("pkey").agg(count(lit(1)).as("c")))
+      val pairs = ps
         .where(size(col("ps")) <= 1000)
         .select(explode(col("ps")).as("pa"), col("ps"))
         .select(col("pa"), explode(col("ps")).as("pb"))

@@ -43,18 +43,25 @@ object GraphQueries extends QueryPack {
   private def sizedPartitions(s: org.apache.spark.sql.SparkSession, nEdges: Long): Int =
     math.max(4, math.min(s.sparkContext.defaultParallelism, (nEdges / 50000L).toInt))
 
-  /** Build the co-occurrence graph, run `algo` on it, reduce its vertex
-    * values to a tiny histogram-shaped result DISTRIBUTED (the collect
-    * below moves at most a few dozen aggregated rows, like any action),
-    * then release every cache the run pinned — the GraphX RDD caches are
-    * NOT covered by `spark.catalog.clearCache()`, and round-1 left them
-    * resident across the whole bench, turning later queries into GC
-    * lotteries. Eager evaluation is what makes the deterministic
-    * `unpersist` possible: the caller gets a small LocalRelation. */
-  private def graphHistogram(s: org.apache.spark.sql.SparkSession, d: String,
+  /** Build a graph from a PERSISTED (CacheRegistry-tracked) edge table,
+    * run `algo` on it, reduce its vertex values to a tiny
+    * histogram-shaped result DISTRIBUTED (the collect below moves at
+    * most a few dozen aggregated rows, like any action), then release
+    * the GraphX RDD caches the run pinned — those are NOT covered by
+    * `spark.catalog.clearCache()`, and round-1 left them resident
+    * across the whole bench, turning later queries into GC lotteries.
+    * Eager evaluation is what makes the deterministic `unpersist`
+    * possible: the caller gets a small LocalRelation.
+    *
+    * The EDGE cache is the caller's (persistTracked, released by the
+    * harness once the query is consumed) — so a query with two tiers
+    * over the same graph shares ONE edge build (r17: the float
+    * community tier's private persist forced the exact twin to re-run
+    * the whole group-then-expand pipeline from the lineitem scan —
+    * two okey exchanges, two pair aggregations, per query). */
+  private def graphHistogram(s: org.apache.spark.sql.SparkSession, edf: org.apache.spark.sql.DataFrame,
       schema: Seq[String])(
       algo: Graph[Long, Double] => Seq[org.apache.spark.sql.Row]): org.apache.spark.sql.DataFrame = {
-    val edf = cooccurEdges(s, d).persist()
     val erdd = edf
       .rdd.map(r => Edge(r.getLong(0), r.getLong(1), r.getLong(2).toDouble))
       .coalesce(sizedPartitions(s, edf.count()))
@@ -67,7 +74,6 @@ object GraphQueries extends QueryPack {
           org.apache.spark.sql.types.StructField(n, org.apache.spark.sql.types.LongType, nullable = false))))
     } finally {
       g.unpersist(blocking = false)
-      edf.unpersist(blocking = false)
     }
   }
 
@@ -82,7 +88,12 @@ object GraphQueries extends QueryPack {
     // row, which is precisely what the certificate asserts). Same
     // pattern that upgraded the SRP recall tier from rows-only.
     "graph_part_communities" -> ((s, d) => {
-      val floatHist = graphHistogram(s, d, Seq("community_size", "n_float")) { g =>
+      // ONE persisted edge build serves both tiers (r17): the float
+      // tier's GraphX run and the exact-integer twin read the same
+      // cached co-occurrence table instead of each re-running the
+      // lineitem group-then-expand pipeline.
+      val edges = graft.CacheRegistry.persistTracked(cooccurEdges(s, d))
+      val floatHist = graphHistogram(s, edges, Seq("community_size", "n_float")) { g =>
         val labeled = CommunityDetection.run(g, iterations = 10, delta = 0.5)
         val hist = labeled.vertices
           .map { case (_, label) => (label, 1L) }.reduceByKey(_ + _)
@@ -91,7 +102,7 @@ object GraphQueries extends QueryPack {
         labeled.unpersist(blocking = false)
         hist.map { case (size, n) => Row(size, n) }.toSeq
       }
-      val exactHist = graft.graph.ExactCommunities.run(cooccurEdges(s, d), iters = 10)
+      val exactHist = graft.graph.ExactCommunities.run(edges, iters = 10)
         .groupBy(col("label")).agg(count(lit(1)).as("community_size"))
         .groupBy(col("community_size"))
         .agg(count(lit(1)).as("n_exact"))
@@ -208,7 +219,8 @@ object GraphQueries extends QueryPack {
 
     // Triangle counts: how clique-ish each part's neighborhood is.
     "graph_part_triangles" -> ((s, d) =>
-      graphHistogram(s, d, Seq("triangles", "n_parts")) { g =>
+      graphHistogram(s, graft.CacheRegistry.persistTracked(cooccurEdges(s, d)),
+        Seq("triangles", "n_parts")) { g =>
         val tc = g.partitionBy(org.apache.spark.graphx.PartitionStrategy.EdgePartition2D)
           .triangleCount()
         val hist = tc.vertices
@@ -221,7 +233,8 @@ object GraphQueries extends QueryPack {
 
     // Connected components (GraphX built-in) — component size histogram.
     "graph_part_components" -> ((s, d) =>
-      graphHistogram(s, d, Seq("component_size", "n_components")) { g =>
+      graphHistogram(s, graft.CacheRegistry.persistTracked(cooccurEdges(s, d)),
+        Seq("component_size", "n_components")) { g =>
         val cc = g.connectedComponents()
         val hist = cc.vertices
           .map { case (_, comp) => (comp, 1L) }.reduceByKey(_ + _)
