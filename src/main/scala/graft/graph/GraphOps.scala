@@ -39,33 +39,49 @@ object GraphOps {
     * returns (v, removed_round) where removed_round is the 1-based peel
     * round that dropped the vertex, 0 if it still stands after the last
     * round (for a graph whose peeling converges within the cap, the
-    * 0 rows are exactly the k-core). The peel round is recovered from
-    * monotonicity — a vertex removed in round r appears in survivor
-    * sets 1..r−1 exactly, so its membership count m over all rounds
-    * gives removed_round = m+1 (0 when m = rounds) — which is also what
-    * keeps the recurrence at two references per round (no per-round
-    * removed-set anti-join). */
+    * 0 rows are exactly the k-core).
+    *
+    * DELTA form (r17): the r16 loop re-joined the FULL surviving
+    * subgraph against the edge table twice per round to recount every
+    * survivor's induced degree — the whole alive edge stream crossed an
+    * exchange every round even when one pendant vertex fell. Peeling is
+    * incremental by definition: a survivor's induced degree only
+    * changes by the edges it shares with JUST-REMOVED vertices, so each
+    * round now (1) filters the degree state below k (the removed set,
+    * usually a sliver), (2) counts that sliver's incident edges with
+    * ONE co-partitioned probe of the stationary src-partitioned edge
+    * table (only matched edges — not the alive subgraph — pay the
+    * regroup-by-dst exchange), and (3) decrements survivor degrees via
+    * a co-partitioned left join. Exact same integer peel trajectory:
+    * deg_r(v) = deg_{r−1}(v) − |removed_{r−1} ∩ N(v)| IS the induced
+    * degree on alive_{r−1}, by induction from the full-graph deg_1.
+    * The per-round removed sets also carry their round directly, so
+    * the old membership-count reconstruction join disappears. */
   def kcoreRounds(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     val und = stationaryUndirected(edges, Seq("src", "dst"))
-    val nodes = graft.CacheRegistry.persistTracked(
-      und.select(col("src").as("v")).distinct())
-    var alive = nodes
-    val alives = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    for (_ <- 1 to rounds) {
-      alive = graft.CacheRegistry.persistTracked(
-        und.join(alive.select(col("v").as("src")), Seq("src"))
-          .join(alive.select(col("v").as("dst")), Seq("dst"))
-          .groupBy(col("src")).agg(count(lit(1)).as("c"))
-          .where(col("c") >= k)
-          .select(col("src").as("v")))
-      alives += alive
+    // degree state over survivors: starts as the full-graph degree
+    // (every vertex appears as a src in the undirected table)
+    var state = graft.CacheRegistry.persistTracked(
+      und.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg")))
+    val removedParts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (r <- 1 to rounds) {
+      val removed = graft.CacheRegistry.persistTracked(
+        state.where(col("deg") < k).select("v"))
+      removedParts += removed.select(col("v"), lit(r.toLong).as("removed_round"))
+      // edges OUT of removed vertices, counted per surviving endpoint:
+      // und rows (u, v) with u removed contribute 1 to v's decrement —
+      // the undirected table carries both orientations, so this covers
+      // every incident edge exactly once per direction
+      val dec = und.join(removed.select(col("v").as("src")), Seq("src"))
+        .groupBy(col("dst").as("v")).agg(count(lit(1)).as("dd"))
+      state = graft.CacheRegistry.persistTracked(
+        state.where(col("deg") >= k)
+          .join(dec, Seq("v"), "left")
+          .select(col("v"),
+            (col("deg") - coalesce(col("dd"), lit(0L))).as("deg")))
     }
-    val m = alives.map(_.select("v")).reduce(_ unionAll _)
-      .groupBy("v").agg(count(lit(1)).as("m"))
-    nodes.join(m, Seq("v"), "left")
-      .select(col("v"),
-        when(coalesce(col("m"), lit(0L)) === rounds, lit(0L))
-          .otherwise(coalesce(col("m"), lit(0L)) + 1).as("removed_round"))
+    state.select(col("v"), lit(0L).as("removed_round"))
+      .unionAll(removedParts.reduce(_ unionAll _))
   }
 
   /** Local clustering coefficient per vertex from a canonical
@@ -258,7 +274,20 @@ object GraphOps {
   /** Weighted single-source shortest paths (min-plus relaxation) from
     * the smallest vertex id, capped at `rounds` relaxations: returns
     * (v, dist) with −1 for vertices not reached within the cap.
-    * `edges` must carry (src, dst, w) with integer weights. */
+    * `edges` must carry (src, dst, w) with integer weights.
+    *
+    * DELTA form (r17): the r16 loop relaxed EVERY settled vertex every
+    * round — the edge join and the min-regroup both grew with the
+    * reached set, which converges to the whole graph by the middle
+    * rounds. Classic frontier Bellman-Ford relaxes only vertices whose
+    * distance IMPROVED last round: an unimproved vertex's candidates
+    * dist(u)+w were already folded into every neighbor's distance the
+    * round it settled, so dropping them changes nothing —
+    * dist_r(v) = min(dist_{r−1}(v), min over last round's improved u of
+    * dist_{r−1}(u)+w) reproduces the exact integer trajectory by
+    * induction. Each round pays one co-partitioned frontier⋈edges probe
+    * (frontier-incident edges alone regroup by dst) plus one
+    * co-partitioned full-outer merge with the distance state. */
   def ssspRounds(edges: DataFrame, rounds: Int): DataFrame = {
     val und = stationaryUndirected(edges, Seq("src", "dst", "w"))
     // two consumers (source seed + final −1 backfill join) — persist,
@@ -267,12 +296,23 @@ object GraphOps {
       und.select(col("src").as("v")).distinct())
     var dist = graft.CacheRegistry.persistTracked(
       nodes.agg(min("v").as("v")).select(col("v"), lit(0L).as("dist")))
+    var frontier = dist
     for (_ <- 1 to rounds) {
-      val relaxed = dist.as("dd")
-        .join(und.as("e"), col("dd.v") === col("e.src"))
-        .select(col("e.dst").as("v"), (col("dd.dist") + col("e.w")).as("dist"))
-      dist = graft.CacheRegistry.persistTracked(
-        dist.union(relaxed).groupBy("v").agg(min("dist").as("dist")))
+      val relaxed = frontier.as("f")
+        .join(und.as("e"), col("f.v") === col("e.src"))
+        .select(col("e.dst").as("v"), (col("f.dist") + col("e.w")).as("nd"))
+        .groupBy("v").agg(min("nd").as("nd"))
+      val merged = graft.CacheRegistry.persistTracked(
+        dist.join(relaxed, Seq("v"), "full_outer")
+          .select(col("v"),
+            // least() skips NULLs: newly-reached keep nd, unrelaxed
+            // keep dist, both-present take the min — the same fold the
+            // old union+min computed
+            least(col("dist"), col("nd")).as("ndist"),
+            (col("nd").isNotNull &&
+              (col("dist").isNull || col("nd") < col("dist"))).as("imp")))
+      dist = merged.select(col("v"), col("ndist").as("dist"))
+      frontier = merged.where(col("imp")).select(col("v"), col("ndist").as("dist"))
     }
     nodes.join(dist, Seq("v"), "left")
       .select(col("v"), coalesce(col("dist"), lit(-1L)).as("dist"))
