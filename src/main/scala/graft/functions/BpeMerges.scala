@@ -73,14 +73,67 @@ object BpeMerges {
     out.result()
   }
 
-  /** Subword count of one lowercase letter run under the full table. */
-  def countSubwords(run: String): Int = {
-    var syms = run.split("").filter(_.nonEmpty)
+  /** The merge table precompiled to dense integer symbol ids (r17):
+    * symbols intern by STRING value (two merge paths yielding the same
+    * text share one id, exactly string equality), rules become
+    * (left, right, merged) id triples, and a rule whose operand text
+    * is unreachable (not a-z and not produced by an earlier rule)
+    * drops out — it could never fire, since a run only ever contains
+    * reachable symbols. Lets [[countSubwords]] run each rule as one
+    * in-place int-array pass instead of allocating a fresh
+    * Array[String] per firing rule per run. */
+  private val (ruleL, ruleR, ruleM, vocabSize) = {
+    val vocab = scala.collection.mutable.HashMap.empty[String, Int]
+    ('a' to 'z').foreach(c => vocab(c.toString) = vocab.size)
+    val l = Array.newBuilder[Int]
+    val r = Array.newBuilder[Int]
+    val m = Array.newBuilder[Int]
     Rules.foreach { case (a, b) =>
-      // cheap guard: a rule can only fire if its left symbol is present
-      if (syms.length > 1 && syms.contains(a)) syms = applyRule(syms, a, b)
+      (vocab.get(a), vocab.get(b)) match {
+        case (Some(ia), Some(ib)) =>
+          val iab = vocab.getOrElseUpdate(a + b, vocab.size)
+          l += ia; r += ib; m += iab
+        case _ => () // operand unreachable — the rule is an identity
+      }
     }
-    syms.length
+    (l.result(), r.result(), m.result(), vocab.size)
+  }
+
+  /** Subword count of one lowercase letter run under the full table —
+    * the exact [[applyRule]] trajectory (BpeSpec replays it rule for
+    * rule against the wrapped-replace formulation) over interned int
+    * ids: one in-place pass per fireable rule, O(1) both-operands
+    * presence guard (conservative — a merged-away symbol may stay
+    * flagged, making the pass an identity scan, same as the old
+    * `syms.contains` guard admitting a right-operand miss). */
+  def countSubwords(run: String): Int = {
+    var len = run.length
+    if (len == 0) return 0
+    val ids = new Array[Int](len)
+    val present = new Array[Boolean](vocabSize)
+    var i = 0
+    while (i < len) {
+      val id = run.charAt(i) - 'a'
+      ids(i) = id; present(id) = true; i += 1
+    }
+    var k = 0
+    while (k < ruleL.length) {
+      val ia = ruleL(k)
+      if (len > 1 && present(ia) && present(ruleR(k))) {
+        val ib = ruleR(k)
+        var w = 0; var j = 0; var merged = false
+        while (j < len) {
+          if (j + 1 < len && ids(j) == ia && ids(j + 1) == ib) {
+            ids(w) = ruleM(k); merged = true; j += 2
+          } else { ids(w) = ids(j); j += 1 }
+          w += 1
+        }
+        len = w
+        if (merged) present(ruleM(k)) = true
+      }
+      k += 1
+    }
+    len
   }
 
   /** The identical merge chain as staged DuckDB CTEs over `$src.$col`:

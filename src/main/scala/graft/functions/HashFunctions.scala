@@ -52,7 +52,7 @@ object HashFunctions {
     val f = udf { (t: String) =>
       if (t == null) Array.empty[Long]
       else {
-        val toks = UnicodeText.simpleLower(t).split(UnicodeText.WsPlus).filter(_.nonEmpty)
+        val toks = UnicodeText.wsTokens(UnicodeText.simpleLower(t))
         if (toks.length < n) Array.empty[Long]
         else {
           val out = new java.util.HashSet[java.lang.Long](toks.length * 2)

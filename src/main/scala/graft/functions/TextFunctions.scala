@@ -46,7 +46,7 @@ object TextFunctions {
   val tokens: Column => Column = {
     val f = udf { (t: String) =>
       if (t == null) null
-      else UnicodeText.simpleLower(t).split(UnicodeText.WsPlus).filter(_.nonEmpty)
+      else UnicodeText.wsTokens(UnicodeText.simpleLower(t))
     }
     (text: Column) => f(text)
   }
@@ -151,7 +151,7 @@ object TextFunctions {
     val f = udf { (t: String) =>
       if (t == null) Array.empty[String]
       else {
-        val toks = UnicodeText.simpleLower(t).split(UnicodeText.WsPlus).filter(_.nonEmpty)
+        val toks = UnicodeText.wsTokens(UnicodeText.simpleLower(t))
         if (toks.length < n) Array.empty[String]
         else {
           val seen = new java.util.LinkedHashSet[String](toks.length * 2)
@@ -291,7 +291,7 @@ object TextFunctions {
             (c >= '0' && c <= '9') || UnicodeText.isWs(c)) kept += 1
           i += 1
         }
-        val toks = UnicodeText.simpleLower(t).split(UnicodeText.WsPlus).filter(_.nonEmpty)
+        val toks = UnicodeText.wsTokens(UnicodeText.simpleLower(t))
         var sumLen = 0L
         var nStop = 0
         toks.foreach { w =>

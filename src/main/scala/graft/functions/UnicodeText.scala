@@ -120,6 +120,29 @@ object UnicodeText {
   @inline def isWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r'
 
+  /** Contract tokenization in one allocation-lean scan: the maximal
+    * runs of non-[[isWs]] chars, in order — bit-identical to
+    * `s.split(WsPlus).filter(_.nonEmpty)` (runs between `[\s]+`
+    * separators ARE the non-ws runs; split's leading "" falls to the
+    * filter). Exists because `String.split(regex)` re-compiles the
+    * Pattern on EVERY call for any multi-char regex (its fast path is
+    * single-literal-char only), and that sat on the per-row path of
+    * every tokenizing kernel in the engine (r17). */
+  def wsTokens(s: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    val n = s.length
+    var i = 0
+    while (i < n) {
+      while (i < n && isWs(s.charAt(i))) i += 1
+      if (i < n) {
+        val st = i
+        while (i < n && !isWs(s.charAt(i))) i += 1
+        out += s.substring(st, i)
+      }
+    }
+    out.result()
+  }
+
   /** Static kernel for the codegen'd expression below. */
   def simpleLowerUtf8(s: UTF8String): UTF8String =
     UTF8String.fromString(simpleLower(s.toString))
