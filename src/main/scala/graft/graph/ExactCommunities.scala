@@ -56,10 +56,12 @@ object ExactCommunities {
     */
   def run(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
+    // single-pass explode undirect (r17): the union-with-reversed form
+    // referenced `edges` twice, executing an unpersisted caller
+    // pipeline twice before this persist could help
     val und = graft.CacheRegistry.persistTracked(
-      edges.select(col("src"), col("dst"), col("w"))
-        .union(edges.select(col("dst").as("src"), col("src").as("dst"), col("w")))
-        .repartition(col("src")))
+      GraphOps.undirect(edges.select(col("src"), col("dst"), col("w")),
+        Seq("src", "dst", "w")).repartition(col("src")))
     var state = und.select(col("src").as("v")).distinct()
       .select(col("v"), col("v").as("label"), lit(Scale).as("score"))
     for (_ <- 1 to iters) {

@@ -62,9 +62,15 @@ object ExactPageRank {
     * ~10× slower at sf0.1. The sender's degree is pre-joined INTO the
     * cached edge table so the loop never joins rank with deg. */
   private def prepared(edges: DataFrame): (DataFrame, DataFrame) = {
-    val und = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .repartition(col("src"))
+    // pin the canonical edge list FIRST (r17): und is consumed by both
+    // deg and undD, and the old union-with-reversed form additionally
+    // referenced `edges` twice — an unpersisted caller pipeline (the
+    // driver queries' whole lineitem group-then-expand) executed FOUR
+    // times per run (the plan ledger showed 4 lineitem scans). One
+    // cached build + the single-pass explode undirect leaves exactly
+    // one execution of the caller's pipeline.
+    val e0 = graft.CacheRegistry.persistTracked(edges.select(col("src"), col("dst")))
+    val und = GraphOps.undirect(e0, Seq("src", "dst")).repartition(col("src"))
     val deg = graft.CacheRegistry.persistTracked(
       und.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg")))
     val undD = graft.CacheRegistry.persistTracked(

@@ -26,14 +26,26 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
+  /** Both orientations of an edge list in ONE pass (r17): the
+    * union-with-reversed form references `e` twice, so an unpersisted
+    * input pipeline (the whole lineitem group-then-expand in the
+    * driver queries) EXECUTES twice — the plan ledger showed every
+    * union-undirected graph row scanning lineitem 2-4×. explode over a
+    * two-struct array emits (src,dst,…) and (dst,src,…) per input row
+    * in a single codegen'd Generate: same rows, one build. */
+  private[graft] def undirect(e: DataFrame, cols: Seq[String]): DataFrame = {
+    val fwd = struct(cols.map(col): _*)
+    val rev = struct((col(cols(1)).as(cols(0)) +: col(cols(0)).as(cols(1)) +:
+      cols.drop(2).map(col)): _*)
+    e.select(explode(array(fwd, rev)).as("_e"))
+      .select(cols.map(c => col(s"_e.$c")): _*)
+  }
+
   /** Undirect + repartition + persist an edge list (weighted when
     * `cols` includes w). */
-  private def stationaryUndirected(e: DataFrame, cols: Seq[String]): DataFrame = {
-    val rev = e.select((col("dst").as("src") +: col("src").as("dst") +:
-      cols.drop(2).map(col)): _*)
+  private def stationaryUndirected(e: DataFrame, cols: Seq[String]): DataFrame =
     graft.CacheRegistry.persistTracked(
-      e.select(cols.map(col): _*).union(rev).repartition(col("src")))
-  }
+      undirect(e.select(cols.map(col): _*), cols).repartition(col("src")))
 
   /** k-core decomposition by iterative peeling, capped at `rounds`:
     * returns (v, removed_round) where removed_round is the 1-based peel

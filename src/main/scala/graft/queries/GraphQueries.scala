@@ -343,9 +343,11 @@ object GraphQueries extends QueryPack {
     // discipline); K is a constant, so lineage stays shallow.
     "graph_part_bfs" -> ((s, d) => {
       val maxHop = 4
-      val e = cooccurEdges(s, d).select("src", "dst")
+      // single-pass explode undirect (r17): the union form executed the
+      // whole unpersisted cooccurEdges pipeline twice
       val und = graft.CacheRegistry.persistTracked(
-        e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+        graft.graph.GraphOps.undirect(
+          cooccurEdges(s, d).select("src", "dst"), Seq("src", "dst"))
           .repartition(col("src")))
       val nodes = und.select(col("src").as("v")).distinct()
       var dist = nodes.agg(min("v").as("v")).select(col("v"), lit(0L).as("hop"))
