@@ -130,17 +130,26 @@ object VectorKMeans {
       .partitionBy("bucket").orderBy(col("vec_id").asc)
     val ranked = bucketed.select(col("vec_id"), col("bucket"), col("embedding"))
       .withColumn("trn", row_number().over(byId))
-    val tr = (if (trainCap <= 0) ranked else ranked.where(col("trn") <= trainCap))
-      .select("vec_id", "bucket", "embedding")
+    // pinned (r17): tr is consumed by every iteration's assignment and
+    // the seed derivation below — unpersisted, each reference re-ran
+    // the bucket-ranking window over the whole corpus
+    val tr = graft.CacheRegistry.persistTracked(
+      (if (trainCap <= 0) ranked else ranked.where(col("trn") <= trainCap))
+        .select("vec_id", "bucket", "embedding"))
     // Seeds come from the TRAIN-CAPPED set (first k of tr by vec_id ==
     // first min(k, cap) of the bucket ranking, since tr is a prefix of
     // the same ordering) — the oracle seeds from tr, so seeding from
     // the uncapped ranking silently diverged whenever 0 < cap < k
     // (r12 ADVICE; VectorKMeansSpec plants that arm).
     val seedCap = if (trainCap > 0 && trainCap < k) trainCap else k.toLong
-    var cents = ranked.where(col("trn") <= seedCap)
-      .select(col("bucket"), col("vec_id").as("cluster"),
-        transform(col("embedding"), x => x.cast("double")).as("cvec"))
+    // each round's centers are (bucket × ≤k)-cardinality — tiny — but
+    // cents_i references cents_{i−1} TWICE (the assignment join and the
+    // empty-cluster fallback join), so the unpersisted recurrence
+    // re-evaluated the whole earlier refinement 2^i times (r17)
+    var cents = graft.CacheRegistry.persistTracked(
+      ranked.where(col("trn") <= seedCap)
+        .select(col("bucket"), col("vec_id").as("cluster"),
+          transform(col("embedding"), x => x.cast("double")).as("cvec")))
     for (_ <- 1 to iters) {
       val assigned = assignBucketLocal(tr, cents)
       val means = assigned
@@ -155,9 +164,10 @@ object VectorKMeans {
         .groupBy("bucket", "cluster")
         .agg(transform(sort_array(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m")).as("mvec"))
-      cents = cents.join(means, Seq("bucket", "cluster"), "left")
-        .select(col("bucket"), col("cluster"),
-          coalesce(col("mvec"), col("cvec")).as("cvec"))
+      cents = graft.CacheRegistry.persistTracked(
+        cents.join(means, Seq("bucket", "cluster"), "left")
+          .select(col("bucket"), col("cluster"),
+            coalesce(col("mvec"), col("cvec")).as("cvec")))
     }
     cents
   }
