@@ -52,12 +52,9 @@ object PubGraph {
     val p2ven = pubs.where(col("venue").isNotNull)
       .select(col("title").as("src"), col("venue").as("dst"))
     val written = pubs.select(explode(col("authors")).as("src"), col("title").as("dst"))
-    val coauth = pubs
-      .where(size(col("authors")) <= maxCliqueAuthors)
-      .select(col("authors").as("as"))
-      .select(explode(col("as")).as("src"), col("as"))
-      .select(col("src"), explode(col("as")).as("dst"))
-      .where(col("src") < col("dst"))
+    val coauth = graft.functions.PairGen.suffixPairs(
+      pubs.where(size(col("authors")) <= maxCliqueAuthors),
+      col("authors"), "src", "dst")
     p2pub.unionByName(p2ven).unionByName(written).unionByName(coauth)
       .distinct()
       .withColumn("weight", lit(1.0))

@@ -74,11 +74,8 @@ object AssocQueries extends QueryPack {
       val ca = graft.CacheRegistry.persistTracked(
         ps.select(explode(col("ps")).as("pkey"))
           .groupBy("pkey").agg(count(lit(1)).as("c")))
-      val pairs = ps
-        .where(size(col("ps")) <= 1000)
-        .select(explode(col("ps")).as("pa"), col("ps"))
-        .select(col("pa"), explode(col("ps")).as("pb"))
-        .where(col("pa") < col("pb"))
+      val pairs = graft.functions.PairGen.suffixPairs(
+        ps.where(size(col("ps")) <= 1000), col("ps"), "pa", "pb")
         .groupBy("pa", "pb").agg(count(lit(1)).as("cab"))
         .where(col("cab") >= 2)
       pairs

@@ -20,12 +20,11 @@ object GraphQueries extends QueryPack {
     // group-then-expand (one okey shuffle + in-partition pair
     // generation), not distinct + self-join (three shuffles) — see the
     // q_part_cooccur comment in RelationalQueries; output identical
-    Tables.lineitem(s, d)
-      .groupBy(col("l_orderkey"))
-      .agg(collect_set(col("l_partkey")).as("ps"))
-      .select(explode(col("ps")).as("src"), col("ps"))
-      .select(col("src"), explode(col("ps")).as("dst"))
-      .where(col("src") < col("dst"))
+    graft.functions.PairGen.suffixPairs(
+      Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(collect_set(col("l_partkey")).as("ps")),
+      col("ps"), "src", "dst")
       .groupBy("src", "dst")
       .agg(count(lit(1)).as("w"))
       .where(col("w") >= 2)

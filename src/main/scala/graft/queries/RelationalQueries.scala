@@ -58,13 +58,13 @@ object RelationalQueries extends QueryPack {
   }
 
   /** Co-occurrence pair counts from capped part sets — the shared
-    * group-then-expand kernel, exposed for the cap spec. */
+    * group-then-expand kernel, exposed for the cap spec. Pair
+    * generation is the suffix form (PairGen.suffixPairs, r17): the
+    * second Generate emits k(k-1)/2 rows per order instead of the k²
+    * the explode×explode + filter form produced. */
   private[graft] def cooccurPairs(s: org.apache.spark.sql.SparkSession, d: String,
       cap: Int): DataFrame =
-    orderPartSets(s, d, cap)
-      .select(explode(col("ps")).as("p1"), col("ps"))
-      .select(col("p1"), explode(col("ps")).as("p2"))
-      .where(col("p1") < col("p2"))
+    graft.functions.PairGen.suffixPairs(orderPartSets(s, d, cap), col("ps"), "p1", "p2")
       .groupBy("p1", "p2")
       .agg(count(lit(1)).as("cnt"))
 
