@@ -197,7 +197,22 @@ object RelationalQueries extends QueryPack {
 
     // J2: fact ⋈ broadcast dims chain, revenue rollup per region/year.
     "q_region_revenue" -> ((s, d) => {
+      // Aggregate lineitem per orderkey BEFORE the orders join (guide
+      // §2.3, r17): every grouping key is orders-side, so the join
+      // only needs each order's exact decimal revenue sum and item
+      // count — the okey exchange the join pays anyway now carries
+      // ~1 row per order instead of every lineitem (map-side partial
+      // collapses the ~4 items/order first). Output identical: decimal
+      // sums are exact and associative, count distributes over the
+      // per-order partials, and a duplicated/missing orders row
+      // multiplies/drops the per-order partial exactly as it did each
+      // raw item row.
       val li = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(
+          sum(dec(col("l_extendedprice")) *
+            (lit(1).cast("decimal(1,0)") - dec(col("l_discount")))).as("orev"),
+          count(lit(1)).as("oitems"))
       val ord = Tables.orders(s, d)
       val cust = broadcast(Tables.customer(s, d))
       val nat = broadcast(Tables.nation(s, d))
@@ -208,10 +223,8 @@ object RelationalQueries extends QueryPack {
         .join(reg, col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"), year(col("o_orderdate")).as("o_year"))
         .agg(
-          sum(dec(col("l_extendedprice")) *
-            (lit(1).cast("decimal(1,0)") - dec(col("l_discount"))))
-            .cast("decimal(38,4)").cast("double").as("revenue"),
-          count(lit(1)).as("n_items"))
+          sum(col("orev")).cast("decimal(38,4)").cast("double").as("revenue"),
+          sum(col("oitems")).as("n_items"))
     }),
 
     // P12/J6: membership filter against a small in-query set (constant-

@@ -557,7 +557,17 @@ object WindowQueries extends QueryPack {
 
     // Rollup: revenue per (region, year) with region and grand totals.
     "q_rollup_revenue" -> ((s, d) => {
+      // Same §2.3 pre-aggregation as q_region_revenue (r17): the
+      // rollup keys are all orders-side, so lineitem collapses to
+      // exact per-order (decimal sum, item count) partials before the
+      // okey join — identical output (decimal sums exact/associative,
+      // counts distribute; the empty-input case is pinned on both
+      // engines already: Spark grouping sets emit no rows, the oracle
+      // carries HAVING count(*) > 0).
       val li = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,4)")).as("orev"),
+          count(lit(1)).as("oitems"))
       val ord = Tables.orders(s, d)
       val cust = broadcast(Tables.customer(s, d))
       val nat = broadcast(Tables.nation(s, d))
@@ -567,8 +577,8 @@ object WindowQueries extends QueryPack {
         .join(nat, col("c_nationkey") === col("n_nationkey"))
         .join(reg, col("n_regionkey") === col("r_regionkey"))
         .rollup(col("r_name"), year(col("o_orderdate")).as("o_year"))
-        .agg(sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double").as("revenue"),
-          count(lit(1)).as("n_items"))
+        .agg(sum(col("orev")).cast("double").as("revenue"),
+          sum(col("oitems")).as("n_items"))
     }))
 
   override def oracles: Map[String, String] = Map(
