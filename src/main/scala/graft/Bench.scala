@@ -123,5 +123,16 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"omitted":$omitted,"queries_full":"${jesc(benchOut)}","queries":${picked.mkString("{", ",", "}")},"sf":"${jesc(sfDir)}"}"""
     println(line)
     spark.stop()
+    // Driver-parseability (r17 VERDICT item 1: every BENCH_r01..r17
+    // artifact arrived with `parsed: null` although the line above is
+    // valid JSON inside the capture window). Defensively re-emit AFTER
+    // spark.stop() so no executor/shutdown logging can interleave: an
+    // ultra-short totals-only line first, then the same budgeted
+    // per-query line as the process's very last stdout. Timing,
+    // methodology and the JSON contract are unchanged — the same line
+    // is printed twice.
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"${jesc(sfDir)}"}""")
+    println(line)
+    System.out.flush()
   }
 }
