@@ -141,6 +141,35 @@ object SimilarityQueries extends QueryPack {
 
   private def ld(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
 
+  /** Array-format learned doc vectors WITH the norm attached:
+    * (doc_id, v: array<long>[EmbeddingVectors.Dim], nsq) — one row per
+    * positive-norm doc. Collapses [[learnedDocVectors]]' long format
+    * once per query so the downstream dot stages carry ONE 8-long
+    * array per side instead of Dim rows through per-dim join exchanges
+    * (r17 VERDICT #1: dim× shuffle amplification at 100 TB). The dot
+    * is exactly the long form's: each (doc, dim) row appears once, so
+    * sum(when(dim = i, s)) IS s_i, and the coalesce-to-0 matches a
+    * missing long-format row contributing 0 to the dot sum (no such
+    * doc exists — the vocab join emits every dim — but the forms stay
+    * equal even then). nsq is the same Σ s² the old separate aggregate
+    * computed, folded into this one pass. */
+  private[graft] def learnedDocVectorsArr(dv: org.apache.spark.sql.DataFrame) =
+    dv.groupBy("doc_id")
+      .agg(
+        array((0 until graft.functions.EmbeddingVectors.Dim).map(i =>
+          coalesce(sum(when(col("dim") === i, col("s"))), lit(0L))): _*).as("v"),
+        sum(ld(col("s")) * ld(col("s"))).as("nsq"))
+      .where(col("nsq") > 0)
+
+  /** Exact integer dot of two array-format learned vectors — the same
+    * decimal(38,0) products and sum as the long form's
+    * sum(ld(sa)*ld(sb)), expanded per fixed dim so the whole expression
+    * stays whole-stage codegen (no higher-order functions). */
+  private def dotArr(a: Column, b: Column): Column =
+    (0 until graft.functions.EmbeddingVectors.Dim)
+      .map(i => ld(element_at(a, i + 1)) * ld(element_at(b, i + 1)))
+      .reduce(_ + _)
+
   /** Cosine threshold of the learned-embedding SemDeDup tier (measured
     * on the corpus: median within-bucket cosine 0.94, 99.9th pct
     * ~0.996 — the threshold sits in the near-dup tail). Interpolated
@@ -261,26 +290,21 @@ object SimilarityQueries extends QueryPack {
     // SQL with the committed vectors as a VALUES table (the
     // classifier-weights oracle pattern).
     "sim_topk_learned" -> ((s, d) => {
-      val dv = graft.CacheRegistry.persistTracked(learnedDocVectors(s, d))
-      // norms are doc-cardinality; nsq > 0 guards the 0/0 cosine (a doc
-      // whose matched tokens sum to the zero vector — impossible today,
-      // cheap forever), mirrored as HAVING in the oracle
-      val nsq = graft.CacheRegistry.persistTracked(
-        dv.groupBy("doc_id").agg(sum(ld(col("s")) * ld(col("s"))).as("nsq"))
-          .where(col("nsq") > 0))
-      val q = dv.where(col("doc_id") < NQueries)
-        .select(col("doc_id").as("qid"), col("dim"), col("s").as("qs"))
-      val dots = broadcast(q).join(dv, Seq("dim"))
-        .where(col("qid") =!= col("doc_id"))
-        .groupBy("qid", "doc_id")
-        .agg(sum(ld(col("qs")) * ld(col("s"))).as("dot"))
+      // r18 (r17 VERDICT #1 family): one array-format vector table with
+      // the norm attached replaces the per-dim broadcast join + (qid,
+      // doc) aggregate + two nsq joins — the corpus side carries one
+      // 8-long array per row through the same broadcast-Q × N shape as
+      // sim_topk_bruteforce, and the 0/0-cosine guard (nsq > 0, HAVING
+      // in the oracle) rides the table itself. Values bit-identical:
+      // same integer products, same one double division.
+      val dva = graft.CacheRegistry.persistTracked(
+        learnedDocVectorsArr(learnedDocVectors(s, d)))
+      val q = dva.where(col("doc_id") < NQueries)
+        .select(col("doc_id").as("qid"), col("v").as("qv"), col("nsq").as("qnsq"))
       val w = Window.partitionBy("qid").orderBy(col("sim").desc_nulls_last, col("vec_id").asc)
-      dots
-        .join(nsq, Seq("doc_id"))
-        .join(broadcast(nsq.select(col("doc_id").as("qid"), col("nsq").as("qnsq"))),
-          Seq("qid"))
+      broadcast(q).join(dva, col("qid") =!= col("doc_id"))
         .select(col("qid"), col("doc_id").as("vec_id"),
-          round(col("dot").cast("double") /
+          round(dotArr(col("qv"), col("v")).cast("double") /
             sqrt(col("nsq").cast("double") * col("qnsq").cast("double")), 6).as("sim"))
         .withColumn("rank", row_number().over(w))
         .where(col("rank") <= K)
@@ -303,9 +327,16 @@ object SimilarityQueries extends QueryPack {
     // by the oracle in the same integer arithmetic).
     "dedup_learned_semantic" -> ((s, d) => {
       val dv = graft.CacheRegistry.persistTracked(learnedDocVectors(s, d))
-      val nsq = graft.CacheRegistry.persistTracked(
-        dv.groupBy("doc_id").agg(sum(ld(col("s")) * ld(col("s"))).as("nsq"))
-          .where(col("nsq") > 0))
+      // r18 (r17 VERDICT #1): the pair stage used to join the LONG
+      // (doc, dim, s) relation twice — pair×dim rows through two
+      // exchanges plus a (bucket, a, b) re-aggregate, dim× shuffle
+      // amplification at 100 TB. One array-format table with the norm
+      // attached (dva) now serves both sides: each pair ships two
+      // 8-long arrays once, the dot is inline codegen, and the two nsq
+      // joins fold away. The long dv still feeds the bucketing stage
+      // (its plane join is per-dim by construction).
+      val dva = graft.CacheRegistry.persistTracked(learnedDocVectorsArr(dv))
+      val nsq = dva.select("doc_id", "nsq")
       val b = graft.CacheRegistry.persistTracked(learnedBuckets(dv, nsq))
       // pair stage reads only each bucket's first semBucketCap members
       // by doc_id (bounded worst bucket); the census below reads b whole
@@ -319,17 +350,13 @@ object SimilarityQueries extends QueryPack {
           col("x.bucket") === col("y.bucket") && col("x.doc_id") < col("y.doc_id"))
         .select(col("x.bucket").as("bucket"),
           col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      val dots = pairs
-        .join(dv.select(col("doc_id").as("a"), col("dim"), col("s").as("sa")), Seq("a"))
-        .join(dv.select(col("doc_id").as("b"), col("dim"), col("s").as("sb")),
-          Seq("b", "dim"))
-        .groupBy("bucket", "a", "b")
-        .agg(sum(ld(col("sa")) * ld(col("sb"))).as("dot"))
-      val sims = dots
-        .join(nsq.select(col("doc_id").as("a"), col("nsq").as("na")), Seq("a"))
-        .join(nsq.select(col("doc_id").as("b"), col("nsq").as("nb")), Seq("b"))
+      val sims = pairs
+        .join(dva.select(col("doc_id").as("a"), col("v").as("va"), col("nsq").as("na")),
+          Seq("a"))
+        .join(dva.select(col("doc_id").as("b"), col("v").as("vb"), col("nsq").as("nb")),
+          Seq("b"))
         .select(col("bucket"),
-          (col("dot").cast("double") /
+          (dotArr(col("va"), col("vb")).cast("double") /
             sqrt(col("na").cast("double") * col("nb").cast("double"))).as("sim"))
       b.groupBy("bucket").agg(count(lit(1)).as("n_docs"))
         .join(sims.where(col("sim") >= SemDupT)
