@@ -514,10 +514,16 @@ object CurationQueries extends QueryPack {
       val tf = Tables.documents(s, d)
         .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val byScore = Window.partitionBy("doc_id")
         .orderBy(col("score").desc, col("term").asc)
-      tf.join(df, "term")
+      // df as a count window over tf's term partitioning (r18 scan
+      // census): the old groupBy+join re-derived the whole tf pipeline
+      // — the tokenizer and the (doc, term) aggregate ran TWICE and the
+      // join shuffled tf a second time. df = the number of tf rows per
+      // term, which is exactly count(*) over the term partition — one
+      // tokenize pass, one tf aggregate, the same per-term exchange the
+      // join's left side paid anyway (the text_bigram_coverage shape).
+      tf.withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
         .withColumn("score", round(col("tf").cast("double") / col("df"), 6))
         .withColumn("rn", row_number().over(byScore))
         .where(col("rn") <= 3)
@@ -558,9 +564,13 @@ object CurationQueries extends QueryPack {
     // those few rows only. Rows for a K larger than the vocabulary are
     // absent on both engines alike.
     "pipe_vocab_coverage" -> ((s, d) => {
-      val counts = Tables.documents(s, d)
-        .select(explode(tokens(col("text"))).as("term"))
-        .groupBy("term").agg(count(lit(1)).as("cnt"))
+      // pinned (r18 scan census): counts feeds both the grand total and
+      // the top-K head, and unpersisted it ran the tokenize + term
+      // aggregate pipeline twice. The pin is vocabulary-cardinality.
+      val counts = graft.CacheRegistry.persistTracked(
+        Tables.documents(s, d)
+          .select(explode(tokens(col("text"))).as("term"))
+          .groupBy("term").agg(count(lit(1)).as("cnt")))
       val total = counts.agg(sum(col("cnt")).as("total_tokens"))
       val byCnt = Window.partitionBy().orderBy(col("cnt").desc, col("term").asc)
       counts.orderBy(col("cnt").desc, col("term").asc).limit(25)
@@ -580,13 +590,20 @@ object CurationQueries extends QueryPack {
     // event-time ordering (not mere presence) — the thing a naive
     // GROUP BY count(DISTINCT event_type) gets wrong. All three stages
     // aggregate on user_id, so one hash partitioning serves the chain.
+    // v and c are pinned (r18 scan census): each stage is referenced
+    // both by its own counter and by the next stage's join, and the
+    // unpersisted chain re-executed the view pipeline 3x and the click
+    // pipeline 2x (6 event scans for a 3-stage funnel). The pins are
+    // user-cardinality (one row per surviving user).
     "q_events_funnel" -> ((s, d) => {
       val ev = Tables.events(s, d).select("user_id", "event_type", "ts")
-      val v = ev.where(col("event_type") === "view")
-        .groupBy("user_id").agg(min("ts").as("v_ts"))
-      val c = ev.where(col("event_type") === "click")
-        .join(v, "user_id").where(col("ts") > col("v_ts"))
-        .groupBy("user_id").agg(min("ts").as("c_ts"))
+      val v = graft.CacheRegistry.persistTracked(
+        ev.where(col("event_type") === "view")
+          .groupBy("user_id").agg(min("ts").as("v_ts")))
+      val c = graft.CacheRegistry.persistTracked(
+        ev.where(col("event_type") === "click")
+          .join(v, "user_id").where(col("ts") > col("v_ts"))
+          .groupBy("user_id").agg(min("ts").as("c_ts")))
       val p = ev.where(col("event_type") === "purchase")
         .join(c, "user_id").where(col("ts") > col("c_ts"))
         .groupBy("user_id").agg(min("ts").as("p_ts"))
@@ -609,12 +626,15 @@ object CurationQueries extends QueryPack {
     "q_events_funnel_windowed" -> ((s, d) => {
       val ev = Tables.events(s, d).select("user_id", "event_type", "ts")
       val gap = expr("INTERVAL 7 DAYS")
-      val v = ev.where(col("event_type") === "view")
-        .groupBy("user_id").agg(min("ts").as("v_ts"))
-      val c = ev.where(col("event_type") === "click")
-        .join(v, "user_id")
-        .where(col("ts") > col("v_ts") && col("ts") <= col("v_ts") + gap)
-        .groupBy("user_id").agg(min("ts").as("c_ts"))
+      // v/c pinned for the same reason as q_events_funnel (r18 census)
+      val v = graft.CacheRegistry.persistTracked(
+        ev.where(col("event_type") === "view")
+          .groupBy("user_id").agg(min("ts").as("v_ts")))
+      val c = graft.CacheRegistry.persistTracked(
+        ev.where(col("event_type") === "click")
+          .join(v, "user_id")
+          .where(col("ts") > col("v_ts") && col("ts") <= col("v_ts") + gap)
+          .groupBy("user_id").agg(min("ts").as("c_ts")))
       val p = ev.where(col("event_type") === "purchase")
         .join(c, "user_id")
         .where(col("ts") > col("c_ts") && col("ts") <= col("c_ts") + gap)

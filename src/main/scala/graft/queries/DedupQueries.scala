@@ -577,8 +577,25 @@ object DedupQueries extends QueryPack {
     // NanOrderingAuditSpec invariant): an unverifiable pair stays
     // 'hash_only', it does not get promoted by NaN ordering.
     "dedup_cascade" -> ((s, d) => {
-      val pairs = jaccardPairs(s, d)
-      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      // r18 (guide §3.2): restrict the embedding side to the pair keys
+      // with a semi-join BEFORE the two outer joins. Locally both forms
+      // broadcast, but at 100 TB a LeftOuter BHJ must build the
+      // embedding side — fact-sized, so the old form degraded to two
+      // corpus shuffles by vec_id; the key-cut side stays
+      // pair-cardinality (≪ corpus by the dedup rate) and broadcasts
+      // at any scale, so the corpus still never reshuffles. Identical
+      // rows: an outer join only matches embedding rows whose vec_id
+      // IS a pair key, so dropping the rest changes no match and no
+      // null (the no_vector verdict reads the same ea/eb nulls).
+      // pairs is pinned (it now feeds the key set AND the join spine);
+      // e is pinned (referenced by both outer joins at pair key
+      // cardinality).
+      val pairs = graft.CacheRegistry.persistTracked(jaccardPairs(s, d))
+      val keys = pairs.select(col("i").as("vec_id"))
+        .union(pairs.select(col("j").as("vec_id"))).distinct()
+      val e = graft.CacheRegistry.persistTracked(
+        Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+          .join(keys, Seq("vec_id"), "left_semi"))
       pairs
         .join(e.as("ea"), col("i") === col("ea.vec_id"), "left")
         .join(e.as("eb"), col("j") === col("eb.vec_id"), "left")
@@ -598,8 +615,14 @@ object DedupQueries extends QueryPack {
     // — 63-bit majority vote, 16-bit hamming bands, candidate counts —
     // is reproduced in DuckDB HUGEINT arithmetic and value-graded.
     "dedup_simhash" -> ((s, d) => {
-      val docs = Tables.fanout(Tables.documents(s, d))
-        .select(col("doc_id"), simhash(polyElementHashes(tokens(col("text")))).as("sh"))
+      // pinned (r18 scan census): docs is referenced by BOTH sides of
+      // the band self-join and by the final decoration join, so the
+      // unpersisted form ran the simhash kernel (tokenize + per-token
+      // PolyHash64 + 63-bit majority vote) three times per run. The
+      // pin is one (doc_id, int64) row per doc.
+      val docs = graft.CacheRegistry.persistTracked(
+        Tables.fanout(Tables.documents(s, d))
+          .select(col("doc_id"), simhash(polyElementHashes(tokens(col("text")))).as("sh")))
       val chunks = docs
         .select(col("doc_id"), explode(simhashChunks(col("sh"))).as("cc"))
         .select(col("doc_id"), col("cc.chunk").as("chunk"), col("cc.value").as("value"))

@@ -239,8 +239,13 @@ class PlanInvariantsSpec extends AnyFunSuite {
   test("text_tfidf_terms: top-3 rank limit pushed into the window sort") {
     val p = planOf("text_tfidf_terms")
     assert(p.contains("WindowGroupLimit"), s"rank filter must push into the window:\n$p")
-    assert(p.contains("BroadcastHashJoin"),
-      s"the vocabulary-sized df table must broadcast onto tf:\n$p")
+    // r18: df is a count window over tf's term partitioning — the old
+    // groupBy+join re-derived the whole tf pipeline (tokenizer and
+    // (doc, term) aggregate ran twice). No join of any kind remains,
+    // and the single tokenize pass shows as exactly one documents scan.
+    assert(!p.contains("Join"), s"df must ride a window, never a join:\n$p")
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).size == 1,
+      s"one tokenize pass — exactly one documents scan:\n$p")
   }
 
   test("dedup_semantic: bucket-local assignment — keyed joins only, no N-sized broadcast") {
